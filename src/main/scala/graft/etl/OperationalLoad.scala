@@ -1,0 +1,89 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.io.Staging
+import graft.ops.Relational
+import graft.schema.Schemas
+
+/** Entry-point C (SURVEY.md §3): staging CSVs → operational store with
+  * incremental anti-join loads. Reference
+  * `transform_and_load_to_operational_db` + `load_data_if_new`
+  * (`data/transformation_db.py:91-162`).
+  *
+  * The load is idempotent: running twice loads 0 new rows the second
+  * time (reference behavior at transformation_db.py:113-119). Unlike
+  * the reference — which materializes every existing key into a
+  * driver-side Python set — the "is it new" check here is a
+  * distributed left-anti join against the store's key column only
+  * (column-pruned parquet scan, broadcastable when small).
+  */
+object OperationalLoad {
+
+  /** Reference `load_data_if_new` (transformation_db.py:91-121):
+    * dedupe by key → rename → project → anti-join existing → append.
+    * Returns the number of new rows loaded. */
+  def loadIfNew(spark: SparkSession, df: DataFrame, storeDir: String,
+                table: String, idColumn: String,
+                columnMapping: Map[String, String] = Map.empty,
+                selectColumns: Seq[String] = Nil): Long = {
+    if (df.isEmpty) return 0L
+    var d = Relational.dedupeByKey(df, idColumn)
+    if (columnMapping.nonEmpty) d = Relational.renameAll(d, columnMapping)
+    if (selectColumns.nonEmpty) d = Relational.selectExisting(d, selectColumns)
+    val fresh =
+      if (Staging.tableExists(storeDir, table)) {
+        val existing = Staging.readTable(spark, storeDir, table)
+        Relational.antiJoinNewKeys(d, existing, idColumn)
+      } else d
+    // Cache the new slice: it is both counted (load accounting,
+    // reference transformation_db.py:117) and appended — without the
+    // cache the anti-join would run twice.
+    fresh.cache()
+    val n = fresh.count()
+    if (n > 0) Staging.appendParquet(fresh, storeDir, table)
+    fresh.unpersist()
+    n
+  }
+
+  /** The five table loads (reference transformation_db.py:124-162). */
+  def run(spark: SparkSession, stagingDir: String,
+          storeDir: String): Map[String, Long] = {
+    Schemas.operational.foreach { case (t, s) =>
+      Staging.ensureTable(spark, storeDir, t, s)
+    }
+    val placesRaw = Staging.readCsvPrefix(
+      spark, s"$stagingDir/places", Schemas.stagingPlaces)
+    // The reference merges search + detail records before staging
+    // (extraction.py:139-148, E5 coalesce). Our staging schema keeps
+    // both; apply the coalesce here so the store sees final columns.
+    val places = {
+      import org.apache.spark.sql.functions.col
+      import graft.ops.Scalars
+      placesRaw
+        .withColumn("name",
+          Scalars.coalesceNonEmpty(col("name_detail"), col("name")))
+        .withColumn("types", col("types_detail"))
+        .withColumn("lat", col("lat_detail"))
+        .withColumn("lng", col("lng_detail"))
+    }
+    Map(
+      "places" -> loadIfNew(spark, places, storeDir, "places", "place_id",
+        selectColumns = Schemas.places.fieldNames.toSeq),
+      "reviews" -> loadIfNew(spark,
+        Staging.readCsvPrefix(spark, s"$stagingDir/reviews",
+          Schemas.stagingReviews),
+        storeDir, "reviews", "id_review"),
+      "tweets" -> loadIfNew(spark,
+        Staging.readCsvPrefix(spark, s"$stagingDir/tweets",
+          Schemas.stagingTweets),
+        storeDir, "tweets", "id_tweet"),
+      "pemasukan" -> loadIfNew(spark,
+        Staging.readCsvPrefix(spark, s"$stagingDir/pemasukan",
+          Schemas.stagingPemasukan),
+        storeDir, "pemasukan", "id_transaksi_original"),
+      "pengeluaran" -> loadIfNew(spark,
+        Staging.readCsvPrefix(spark, s"$stagingDir/pengeluaran",
+          Schemas.stagingPengeluaran),
+        storeDir, "pengeluaran", "id_transaksi_original"))
+  }
+}

@@ -1,0 +1,79 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Sources and sinks F1-F6 (SURVEY.md §2.1).
+  *
+  * The reference stages everything as timestamped CSVs under an object
+  * -store prefix (`data/utils.py`), appends new rows into an
+  * operational store (`transformation_db.py:116`), and truncate-loads
+  * a derived mart (`transformation_dw.py:154-156` et al.). Here the
+  * staging layer is a CSV directory glob and the stores are parquet
+  * directories — same topology, engine-native formats. On a cluster
+  * the paths are object-store URIs; nothing else changes.
+  */
+object Staging {
+
+  /** F1 — multi-file CSV scan: read every `*.csv` under a prefix and
+    * union (reference `load_csv_from_gcs_to_df`, utils.py:28-45).
+    * Spark globs + unions natively and splits large files; the schema
+    * is explicit instead of per-file inferred. Missing/empty prefix →
+    * empty frame (reference utils.py:43-45 fallback). */
+  def readCsvPrefix(spark: SparkSession, prefix: String,
+                    schema: StructType): DataFrame = {
+    val dir = new java.io.File(prefix)
+    val hasCsv = dir.isDirectory &&
+      dir.listFiles().exists(_.getName.endsWith(".csv"))
+    if (!hasCsv) spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.option("header", "true").schema(schema)
+      .csv(s"$prefix/*.csv")
+  }
+
+  /** F2 — timestamped CSV sink: `{base}_{yyyyMMdd_HHmmss}.csv`
+    * (reference `save_df_to_gcs`, utils.py:6-26). The reference writes
+    * one blob; we keep that contract for small staging batches via
+    * coalesce(1) — large frames should use [[appendParquet]] instead. */
+  def writeCsvStamped(df: DataFrame, prefix: String,
+                      baseName: String): String = {
+    val stamp = java.time.format.DateTimeFormatter
+      .ofPattern("yyyyMMdd_HHmmss").withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.now())
+    val path = s"$prefix/${baseName}_$stamp.csv"
+    df.coalesce(1).write.option("header", "true")
+      .mode(SaveMode.Overwrite).csv(path)
+    path
+  }
+
+  /** F4 — full-table scan of an operational store table. */
+  def readTable(spark: SparkSession, storeDir: String,
+                table: String): DataFrame =
+    spark.read.parquet(s"$storeDir/$table")
+
+  def tableExists(storeDir: String, table: String): Boolean =
+    new java.io.File(s"$storeDir/$table").isDirectory
+
+  /** F5 — append sink (reference `to_sql(if_exists='append')`,
+    * transformation_db.py:116). */
+  def appendParquet(df: DataFrame, storeDir: String, table: String): Unit =
+    df.write.mode(SaveMode.Append).parquet(s"$storeDir/$table")
+
+  /** F6 — truncate-load sink (reference BigQuery WRITE_TRUNCATE,
+    * transformation_dw.py:154-156). */
+  def overwriteParquet(df: DataFrame, storeDir: String,
+                       table: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(s"$storeDir/$table")
+
+  /** D1/D2 — ensure a store table exists with its declared schema
+    * (reference CREATE TABLE IF NOT EXISTS, transformation_db.py:11-89,
+    * transformation_dw.py:6-120). Parquet stores are schema-on-write,
+    * so "create if not exists" = write an empty frame once. */
+  def ensureTable(spark: SparkSession, storeDir: String, table: String,
+                  schema: StructType): Unit =
+    if (!tableExists(storeDir, table)) {
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .write.mode(SaveMode.Overwrite).parquet(s"$storeDir/$table")
+    }
+}

@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** R1-R15 (SURVEY.md §2.2): the reference's relational operators as
+  * `DataFrame => DataFrame` combinators.
+  *
+  * Scale notes (100 TB design intent):
+  *   - [[antiJoinNewKeys]] is a distributed `left_anti` join — never a
+  *     driver-side key set (the reference's scalability cliff,
+  *     `transformation_db.py:109-113`). Catalyst broadcasts the key
+  *     side when small, else shuffles; AQE re-plans at runtime.
+  *   - [[dedupeByKey]] is a partial+final hash aggregate (spillable);
+  *     [[dedupeByKeyOrdered]] adds a deterministic tiebreak via a
+  *     per-key window — one shuffle on the key either way.
+  *   - [[lookupJoin]] broadcasts the small side explicitly — the
+  *     distributed form of the reference's in-memory dict probe
+  *     (`extraction.py:92-95`).
+  */
+object Relational {
+
+  /** R1 + R15 — projection keeping only columns that exist
+    * (schema-drift tolerance, reference transformation_db.py:104-105). */
+  def selectExisting(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val have = df.columns.toSet
+    df.select(cols.filter(have).map(col): _*)
+  }
+
+  /** R2 — bulk rename (reference transformation_db.py:100-101 etc.).
+    * Source columns absent from the frame are ignored, matching pandas
+    * `rename` semantics. */
+  def renameAll(df: DataFrame, mapping: Map[String, String]): DataFrame =
+    df.withColumnsRenamed(mapping)
+
+  /** R3 — dedupe by key, arbitrary surviving row (reference
+    * `drop_duplicates(subset=[id])`, transformation_db.py:97). */
+  def dedupeByKey(df: DataFrame, key: String): DataFrame =
+    df.dropDuplicates(Seq(key))
+
+  /** R3-deterministic — keep the first row per key under `order`
+    * (needed wherever results are oracle-compared, SURVEY §2.2-R3). */
+  def dedupeByKeyOrdered(df: DataFrame, key: Seq[String],
+                         order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(key.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** R4 — distinct rows (reference transformation_dw.py:144). */
+  def distinctRows(df: DataFrame): DataFrame = df.distinct()
+
+  /** R5 — incremental "load if new": keep rows whose key is NOT
+    * already in `existing` (reference transformation_db.py:109-113).
+    * Distributed left-anti; the `existing` side is pruned to the key
+    * column so a broadcast is possible whenever the key set is small. */
+  def antiJoinNewKeys(df: DataFrame, existing: DataFrame,
+                      key: String): DataFrame =
+    df.join(existing.select(key).distinct(), Seq(key), "left_anti")
+
+  /** R6 — left outer equi-join enrichment (reference
+    * transformation_dw.py:266-271). Right side pruned to join key +
+    * payload columns so Catalyst can broadcast it. */
+  def leftEnrich(df: DataFrame, dim: DataFrame, leftKey: String,
+                 rightKey: String, payload: Seq[String]): DataFrame = {
+    val pruned = dim.select((rightKey +: payload).distinct.map(col): _*)
+    df.join(pruned, df(leftKey) === pruned(rightKey), "left")
+      .drop(pruned(rightKey))
+  }
+
+  /** R7 — explicit broadcast lookup join — the distributed form of the
+    * reference's `users_dict` probe (extraction.py:92-95). */
+  def lookupJoin(df: DataFrame, small: DataFrame, keys: Seq[String],
+                 joinType: String = "left"): DataFrame =
+    df.join(broadcast(small), keys, joinType)
+
+  /** R8 — union-all aligning by name, null-filling missing columns
+    * (reference pd.concat semantics, utils.py:44). */
+  def unionAll(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** R9 — union then dedupe on key (dim_proyek build,
+    * reference transformation_dw.py:223-226). */
+  def unionDedupe(a: DataFrame, b: DataFrame, key: String): DataFrame =
+    dedupeByKey(unionAll(Seq(a, b)), key)
+
+  /** R10 — NOT NULL enforcement by dropping violating rows (reference
+    * dropna(subset=...), transformation_dw.py:175-177 et al.). */
+  def dropNullsIn(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.na.drop("any", cols)
+
+  /** R11 — predicate filter. */
+  def where(df: DataFrame, cond: Column): DataFrame = df.filter(cond)
+
+  /** R14 — top-N rows per key (reference Twitter max_results cap,
+    * extraction.py:73; made deterministic with an explicit order). */
+  def topNPerKey(df: DataFrame, keys: Seq[String], order: Seq[Column],
+                 n: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Relational._
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("selectExisting keeps only present columns (R1+R15)") {
+    val df = Seq((1, "a")).toDF("id", "name")
+    val out = selectExisting(df, Seq("id", "missing", "name"))
+    assert(out.columns.toSeq == Seq("id", "name"))
+  }
+
+  test("renameAll ignores absent source columns (R2)") {
+    val df = Seq((1, "a")).toDF("id", "name")
+    val out = renameAll(df, Map("name" -> "nama", "ghost" -> "x"))
+    assert(out.columns.toSeq == Seq("id", "nama"))
+  }
+
+  test("dedupeByKey keeps exactly one row per key (R3)") {
+    val df = Seq((1, "a"), (1, "b"), (2, "c")).toDF("id", "v")
+    assert(dedupeByKey(df, "id").count() == 2)
+  }
+
+  test("dedupeByKeyOrdered keeps first row under order (R3-det)") {
+    val df = Seq((1, "b"), (1, "a"), (2, "c")).toDF("id", "v")
+    val out = dedupeByKeyOrdered(df, Seq("id"), Seq(col("v"))).orderBy("id")
+    assert(out.as[(Int, String)].collect().toSeq == Seq((1, "a"), (2, "c")))
+  }
+
+  test("antiJoinNewKeys keeps only unseen keys, null-safe (R5)") {
+    val fresh = Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v")
+    val existing = Seq((2, "old")).toDF("id", "w")
+    val out = antiJoinNewKeys(fresh, existing, "id")
+    assert(out.select("id").as[Int].collect().toSet == Set(1, 3))
+  }
+
+  test("antiJoinNewKeys against empty target passes everything (R5)") {
+    val fresh = Seq((1, "a")).toDF("id", "v")
+    val existing = Seq.empty[(Int, String)].toDF("id", "w")
+    assert(antiJoinNewKeys(fresh, existing, "id").count() == 1)
+  }
+
+  test("leftEnrich attaches payload, keeps unmatched lefts (R6)") {
+    val tweets = Seq(("t1", "p1"), ("t2", "p9")).toDF("id_tweet", "pid")
+    val places = Seq(("p1", "Beach")).toDF("place_id", "name")
+    val out = leftEnrich(tweets, places, "pid", "place_id", Seq("name"))
+    val m = out.select("id_tweet", "name").as[(String, String)]
+      .collect().toMap
+    assert(m("t1") == "Beach" && m.get("t2").contains(null.asInstanceOf[String]) || m("t2") == null)
+    assert(out.count() == 2)
+  }
+
+  test("unionAll aligns by name and null-fills (R8)") {
+    val a = Seq((1, "x")).toDF("id", "a")
+    val b = Seq((2, "y")).toDF("id", "b")
+    val out = unionAll(Seq(a, b))
+    assert(out.columns.toSet == Set("id", "a", "b"))
+    assert(out.count() == 2)
+    assert(out.filter(col("a").isNull).count() == 1)
+  }
+
+  test("unionDedupe dedupes across both sides (R9)") {
+    val a = Seq(("p1", "A")).toDF("id_proyek", "nama")
+    val b = Seq(("p1", "A2"), ("p2", "B")).toDF("id_proyek", "nama")
+    assert(unionDedupe(a, b, "id_proyek").count() == 2)
+  }
+
+  test("dropNullsIn drops rows violating NOT NULL (R10)") {
+    val df = Seq(("a", Some(1)), ("b", None), (null, Some(3)))
+      .toDF("k", "v")
+    assert(dropNullsIn(df, Seq("k", "v")).count() == 1)
+  }
+
+  test("topNPerKey caps per key deterministically (R14)") {
+    val df = Seq(("k1", 3), ("k1", 1), ("k1", 2), ("k2", 9))
+      .toDF("k", "v")
+    val out = topNPerKey(df, Seq("k"), Seq(col("v")), 2)
+    assert(out.count() == 3)
+    assert(out.filter($"k" === "k1").select("v").as[Int]
+      .collect().toSet == Set(1, 2))
+  }
+}
