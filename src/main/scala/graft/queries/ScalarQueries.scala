@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Scalars
+
+/** Driver-contract queries exercising the scalar library E1-E17
+  * (SURVEY.md §2.3) with DuckDB oracle twins.
+  *
+  * Cross-engine type discipline: DATE and TIME values are emitted as
+  * strings (DuckDB TIME has no Spark native type — SURVEY §1/§7.4);
+  * timestamps compare natively at µs precision.
+  */
+object ScalarQueries {
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // E7-E11 — the dim_waktu derivation battery on orders timestamps.
+    "time_derivations" -> QueryDef(
+      (s, d) => {
+        val ts = Tables.orders(s, d)
+          .select(col("o_orderdate").as("timestamp_datetime"))
+          .na.drop().distinct()
+        ts.select(
+          col("timestamp_datetime"),
+          Scalars.timeOfDay(col("timestamp_datetime")).as("jam"),
+          Scalars.dayName(col("timestamp_datetime")).as("hari"),
+          date_format(col("timestamp_datetime"), "yyyy-MM-dd").as("tanggal"),
+          Scalars.yearMonth(col("timestamp_datetime")).as("bulan"),
+          Scalars.yearOf(col("timestamp_datetime")).as("tahun"))
+          .orderBy("timestamp_datetime")
+      },
+      Some("""SELECT timestamp_datetime,
+        |  strftime(timestamp_datetime, '%H:%M:%S') AS jam,
+        |  dayname(timestamp_datetime) AS hari,
+        |  strftime(timestamp_datetime, '%Y-%m-%d') AS tanggal,
+        |  strftime(timestamp_datetime, '%Y-%m') AS bulan,
+        |  CAST(year(timestamp_datetime) AS BIGINT) AS tahun
+        |FROM (SELECT DISTINCT o_orderdate AS timestamp_datetime
+        |      FROM orders WHERE o_orderdate IS NOT NULL)
+        |ORDER BY timestamp_datetime""".stripMargin)),
+
+    // E2 + E13 + E15 — synthetic key, normalize, cast-to-string.
+    "synthetic_scalars" -> QueryDef(
+      (s, d) => Tables.customer(s, d)
+        .select(col("c_custkey"),
+          Scalars.syntheticKey(col("c_custkey"),
+            Scalars.normalized(col("c_mktsegment"))).as("synthetic_key"),
+          Scalars.asString(col("c_nationkey")).as("nation_str"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey,
+        |  concat_ws('_', c_custkey, lower(trim(c_mktsegment)))
+        |    AS synthetic_key,
+        |  CAST(c_nationkey AS VARCHAR) AS nation_str
+        |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    // E1 — epoch seconds ↔ timestamp round trip (second granularity on
+    // both sides; SURVEY §7.4 precision note).
+    "epoch_roundtrip" -> QueryDef(
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          unix_timestamp(date_trunc("second", col("o_orderdate")))
+            .as("epoch_s"))
+        .withColumn("ts_back", Scalars.epochToTimestamp(col("epoch_s")))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+        |  CAST(epoch(date_trunc('second', o_orderdate)) AS BIGINT)
+        |    AS epoch_s,
+        |  CAST(to_timestamp(CAST(epoch(date_trunc('second', o_orderdate))
+        |    AS BIGINT)) AS TIMESTAMP) AS ts_back
+        |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // E5 — falsy-coalesce (empty string falls through like Python or).
+    "coalesce_nonempty" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          Scalars.coalesceNonEmpty(col("source"), lit("unknown"))
+            .as("src"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        |  coalesce(CASE WHEN length(trim(source)) = 0 THEN NULL
+        |                ELSE source END, 'unknown') AS src
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // E16 — JSON field extraction from the events.props payload.
+    "json_extract" -> QueryDef(
+      (s, d) => Tables.events(s, d)
+        .select(col("event_id"),
+          Scalars.toLong(Scalars.jsonGet(col("props"), "$.k")).as("k"),
+          Scalars.jsonGet(col("props"), "$.missing").as("absent"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  json_extract_string(props, '$.missing') AS absent
+        |FROM events ORDER BY event_id""".stripMargin))
+  )
+}
