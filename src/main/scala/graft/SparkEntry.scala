@@ -24,7 +24,10 @@ object SparkEntry {
   private val modules: Seq[Map[String, QueryDef]] = Seq(
     AnalyticQueries.defs,
     RelationalQueries.defs,
-    ScalarQueries.defs)
+    ScalarQueries.defs,
+    EventQueries.defs,
+    TextQueries.defs,
+    VectorQueries.defs)
 
   private lazy val all: Map[String, QueryDef] =
     modules.reduce(_ ++ _)

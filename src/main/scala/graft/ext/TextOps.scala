@@ -1,0 +1,114 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: tokenization, quality
+  * scoring, language-ID heuristics, fingerprinting. All pure column
+  * expressions (codegen'd) — each scales as a narrow map over the
+  * corpus, no shuffle.
+  */
+object TextOps {
+
+  /** Whitespace tokenization of trimmed, lowercased text.
+    * Empty/blank text → empty array. */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(lower(trim(text)), "\\s+"))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def distinctTokenCount(text: Column): Column =
+    size(array_distinct(tokens(text)))
+
+  /** BPE-ish subword count: word-piece regex splits on whitespace AND
+    * punctuation boundaries, counting punctuation runs as tokens —
+    * a cheap stand-in for a real tokenizer's token count. */
+  def subwordCount(text: Column): Column =
+    size(filter(
+      split(lower(trim(text)), "(?<=[^\\p{L}\\p{N}])|(?=[^\\p{L}\\p{N}])"),
+      t => length(trim(t)) > 0))
+
+  /** Mean token length (double; exact int/int division). */
+  def avgTokenLength(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) === 0, lit(0.0)).otherwise(
+      aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") /
+        size(t))
+  }
+
+  /** Punctuation chars / total chars. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      length(regexp_replace(text, "[^.,!?;:]", "")).cast("double") /
+        length(text))
+
+  /** Occurrences of `words` (as whole tokens) / token count. */
+  def wordSetRatio(text: Column, words: Seq[String]): Column = {
+    val t = tokens(text)
+    val set = array(words.map(lit): _*)
+    when(size(t) === 0, lit(0.0)).otherwise(
+      size(filter(t, x => array_contains(set, x))).cast("double") /
+        size(t))
+  }
+
+  val englishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "be", "this")
+
+  /** Composite quality score in [0,1]: weighted blend of
+    * length-sanity, stopword presence, and low punctuation noise —
+    * the shape of a Gopher/C4-style heuristic filter. */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text)
+    val lengthOk = when(n >= 10 && n <= 100000, lit(1.0))
+      .otherwise(lit(0.0))
+    val stop = least(wordSetRatio(text, englishStopwords) * 5.0, lit(1.0))
+    val punctOk = lit(1.0) - least(punctRatio(text) * 4.0, lit(1.0))
+    round(lengthOk * 0.4 + stop * 0.3 + punctOk * 0.3, 6)
+  }
+
+  /** Marker vocabulary per language for the n-gram/stopword heuristic
+    * language-ID. Ordered map — ties resolve to the first language in
+    * this order. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein",
+      "mit", "für", "von"),
+    "en" -> Seq("the", "and", "is", "of", "to", "in", "that", "it",
+      "for", "with"),
+    "es" -> Seq("el", "la", "los", "y", "es", "de", "que", "en",
+      "un", "por"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "de", "que", "en",
+      "un", "pour"),
+    "zh" -> Seq("的", "是", "在", "了", "我", "有", "和", "就",
+      "不", "人"))
+
+  /** Heuristic language-ID: count marker-token occurrences per
+    * language; argmax with deterministic first-wins tiebreak; "und"
+    * (undetermined) when nothing matches. */
+  def langId(text: Column): Column = {
+    val t = tokens(text)
+    val scores: Seq[(String, Column)] = langMarkers.map { case (lang, ms) =>
+      lang -> size(filter(t, x => array_contains(array(ms.map(lit): _*), x)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((lang, sc), els) =>
+      when(sc === best && best > 0, lit(lang)).otherwise(els)
+    }
+  }
+
+  /** Stable document fingerprint: md5 of whitespace-collapsed,
+    * lowercased text — identical in any engine with md5. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Rolling polynomial hash over tokens (base-31 Horner over
+    * xxhash64 token hashes, mod 1e9+7 so ANSI arithmetic never
+    * overflows) — an order-sensitive fingerprint, cheap to maintain
+    * incrementally at ingest. */
+  def rollingHash(text: Column): Column = {
+    val m = lit(1000000007L)
+    aggregate(tokens(text), lit(0L),
+      (acc, x) => pmod(acc * lit(31L) + pmod(xxhash64(x), m), m))
+  }
+}

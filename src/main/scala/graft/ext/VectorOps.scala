@@ -1,0 +1,135 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.ops.Relational
+
+/** Vector similarity over `Array[Float]` embedding columns.
+  *
+  * All math runs through codegen'd higher-order functions
+  * (`zip_with` + `aggregate`), elements cast to double before
+  * multiply — no UDFs, no driver-side loops.
+  *
+  * Scale path: [[bruteForceTopK]] broadcasts the (small) query set and
+  * scans the corpus once — O(corpus × queries), the exact baseline.
+  * [[lshTopK]] buckets the corpus by sign-random-projection so each
+  * query only scans its own bucket — the 100 TB path where the corpus
+  * no longer fits a single scan per query batch. Hyperplanes are
+  * derived from a hash, not RNG, so signatures are deterministic and
+  * reproducible across runs/executors.
+  */
+object VectorOps {
+
+  /** dot(a, b) in double precision. */
+  def dotd(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2norm(a: Column): Column = sqrt(dotd(a, a))
+
+  /** Cosine similarity, computed as dot/(|a|·|b|) in double. */
+  def cosine(a: Column, b: Column): Column =
+    dotd(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Exact top-k neighbors by cosine for each query vector.
+    * `queries` must be small (it is broadcast); the corpus is scanned
+    * once. Self-pairs excluded. Deterministic: ties broken by
+    * neighbor id. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qvec"))
+    val joined = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("__cvec"))
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine_sim", cosine(col("__qvec"), col("__cvec")))
+    Relational.topNPerKey(joined, Seq("query_id"),
+        Seq(col("cosine_sim").desc, col("neighbor_id")), k)
+      .select("query_id", "neighbor_id", "cosine_sim")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane i,
+    * dim j): xxhash64 → uniform in [-1, 1]. */
+  private def planeComponent(i: Column, j: Column): Column =
+    (xxhash64(lit("graft-lsh"), i, j).cast("double") /
+      lit(Long.MaxValue.toDouble))
+
+  /** Sign-random-projection signature: `bits` hyperplane signs packed
+    * into a long (statically unrolled — shift amounts are literals).
+    * Vectors close in cosine agree on most bits. */
+  def srpSignature(vec: Column, bits: Int): Column = {
+    require(bits <= 63, "signature packs into a long")
+    val dims = size(vec)
+    val terms = (0 until bits).map { i =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), dims - 1),
+          (x, j) => x.cast("double") * planeComponent(lit(i), j)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    terms.reduce(_ + _)
+  }
+
+  /** Per-table SRP bucket keys: `tables` independent signatures of
+    * `bits` hyperplanes each (table t uses plane indices
+    * t·bits..t·bits+bits-1), emitted as (table, bucket) structs. */
+  def srpBuckets(vec: Column, bits: Int, tables: Int): Column = {
+    val structs = (0 until tables).map { t =>
+      val dims = size(vec)
+      val terms = (0 until bits).map { i =>
+        val proj = aggregate(
+          zip_with(vec, sequence(lit(0), dims - 1),
+            (x, j) => x.cast("double") * planeComponent(lit(t * bits + i), j)),
+          lit(0.0), (acc, v) => acc + v)
+        when(proj > 0, lit(1L << i)).otherwise(lit(0L))
+      }
+      struct(lit(t).as("table"), terms.reduce(_ + _).as("bucket"))
+    }
+    array(structs: _*)
+  }
+
+  /** Approximate top-k via multi-table LSH: candidates are vectors
+    * sharing the query's bucket in ANY of `tables` independent SRP
+    * tables, exact-rescored by cosine. More tables → higher recall at
+    * proportional candidate cost. The bucket join shuffles on
+    * (table, signature) — at 100 TB this is the difference between
+    * scanning the corpus per query and scanning a few buckets. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, bits: Int = 12,
+              tables: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("__cvec"),
+        explode(srpBuckets(col(vecCol), bits, tables)).as("__bucket"))
+    val q = queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("__qvec"),
+        explode(srpBuckets(col(vecCol), bits, tables)).as("__bucket"))
+    val joined = c.join(broadcast(q), Seq("__bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cosine_sim", cosine(col("__qvec"), col("__cvec")))
+    Relational.topNPerKey(joined, Seq("query_id"),
+        Seq(col("cosine_sim").desc, col("neighbor_id")), k)
+      .select("query_id", "neighbor_id", "cosine_sim")
+  }
+
+  /** Embedding-cosine near-duplicate pairs: all (a < b) pairs whose
+    * cosine ≥ threshold, candidate-pruned by multi-table SRP bucket
+    * equality. */
+  def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, bits: Int = 12,
+                         tables: Int = 4): DataFrame = {
+    val sig = corpus.select(col(idCol), col(vecCol),
+      explode(srpBuckets(col(vecCol), bits, tables)).as("__bucket"))
+    val a = sig.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
+      col("__bucket"))
+    val b = sig.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
+      col("__bucket"))
+    a.join(b, Seq("__bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine_sim", cosine(col("__va"), col("__vb")))
+      .filter(col("cosine_sim") >= threshold)
+      .select("id_a", "id_b", "cosine_sim")
+  }
+}

@@ -1,0 +1,182 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ext.{DedupOps, TextOps}
+
+/** Driver-contract queries for the text-analysis / dedup surface over
+  * the documents table. Oracle parity notes:
+  *   - tokenization is `regexp_split(lower(trim(text)), '\s+')` on
+  *     both sides (leading/trailing whitespace trimmed first — DuckDB
+  *     otherwise yields empty edge tokens);
+  *   - ratios are exact int/int double divisions, rounded to 6 to
+  *     absorb any formula-order ULP;
+  *   - set ops (array_intersect / list_intersect) are distinct-
+  *     semantics in both engines; only lengths are compared.
+  */
+object TextQueries {
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // Exact dedup groups (hash-groupBy; survivor = min doc_id).
+    "dedup_exact" -> QueryDef(
+      (s, d) => DedupOps.exactDupGroups(Tables.documents(s, d),
+          "doc_id", "text")
+        .orderBy("keep_id"),
+      Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin)),
+
+    // Token statistics per document.
+    "text_metrics" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_tokens"),
+          TextOps.distinctTokenCount(col("text")).as("n_distinct"),
+          round(TextOps.avgTokenLength(col("text")), 6).as("avg_token_len"),
+          round(TextOps.punctRatio(col("text")), 6).as("punct_ratio"))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, text,
+        |  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |       ELSE regexp_split_to_array(lower(trim(text)), '\s+')
+        |  END AS tok FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(tok) AS INT) AS n_tokens,
+        |  CAST(len(list_distinct(tok)) AS INT) AS n_distinct,
+        |  round(CASE WHEN len(tok) = 0 THEN 0.0
+        |    ELSE CAST(list_sum(list_transform(tok, x -> length(x)))
+        |      AS DOUBLE) / len(tok) END, 6) AS avg_token_len,
+        |  round(CASE WHEN length(text) = 0 THEN 0.0
+        |    ELSE CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+        |      AS DOUBLE) / length(text) END, 6) AS punct_ratio
+        |FROM t ORDER BY doc_id""".stripMargin)),
+
+    // Corpus rollup per (lang, source).
+    "token_count_by_lang" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCount(col("text")).cast("long"))
+            .as("total_tokens"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy("lang", "source"),
+      Some("""SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(len(regexp_split_to_array(lower(trim(text)), '\s+')))
+        |    AS BIGINT) AS total_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin)),
+
+    // Stopword-marker language-ID heuristic vs the labeled lang.
+    "lang_id" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          TextOps.langId(col("text")).as("lang_guess"))
+        .orderBy("doc_id"),
+      Some {
+        val markers = TextOps.langMarkers.map { case (lang, ms) =>
+          lang -> ms.map(m => s"'$m'").mkString("[", ", ", "]")
+        }
+        val scores = markers.map { case (lang, arr) =>
+          s"len(list_filter(tok, x -> list_contains($arr, x))) AS s_$lang"
+        }.mkString(",\n  ")
+        val best = markers.map { case (l, _) => s"s_$l" }
+          .reduce((a, b) => s"greatest($a, $b)")
+        val argmax = markers.foldRight("'und'") { case ((l, _), els) =>
+          s"CASE WHEN s_$l = best AND best > 0 THEN '$l' ELSE $els END"
+        }
+        s"""WITH t AS (SELECT doc_id, lang,
+           |  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+           |       ELSE regexp_split_to_array(lower(trim(text)), '\\s+')
+           |  END AS tok FROM documents),
+           |sc AS (SELECT doc_id, lang, $scores FROM t),
+           |mx AS (SELECT *, $best AS best FROM sc)
+           |SELECT doc_id, lang, $argmax AS lang_guess FROM mx
+           |ORDER BY doc_id""".stripMargin
+      }),
+
+    // Composite quality score (length/stopword/punct blend).
+    "text_quality" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextOps.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id"),
+      Some {
+        val stop = TextOps.englishStopwords.map(w => s"'$w'")
+          .mkString("[", ", ", "]")
+        s"""WITH t AS (SELECT doc_id, text,
+           |  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+           |       ELSE regexp_split_to_array(lower(trim(text)), '\\s+')
+           |  END AS tok FROM documents),
+           |m AS (SELECT doc_id,
+           |  CASE WHEN len(tok) BETWEEN 10 AND 100000 THEN 1.0
+           |       ELSE 0.0 END AS length_ok,
+           |  least(CASE WHEN len(tok) = 0 THEN 0.0
+           |    ELSE CAST(len(list_filter(tok, x -> list_contains($stop, x)))
+           |      AS DOUBLE) / len(tok) END * 5.0, 1.0) AS stop_sc,
+           |  1.0 - least(CASE WHEN length(text) = 0 THEN 0.0
+           |    ELSE CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+           |      AS DOUBLE) / length(text) END * 4.0, 1.0) AS punct_sc
+           |  FROM t)
+           |SELECT doc_id,
+           |  round(length_ok * 0.4 + stop_sc * 0.3 + punct_sc * 0.3, 6)
+           |    AS quality
+           |FROM m ORDER BY doc_id""".stripMargin
+      }),
+
+    // md5 fingerprint of normalized text (identical in any engine).
+    "doc_fingerprint" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextOps.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |    AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Exact token-set Jaccard pairs within (lang, source) blocks:
+    // the 5 most similar pairs per lang.
+    "ngram_jaccard_topk" -> QueryDef(
+      (s, d) => {
+        val pairs = DedupOps.ngramJaccardPairs(Tables.documents(s, d),
+          "doc_id", "text", Seq("lang", "source"))
+        graft.ops.Relational.topNPerKey(pairs, Seq("lang"),
+            Seq(col("jaccard").desc, col("id_a"), col("id_b")), 5)
+          .select("lang", "id_a", "id_b", "jaccard")
+          .orderBy(col("lang"), col("jaccard").desc, col("id_a"),
+            col("id_b"))
+      },
+      Some("""WITH t AS (SELECT doc_id, lang, source,
+        |  list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))
+        |    AS tok FROM documents),
+        |p AS (SELECT a.lang, a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
+        |    len(list_distinct(a.tok || b.tok)), 6) AS jaccard
+        |  FROM t a JOIN t b
+        |    ON a.lang = b.lang AND a.source = b.source
+        |   AND a.doc_id < b.doc_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+        |  ORDER BY jaccard DESC, id_a, id_b) AS rn FROM p)
+        |SELECT lang, id_a, id_b, jaccard FROM r WHERE rn <= 5
+        |ORDER BY lang, jaccard DESC, id_a, id_b""".stripMargin)),
+
+    // MinHash+LSH near-dup candidates: top 20 by estimated Jaccard.
+    // Hash-family-specific (xxhash64 signatures) → no SQL oracle;
+    // recall/precision asserted against exact Jaccard in DedupSpec.
+    "dedup_minhash_lsh" -> QueryDef(
+      (s, d) => DedupOps.minhashNearDupPairs(Tables.documents(s, d),
+          "doc_id", "text", shingleSize = 3, numHashes = 64, bands = 32,
+          threshold = 0.0)
+        .orderBy(col("est_jaccard").desc, col("id_a"), col("id_b"))
+        .limit(20),
+      None),
+
+    // SimHash near-dup candidates (Hamming ≤ 8 of 64 bits).
+    "dedup_simhash" -> QueryDef(
+      (s, d) => DedupOps.simhashNearDupPairs(Tables.documents(s, d),
+          "doc_id", "text", maxDistance = 8)
+        .orderBy(col("hamming_distance"), col("id_a"), col("id_b"))
+        .limit(20),
+      None)
+  )
+}

@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ext.VectorOps
+
+/** Driver-contract queries for similarity search over the embeddings
+  * table (`embedding: Array[Float]`, 64-dim).
+  *
+  * Oracle parity: cosine is computed in double on both sides (Spark
+  * casts each float before multiply; DuckDB list_cosine_similarity
+  * does the same); values rounded to 6 decimals to absorb
+  * formula-order ULP differences. Ordering ties broken by neighbor id.
+  */
+object VectorQueries {
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // Exact brute-force cosine top-10 for 5 query vectors.
+    "ann_cosine_topk" -> QueryDef(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        VectorOps.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
+            "vec_id", "embedding", 10)
+          .withColumn("cosine_sim", round(col("cosine_sim"), 6))
+          .orderBy(col("query_id"), col("cosine_sim").desc,
+            col("neighbor_id"))
+      },
+      Some("""SELECT query_id, neighbor_id,
+        |  round(cosine_sim, 6) AS cosine_sim
+        |FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |      CAST(c.embedding AS DOUBLE[])) AS cosine_sim,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |        CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rn
+        |  FROM embeddings q JOIN embeddings c
+        |    ON q.vec_id < 5 AND c.vec_id <> q.vec_id)
+        |WHERE rn <= 10
+        |ORDER BY query_id, cosine_sim DESC, neighbor_id""".stripMargin)),
+
+    // Scale path: LSH-bucketed ANN (sign-random-projection buckets).
+    // Engine-specific hashing → no SQL oracle; recall vs brute force
+    // asserted in VectorSpec.
+    "ann_lsh_topk" -> QueryDef(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        VectorOps.lshTopK(emb, emb.filter(col("vec_id") < 5),
+            "vec_id", "embedding", 10, bits = 8)
+          .withColumn("cosine_sim", round(col("cosine_sim"), 6))
+          .orderBy(col("query_id"), col("cosine_sim").desc,
+            col("neighbor_id"))
+      },
+      None),
+
+    // Embedding-cosine near-duplicate pairs (SRP candidate pruning).
+    "dedup_embedding" -> QueryDef(
+      (s, d) => VectorOps.cosineNearDupPairs(Tables.embeddings(s, d),
+          "vec_id", "embedding", threshold = -1.0, bits = 8)
+        .withColumn("cosine_sim", round(col("cosine_sim"), 6))
+        .orderBy(col("cosine_sim").desc, col("id_a"), col("id_b"))
+        .limit(20),
+      None),
+
+    // Per-label centroid norms — distributed elementwise aggregation
+    // of vectors via posexplode + regroup (the building block for IVF
+    // centroid training).
+    "vector_centroids" -> QueryDef(
+      (s, d) => Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding"))
+          .as(Seq("dim", "component")))
+        .groupBy("label", "dim")
+        .agg(sum(col("component").cast("decimal(25,6)")).cast("double")
+          .as("dim_sum"), count(lit(1)).as("n"))
+        .groupBy("label")
+        .agg(round(sqrt(sum(pow(col("dim_sum") / col("n"), 2))), 6)
+          .as("centroid_norm"),
+          max(col("n")).as("n_vectors"))
+        .orderBy("label"),
+      Some("""WITH comp AS (
+        |  SELECT label, u.dim, u.component FROM embeddings,
+        |    LATERAL (SELECT unnest(generate_series(1, len(embedding)))
+        |      AS dim, unnest(embedding) AS component) u),
+        |sums AS (SELECT label, dim,
+        |    CAST(sum(CAST(component AS DECIMAL(25,6))) AS DOUBLE)
+        |      AS dim_sum, count(*) AS n
+        |  FROM comp GROUP BY label, dim)
+        |SELECT label,
+        |  round(sqrt(sum(pow(dim_sum / n, 2))), 6) AS centroid_norm,
+        |  max(n) AS n_vectors
+        |FROM sums GROUP BY label ORDER BY label""".stripMargin))
+  )
+}

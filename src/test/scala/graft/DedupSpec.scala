@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.DedupOps
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank now"),
+    (3L, "completely different content about spark distributed query engines and shuffles"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (5L, "unrelated text mentioning neither foxes nor dogs just tables and joins here")
+  ).toDF("doc_id", "text")
+
+  test("exactDedupByHash keeps min-id survivor per identical text") {
+    val out = DedupOps.exactDedupByHash(docs, "doc_id", "text")
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L, 3L, 5L)) // 4 is an exact dup of 1
+  }
+
+  test("exactDupGroups counts copies") {
+    val g = DedupOps.exactDupGroups(docs, "doc_id", "text")
+      .filter($"n_copies" > 1).head()
+    assert(g.getAs[Long]("keep_id") == 1L)
+    assert(g.getAs[Long]("n_copies") == 2L)
+  }
+
+  test("minhash LSH surfaces the planted near-dup pair") {
+    val pairs = DedupOps.minhashNearDupPairs(docs, "doc_id", "text",
+        shingleSize = 3, numHashes = 64, bands = 32, threshold = 0.5)
+      .collect()
+    val keys = pairs.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    // 1-2 near-dup (one word differs), 1-4 and 2-4 exact-dup-level
+    assert(keys.contains((1L, 2L)))
+    assert(keys.contains((1L, 4L)))
+    val est14 = pairs.find(r => r.getAs[Long]("id_a") == 1L &&
+      r.getAs[Long]("id_b") == 4L).get.getAs[Double]("est_jaccard")
+    assert(est14 == 1.0) // identical docs → identical signatures
+    // unrelated docs never pair with the fox docs above threshold
+    assert(!keys.exists(k => k._1 == 3L || k._2 == 3L))
+  }
+
+  test("minhash estimate correlates with exact jaccard") {
+    val pairs = DedupOps.minhashNearDupPairs(docs, "doc_id", "text",
+        shingleSize = 2, numHashes = 64, bands = 32, threshold = 0.0)
+      .collect()
+    pairs.foreach { r =>
+      val est = r.getAs[Double]("est_jaccard")
+      val exact = r.getAs[Double]("jaccard")
+      assert(math.abs(est - exact) < 0.45,
+        s"minhash estimate $est too far from exact $exact")
+    }
+  }
+
+  test("simhash: near-dups within small hamming distance, unrelated far") {
+    val sigs = docs.select($"doc_id",
+      DedupOps.simhash(graft.ext.TextOps.tokens($"text")).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(4L)) == 0) // identical text
+    val near = ham(sigs(1L), sigs(2L)) // one word differs
+    val far = ham(sigs(1L), sigs(3L)) // unrelated
+    // tiny docs make simhash noisy; the ordering must still hold
+    assert(near < far, s"near=$near far=$far")
+    val pairs = DedupOps.simhashNearDupPairs(docs, "doc_id", "text",
+        maxDistance = near)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)) && pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)))
+  }
+
+  test("ngramJaccardPairs computes exact set jaccard within blocks") {
+    val blocked = docs.withColumn("lang", lit("en"))
+      .withColumn("source", lit("s"))
+    val out = DedupOps.ngramJaccardPairs(blocked, "doc_id", "text",
+      Seq("lang", "source"))
+    assert(out.count() == 10) // C(5,2)
+    val j14 = out.filter($"id_a" === 1 && $"id_b" === 4)
+      .select("jaccard").as[Double].head()
+    assert(j14 == 1.0)
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.VectorOps
+
+class VectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine: identity, orthogonality, opposition") {
+    val df = Seq(
+      (Seq(1f, 0f), Seq(1f, 0f), 1.0),
+      (Seq(1f, 0f), Seq(0f, 1f), 0.0),
+      (Seq(1f, 0f), Seq(-1f, 0f), -1.0),
+      (Seq(3f, 4f), Seq(3f, 4f), 1.0)
+    ).toDF("a", "b", "expected")
+    val got = df.select(VectorOps.cosine($"a", $"b").as("c"), $"expected")
+      .as[(Double, Double)].collect()
+    got.foreach { case (c, e) => assert(math.abs(c - e) < 1e-12) }
+  }
+
+  test("bruteForceTopK returns correct neighbors in order") {
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f)),
+      (1L, Seq(0.9f, 0.1f, 0f)),   // closest to 0
+      (2L, Seq(0.5f, 0.5f, 0f)),   // second
+      (3L, Seq(0f, 0f, 1f))        // orthogonal
+    ).toDF("vec_id", "embedding")
+    val out = VectorOps.bruteForceTopK(vecs,
+        vecs.filter($"vec_id" === 0), "vec_id", "embedding", 2)
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(out == Seq(1L, 2L))
+  }
+
+  test("lshTopK recall vs brute force on real embeddings") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter($"vec_id" < 5)
+    val exact = VectorOps.bruteForceTopK(emb, queries, "vec_id",
+        "embedding", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = VectorOps.lshTopK(emb, queries, "vec_id",
+        "embedding", 10, bits = 4, tables = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // 8 tables of 4-bit buckets over ~50 vectors: reasonable recall
+    // expected; assert a sane floor (this is approximate by design)
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall > 0.3, s"LSH recall $recall suspiciously low")
+    // and rerun must be bit-identical (deterministic hashing)
+    val again = VectorOps.lshTopK(emb, queries, "vec_id",
+        "embedding", 10, bits = 4, tables = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(approx == again)
+  }
+
+  test("srpSignature is deterministic and discriminates opposites") {
+    val df = Seq(
+      (0L, Seq(1f, 2f, 3f, 4f)),
+      (1L, Seq(1f, 2f, 3f, 4f)),
+      (2L, Seq(-1f, -2f, -3f, -4f))
+    ).toDF("vec_id", "embedding")
+    val sigs = df.select($"vec_id",
+        VectorOps.srpSignature($"embedding", 16).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(0L) == sigs(1L))
+    // opposite vector flips every decided bit
+    assert(sigs(0L) != sigs(2L))
+  }
+}
