@@ -27,7 +27,8 @@ object SparkEntry {
     ScalarQueries.defs,
     EventQueries.defs,
     TextQueries.defs,
-    VectorQueries.defs)
+    VectorQueries.defs,
+    MultimodalQueries.defs)
 
   private lazy val all: Map[String, QueryDef] =
     modules.reduce(_ ++ _)

@@ -1,0 +1,111 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns for training-data pipelines: media as opaque
+  * `BinaryType` payloads with a typed metadata struct, plus the
+  * decode / feature-extract / resize / frame-sample plumbing.
+  *
+  * The actual codec step is STUBBED (no image/audio libraries in this
+  * environment): [[decodeStub]] derives deterministic pseudo-features
+  * from the payload bytes. Everything around it — schema, batch
+  * shape, partition-parallel execution, column pruning of large
+  * binaries — is real Spark plumbing: a production deployment swaps
+  * `decodeStub`'s expression for a `mapPartitions` batch over a real
+  * codec with the same signature.
+  *
+  * Scale notes: payloads only flow through narrow maps — every
+  * wide op (grouping, joins) runs on `asset_id`/metadata only, never
+  * shuffling bytes. Parquet column pruning keeps `payload` unread for
+  * metadata-only queries.
+  */
+object MultimodalOps {
+
+  /** Typed metadata carried alongside every media payload. */
+  val metaSchema: StructType = StructType(Seq(
+    StructField("media_type", StringType),   // image | audio | video
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType),
+    StructField("sample_rate", IntegerType)))
+
+  val assetSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("payload", BinaryType),
+    StructField("meta", metaSchema)))
+
+  /** Build an asset frame from any (id, string) source — the test/
+    * demo path that turns documents into binary payloads with
+    * synthesized metadata. */
+  def assetsFromText(df: DataFrame, idCol: String,
+                     textCol: String): DataFrame =
+    df.select(
+      col(idCol).cast(LongType).as("asset_id"),
+      col(textCol).cast(BinaryType).as("payload"),
+      struct(
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col(idCol).cast(LongType), lit(3)) + 1).cast("int"))
+          .as("media_type"),
+        (pmod(xxhash64(col(textCol)), lit(1920L)) + 1).cast("int").as("width"),
+        (pmod(xxhash64(col(textCol), lit(1)), lit(1080L)) + 1).cast("int")
+          .as("height"),
+        (pmod(xxhash64(col(textCol), lit(2)), lit(600000L)) + 1000)
+          .as("duration_ms"),
+        lit(16000).as("sample_rate")).as("meta"))
+
+  /** STUB decode: deterministic pseudo-features from payload bytes —
+    * stands in for a real codec (not available in this container).
+    * Emits the decoded-frame shape a real decoder would: dimensions,
+    * byte size, a content digest, and a small feature vector derived
+    * from payload chunks. */
+  def decodeStub(payload: Column, meta: Column): Column =
+    struct(
+      meta.getField("width").as("width"),
+      meta.getField("height").as("height"),
+      length(payload).as("n_bytes"),
+      sha2(payload, 256).as("content_digest"),
+      transform(sequence(lit(0), lit(7)),
+        i => pmod(xxhash64(payload, i), lit(1000)).cast("double") / 1000.0)
+        .as("features"))
+
+  /** Feature extraction over assets: narrow map, payload never
+    * shuffled. */
+  def extractFeatures(assets: DataFrame): DataFrame =
+    assets.withColumn("decoded",
+        decodeStub(col("payload"), col("meta")))
+      .select(col("asset_id"), col("meta.media_type").as("media_type"),
+        col("decoded.n_bytes").as("n_bytes"),
+        col("decoded.content_digest").as("content_digest"),
+        col("decoded.features").as("features"))
+
+  /** Resize stub: recomputes metadata the way a resampling kernel
+    * would, payload untouched (a real kernel maps payload too). */
+  def resize(assets: DataFrame, maxWidth: Int, maxHeight: Int): DataFrame = {
+    val w = col("meta.width")
+    val h = col("meta.height")
+    val scale = least(lit(maxWidth) / w.cast("double"),
+      lit(maxHeight) / h.cast("double"), lit(1.0))
+    assets.withColumn("meta", struct(
+      col("meta.media_type").as("media_type"),
+      floor(w * scale).cast("int").as("width"),
+      floor(h * scale).cast("int").as("height"),
+      col("meta.duration_ms").as("duration_ms"),
+      col("meta.sample_rate").as("sample_rate")))
+  }
+
+  /** Frame sampling for video/audio assets: emits one row per sampled
+    * frame timestamp at `fps` — pure plan-side row generation
+    * (explode of a sequence), no payload movement. */
+  def sampleFrames(assets: DataFrame, fps: Double): DataFrame = {
+    val stepMs = lit((1000.0 / fps).toLong)
+    assets
+      .filter(col("meta.media_type").isin("video", "audio"))
+      .select(col("asset_id"),
+        explode(sequence(lit(0L), col("meta.duration_ms") - 1, stepMs))
+          .as("frame_ts_ms"))
+      .withColumn("frame_index",
+        (col("frame_ts_ms") / stepMs).cast("long"))
+  }
+}

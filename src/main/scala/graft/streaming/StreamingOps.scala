@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.Row
+
+/** Structured Streaming twins of the batch operators (SURVEY §2.4
+  * streaming row). Each takes an unbounded DataFrame (`readStream`
+  * source) and returns the transformed streaming frame; callers attach
+  * the sink. The logical plans are identical to the EventOps batch
+  * forms — watermarks bound the state the same way the batch shuffle
+  * bounds a partition.
+  *
+  * The reference is daily-batch (DAG schedule, SURVEY §3); these are
+  * the streaming forms of its seen-set dedupe (R12) and incremental
+  * load (R5).
+  */
+object StreamingOps {
+
+  /** Streaming dedup with bounded state: first row per key wins;
+    * state for keys older than the watermark is dropped. */
+  def dedupStream(events: DataFrame, tsCol: String, watermark: String,
+                  keys: Seq[String]): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicates(keys :+ tsCol)
+
+  /** Tumbling-window streaming aggregation (append mode once the
+    * watermark passes window end). */
+  def tumblingAggStream(events: DataFrame, tsCol: String,
+                        watermark: String, duration: String,
+                        keys: Seq[String]): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy((window(col(tsCol), duration) +: keys.map(col)): _*)
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select((col("window.start").as("window_start") +:
+        col("window.end").as("window_end") +:
+        keys.map(col) :+ col("n") :+ col("total_value")): _*)
+
+  /** Gap-based streaming sessionization (session_window state merges
+    * adjacent events until the gap elapses past the watermark). */
+  def sessionizeStream(events: DataFrame, tsCol: String,
+                       watermark: String, gap: String,
+                       keys: Seq[String]): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy((session_window(col(tsCol), gap) +: keys.map(col)): _*)
+      .agg(count(lit(1)).as("n_events"))
+      .select((col("session_window.start").as("session_start") +:
+        col("session_window.end").as("session_end") +:
+        keys.map(col) :+ col("n_events")): _*)
+
+  /** The streaming form of the reference's incremental load (R5):
+    * each micro-batch is anti-joined against the already-loaded keys
+    * and appended — exactly `load_data_if_new` per batch
+    * (reference transformation_db.py:91-121). */
+  def incrementalLoadStream(stream: DataFrame, idColumn: String,
+                            storeDir: String, table: String)
+      : DataStreamWriter[Row] =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.etl.OperationalLoad.loadIfNew(
+          batch.sparkSession, batch, storeDir, table, idColumn)
+        ()
+      }
+}

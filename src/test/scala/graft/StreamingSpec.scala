@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.StreamingOps
+
+case class Ev(ts: Timestamp, user_id: Long, event_type: String,
+              value: Double)
+case class Rec(id_review: String, timestamp_review: Timestamp,
+               place_id: String, author_url: String, review_text: String,
+               rating: Double)
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(m: Int): Timestamp =
+    Timestamp.valueOf(f"2024-03-01 10:$m%02d:00")
+
+  test("dedupStream keeps first occurrence per key within watermark") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    ms.addData(
+      Ev(t(0), 1, "click", 1.0), Ev(t(0), 1, "click", 1.0),
+      Ev(t(1), 2, "view", 2.0))
+    val q = StreamingOps.dedupStream(ms.toDF(), "ts", "10 minutes",
+        Seq("user_id", "event_type"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("dedup_out").count() == 2)
+  }
+
+  test("tumblingAggStream aggregates 5-minute windows") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    ms.addData(
+      Ev(t(0), 1, "click", 1.0), Ev(t(2), 2, "click", 3.0),
+      Ev(t(7), 1, "click", 5.0))
+    val q = StreamingOps.tumblingAggStream(ms.toDF(), "ts", "10 minutes",
+        "5 minutes", Seq("event_type"))
+      .writeStream.format("memory").queryName("tumble_out")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("tumble_out")
+      .select("n", "total_value").as[(Long, Double)].collect().toSet
+    assert(rows == Set((2L, 4.0), (1L, 5.0)))
+  }
+
+  test("sessionizeStream merges events within the gap") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    // user 1: events at :00 and :05 (one session with 10m gap),
+    // then :20 (new session); user 2: one event
+    ms.addData(
+      Ev(t(0), 1, "click", 1.0), Ev(t(5), 1, "click", 1.0),
+      Ev(t(20), 1, "click", 1.0), Ev(t(3), 2, "view", 1.0))
+    val q = StreamingOps.sessionizeStream(ms.toDF(), "ts", "30 minutes",
+        "10 minutes", Seq("user_id"))
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sess_out")
+      .select("user_id", "n_events").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(rows(1L) == Seq(1L, 2L)) // two sessions: 2 events + 1 event
+    assert(rows(2L) == Seq(1L))
+  }
+
+  test("incrementalLoadStream is the streaming form of load-if-new") {
+    implicit val ctx = spark.sqlContext
+    val store = Files.createTempDirectory("graft-stream-store").toString
+    val ms = MemoryStream[Rec]
+    def rec(id: String) =
+      Rec(id, t(0), "p1", s"http://$id", s"review $id", 4.0)
+    val writer = StreamingOps.incrementalLoadStream(ms.toDF(),
+      "id_review", store, "reviews")
+    ms.addData(rec("r1"), rec("r2"))
+    val q1 = writer.start(); q1.awaitTermination()
+    // second micro-run overlaps r2 → only r3 is new
+    ms.addData(rec("r2"), rec("r3"))
+    val q2 = StreamingOps.incrementalLoadStream(ms.toDF(),
+      "id_review", store, "reviews").start()
+    q2.awaitTermination()
+    val ids = spark.read.parquet(s"$store/reviews")
+      .select("id_review").as[String].collect().sorted.toSeq
+    assert(ids == Seq("r1", "r2", "r3"))
+  }
+}
