@@ -55,10 +55,23 @@ object DedupOps {
         i => concat_ws(" ", slice(tokens, i + lit(1), lit(n)))))
 
   /** MinHash signature: element j = min over shingles of
-    * xxhash64(shingle, j) — a keyed hash family, deterministic. */
+    * xxhash64(shingle, j) — a keyed hash family, deterministic.
+    *
+    * PERFORMANCE: pass a *materialized* (attribute) shingle column.
+    * Higher-order functions are interpreted (CodegenFallback), and an
+    * inlined shingle expression would be re-evaluated once per hash —
+    * 64 re-tokenizations per row (see [[signatureTable]]). */
   def minhashSignature(shingleCol: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
       j => array_min(transform(shingleCol, x => xxhash64(x, j))))
+
+  /** MinHash signature from pre-hashed shingles: the per-j hash is an
+    * xxhash64 mix of (shingle hash, j) — long arithmetic only, no
+    * string re-hashing inside the 64-wide loop. */
+  def minhashSignatureFromHashes(shingleHashes: Column,
+                                 numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      j => array_min(transform(shingleHashes, h => xxhash64(h, j))))
 
   /** Estimated Jaccard from two signatures: fraction of agreeing
     * positions. */
@@ -75,33 +88,94 @@ object DedupOps {
         xxhash64(slice(sig, b * lit(rowsPerBand) + lit(1), lit(rowsPerBand)))
           .as("band_hash")))
 
-  /** MinHash/LSH near-duplicate pairs with exact-jaccard verification.
+  /** Per-doc MinHash signatures + distinct-token sets — the shared
+    * input of candidate generation and verification.
     *
-    * @param df         corpus
-    * @param threshold  exact token-set Jaccard cut for verified pairs
+    * Built as three separate projections so tokenization, shingling,
+    * and hashing each run ONCE per row. Interpreted higher-order
+    * lambdas re-evaluate any expression inlined into their body once
+    * per element — collapsing these projections re-tokenizes every
+    * document 64× (measured 100× slowdown). Each intermediate alias is
+    * referenced twice in its consumer, which stops Catalyst's
+    * CollapseProject from re-inlining (it never duplicates non-cheap
+    * multi-referenced expressions). */
+  private def signatureTable(df: DataFrame, idCol: String,
+                             textCol: String, shingleSize: Int,
+                             numHashes: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        TextOps.tokens(col(textCol)).as("__tok"))
+      // __tok referenced twice → projection boundary preserved
+      .select(col("doc_id"), array_distinct(col("__tok")).as("__tokset"),
+        transform(shingles(col("__tok"), shingleSize),
+          x => xxhash64(x)).as("__shash"))
+      // __shash referenced twice → boundary preserved
+      .select(col("doc_id"), col("__tokset"),
+        when(size(col("__shash")) >= 0,
+          minhashSignatureFromHashes(col("__shash"), numHashes))
+          .as("__sig"))
+
+  /** Slim LSH candidate pairs: (id_a, id_b, n_bands_matching), id_a <
+    * id_b. CRITICAL scale shapes:
+    *   - the band self-join and the per-pair aggregation carry ONLY
+    *     ids — signatures and token sets never enter the candidate
+    *     shuffle (at 100 TB that shuffle is billions of rows; 16 bytes
+    *     each vs kilobytes decides feasibility);
+    *   - oversized buckets are dropped (`maxBucketSize`): a bucket
+    *     with B docs contributes B²/2 pairs, so one hot bucket (a
+    *     boilerplate shingle, an empty-doc band) can dwarf the whole
+    *     join. Hot buckets carry no dedup signal — every serious
+    *     minhash pipeline caps them. */
+  def minhashCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int,
+                        maxBucketSize: Int = 50): DataFrame = {
+    // banded feeds three consumers (bucket sizing + both join sides):
+    // persist it or the signature computation runs once per consumer.
+    val banded = sigs.select(col("doc_id"),
+      explode(lshBandKeys(col("__sig"), bands, rowsPerBand))
+        .as("__band"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val smallBuckets = banded.groupBy("__band")
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") <= maxBucketSize && col("__bsz") > 1)
+      .select("__band")
+    val pruned = banded.join(smallBuckets, Seq("__band"))
+    val a = pruned.select(col("__band"), col("doc_id").as("id_a"))
+    val b = pruned.select(col("__band"), col("doc_id").as("id_b"))
+    a.join(b, Seq("__band"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_bands_matching"))
+  }
+
+  /** MinHash/LSH near-duplicate pairs with exact-jaccard verification.
+    * Pipeline: slim candidates → join signatures (estimate) → join
+    * token sets (exact) → threshold. Payload joins happen only for
+    * surviving candidate pairs.
+    *
+    * @param threshold     exact token-set Jaccard cut for verified pairs
+    * @param maxCandidates optional cap: keep only the top candidates
+    *                      by band-collision count before the payload
+    *                      joins (for top-k style queries)
     * @return (id_a, id_b, est_jaccard, jaccard) with id_a < id_b */
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           shingleSize: Int = 3, numHashes: Int = 64,
-                          bands: Int = 16,
-                          threshold: Double = 0.5): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    val toks = TextOps.tokens(col(textCol))
-    val sigd = df.select(col(idCol).as("doc_id"),
-        array_distinct(toks).as("__tokset"),
-        minhashSignature(shingles(toks, shingleSize), numHashes)
-          .as("__sig"))
-    val banded = sigd.select(col("doc_id"), col("__tokset"), col("__sig"),
-        explode(lshBandKeys(col("__sig"), bands, rowsPerBand))
-          .as("__band"))
-    val a = banded.select(col("__band"), col("doc_id").as("id_a"),
+                          bands: Int = 16, threshold: Double = 0.5,
+                          maxCandidates: Int = 0): DataFrame = {
+    // The signature table feeds candidate generation and both payload
+    // joins — persist it (corpus-linear: id + 64 longs + token set;
+    // at 100 TB this is the table you'd checkpoint to storage).
+    val sigs = signatureTable(df, idCol, textCol, shingleSize, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candAll = minhashCandidates(sigs, bands, numHashes / bands)
+    val cand =
+      if (maxCandidates > 0)
+        candAll.orderBy(col("n_bands_matching").desc, col("id_a"),
+          col("id_b")).limit(maxCandidates)
+      else candAll
+    val sa = sigs.select(col("doc_id").as("id_a"),
       col("__tokset").as("__ta"), col("__sig").as("__sa"))
-    val b = banded.select(col("__band"), col("doc_id").as("id_b"),
+    val sb = sigs.select(col("doc_id").as("id_b"),
       col("__tokset").as("__tb"), col("__sig").as("__sb"))
-    val cand = a.join(b, Seq("__band"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "__ta", "__tb", "__sa", "__sb")
-      .dropDuplicates("id_a", "id_b")
-    cand
+    cand.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
       .withColumn("est_jaccard",
         round(minhashJaccard(col("__sa"), col("__sb")), 6))
       .withColumn("jaccard",
@@ -139,9 +213,11 @@ object DedupOps {
     * are chunk-mates, verified by full Hamming distance. Larger
     * `maxDistance` → narrower chunks → more (cheap) false candidates. */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-                          maxDistance: Int = 3): DataFrame = {
+                          maxDistance: Int = 3,
+                          maxBucketSize: Int = 200): DataFrame = {
     val sigd = df.select(col(idCol).as("doc_id"),
       simhash(TextOps.tokens(col(textCol))).as("__sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nChunks = math.min(maxDistance + 1, 64)
     val base = 64 / nChunks
     val extra = 64 % nChunks
@@ -154,9 +230,17 @@ object DedupOps {
     }
     val chunked = sigd.select(col("doc_id"), col("__sig"),
       explode(array(chunkStructs: _*)).as("__c"))
-    val a = chunked.select(col("__c"), col("doc_id").as("id_a"),
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // drop hot chunk-buckets: B docs in a bucket → B²/2 pairs; a hot
+    // bucket carries no near-dup signal (see minhashCandidates note)
+    val smallBuckets = chunked.groupBy("__c")
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") <= maxBucketSize && col("__bsz") > 1)
+      .select("__c")
+    val pruned = chunked.join(smallBuckets, Seq("__c"))
+    val a = pruned.select(col("__c"), col("doc_id").as("id_a"),
       col("__sig").as("__sa"))
-    val b = chunked.select(col("__c"), col("doc_id").as("id_b"),
+    val b = pruned.select(col("__c"), col("doc_id").as("id_b"),
       col("__sig").as("__sb"))
     a.join(b, Seq("__c"))
       .filter(col("id_a") < col("id_b"))

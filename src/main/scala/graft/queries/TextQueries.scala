@@ -165,8 +165,8 @@ object TextQueries {
     // recall/precision asserted against exact Jaccard in DedupSpec.
     "dedup_minhash_lsh" -> QueryDef(
       (s, d) => DedupOps.minhashNearDupPairs(Tables.documents(s, d),
-          "doc_id", "text", shingleSize = 3, numHashes = 64, bands = 32,
-          threshold = 0.0)
+          "doc_id", "text", shingleSize = 3, numHashes = 64, bands = 16,
+          threshold = 0.0, maxCandidates = 1000)
         .orderBy(col("est_jaccard").desc, col("id_a"), col("id_b"))
         .limit(20),
       None),
