@@ -189,12 +189,13 @@ object DedupOps {
   // SimHash
   // ------------------------------------------------------------------
 
-  /** 64-bit SimHash over tokens: bit i is the sign of the sum over
-    * tokens of ±1 depending on bit i of the token hash. Built from 64
-    * statically-unrolled bit terms (shift amounts must be literals in
-    * the Column API); token hashes are computed once. */
-  def simhash(tokens: Column): Column = {
-    val hashes = transform(tokens, t => xxhash64(t))
+  /** 64-bit SimHash from a *materialized* token-hash array: bit i is
+    * the sign of the sum over tokens of ±1 depending on bit i of the
+    * token hash. 64 statically-unrolled bit terms (shift amounts must
+    * be literals in the Column API); pass an attribute, not an inlined
+    * expression — the 64 terms each re-evaluate their child
+    * (see [[signatureTable]] performance note). */
+  def simhashFromHashes(hashes: Column): Column = {
     val terms = (0 until 64).map { i =>
       val ones = size(filter(hashes,
         h => shiftright(h, i).bitwiseAND(1L) === 1L))
@@ -203,6 +204,12 @@ object DedupOps {
     }
     terms.reduce(_ + _)
   }
+
+  /** Convenience single-expression form (fine for small frames and
+    * unit tests; hot paths use [[simhashFromHashes]] over a
+    * materialized hash column). */
+  def simhash(tokens: Column): Column =
+    simhashFromHashes(transform(tokens, t => xxhash64(t)))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -216,7 +223,13 @@ object DedupOps {
                           maxDistance: Int = 3,
                           maxBucketSize: Int = 200): DataFrame = {
     val sigd = df.select(col(idCol).as("doc_id"),
-      simhash(TextOps.tokens(col(textCol))).as("__sig"))
+        TextOps.tokens(col(textCol)).as("__tok"))
+      // token hashes materialized once; __tok referenced twice keeps
+      // the projection boundary (signatureTable performance note)
+      .select(col("doc_id"),
+        when(size(col("__tok")) >= 0,
+          transform(col("__tok"), t => xxhash64(t))).as("__th"))
+      .select(col("doc_id"), simhashFromHashes(col("__th")).as("__sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nChunks = math.min(maxDistance + 1, 64)
     val base = 64 / nChunks
