@@ -223,13 +223,8 @@ object DedupOps {
                           maxDistance: Int = 3,
                           maxBucketSize: Int = 200): DataFrame = {
     val sigd = df.select(col(idCol).as("doc_id"),
-        TextOps.tokens(col(textCol)).as("__tok"))
-      // token hashes materialized once; __tok referenced twice keeps
-      // the projection boundary (signatureTable performance note)
-      .select(col("doc_id"),
-        when(size(col("__tok")) >= 0,
-          transform(col("__tok"), t => xxhash64(t))).as("__th"))
-      .select(col("doc_id"), simhashFromHashes(col("__th")).as("__sig"))
+        graft.functions.native.simhash64(TextOps.tokens(col(textCol)))
+          .as("__sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nChunks = math.min(maxDistance + 1, 64)
     val base = 64 / nChunks

@@ -20,7 +20,7 @@ import graft.ops.Relational
   */
 object VectorOps {
 
-  /** dot(a, b) in double precision. */
+  /** dot(a, b) in double precision (higher-order-function form). */
   def dotd(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -28,8 +28,15 @@ object VectorOps {
 
   def l2norm(a: Column): Column = sqrt(dotd(a, a))
 
-  /** Cosine similarity, computed as dot/(|a|·|b|) in double. */
+  /** Cosine similarity via the native codegen'd Catalyst expression
+    * ([[graft.functions.CosineSimilarity]]): one fused loop instead of
+    * three interpreted higher-order passes. Bit-identical to
+    * [[cosineHof]] (same accumulation order). */
   def cosine(a: Column, b: Column): Column =
+    graft.functions.native.cosine_similarity(a, b)
+
+  /** Composed-builtins form — kept as the cross-check reference. */
+  def cosineHof(a: Column, b: Column): Column =
     dotd(a, b) / (l2norm(a) * l2norm(b))
 
   /** Exact top-k neighbors by cosine for each query vector.

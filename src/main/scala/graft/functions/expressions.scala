@@ -1,0 +1,128 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen._
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the hot vector/text math
+  * (SURVEY §7.3: custom `Expression` where built-in composition is the
+  * bottleneck — higher-order functions are CodegenFallback/interpreted,
+  * so per-element lambda dispatch dominates large-array math).
+  */
+
+/** Cosine similarity between two float-array embeddings, computed in
+  * double precision with a single fused whole-stage-codegen loop
+  * (dot, |a|², |b|² in one pass). Same accumulation order as the
+  * `zip_with`/`aggregate` formulation and DuckDB's
+  * list_cosine_similarity, so results are interchangeable. */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def nullIntolerant: Boolean = true
+
+  // inputs are cast to array<float> by the [[native]] entry points
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_similarity"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = (double) $a.getFloat($i);
+         |  double $yi = (double) $b.getFloat($i);
+         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) *
+         |  java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+/** 64-bit SimHash over a token array: bit i is set iff more than half
+  * the token hashes (xxhash64, seed 42 — identical to the built-in
+  * `xxhash64`) have bit i set. One pass over the tokens with a 64-wide
+  * counter array — replaces 64 interpreted higher-order passes. */
+case class Simhash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def nullIntolerant: Boolean = true
+
+  // input is cast to array<string> by the [[native]] entry points
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counts = new Array[Int](64)
+    var t = 0
+    while (t < n) {
+      val s = arr.getUTF8String(t)
+      val h = XxHash64Function.hash(s, StringType, 42L)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) counts(i) += 1
+        i += 1
+      }
+      t += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 64) {
+      // bit set iff ones*2 > total (ties → 0), matching the
+      // DedupOps.simhashFromHashes column formulation exactly
+      if (counts(i) * 2 > n) sig |= (1L << i)
+      i += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(c: Expression): Simhash64 =
+    copy(child = c)
+}
+
+/** Column-level entry points. */
+object native {
+  def cosine_similarity(a: Column, b: Column): Column =
+    Bridge.column(CosineSimilarity(
+      Bridge.expression(a.cast("array<float>")),
+      Bridge.expression(b.cast("array<float>"))))
+
+  def simhash64(tokens: Column): Column =
+    Bridge.column(Simhash64(
+      Bridge.expression(tokens.cast("array<string>"))))
+}
