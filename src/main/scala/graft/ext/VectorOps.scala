@@ -128,6 +128,7 @@ object VectorOps {
                          tables: Int = 4): DataFrame = {
     val sig = corpus.select(col(idCol), col(vecCol),
       explode(srpBuckets(col(vecCol), bits, tables)).as("__bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sig.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
       col("__bucket"))
     val b = sig.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),

@@ -164,7 +164,10 @@ object TextQueries {
     // Hash-family-specific (xxhash64 signatures) → no SQL oracle;
     // recall/precision asserted against exact Jaccard in DedupSpec.
     "dedup_minhash_lsh" -> QueryDef(
-      (s, d) => DedupOps.minhashNearDupPairs(Tables.documents(s, d),
+      (s, d) => DedupOps.minhashNearDupPairs(
+          // single-file local parquet scans into 1 partition; spread the
+          // CPU-heavy signature stage (a real corpus scan has many splits)
+          Tables.documents(s, d).repartition(32),
           "doc_id", "text", shingleSize = 3, numHashes = 64, bands = 16,
           threshold = 0.0, maxCandidates = 1000)
         .orderBy(col("est_jaccard").desc, col("id_a"), col("id_b"))
@@ -173,7 +176,8 @@ object TextQueries {
 
     // SimHash near-dup candidates (Hamming ≤ 8 of 64 bits).
     "dedup_simhash" -> QueryDef(
-      (s, d) => DedupOps.simhashNearDupPairs(Tables.documents(s, d),
+      (s, d) => DedupOps.simhashNearDupPairs(
+          Tables.documents(s, d).repartition(32), // see minhash note
           "doc_id", "text", maxDistance = 8)
         .orderBy(col("hamming_distance"), col("id_a"), col("id_b"))
         .limit(20),
