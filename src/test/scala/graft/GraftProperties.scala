@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.forAll
+import graft.ops.Relational
+
+/** Differential property tests (SURVEY §5.4): each relational
+  * combinator is checked against an in-memory Scala model on generated
+  * tables. sbt's test runner executes ScalaCheck Properties natively.
+  */
+object GraftProperties extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(15)
+
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  private val rowGen: Gen[(Int, String)] = for {
+    k <- Gen.choose(0, 12)
+    v <- Gen.alphaLowerStr.map(_.take(6))
+  } yield (k, v)
+
+  private val tableGen: Gen[List[(Int, String)]] =
+    Gen.listOfN(25, rowGen).map(_.take(25))
+
+  property("antiJoinNewKeys == model set difference on keys") =
+    forAll(tableGen, tableGen) { (fresh, existing) =>
+      val df = fresh.toDF("id", "v")
+      val ex = existing.toDF("id", "w")
+      val got = Relational.antiJoinNewKeys(df, ex, "id")
+        .select("id", "v").as[(Int, String)].collect().sorted.toList
+      val existingKeys = existing.map(_._1).toSet
+      val want = fresh.filterNot(r => existingKeys(r._1)).sorted
+      got == want
+    }
+
+  property("anti-join + append is idempotent") =
+    forAll(tableGen, tableGen) { (a, b) =>
+      val store = a.toDF("id", "v").dropDuplicates("id")
+      val incoming = b.toDF("id", "v").dropDuplicates("id")
+      val loaded = store.unionByName(
+        Relational.antiJoinNewKeys(incoming, store, "id"))
+      // loading the same batch again adds nothing
+      Relational.antiJoinNewKeys(incoming, loaded, "id").count() == 0L
+    }
+
+  property("unionDedupe is commutative in its key set") =
+    forAll(tableGen, tableGen) { (a, b) =>
+      val da = a.toDF("id", "v")
+      val db = b.toDF("id", "v")
+      val ab = Relational.unionDedupe(da, db, "id")
+        .select("id").as[Int].collect().sorted.toSeq
+      val ba = Relational.unionDedupe(db, da, "id")
+        .select("id").as[Int].collect().sorted.toSeq
+      val want = (a.map(_._1) ++ b.map(_._1)).distinct.sorted
+      ab == want && ba == want
+    }
+
+  property("dropNullsIn leaves no nulls in constrained columns") =
+    forAll(Gen.listOfN(20, Gen.option(Gen.alphaLowerStr.map(_.take(4))))) {
+      vals =>
+        val df = vals.zipWithIndex.map { case (v, i) => (i, v.orNull) }
+          .toDF("id", "v")
+        val out = Relational.dropNullsIn(df, Seq("v"))
+        out.filter(col("v").isNull).count() == 0L &&
+          out.count() == vals.count(_.isDefined).toLong
+    }
+
+  property("dedupeByKeyOrdered keeps exactly the model's min row") =
+    forAll(tableGen) { rows =>
+      val df = rows.toDF("id", "v")
+      val got = Relational.dedupeByKeyOrdered(df, Seq("id"),
+          Seq(col("v"), col("id")))
+        .as[(Int, String)].collect().sorted.toList
+      val want = rows.groupBy(_._1).map { case (_, g) => g.min }
+        .toList.sorted
+      got == want
+    }
+
+  property("topNPerKey returns min(n, group size) rows per key") =
+    forAll(tableGen, Gen.choose(1, 4)) { (rows, n) =>
+      val df = rows.toDF("id", "v")
+      val got = Relational.topNPerKey(df, Seq("id"),
+          Seq(col("v"), monotonically_increasing_id()), n)
+        .groupBy("id").count().as[(Int, Long)].collect().toMap
+      val want = rows.groupBy(_._1).view
+        .mapValues(g => math.min(n, g.size).toLong).toMap
+      got == want
+    }
+
+  property("unionAll aligns by name and preserves total row count") =
+    forAll(tableGen, tableGen) { (a, b) =>
+      val da = a.toDF("id", "x")
+      val db = b.toDF("id", "y")
+      val out = Relational.unionAll(Seq(da, db))
+      out.count() == (a.size + b.size).toLong &&
+        out.columns.toSet == Set("id", "x", "y")
+    }
+}
