@@ -28,7 +28,8 @@ object SparkEntry {
     EventQueries.defs,
     TextQueries.defs,
     VectorQueries.defs,
-    MultimodalQueries.defs)
+    MultimodalQueries.defs,
+    Analytic2Queries.defs)
 
   private lazy val all: Map[String, QueryDef] =
     modules.reduce(_ ++ _)
