@@ -31,6 +31,40 @@ object Staging {
       .csv(s"$prefix/*.csv")
   }
 
+  /** F1 with row-level error isolation: the reference catches
+    * exceptions per record and skips them (extraction.py:160-165).
+    * The Spark form is PERMISSIVE parsing with a corrupt-record
+    * column: malformed rows are captured, well-formed rows load.
+    * Returns (clean rows, corrupt raw lines). */
+  def readCsvPrefixIsolated(spark: SparkSession, prefix: String,
+                            schema: StructType): (DataFrame, DataFrame) = {
+    val withCorrupt = StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField("_corrupt_record",
+        org.apache.spark.sql.types.StringType))
+    val raw = {
+      val dir = new java.io.File(prefix)
+      val hasCsv = dir.isDirectory &&
+        dir.listFiles().exists(_.getName.endsWith(".csv"))
+      if (!hasCsv) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], withCorrupt)
+      else spark.read
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(withCorrupt)
+        .csv(s"$prefix/*.csv")
+        // corrupt-record access requires materialization of the
+        // parsed frame (Spark disallows filtering the raw column on
+        // the streaming parse path)
+        .cache()
+    }
+    val clean = raw.filter(raw("_corrupt_record").isNull)
+      .drop("_corrupt_record")
+    val corrupt = raw.filter(raw("_corrupt_record").isNotNull)
+      .select("_corrupt_record")
+    (clean, corrupt)
+  }
+
   /** F2 — timestamped CSV sink: `{base}_{yyyyMMdd_HHmmss}.csv`
     * (reference `save_df_to_gcs`, utils.py:6-26). The reference writes
     * one blob; we keep that contract for small staging batches via

@@ -82,6 +82,26 @@ object ScalarQueries {
         |                ELSE source END, 'unknown') AS src
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // E6 — strict + lenient timestamp parsing: every 10th key gets an
+    // unparseable string; lenient parse yields NULL (the reference's
+    // pd.to_datetime leniency), never an error.
+    "parse_timestamps" -> QueryDef(
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          when(pmod(col("o_orderkey"), lit(10)) === 0, lit("not-a-date"))
+            .otherwise(date_format(col("o_orderdate"),
+              "yyyy-MM-dd HH:mm:ss")).as("ts_str"))
+        .select(col("o_orderkey"), col("ts_str"),
+          Scalars.parseTimestampLenient(col("ts_str")).as("ts_parsed"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, ts_str,
+        |  try_strptime(ts_str, '%Y-%m-%d %H:%M:%S') AS ts_parsed
+        |FROM (SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN 'not-a-date'
+        |       ELSE strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
+        |  END AS ts_str FROM orders)
+        |ORDER BY o_orderkey""".stripMargin)),
+
     // E16 — JSON field extraction from the events.props payload.
     "json_extract" -> QueryDef(
       (s, d) => Tables.events(s, d)

@@ -1,0 +1,52 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.types._
+import graft.io.Staging
+
+class StagingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("qty", LongType),
+    StructField("name", StringType)))
+
+  test("readCsvPrefix unions all files; empty prefix yields empty frame") {
+    val dir = Files.createTempDirectory("graft-staging")
+    Files.writeString(dir.resolve("a_1.csv"), "id,qty,name\n1,10,x\n")
+    Files.writeString(dir.resolve("a_2.csv"), "id,qty,name\n2,20,y\n")
+    Files.writeString(dir.resolve("ignored.txt"), "not,a,csv\n")
+    val df = Staging.readCsvPrefix(spark, dir.toString, schema)
+    assert(df.count() == 2)
+    val empty = Staging.readCsvPrefix(spark,
+      Files.createTempDirectory("graft-empty").toString, schema)
+    assert(empty.isEmpty && empty.schema == schema)
+  }
+
+  test("readCsvPrefixIsolated skips malformed rows, keeps the rest " +
+    "(reference per-record error isolation)") {
+    val dir = Files.createTempDirectory("graft-isolated")
+    Files.writeString(dir.resolve("b_1.csv"),
+      """id,qty,name
+        |1,10,ok
+        |2,notanumber,bad
+        |3,30,ok
+        |""".stripMargin)
+    val (clean, corrupt) = Staging.readCsvPrefixIsolated(spark,
+      dir.toString, schema)
+    assert(clean.select("id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 3L))
+    assert(corrupt.count() == 1)
+    assert(corrupt.head().getString(0).contains("notanumber"))
+  }
+
+  test("writeCsvStamped produces a timestamped readable file") {
+    val dir = Files.createTempDirectory("graft-sink")
+    val path = Staging.writeCsvStamped(
+      Seq((1L, 10L, "x")).toDF("id", "qty", "name"),
+      dir.toString, "recs")
+    assert(path.matches(".*/recs_\\d{8}_\\d{6}\\.csv"))
+    val back = spark.read.option("header", "true").schema(schema).csv(path)
+    assert(back.count() == 1)
+  }
+}
