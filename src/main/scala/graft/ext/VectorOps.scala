@@ -80,8 +80,15 @@ object VectorOps {
 
   /** Per-table SRP bucket keys: `tables` independent signatures of
     * `bits` hyperplanes each (table t uses plane indices
-    * t·bits..t·bits+bits-1), emitted as (table, bucket) structs. */
-  def srpBuckets(vec: Column, bits: Int, tables: Int): Column = {
+    * t·bits..t·bits+bits-1), emitted as (table, bucket) structs.
+    * Native single-loop expression ([[graft.functions.SrpBuckets]]);
+    * bit-identical to [[srpBucketsHof]]. */
+  def srpBuckets(vec: Column, bits: Int, tables: Int): Column =
+    transform(graft.functions.native.srp_buckets(vec, bits, tables),
+      (bucket, t) => struct(t.as("table"), bucket.as("bucket")))
+
+  /** Composed-builtins form — kept as the cross-check reference. */
+  def srpBucketsHof(vec: Column, bits: Int, tables: Int): Column = {
     val structs = (0 until tables).map { t =>
       val dims = size(vec)
       val terms = (0 until bits).map { i =>

@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the hot vector/text math
   * (SURVEY §7.3: custom `Expression` where built-in composition is the
@@ -115,8 +116,84 @@ case class Simhash64(child: Expression)
     copy(child = c)
 }
 
+/** Multi-table sign-random-projection bucket signatures for a float
+  * embedding: element t of the result is table t's `bits`-bit bucket
+  * (bit i = sign of the projection onto deterministic hyperplane
+  * t·bits+i). Replaces tables×bits interpreted higher-order
+  * projections with one fused loop; hyperplane components are
+  * xxhash64-derived (chain-hash of "graft-lsh", planeIdx, dim — the
+  * same family as the composed-builtins form) and memoized per
+  * operator instance. */
+case class SrpBuckets(child: Expression, bits: Int, tables: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "srp_buckets"
+
+  @transient private var planeCache: Array[Array[Double]] = _
+  @transient private var cachedDims: Int = -1
+
+  private val seedString = UTF8String.fromString("graft-lsh")
+
+  private def planeComponent(planeIdx: Int, dim: Int): Double = {
+    var h = XxHash64Function.hash(seedString, StringType, 42L)
+    h = XxHash64Function.hash(planeIdx, IntegerType, h)
+    h = XxHash64Function.hash(dim, IntegerType, h)
+    h.toDouble / Long.MaxValue.toDouble
+  }
+
+  private def planes(dims: Int): Array[Array[Double]] = {
+    if (cachedDims != dims) {
+      val n = tables * bits
+      val p = Array.ofDim[Double](n, dims)
+      var i = 0
+      while (i < n) {
+        var j = 0
+        while (j < dims) { p(i)(j) = planeComponent(i, j); j += 1 }
+        i += 1
+      }
+      planeCache = p
+      cachedDims = dims
+    }
+    planeCache
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData]
+    val dims = vec.numElements()
+    val p = planes(dims)
+    val v = new Array[Double](dims)
+    var j = 0
+    while (j < dims) { v(j) = vec.getFloat(j).toDouble; j += 1 }
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var i = 0
+      while (i < bits) {
+        val plane = p(t * bits + i)
+        var proj = 0.0
+        var k = 0
+        while (k < dims) { proj += v(k) * plane(k); k += 1 }
+        if (proj > 0) bucket |= (1L << i)
+        i += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): SrpBuckets =
+    copy(child = c)
+}
+
 /** Column-level entry points. */
 object native {
+  def srp_buckets(vec: Column, bits: Int, tables: Int): Column =
+    Bridge.column(SrpBuckets(
+      Bridge.expression(vec.cast("array<float>")), bits, tables))
   def cosine_similarity(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(
       Bridge.expression(a.cast("array<float>")),

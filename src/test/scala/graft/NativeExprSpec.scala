@@ -41,6 +41,16 @@ class NativeExprSpec extends SparkSpec {
     assert(r.getLong(1) != 0L)
   }
 
+  test("native SRP buckets == higher-order SRP buckets, bitwise") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val diffs = emb.select(
+        VectorOps.srpBuckets(col("embedding"), 8, 4).as("nat"),
+        VectorOps.srpBucketsHof(col("embedding"), 8, 4).as("hof"))
+      .filter(to_json(col("nat")) =!= to_json(col("hof")))
+      .count()
+    assert(diffs == 0)
+  }
+
   test("null inputs propagate as null") {
     val r = spark.range(1).select(
       native.cosine_similarity(lit(null).cast("array<float>"),
