@@ -160,6 +160,37 @@ object TextQueries {
         |SELECT lang, id_a, id_b, jaccard FROM r WHERE rn <= 5
         |ORDER BY lang, jaccard DESC, id_a, id_b""".stripMargin)),
 
+    // Composed curation pass: quality gate → exact dedup by
+    // fingerprint (min-id survivor). Near-dup stage excluded here so
+    // the whole query stays oracle-expressible; the full pass incl.
+    // MinHash runs in CorpusPipelineSpec.
+    "corpus_curation" -> QueryDef(
+      (s, d) => {
+        val curated = graft.ext.CorpusPipeline.curate(
+          Tables.documents(s, d), "doc_id", "text",
+          graft.ext.CorpusPipeline.Config(dropNearDups = false))
+        curated.select(col("doc_id"),
+            graft.ext.TextOps.tokenCount(col("text")).as("n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, text,
+        |  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |       ELSE regexp_split_to_array(lower(trim(text)), '\s+')
+        |  END AS tok FROM documents),
+        |q AS (SELECT doc_id, text, CAST(len(tok) AS INT) AS n_tokens
+        |  FROM t
+        |  WHERE len(tok) BETWEEN 10 AND 100000
+        |    AND (CASE WHEN length(text) = 0 THEN 0.0
+        |         ELSE CAST(length(regexp_replace(text, '[^.,!?;:]', '',
+        |           'g')) AS DOUBLE) / length(text) END) < 0.2),
+        |f AS (SELECT doc_id, n_tokens, row_number() OVER (
+        |    PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+',
+        |      ' ', 'g'))
+        |    ORDER BY doc_id) AS rn
+        |  FROM q)
+        |SELECT doc_id, n_tokens FROM f WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin)),
+
     // MinHash+LSH near-dup candidates: top 20 by estimated Jaccard.
     // Hash-family-specific (xxhash64 signatures) → no SQL oracle;
     // recall/precision asserted against exact Jaccard in DedupSpec.
