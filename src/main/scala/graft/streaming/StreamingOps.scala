@@ -5,6 +5,11 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 import org.apache.spark.sql.Row
 
+final case class UserEvent(ts: java.sql.Timestamp, user_id: Long,
+                           event_type: String, value: Double)
+final case class UserProfile(user_id: Long, n_events: Long,
+                             total_value: Double, last_seen_ms: Long)
+
 /** Structured Streaming twins of the batch operators (SURVEY §2.4
   * streaming row). Each takes an unbounded DataFrame (`readStream`
   * source) and returns the transformed streaming frame; callers attach
@@ -48,6 +53,42 @@ object StreamingOps {
       .select((col("session_window.start").as("session_start") +:
         col("session_window.end").as("session_end") +:
         keys.map(col) :+ col("n_events")): _*)
+
+  /** Custom keyed state via mapGroupsWithState: a per-user running
+    * profile (event count, value sum, last-seen) maintained across
+    * micro-batches — the building block for any bespoke streaming
+    * state the built-in windows can't express. State is dropped after
+    * `idleTimeout` without events (processing-time timeout). */
+  def runningUserProfile(events: org.apache.spark.sql.Dataset[UserEvent],
+                         idleTimeout: Option[String] = None)
+      : org.apache.spark.sql.Dataset[UserProfile] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val timeoutConf = if (idleTimeout.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout
+    else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(timeoutConf) {
+        (userId: Long, batch: Iterator[UserEvent],
+         state: GroupState[UserProfile]) =>
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            last
+          } else {
+            val prev = state.getOption
+              .getOrElse(UserProfile(userId, 0L, 0.0, Long.MinValue))
+            val next = batch.foldLeft(prev) { (p, e) =>
+              UserProfile(userId, p.n_events + 1,
+                p.total_value + e.value,
+                math.max(p.last_seen_ms, e.ts.getTime))
+            }
+            state.update(next)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            next
+          }
+      }
+  }
 
   /** The streaming form of the reference's incremental load (R5):
     * each micro-batch is anti-joined against the already-loaded keys

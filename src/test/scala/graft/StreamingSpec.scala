@@ -71,6 +71,25 @@ class StreamingSpec extends SparkSpec {
     assert(rows(2L) == Seq(1L))
   }
 
+  test("runningUserProfile maintains custom keyed state across batches") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[graft.streaming.UserEvent]
+    val q = graft.streaming.StreamingOps.runningUserProfile(ms.toDS())
+      .writeStream.format("memory").queryName("profile_out")
+      .outputMode("update").start()
+    ms.addData(
+      graft.streaming.UserEvent(t(0), 1, "click", 2.0),
+      graft.streaming.UserEvent(t(1), 1, "view", 3.0))
+    q.processAllAvailable()
+    ms.addData(graft.streaming.UserEvent(t(2), 1, "click", 5.0))
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("profile_out")
+      .filter($"user_id" === 1).orderBy($"n_events".desc).head()
+    assert(last.getAs[Long]("n_events") == 3L)
+    assert(last.getAs[Double]("total_value") == 10.0)
+  }
+
   test("incrementalLoadStream is the streaming form of load-if-new") {
     implicit val ctx = spark.sqlContext
     val store = Files.createTempDirectory("graft-stream-store").toString
