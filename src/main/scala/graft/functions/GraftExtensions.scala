@@ -24,6 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       Bridge.functionInfo("simhash64",
         "simhash64(tokens) - 64-bit SimHash of a string array"),
       (exprs: Seq[Expression]) => Simhash64(exprs.head)))
+    e.injectFunction((Bridge.functionId("token_set_jaccard"),
+      Bridge.functionInfo("token_set_jaccard",
+        "token_set_jaccard(a, b) - set-semantics Jaccard of two string arrays"),
+      (exprs: Seq[Expression]) => TokenSetJaccard(exprs(0), exprs(1))))
   }
 }
 
@@ -35,5 +39,7 @@ object GraftExtensions {
       exprs => CosineSimilarity(exprs(0), exprs(1)))
     Bridge.registerFunction(spark, "simhash64",
       exprs => Simhash64(exprs.head))
+    Bridge.registerFunction(spark, "token_set_jaccard",
+      exprs => TokenSetJaccard(exprs(0), exprs(1)))
   }
 }

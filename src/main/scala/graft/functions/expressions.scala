@@ -189,8 +189,55 @@ case class SrpBuckets(child: Expression, bits: Int, tables: Int)
     copy(child = c)
 }
 
+/** Exact Jaccard similarity of two string arrays under SET semantics
+  * (|A∩B| / |A∪B| over distinct elements — identical to
+  * `array_intersect`/`array_union` size ratios). NOTE: measured
+  * SLOWER than the builtin composition inside whole-stage codegen
+  * (array_intersect/union are codegen'd; this expression is a
+  * codegen fence) — exposed for SQL/interpreted contexts only, the
+  * hot paths keep the builtins. Custom expressions win against
+  * interpreted higher-order lambdas, not against codegen'd builtins. */
+case class TokenSetJaccard(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "token_set_jaccard"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val setA = new java.util.HashSet[UTF8String](x.numElements() * 2)
+    var i = 0
+    while (i < x.numElements()) {
+      setA.add(x.getUTF8String(i)); i += 1
+    }
+    val seenB = new java.util.HashSet[UTF8String](y.numElements() * 2)
+    var inter = 0
+    var onlyB = 0
+    i = 0
+    while (i < y.numElements()) {
+      val s = y.getUTF8String(i)
+      if (seenB.add(s)) {
+        if (setA.contains(s)) inter += 1 else onlyB += 1
+      }
+      i += 1
+    }
+    val union = setA.size() + onlyB
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TokenSetJaccard =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level entry points. */
 object native {
+  def token_set_jaccard(a: Column, b: Column): Column =
+    Bridge.column(TokenSetJaccard(
+      Bridge.expression(a.cast("array<string>")),
+      Bridge.expression(b.cast("array<string>"))))
   def srp_buckets(vec: Column, bits: Int, tables: Int): Column =
     Bridge.column(SrpBuckets(
       Bridge.expression(vec.cast("array<float>")), bits, tables))

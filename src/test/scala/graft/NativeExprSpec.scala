@@ -51,6 +51,24 @@ class NativeExprSpec extends SparkSpec {
     assert(diffs == 0)
   }
 
+  test("token_set_jaccard matches builtin intersect/union ratio") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val t = graft.ext.TextOps.tokens(col("text"))
+    val a = docs.select(col("doc_id").as("ida"),
+      array_distinct(t).as("ta"))
+    val b = docs.select(col("doc_id").as("idb"),
+      array_distinct(t).as("tb"))
+    val pairs = a.join(b, col("ida") < col("idb")).limit(300)
+    val diffs = pairs.select(
+        graft.functions.native.token_set_jaccard(col("ta"), col("tb"))
+          .as("nat"),
+        (size(array_intersect(col("ta"), col("tb"))).cast("double") /
+          size(array_union(col("ta"), col("tb")))).as("hof"))
+      .filter(col("nat") =!= col("hof"))
+      .count()
+    assert(diffs == 0)
+  }
+
   test("null inputs propagate as null") {
     val r = spark.range(1).select(
       native.cosine_similarity(lit(null).cast("array<float>"),
