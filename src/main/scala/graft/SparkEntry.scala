@@ -29,7 +29,8 @@ object SparkEntry {
     TextQueries.defs,
     VectorQueries.defs,
     MultimodalQueries.defs,
-    Analytic2Queries.defs)
+    Analytic2Queries.defs,
+    FunctionQueries.defs)
 
   private lazy val all: Map[String, QueryDef] =
     modules.reduce(_ ++ _)
