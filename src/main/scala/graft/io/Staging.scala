@@ -99,6 +99,21 @@ object Staging {
                        table: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(s"$storeDir/$table")
 
+  /** Bucketed store write: co-locates future joins/aggregations on
+    * `bucketCols` — a table bucketed and sorted on its join key joins
+    * another table with the same bucketing WITHOUT a shuffle on
+    * either side (asserted in BucketingSpec). At 100 TB this is the
+    * difference between re-shuffling every fact join and reading
+    * pre-shuffled data (SCALING.md, joins). Requires a catalog table
+    * (bucket metadata lives in the catalog, not the files). */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+                    bucketCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** D1/D2 — ensure a store table exists with its declared schema
     * (reference CREATE TABLE IF NOT EXISTS, transformation_db.py:11-89,
     * transformation_dw.py:6-120). Parquet stores are schema-on-write,
