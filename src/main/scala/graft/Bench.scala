@@ -13,15 +13,27 @@ object Bench {
     // absorb first-job session warmup (codegen, broadcast infra) so
     // per-query numbers reflect steady state, not Map ordering
     spark.read.parquet(s"$sfDir/nation.parquet").count()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .linesIterator.next().take(200)
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => s"\"${esc(k)}\":\"${esc(v)}\"" }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    // the metric JSON must be the sole, final stdout line so the
+    // driver's parser finds it without scraping interleaved log output
+    Console.out.flush()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

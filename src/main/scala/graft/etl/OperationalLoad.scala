@@ -31,7 +31,7 @@ object OperationalLoad {
     if (columnMapping.nonEmpty) d = Relational.renameAll(d, columnMapping)
     if (selectColumns.nonEmpty) d = Relational.selectExisting(d, selectColumns)
     val fresh =
-      if (Staging.tableExists(storeDir, table)) {
+      if (Staging.tableExists(spark, storeDir, table)) {
         val existing = Staging.readTable(spark, storeDir, table)
         Relational.antiJoinNewKeys(d, existing, idColumn)
       } else d

@@ -108,10 +108,12 @@ object DedupOps {
       .select(col("doc_id"), array_distinct(col("__tok")).as("__tokset"),
         transform(shingles(col("__tok"), shingleSize),
           x => xxhash64(x)).as("__shash"))
-      // __shash referenced twice → boundary preserved
+      // native fused mixing loop — bit-identical to
+      // minhashSignatureFromHashes (asserted in NativeExprSpec) but one
+      // pass instead of numHashes interpreted lambda passes; evaluates
+      // its child once, so no CollapseProject re-evaluation hazard here
       .select(col("doc_id"), col("__tokset"),
-        when(size(col("__shash")) >= 0,
-          minhashSignatureFromHashes(col("__shash"), numHashes))
+        graft.functions.native.minhash_sig(col("__shash"), numHashes)
           .as("__sig"))
 
   /** Slim LSH candidate pairs: (id_a, id_b, n_bands_matching), id_a <
@@ -129,6 +131,10 @@ object DedupOps {
                         maxBucketSize: Int = 50): DataFrame = {
     // banded feeds three consumers (bucket sizing + both join sides):
     // persist it or the signature computation runs once per consumer.
+    // The candidate triples are materialized below so the banded cache
+    // can be released before returning — cached corpus-scale blocks
+    // must not outlive the operator that needed them (a long-lived
+    // session accumulates them until executors spill or evict).
     val banded = sigs.select(col("doc_id"),
       explode(lshBandKeys(col("__sig"), bands, rowsPerBand))
         .as("__band"))
@@ -140,10 +146,14 @@ object DedupOps {
     val pruned = banded.join(smallBuckets, Seq("__band"))
     val a = pruned.select(col("__band"), col("doc_id").as("id_a"))
     val b = pruned.select(col("__band"), col("doc_id").as("id_b"))
-    a.join(b, Seq("__band"))
+    val cand = a.join(b, Seq("__band"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_bands_matching"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cand.count() // materialize (slim id-pair triples), then drop banded
+    banded.unpersist()
+    cand
   }
 
   /** MinHash/LSH near-duplicate pairs with exact-jaccard verification.
@@ -175,7 +185,7 @@ object DedupOps {
       col("__tokset").as("__ta"), col("__sig").as("__sa"))
     val sb = sigs.select(col("doc_id").as("id_b"),
       col("__tokset").as("__tb"), col("__sig").as("__sb"))
-    cand.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+    val out = cand.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
       .withColumn("est_jaccard",
         round(minhashJaccard(col("__sa"), col("__sb")), 6))
       .withColumn("jaccard",
@@ -183,6 +193,14 @@ object DedupOps {
           size(array_union(col("__ta"), col("__tb"))), 6))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "est_jaccard", "jaccard")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the (small, candidate-linear) verified pairs, then
+    // release the corpus-scale signature and candidate caches — they
+    // must not live for the rest of the session
+    out.count()
+    sigs.unpersist()
+    candAll.unpersist()
+    out
   }
 
   // ------------------------------------------------------------------
@@ -250,12 +268,17 @@ object DedupOps {
       col("__sig").as("__sa"))
     val b = pruned.select(col("__c"), col("doc_id").as("id_b"),
       col("__sig").as("__sb"))
-    a.join(b, Seq("__c"))
+    val out = a.join(b, Seq("__c"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("hamming_distance", hamming(col("__sa"), col("__sb")))
       .filter(col("hamming_distance") <= maxDistance)
       .select("id_a", "id_b", "hamming_distance")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize, then release the corpus-scale caches
+    sigd.unpersist()
+    chunked.unpersist()
+    out
   }
 
   // ------------------------------------------------------------------
@@ -264,13 +287,27 @@ object DedupOps {
 
   /** Exact token-set Jaccard for all (a < b) pairs within a blocking
     * key (e.g. language+source) — the verification-quality measure,
-    * viable when blocks are small. */
+    * viable when blocks are small.
+    *
+    * Blocks larger than `maxBlockSize` are DROPPED, same policy as the
+    * hot-bucket caps in [[minhashCandidates]] and
+    * [[simhashNearDupPairs]]: the self-join is B²/2 within a block, so
+    * without a cap one hot block (lang='en', source='web' at corpus
+    * scale) is a cartesian bomb; oversized blocks belong to the LSH
+    * paths, which are built for them. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        blockCols: Seq[String]): DataFrame = {
+                        blockCols: Seq[String],
+                        maxBlockSize: Int = 10000): DataFrame = {
     val base = df.select((col(idCol).as("doc_id") +:
       array_distinct(TextOps.tokens(col(textCol))).as("__tok") +:
       blockCols.map(col)): _*)
+    // block-size prune carries only the blocking key, never the tokens
+    val smallBlocks = df.groupBy(blockCols.map(col): _*)
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") <= maxBlockSize && col("__bsz") > 1)
+      .select(blockCols.map(col): _*)
     val a = base.toDF(("id_a" +: "__ta" +: blockCols): _*)
+      .join(smallBlocks, blockCols)
     val b = base.toDF(("id_b" +: "__tb" +: blockCols): _*)
     a.join(b, blockCols)
       .filter(col("id_a") < col("id_b"))

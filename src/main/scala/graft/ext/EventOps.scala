@@ -58,22 +58,38 @@ object EventOps {
                tsCol: String, payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.filterNot(c => c == key || c == tsCol)
     val pri = "__is_right"
+    // "was there a prior right row" is decided by a guaranteed-non-null
+    // marker (the right-side ts), NOT the first payload column — a
+    // right row may legitimately carry NULL payload, and filtering on
+    // the payload would silently substitute an older row's value (or
+    // drop the left row), diverging from ASOF semantics.
+    val mk = "__matched_ts"
     val taggedRight = right.select(
-      (Seq(col(key), col(tsCol), lit(1).as(pri)) ++
+      (Seq(col(key), col(tsCol), lit(1).as(pri), col(tsCol).as(mk)) ++
         payload.map(col) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
     val taggedLeft = left.select(
-      (Seq(col(key), col(tsCol), lit(0).as(pri)) ++
+      (Seq(col(key), col(tsCol), lit(0).as(pri),
+        lit(null).cast(right.schema(tsCol).dataType).as(mk)) ++
         payload.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++
         leftCols.map(col)): _*)
     val w = Window.partitionBy(key)
       .orderBy(col(tsCol), col(pri).desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payload.foldLeft(taggedRight.unionByName(taggedLeft)) {
-      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    // the carried payload must come from THE matched right row, not
+    // the last non-NULL value across older rows: wrap each payload in
+    // a per-right-row struct (non-null even when the payload value is
+    // NULL), carry the struct with last(ignoreNulls), then unwrap —
+    // NULL payloads propagate as-is instead of resurrecting older rows
+    val unioned = taggedRight.unionByName(taggedLeft)
+      .withColumn(mk, last(col(mk), ignoreNulls = true).over(w))
+    val filled = payload.foldLeft(unioned) { (df, c) =>
+      df.withColumn(c,
+        last(when(col(pri) === 1, struct(col(c))), ignoreNulls = true)
+          .over(w)(c))
     }
-    filled.filter(col(pri) === 0 && col(payload.head).isNotNull)
-      .drop(pri)
+    filled.filter(col(pri) === 0 && col(mk).isNotNull)
+      .drop(pri, mk)
   }
 
   /** Streaming-style first-seen dedup (R12 batch shadow): keep the

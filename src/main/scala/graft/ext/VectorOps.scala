@@ -140,11 +140,15 @@ object VectorOps {
       col("__bucket"))
     val b = sig.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
       col("__bucket"))
-    a.join(b, Seq("__bucket"))
+    val out = a.join(b, Seq("__bucket"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("cosine_sim", cosine(col("__va"), col("__vb")))
       .filter(col("cosine_sim") >= threshold)
       .select("id_a", "id_b", "cosine_sim")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize, then release the corpus-scale sig cache
+    sig.unpersist()
+    out
   }
 }

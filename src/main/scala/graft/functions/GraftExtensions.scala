@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.graft.Bridge
 
 /** Session-extension registrar for the native graft expressions —
@@ -16,6 +16,17 @@ import org.apache.spark.sql.graft.Bridge
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((Bridge.functionId("minhash_sig"),
+      Bridge.functionInfo("minhash_sig",
+        "minhash_sig(shingle_hashes, n) - n-element MinHash signature of a bigint array"),
+      (exprs: Seq[Expression]) =>
+        MinhashSig(exprs(0), GraftExtensions.intLiteral(exprs(1), "minhash_sig", "n"))))
+    e.injectFunction((Bridge.functionId("srp_buckets"),
+      Bridge.functionInfo("srp_buckets",
+        "srp_buckets(vec, bits, tables) - per-table sign-random-projection LSH buckets"),
+      (exprs: Seq[Expression]) => SrpBuckets(exprs(0),
+        GraftExtensions.intLiteral(exprs(1), "srp_buckets", "bits"),
+        GraftExtensions.intLiteral(exprs(2), "srp_buckets", "tables"))))
     e.injectFunction((Bridge.functionId("cosine_similarity"),
       Bridge.functionInfo("cosine_similarity",
         "cosine_similarity(a, b) - double-precision cosine of two float arrays"),
@@ -32,6 +43,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+  /** Scalar params (hash counts, table counts) must be constants — a
+    * per-row value would make the output schema row-dependent. */
+  private[functions] def intLiteral(e: Expression, fn: String,
+                                    arg: String): Int = e match {
+    case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument '$arg' must be an integer literal, got $other")
+  }
+
   /** Register the same functions on an already-built session (the
     * driver owns the session in the Verify/Bench contract). */
   def register(spark: SparkSession): Unit = {
@@ -41,5 +61,11 @@ object GraftExtensions {
       exprs => Simhash64(exprs.head))
     Bridge.registerFunction(spark, "token_set_jaccard",
       exprs => TokenSetJaccard(exprs(0), exprs(1)))
+    Bridge.registerFunction(spark, "minhash_sig",
+      exprs => MinhashSig(exprs(0), intLiteral(exprs(1), "minhash_sig", "n")))
+    Bridge.registerFunction(spark, "srp_buckets",
+      exprs => SrpBuckets(exprs(0),
+        intLiteral(exprs(1), "srp_buckets", "bits"),
+        intLiteral(exprs(2), "srp_buckets", "tables")))
   }
 }

@@ -20,14 +20,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * double precision with a single fused whole-stage-codegen loop
   * (dot, |a|², |b|² in one pass). Same accumulation order as the
   * `zip_with`/`aggregate` formulation and DuckDB's
-  * list_cosine_similarity, so results are interchangeable. */
+  * list_cosine_similarity, so results are interchangeable; a zero (or
+  * empty) vector yields NULL, matching the Divide-by-zero → NULL
+  * behavior of the builtin composition (never NaN — NaN sorts above
+  * every real value in a descending top-k and silently wins). */
 case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
   override def nullIntolerant: Boolean = true
 
-  // inputs are cast to array<float> by the [[native]] entry points
+  // declared input types → Catalyst inserts casts (or fails analysis)
+  // for SQL-registered calls with double/decimal arrays; without this
+  // a getFloat over an UnsafeArrayData of doubles reads garbage bytes
+  override def inputTypes =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
+  // NULL on zero-norm input even when children are non-nullable
+  override def nullable: Boolean = true
   override def prettyName: String = "cosine_similarity"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
@@ -42,7 +51,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext,
@@ -63,8 +73,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  double $yi = (double) $b.getFloat($i);
          |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) *
-         |  java.lang.Math.sqrt($nb));
+         |if ($na == 0.0 || $nb == 0.0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) *
+         |    java.lang.Math.sqrt($nb));
+         |}
        """.stripMargin
     })
 
@@ -78,11 +92,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * `xxhash64`) have bit i set. One pass over the tokens with a 64-wide
   * counter array — replaces 64 interpreted higher-order passes. */
 case class Simhash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
 
   override def nullIntolerant: Boolean = true
 
-  // input is cast to array<string> by the [[native]] entry points
+  override def inputTypes =
+    Seq(ArrayType(StringType))
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
@@ -92,12 +107,17 @@ case class Simhash64(child: Expression)
     val counts = new Array[Int](64)
     var t = 0
     while (t < n) {
-      val s = arr.getUTF8String(t)
-      val h = XxHash64Function.hash(s, StringType, 42L)
-      var i = 0
-      while (i < 64) {
-        if (((h >>> i) & 1L) == 1L) counts(i) += 1
-        i += 1
+      // NULL tokens contribute nothing to any bit but still count in
+      // the majority total — identical to the column formulation
+      // (xxhash64(null) → null, filtered out; size() counts nulls)
+      if (!arr.isNullAt(t)) {
+        val s = arr.getUTF8String(t)
+        val h = XxHash64Function.hash(s, StringType, 42L)
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) == 1L) counts(i) += 1
+          i += 1
+        }
       }
       t += 1
     }
@@ -116,6 +136,60 @@ case class Simhash64(child: Expression)
     copy(child = c)
 }
 
+/** MinHash signature from an array of pre-hashed shingles: element j =
+  * min over shingle hashes h of xxhash64(h, j). Bit-identical to the
+  * higher-order formulation
+  * `transform(sequence(0, n-1), j => array_min(transform(hashes, h =>
+  * xxhash64(h, j))))` — per (h, j) the hash folds exactly like the
+  * builtin `XxHash64(Seq(h, j))` with seed 42: hashLong(h, 42) then
+  * hashInt(j, ·) (j is an int because `sequence` yields array<int>).
+  * One fused pass replaces 64 interpreted higher-order lambda passes
+  * per row — the last hot dedup path without a native expression
+  * (SCALING.md). The outer hashLong(h, 42) mix is hoisted per shingle,
+  * so the inner loop is numHashes int-mixes on a local. */
+case class MinhashSig(child: Expression, numHashes: Int)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+
+  require(numHashes > 0, "numHashes must be positive")
+
+  override def nullIntolerant: Boolean = true
+  override def inputTypes =
+    Seq(ArrayType(LongType))
+  // empty shingle array → array_min(empty) = null per element, same
+  // as the higher-order form
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) {
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        new Array[Any](numHashes))
+    }
+    val out = new Array[Long](numHashes)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    var t = 0
+    while (t < n) {
+      // a NULL hash element folds to just the seed (XxHash64 skips
+      // null children), matching the builtin exactly
+      val base =
+        if (arr.isNullAt(t)) 42L else XXH64.hashLong(arr.getLong(t), 42L)
+      var j = 0
+      while (j < numHashes) {
+        val v = XXH64.hashInt(j, base)
+        if (v < out(j)) out(j) = v
+        j += 1
+      }
+      t += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinhashSig =
+    copy(child = c)
+}
+
 /** Multi-table sign-random-projection bucket signatures for a float
   * embedding: element t of the result is table t's `bits`-bit bucket
   * (bit i = sign of the projection onto deterministic hyperplane
@@ -125,9 +199,11 @@ case class Simhash64(child: Expression)
   * same family as the composed-builtins form) and memoized per
   * operator instance. */
 case class SrpBuckets(child: Expression, bits: Int, tables: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
 
   override def nullIntolerant: Boolean = true
+  override def inputTypes =
+    Seq(ArrayType(FloatType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "srp_buckets"
 
@@ -198,9 +274,11 @@ case class SrpBuckets(child: Expression, bits: Int, tables: Int)
   * hot paths keep the builtins. Custom expressions win against
   * interpreted higher-order lambdas, not against codegen'd builtins. */
 case class TokenSetJaccard(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
 
   override def nullIntolerant: Boolean = true
+  override def inputTypes =
+    Seq(ArrayType(StringType), ArrayType(StringType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "token_set_jaccard"
 
@@ -249,4 +327,8 @@ object native {
   def simhash64(tokens: Column): Column =
     Bridge.column(Simhash64(
       Bridge.expression(tokens.cast("array<string>"))))
+
+  def minhash_sig(shingleHashes: Column, numHashes: Int): Column =
+    Bridge.column(MinhashSig(
+      Bridge.expression(shingleHashes.cast("array<bigint>")), numHashes))
 }

@@ -15,6 +15,20 @@ import org.apache.spark.sql.types.StructType
   */
 object Staging {
 
+  /** Scheme-agnostic probe: does `prefix` contain any `*.csv`?
+    * Resolved through Hadoop's [[org.apache.hadoop.fs.FileSystem]] so
+    * the same code answers correctly for `file:`, `hdfs:`, `s3a:`,
+    * `gs:` — the reference's staging layer IS an object store
+    * (`data/utils.py:28-34` lists GCS blobs), and a `java.io.File`
+    * probe there would silently report "no files" and turn the
+    * operational load into a no-op. */
+  private def hasCsvFiles(spark: SparkSession, prefix: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(s"$prefix/*.csv")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hits = fs.globStatus(path)
+    hits != null && hits.nonEmpty
+  }
+
   /** F1 — multi-file CSV scan: read every `*.csv` under a prefix and
     * union (reference `load_csv_from_gcs_to_df`, utils.py:28-45).
     * Spark globs + unions natively and splits large files; the schema
@@ -22,10 +36,7 @@ object Staging {
     * empty frame (reference utils.py:43-45 fallback). */
   def readCsvPrefix(spark: SparkSession, prefix: String,
                     schema: StructType): DataFrame = {
-    val dir = new java.io.File(prefix)
-    val hasCsv = dir.isDirectory &&
-      dir.listFiles().exists(_.getName.endsWith(".csv"))
-    if (!hasCsv) spark.createDataFrame(
+    if (!hasCsvFiles(spark, prefix)) spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.option("header", "true").schema(schema)
       .csv(s"$prefix/*.csv")
@@ -42,10 +53,7 @@ object Staging {
       org.apache.spark.sql.types.StructField("_corrupt_record",
         org.apache.spark.sql.types.StringType))
     val raw = {
-      val dir = new java.io.File(prefix)
-      val hasCsv = dir.isDirectory &&
-        dir.listFiles().exists(_.getName.endsWith(".csv"))
-      if (!hasCsv) spark.createDataFrame(
+      if (!hasCsvFiles(spark, prefix)) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], withCorrupt)
       else spark.read
         .option("header", "true")
@@ -85,8 +93,16 @@ object Staging {
                 table: String): DataFrame =
     spark.read.parquet(s"$storeDir/$table")
 
-  def tableExists(storeDir: String, table: String): Boolean =
-    new java.io.File(s"$storeDir/$table").isDirectory
+  /** Scheme-agnostic existence probe (see [[hasCsvFiles]]): a
+    * `java.io.File` check here would make [[ensureTable]] re-truncate
+    * and `loadIfNew` skip its anti-join (double-append) the moment the
+    * store lives on an object store. */
+  def tableExists(spark: SparkSession, storeDir: String,
+                  table: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(s"$storeDir/$table")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(path)
+  }
 
   /** F5 — append sink (reference `to_sql(if_exists='append')`,
     * transformation_db.py:116). */
@@ -120,7 +136,7 @@ object Staging {
     * so "create if not exists" = write an empty frame once. */
   def ensureTable(spark: SparkSession, storeDir: String, table: String,
                   schema: StructType): Unit =
-    if (!tableExists(storeDir, table)) {
+    if (!tableExists(spark, storeDir, table)) {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         .write.mode(SaveMode.Overwrite).parquet(s"$storeDir/$table")

@@ -71,6 +71,23 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)))
   }
 
+  test("ngramJaccardPairs drops blocks over maxBlockSize instead of " +
+    "exploding quadratically") {
+    // one hot 5-doc block over the cap → zero pairs, not C(5,2)
+    val hot = docs.withColumn("lang", lit("en"))
+      .withColumn("source", lit("s"))
+    assert(DedupOps.ngramJaccardPairs(hot, "doc_id", "text",
+      Seq("lang", "source"), maxBlockSize = 4).count() == 0)
+    // mixed: the small block still pairs, the oversized one is dropped
+    val mixed = docs.withColumn("lang",
+        when($"doc_id" <= 2, "en").otherwise("de"))
+      .withColumn("source", lit("s"))
+    val out = DedupOps.ngramJaccardPairs(mixed, "doc_id", "text",
+      Seq("lang", "source"), maxBlockSize = 2)
+    assert(out.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      == Set((1L, 2L)))
+  }
+
   test("ngramJaccardPairs computes exact set jaccard within blocks") {
     val blocked = docs.withColumn("lang", lit("en"))
       .withColumn("source", lit("s"))

@@ -69,6 +69,52 @@ class NativeExprSpec extends SparkSpec {
     assert(diffs == 0)
   }
 
+  test("native minhash_sig == higher-order minhash signature, bitwise") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val hashed = docs.select(
+      transform(DedupOps.shingles(TextOps.tokens(col("text")), 3),
+        x => xxhash64(x)).as("h"))
+    val diffs = hashed.select(
+        native.minhash_sig(col("h"), 64).as("nat"),
+        DedupOps.minhashSignatureFromHashes(col("h"), 64).as("hof"))
+      .filter(col("nat") =!= col("hof"))
+      .count()
+    assert(diffs == 0)
+  }
+
+  test("cosine of a zero vector is NULL (not NaN), native and HOF") {
+    val zero = array(lit(0f), lit(0f))
+    val v = array(lit(1f), lit(2f))
+    val r = spark.range(1).select(
+      native.cosine_similarity(zero, v).as("nat"),
+      VectorOps.cosineHof(zero, v).as("hof")).head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
+  test("SQL natives implicitly cast double arrays (no garbage floats)") {
+    GraftExtensions.register(spark)
+    // double literals — without declared inputTypes these bind as
+    // array<double> and getFloat reads wrong bytes (silent garbage)
+    val r = spark.sql(
+      "SELECT cosine_similarity(array(1.0, 2.0), array(1.0, 2.0)) c").head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-9)
+    val m = spark.sql(
+      "SELECT minhash_sig(array(1, 2, 3), 8) s").head()
+    assert(m.getSeq[Long](0).length == 8)
+  }
+
+  test("simhash64 tolerates NULL tokens, matching the column form") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT simhash64(array('a', CAST(NULL AS STRING), 'b')) nat,
+        |       simhash64(array('a', 'b')) no_null""".stripMargin).head()
+    // matches the column form: a NULL token raises the majority total
+    // without voting for any bit
+    val colForm = spark.range(1).select(DedupOps.simhash(
+      array(lit("a"), lit(null).cast("string"), lit("b"))).as("s")).head()
+    assert(r.getLong(0) == colForm.getLong(0))
+  }
+
   test("null inputs propagate as null") {
     val r = spark.range(1).select(
       native.cosine_similarity(lit(null).cast("array<float>"),

@@ -40,6 +40,25 @@ class StagingSpec extends SparkSpec {
     assert(corrupt.head().getString(0).contains("notanumber"))
   }
 
+  test("staging probes resolve non-local-scheme URIs via Hadoop FS") {
+    // an explicit `file:` URI — the old java.io.File probe treated any
+    // URI-schemed prefix as "not a directory" and silently returned an
+    // empty frame (the object-store wrong-answer class, VERDICT r1 #1)
+    val dir = Files.createTempDirectory("graft-scheme")
+    Files.writeString(dir.resolve("c_1.csv"), "id,qty,name\n7,70,z\n")
+    val uri = "file://" + dir.toString
+    assert(Staging.readCsvPrefix(spark, uri, schema).count() == 1)
+    val (clean, _) = Staging.readCsvPrefixIsolated(spark, uri, schema)
+    assert(clean.count() == 1)
+    // tableExists must see URI-schemed stores too, else loadIfNew
+    // skips its anti-join and double-appends
+    val store = Files.createTempDirectory("graft-store")
+    Seq((1L, 10L, "x")).toDF("id", "qty", "name")
+      .write.parquet(store.toString + "/t")
+    assert(Staging.tableExists(spark, "file://" + store.toString, "t"))
+    assert(!Staging.tableExists(spark, "file://" + store.toString, "missing"))
+  }
+
   test("writeCsvStamped produces a timestamped readable file") {
     val dir = Files.createTempDirectory("graft-sink")
     val path = Staging.writeCsvStamped(
