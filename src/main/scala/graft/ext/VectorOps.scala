@@ -35,9 +35,12 @@ object VectorOps {
   def cosine(a: Column, b: Column): Column =
     graft.functions.native.cosine_similarity(a, b)
 
-  /** Composed-builtins form — kept as the cross-check reference. */
+  /** Composed-builtins form — kept as the cross-check reference.
+    * `try_divide` (not `/`) so a zero-norm vector yields NULL under
+    * ANSI mode instead of DIVIDE_BY_ZERO, matching the native
+    * expression's zero-norm → NULL contract. */
   def cosineHof(a: Column, b: Column): Column =
-    dotd(a, b) / (l2norm(a) * l2norm(b))
+    try_divide(dotd(a, b), l2norm(a) * l2norm(b))
 
   /** Exact top-k neighbors by cosine for each query vector.
     * `queries` must be small (it is broadcast); the corpus is scanned

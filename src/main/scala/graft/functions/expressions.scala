@@ -107,17 +107,16 @@ case class Simhash64(child: Expression)
     val counts = new Array[Int](64)
     var t = 0
     while (t < n) {
-      // NULL tokens contribute nothing to any bit but still count in
-      // the majority total — identical to the column formulation
-      // (xxhash64(null) → null, filtered out; size() counts nulls)
-      if (!arr.isNullAt(t)) {
-        val s = arr.getUTF8String(t)
-        val h = XxHash64Function.hash(s, StringType, 42L)
-        var i = 0
-        while (i < 64) {
-          if (((h >>> i) & 1L) == 1L) counts(i) += 1
-          i += 1
-        }
+      // a NULL token folds to the bare seed (builtin XxHash64 skips
+      // null children, so xxhash64(null) = 42), and that value votes
+      // bits like any other hash — identical to the column formulation
+      val h =
+        if (arr.isNullAt(t)) 42L
+        else XxHash64Function.hash(arr.getUTF8String(t), StringType, 42L)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) counts(i) += 1
+        i += 1
       }
       t += 1
     }
