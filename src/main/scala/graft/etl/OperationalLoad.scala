@@ -45,6 +45,34 @@ object OperationalLoad {
     n
   }
 
+  /** [[loadIfNew]] against a JDBC operational store — the fidelity
+    * path: the reference's store is genuinely a SQL database
+    * (`pd.read_sql_table` / `to_sql(if_exists='append')`,
+    * transformation_db.py:109-116). Same pipeline shape; the
+    * "existing keys" side is [[graft.io.JdbcStore.keyScan]] (F3) — a
+    * server-side single-column SELECT that arrives distributed, never
+    * a driver-side key set — and the append is batched INSERTs (F5).
+    * Idempotent: a second identical run loads 0. */
+  def loadIfNewJdbc(spark: SparkSession, df: DataFrame, url: String,
+                    table: String, idColumn: String,
+                    columnMapping: Map[String, String] = Map.empty,
+                    selectColumns: Seq[String] = Nil): Long = {
+    if (df.isEmpty) return 0L
+    var d = Relational.dedupeByKey(df, idColumn)
+    if (columnMapping.nonEmpty) d = Relational.renameAll(d, columnMapping)
+    if (selectColumns.nonEmpty) d = Relational.selectExisting(d, selectColumns)
+    val fresh =
+      if (graft.io.JdbcStore.tableExists(url, table)) {
+        val existing = graft.io.JdbcStore.keyScan(spark, url, table, idColumn)
+        Relational.antiJoinNewKeys(d, existing, idColumn)
+      } else d
+    fresh.cache()
+    val n = fresh.count()
+    if (n > 0) graft.io.JdbcStore.append(fresh, url, table)
+    fresh.unpersist()
+    n
+  }
+
   /** The five table loads (reference transformation_db.py:124-162). */
   def run(spark: SparkSession, stagingDir: String,
           storeDir: String): Map[String, Long] = {
