@@ -1,0 +1,187 @@
+package graft.ext
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Pure-JVM media codecs for the multimodal pipeline: uncompressed
+  * 24-bit BMP and 16-bit PCM WAV — real byte-level decode with zero
+  * native/library dependencies, replacing the hash-derived
+  * [[MultimodalOps.decodeStub]] pseudo-features with actual pixel and
+  * sample values. The reference has no media layer at all; this is
+  * part of the mandated training-data-pipeline surface (multimodal
+  * binary columns with a real decode seam).
+  *
+  * These are deliberately *formats a JVM can parse from first
+  * principles*: the container sandbox ships no image/audio libraries,
+  * and a production deployment swaps in its codec behind the same
+  * [[Decoded]] row shape. All functions are total: malformed bytes
+  * decode to `format = "unknown"` instead of throwing, so one corrupt
+  * asset cannot kill a 100 TB decode stage (row-group-granularity
+  * error isolation, same philosophy as the reference's per-place
+  * try/except at extraction.py:160-165).
+  */
+object MediaCodecs {
+
+  /** Unified decode result across media kinds; unused fields are
+    * None (image fields for a WAV, audio fields for a BMP). */
+  final case class Decoded(
+      format: String,
+      width: Option[Int], height: Option[Int],
+      mean_r: Option[Double], mean_g: Option[Double], mean_b: Option[Double],
+      sample_rate: Option[Int], n_samples: Option[Long],
+      duration_ms: Option[Long], mean_sample: Option[Double])
+
+  private val Unknown = Decoded("unknown", None, None, None, None, None,
+    None, None, None, None)
+
+  // ------------------------------------------------------------------
+  // BMP (Windows BITMAPINFOHEADER, 24 bpp, uncompressed, bottom-up)
+  // ------------------------------------------------------------------
+
+  /** Row stride padded to a 4-byte boundary per the BMP spec. */
+  private def bmpStride(width: Int): Int = ((width * 3 + 3) / 4) * 4
+
+  /** Encode a solid-color 24-bit BMP. Exercised by tests and the
+    * round-trip oracle query (constant color → exact mean). */
+  def encodeBmp24(width: Int, height: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    require(width > 0 && height > 0)
+    val stride = bmpStride(width)
+    val imageSize = stride * height
+    val fileSize = 54 + imageSize
+    val buf = ByteBuffer.allocate(fileSize).order(ByteOrder.LITTLE_ENDIAN)
+    // BITMAPFILEHEADER (14 bytes)
+    buf.put('B'.toByte).put('M'.toByte)
+    buf.putInt(fileSize).putShort(0).putShort(0).putInt(54)
+    // BITMAPINFOHEADER (40 bytes)
+    buf.putInt(40).putInt(width).putInt(height)
+    buf.putShort(1).putShort(24)
+    buf.putInt(0).putInt(imageSize).putInt(2835).putInt(2835)
+    buf.putInt(0).putInt(0)
+    // pixel rows, bottom-up, BGR byte order
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        buf.put(b.toByte).put(g.toByte).put(r.toByte)
+        x += 1
+      }
+      var pad = stride - width * 3
+      while (pad > 0) { buf.put(0.toByte); pad -= 1 }
+      y += 1
+    }
+    buf.array()
+  }
+
+  /** Decode a 24-bit uncompressed BMP: dimensions + exact per-channel
+    * means over every pixel. */
+  def decodeBmp(bytes: Array[Byte]): Decoded = {
+    if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M')
+      return Unknown
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val dataOffset = buf.getInt(10)
+    val width = buf.getInt(18)
+    val height = buf.getInt(22)
+    val bpp = buf.getShort(28).toInt
+    val compression = buf.getInt(30)
+    if (bpp != 24 || compression != 0 || width <= 0 || height <= 0)
+      return Unknown
+    val stride = bmpStride(width)
+    if (dataOffset.toLong + stride.toLong * height > bytes.length)
+      return Unknown
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y = 0
+    while (y < height) {
+      val row = dataOffset + y * stride
+      var x = 0
+      while (x < width) {
+        val p = row + x * 3
+        sb += bytes(p) & 0xff
+        sg += bytes(p + 1) & 0xff
+        sr += bytes(p + 2) & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val n = width.toLong * height
+    Decoded("bmp", Some(width), Some(height),
+      Some(sr.toDouble / n), Some(sg.toDouble / n), Some(sb.toDouble / n),
+      None, None, None, None)
+  }
+
+  // ------------------------------------------------------------------
+  // WAV (RIFF, PCM, 16-bit)
+  // ------------------------------------------------------------------
+
+  /** Encode a mono 16-bit PCM WAV. */
+  def encodeWavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    require(sampleRate > 0)
+    val dataLen = samples.length * 2
+    val buf = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    buf.putShort(1)              // PCM
+    buf.putShort(1)              // mono
+    buf.putInt(sampleRate)
+    buf.putInt(sampleRate * 2)   // byte rate
+    buf.putShort(2)              // block align
+    buf.putShort(16)             // bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** Decode a PCM-16 WAV by walking RIFF chunks: sample rate, sample
+    * count, duration, exact mean sample value. */
+  def decodeWav(bytes: Array[Byte]): Decoded = {
+    if (bytes.length < 44) return Unknown
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    def tag(off: Int) = new String(bytes, off, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return Unknown
+    var off = 12
+    var sampleRate = 0
+    var channels = 0
+    var bits = 0
+    var fmt = 0
+    var dataOff = -1
+    var dataLen = 0
+    while (off + 8 <= bytes.length) {
+      val id = tag(off)
+      val len = buf.getInt(off + 4)
+      if (len < 0 || off + 8 + len > bytes.length) return Unknown
+      id match {
+        case "fmt " if len >= 16 =>
+          fmt = buf.getShort(off + 8).toInt
+          channels = buf.getShort(off + 10).toInt
+          sampleRate = buf.getInt(off + 12)
+          bits = buf.getShort(off + 22).toInt
+        case "data" =>
+          dataOff = off + 8
+          dataLen = len
+        case _ => ()
+      }
+      off += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    if (fmt != 1 || bits != 16 || channels < 1 || sampleRate <= 0 ||
+      dataOff < 0) return Unknown
+    val nFrames = dataLen / (2 * channels)
+    var sum = 0L
+    var i = 0
+    while (i < nFrames * channels) {
+      sum += buf.getShort(dataOff + i * 2)
+      i += 1
+    }
+    val totalSamples = nFrames.toLong * channels
+    Decoded("wav", None, None, None, None, None,
+      Some(sampleRate), Some(totalSamples),
+      Some(nFrames.toLong * 1000L / sampleRate),
+      if (totalSamples == 0) None else Some(sum.toDouble / totalSamples))
+  }
+
+  /** Sniff-and-decode: dispatch on magic bytes. */
+  def decode(bytes: Array[Byte]): Decoded =
+    if (bytes == null || bytes.length < 4) Unknown
+    else if (bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
+    else if (bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
+      bytes(3) == 'F') decodeWav(bytes)
+    else Unknown
+}

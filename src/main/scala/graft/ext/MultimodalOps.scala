@@ -70,6 +70,51 @@ object MultimodalOps {
         i => pmod(xxhash64(payload, i), lit(1000)).cast("double") / 1000.0)
         .as("features"))
 
+  /** Real byte-level decode over (asset_id, payload) via
+    * `mapPartitions` — per-partition imperative parsing of the binary
+    * column, the one place the imperative escape hatch is the right
+    * tool (a codec is not expressible as Catalyst expressions).
+    * Narrow map: payload bytes never shuffle; the output rows carry
+    * only scalars. Malformed payloads yield `format = "unknown"`
+    * instead of failing the stage ([[MediaCodecs]] scaladoc). */
+  def decodeMedia(assets: DataFrame, idCol: String = "asset_id",
+                  payloadCol: String = "payload"): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col(idCol).cast(LongType), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        (id, MediaCodecs.decode(bytes))
+      })
+      .select(col("_1").as("asset_id"), col("_2.*"))
+  }
+
+  /** Deterministic mixed-media corpus keyed by id — even ids become
+    * solid-color BMPs, odd ids constant-amplitude WAVs, with every
+    * decoded property a pure arithmetic function of the id. This is
+    * what makes the decode round-trip *oracle-checkable*: DuckDB can
+    * compute the expected width/mean/duration from the id alone while
+    * Spark actually encodes and decodes the bytes. */
+  def synthesizeMedia(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType)).as[Long]
+      .mapPartitions(_.map { id =>
+        val payload =
+          if (id % 2 == 0) {
+            val v = (id % 256).toInt
+            MediaCodecs.encodeBmp24((id % 16).toInt + 1,
+              (id % 8).toInt + 1, v, v, v)
+          } else {
+            val n = (id % 100).toInt + 1
+            val amp = (id % 1000).toShort
+            MediaCodecs.encodeWavPcm16(8000, Array.fill(n)(amp))
+          }
+        (id, payload)
+      })
+      .select(col("_1").as("asset_id"), col("_2").as("payload"))
+  }
+
   /** Feature extraction over assets: narrow map, payload never
     * shuffled. */
   def extractFeatures(assets: DataFrame): DataFrame =

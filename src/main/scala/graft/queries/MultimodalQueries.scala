@@ -28,6 +28,29 @@ object MultimodalQueries {
         |  sha256(text) AS content_digest
         |FROM documents ORDER BY asset_id""".stripMargin)),
 
+    // REAL byte-level decode round-trip: encode deterministic media
+    // (even ids → solid-color 24-bit BMP, odd ids → constant-amplitude
+    // PCM WAV), decode the actual bytes back, emit pixel/sample stats.
+    // Oracle-checkable because every decoded property is arithmetic in
+    // the id — DuckDB computes the expectation, Spark earns it by
+    // parsing the binary.
+    "multimodal_decode" -> QueryDef(
+      (s, d) => MultimodalOps.decodeMedia(
+          MultimodalOps.synthesizeMedia(Tables.documents(s, d), "doc_id"))
+        .orderBy("asset_id"),
+      Some("""SELECT doc_id AS asset_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS format,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 16 + 1 AS INT) END AS width,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 8 + 1 AS INT) END AS height,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 256 AS DOUBLE) END AS mean_r,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 256 AS DOUBLE) END AS mean_g,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 256 AS DOUBLE) END AS mean_b,
+        |  CASE WHEN doc_id % 2 = 1 THEN CAST(8000 AS INT) END AS sample_rate,
+        |  CASE WHEN doc_id % 2 = 1 THEN CAST(doc_id % 100 + 1 AS BIGINT) END AS n_samples,
+        |  CASE WHEN doc_id % 2 = 1 THEN CAST((doc_id % 100 + 1) * 1000 // 8000 AS BIGINT) END AS duration_ms,
+        |  CASE WHEN doc_id % 2 = 1 THEN CAST(doc_id % 1000 AS DOUBLE) END AS mean_sample
+        |FROM documents ORDER BY asset_id""".stripMargin)),
+
     // Frame sampling: rows generated plan-side from metadata (payload
     // never moves). Metadata is hash-derived → no SQL oracle;
     // frame-count arithmetic asserted in MultimodalSpec.

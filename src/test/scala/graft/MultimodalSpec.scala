@@ -52,6 +52,54 @@ class MultimodalSpec extends SparkSpec {
       .collect().foreach { case (id, w) => assert(w <= orig(id)) }
   }
 
+  test("BMP encode→decode round-trips dimensions and exact pixel means") {
+    import graft.ext.MediaCodecs
+    val d = MediaCodecs.decodeBmp(MediaCodecs.encodeBmp24(5, 3, 10, 20, 30))
+    assert(d.format == "bmp" && d.width.contains(5) && d.height.contains(3))
+    assert(d.mean_r.contains(10.0) && d.mean_g.contains(20.0) &&
+      d.mean_b.contains(30.0))
+    // width 5 forces row padding (15 bytes → 16-byte stride); a decode
+    // that misread the stride would smear padding into the means
+  }
+
+  test("WAV encode→decode round-trips rate, count, duration, mean") {
+    import graft.ext.MediaCodecs
+    val samples = Array[Short](100, 200, 300, 400)
+    val d = MediaCodecs.decodeWav(MediaCodecs.encodeWavPcm16(8000, samples))
+    assert(d.format == "wav" && d.sample_rate.contains(8000))
+    assert(d.n_samples.contains(4L) && d.duration_ms.contains(0L))
+    assert(d.mean_sample.contains(250.0))
+    val long = MediaCodecs.decodeWav(
+      MediaCodecs.encodeWavPcm16(8000, Array.fill(16000)(5: Short)))
+    assert(long.duration_ms.contains(2000L) && long.mean_sample.contains(5.0))
+  }
+
+  test("malformed payloads decode to 'unknown', never throw") {
+    import graft.ext.MediaCodecs
+    assert(MediaCodecs.decode(null).format == "unknown")
+    assert(MediaCodecs.decode(Array[Byte](1, 2, 3)).format == "unknown")
+    assert(MediaCodecs.decode("BMxx".getBytes).format == "unknown")
+    assert(MediaCodecs.decode(
+      "RIFFxxxxWAVEgarbage".getBytes).format == "unknown")
+    // truncated real BMP: header claims more pixels than present
+    val bmp = MediaCodecs.encodeBmp24(4, 4, 1, 2, 3)
+    assert(MediaCodecs.decode(bmp.take(40)).format == "unknown")
+  }
+
+  test("decodeMedia decodes a mixed binary corpus distributed") {
+    val assets = MultimodalOps.synthesizeMedia(
+      spark.range(0, 10).toDF("doc_id"), "doc_id")
+    val out = MultimodalOps.decodeMedia(assets).collect()
+      .map(r => r.getAs[Long]("asset_id") -> r.getAs[String]("format"))
+      .toMap
+    assert(out == (0L to 9L).map(i =>
+      i -> (if (i % 2 == 0) "bmp" else "wav")).toMap)
+    val r4 = MultimodalOps.decodeMedia(assets)
+      .filter($"asset_id" === 4).head()
+    assert(r4.getAs[Int]("width") == 5 && r4.getAs[Int]("height") == 5)
+    assert(r4.getAs[Double]("mean_r") == 4.0)
+  }
+
   test("sampleFrames emits ceil(duration/step) frames for av assets") {
     val assets = MultimodalOps.assetsFromText(docs, "doc_id", "text")
     val frames = MultimodalOps.sampleFrames(assets, fps = 1.0)
