@@ -115,6 +115,23 @@ object Staging {
                        table: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(s"$storeDir/$table")
 
+  /** F6 at the 100 TB form — partition-scoped truncate-load: the
+    * frame is written `partitionBy(partitionCols)` with DYNAMIC
+    * partition overwrite, so only the partitions the frame actually
+    * emits are replaced; every other partition's files are untouched.
+    * Rebuilding one day of a date-partitioned fact table is then a
+    * one-day write, not a full-table rewrite (SCALING.md names this
+    * as the replaceWhere-style scale path for the mart). The option
+    * is set per-write, not session-wide, so plain [[overwriteParquet]]
+    * keeps its whole-table truncate semantics. */
+  def overwritePartitionsDynamic(df: DataFrame, storeDir: String,
+                                 table: String,
+                                 partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(s"$storeDir/$table")
+
   /** Bucketed store write: co-locates future joins/aggregations on
     * `bucketCols` — a table bucketed and sorted on its join key joins
     * another table with the same bucketing WITHOUT a shuffle on
