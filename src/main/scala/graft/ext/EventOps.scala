@@ -92,6 +92,84 @@ object EventOps {
       .drop(pri, mk)
   }
 
+  /** Hot-key-hardened as-of join: same semantics as [[asofJoin]], but
+    * the single window partition per key is split into
+    * (key, time-bucket) partitions, so one hot key no longer
+    * serializes into one task — the unit of serial work becomes one
+    * key's rows within one bucket.
+    *
+    * Two passes, both key-parallel:
+    *  1. a per-(key, bucket) summary of the LAST right row (`max_by`
+    *     aggregation — rows ≈ #buckets, tiny), from which each left
+    *     bucket gets its carry-in seed: the latest right row of any
+    *     strictly earlier bucket, found with a window over the bucket
+    *     summaries (per-key rows = bucket count, never event count);
+    *  2. the [[asofJoin]] union+window pass, with the window
+    *     partitioned by (key, bucket) and the seed row injected into
+    *     each left bucket so matches crossing bucket boundaries are
+    *     preserved.
+    *
+    * `bucketExpr` must be monotone in the timestamp (e.g.
+    * `date_trunc("hour", _)` for timestamps, `floor(_ / 1000)` for
+    * epoch longs); granularity trades carry-table size against
+    * per-task width. Seeds never reach the output (only left rows
+    * survive the final filter). */
+  def asofJoinBucketed(left: DataFrame, right: DataFrame, key: String,
+                       tsCol: String, payload: Seq[String],
+                       bucketExpr: Column => Column): DataFrame = {
+    val leftCols = left.columns.filterNot(c => c == key || c == tsCol)
+    val pri = "__is_right"
+    val mk = "__matched_ts"
+    val b = "__bucket"
+
+    // last right row per (key, bucket); max_by keeps ties arbitrary,
+    // same as the unbucketed window's behavior on equal (ts, pri)
+    val rightStruct = struct((col(tsCol).as("ts") +: payload.map(col)): _*)
+    val sums = right.groupBy(col(key), bucketExpr(col(tsCol)).as(b))
+      .agg(max_by(rightStruct, col(tsCol)).as("__last_right"))
+
+    // carry-in per left bucket: latest right summary from any STRICTLY
+    // earlier bucket (in-bucket right rows flow through the main pass)
+    val lb = left.select(col(key), bucketExpr(col(tsCol)).as(b)).distinct()
+      .withColumn("__is_lb", lit(true))
+    val wb = Window.partitionBy(key).orderBy(col(b))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val seeds = lb.join(sums, Seq(key, b), "full_outer")
+      .withColumn("__carry",
+        last(col("__last_right"), ignoreNulls = true).over(wb))
+      .filter(col("__is_lb") && col("__carry").isNotNull)
+      .select(
+        (Seq(col(key), col("__carry.ts").as(tsCol), lit(1).as(pri),
+          col("__carry.ts").as(mk), col(b)) ++
+          payload.map(c => col(s"__carry.$c").as(c)) ++
+          leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+
+    val taggedRight = right.select(
+      (Seq(col(key), col(tsCol), lit(1).as(pri), col(tsCol).as(mk),
+        bucketExpr(col(tsCol)).as(b)) ++
+        payload.map(col) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val taggedLeft = left.select(
+      (Seq(col(key), col(tsCol), lit(0).as(pri),
+        lit(null).cast(right.schema(tsCol).dataType).as(mk),
+        bucketExpr(col(tsCol)).as(b)) ++
+        payload.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++
+        leftCols.map(col)): _*)
+
+    val w = Window.partitionBy(col(key), col(b))
+      .orderBy(col(tsCol), col(pri).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val unioned = taggedRight.unionByName(seeds).unionByName(taggedLeft)
+      .withColumn(mk, last(col(mk), ignoreNulls = true).over(w))
+    val filled = payload.foldLeft(unioned) { (df, c) =>
+      df.withColumn(c,
+        last(when(col(pri) === 1, struct(col(c))), ignoreNulls = true)
+          .over(w)(c))
+    }
+    filled.filter(col(pri) === 0 && col(mk).isNotNull)
+      .drop(pri, mk, b)
+  }
+
   /** Streaming-style first-seen dedup (R12 batch shadow): keep the
     * earliest event per key under a deterministic total order. */
   def dedupFirstSeen(events: DataFrame, keys: Seq[String],

@@ -78,6 +78,30 @@ object EventQueries {
         |  ON c.user_id = p.user_id AND c.ts >= p.ts
         |ORDER BY c.event_id""".stripMargin)),
 
+    // Hot-key-hardened variant: identical ASOF semantics (same DuckDB
+    // oracle), window split across (key, day-bucket) partitions with
+    // carry-in seeds — the skew-safe form for 100 TB event streams.
+    "asof_join_bucketed" -> QueryDef(
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val clicks = e.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts")
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"),
+            col("value").as("purchase_value"))
+        EventOps.asofJoinBucketed(clicks, purchases, "user_id", "ts",
+            Seq("purchase_value"), ts => date_trunc("day", ts))
+          .select("event_id", "user_id", "purchase_value")
+          .orderBy("event_id")
+      },
+      Some("""SELECT c.event_id, c.user_id, p.value AS purchase_value
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'click') c
+        |ASOF JOIN (SELECT user_id, ts, value FROM events
+        |           WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin)),
+
     // R12 batch shadow: first event per (user, type).
     "events_dedup_first" -> QueryDef(
       (s, d) => EventOps.dedupFirstSeen(Tables.events(s, d),

@@ -31,6 +31,67 @@ class EventOpsSpec extends SparkSpec {
     assert(rows == Map(10L -> Some("A"), 20L -> None))
   }
 
+  test("asofJoinBucketed == asofJoin on randomized data, incl. " +
+    "matches crossing bucket boundaries") {
+    val rnd = new scala.util.Random(42)
+    val left = (1 to 300).map(i =>
+      (s"k${rnd.nextInt(5)}", rnd.nextInt(1000).toLong, s"L$i"))
+      .toDF("key", "ts", "lval")
+    val right = (1 to 100).map(i =>
+      (s"k${rnd.nextInt(5)}", rnd.nextInt(1000).toLong, s"R$i"))
+      .toDF("key", "ts", "rval").dropDuplicates("key", "ts")
+    val plain = EventOps.asofJoin(left, right, "key", "ts", Seq("rval"))
+      .groupBy("key", "ts", "lval").agg(max("rval").as("rval"))
+    val bucketed = EventOps.asofJoinBucketed(left, right, "key", "ts",
+        Seq("rval"), ts => floor(ts / 100))
+      .groupBy("key", "ts", "lval").agg(max("rval").as("rval"))
+    assert(plain.exceptAll(bucketed).isEmpty &&
+      bucketed.exceptAll(plain).isEmpty)
+    assert(plain.count() > 0)
+  }
+
+  test("asofJoinBucketed propagates NULL payload and drops seedless lefts") {
+    val left = Seq(("k", 10L, "L1"), ("k", 20L, "L2"), ("k", 5L, "L0"))
+      .toDF("key", "ts", "lval")
+    val right = Seq(("k", 8L, Some("A")), ("k", 15L, None))
+      .toDF("key", "ts", "rval")
+    // bucket width 10 puts ts=20 in a bucket with no right rows: its
+    // match must arrive via the carry-in seed (the NULL-payload row)
+    val out = EventOps.asofJoinBucketed(left, right, "key", "ts",
+      Seq("rval"), ts => floor(ts / 10))
+    val rows = out.select("ts", "rval").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(rows == Map(10L -> Some("A"), 20L -> None))
+  }
+
+  test("asofJoinBucketed splits a hot key across bucket partitions") {
+    // one key, 10k events: the plain form serializes this into ONE
+    // window partition; the bucketed form's unit of serial work is a
+    // (key, bucket) slice
+    val left = (1 to 10000).map(i => ("hot", i.toLong, s"L$i"))
+      .toDF("key", "ts", "lval")
+    val right = (1 to 100).map(i => ("hot", i * 100L, s"R$i"))
+      .toDF("key", "ts", "rval")
+    val bucket = (ts: org.apache.spark.sql.Column) => floor(ts / 500)
+    val out = EventOps.asofJoinBucketed(left, right, "key", "ts",
+      Seq("rval"), bucket)
+    // plan: the main window partitions on (key, __bucket), not key
+    val win = out.queryExecution.executedPlan.toString.linesIterator
+      .filter(l => l.contains("Window") && l.contains("__matched_ts"))
+      .mkString("\n")
+    assert(win.contains("__bucket"), s"window not bucket-partitioned:\n$win")
+    // row distribution: max serial unit is one bucket's rows (~500+1
+    // seed + right rows), never the hot key's 10k
+    val maxUnit = left.select(col("key"), bucket(col("ts")).as("b"))
+      .unionByName(right.select(col("key"), bucket(col("ts")).as("b")))
+      .groupBy("key", "b").count().agg(max("count")).head().getLong(0)
+    assert(maxUnit <= 600, s"serial unit $maxUnit")
+    // and the join is still correct at the boundaries
+    assert(out.count() == 10000 - 99) // ts 1..99 precede first right row
+    val r = out.filter($"ts" === 500L).select("rval").head().getString(0)
+    assert(r == "R5")
+  }
+
   test("asofJoin tie (left.ts == right.ts) takes the right row") {
     val left = Seq(("k", 10L, "L")).toDF("key", "ts", "lval")
     val right = Seq(("k", 10L, "T"), ("k", 9L, "old"))
