@@ -130,6 +130,36 @@ object VectorOps {
       .select("query_id", "neighbor_id", "cosine_sim")
   }
 
+  /** Blocked exact embedding near-dup pairs: all (a < b) pairs within
+    * a blocking key (e.g. label, language, shard) whose cosine ≥
+    * threshold — the verification-quality exact measure, viable when
+    * blocks are small. Same cap policy as
+    * [[graft.ext.DedupOps.ngramJaccardPairs]]: blocks larger than
+    * `maxBlockSize` are dropped (B²/2 pairs within a block — an
+    * uncapped hot block is a cartesian bomb); oversized blocks belong
+    * to the SRP-pruned [[cosineNearDupPairs]] path. Fully
+    * deterministic, so oracle-checkable against an exact SQL twin. */
+  def cosineNearDupPairsBlocked(corpus: DataFrame, idCol: String,
+                                vecCol: String, blockCols: Seq[String],
+                                threshold: Double,
+                                maxBlockSize: Int = 10000): DataFrame = {
+    val base = corpus.select(
+      (col(idCol) +: col(vecCol) +: blockCols.map(col)): _*)
+    val smallBlocks = corpus.groupBy(blockCols.map(col): _*)
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") <= maxBlockSize && col("__bsz") > 1)
+      .select(blockCols.map(col): _*)
+    val a = base.toDF(("id_a" +: "__va" +: blockCols): _*)
+      .join(smallBlocks, blockCols)
+    val b = base.toDF(("id_b" +: "__vb" +: blockCols): _*)
+    a.join(b, blockCols)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine_sim", cosine(col("__va"), col("__vb")))
+      .filter(col("cosine_sim") >= threshold)
+      .select((blockCols.map(col) ++
+        Seq(col("id_a"), col("id_b"), col("cosine_sim"))): _*)
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a < b) pairs whose
     * cosine ≥ threshold, candidate-pruned by multi-table SRP bucket
     * equality. */

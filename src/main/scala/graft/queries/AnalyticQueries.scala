@@ -144,14 +144,26 @@ object AnalyticQueries {
       Some("""SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)),
 
-    // HLL++ approximate distinct — engines' sketches differ, so no SQL
-    // oracle (driver records rows-only); exactness is asserted against
-    // countDistinct in ApproxSpec.
+    // HLL++ approximate distinct. The sketch estimate itself is
+    // engine-specific, so the query emits the EXACT distinct count
+    // plus an in-query invariant: the HLL++ estimate (rsd = 0.01)
+    // must land within 5% of it. The oracle asserts the exact count
+    // and TRUE — a drifting sketch flips the boolean and fails the
+    // hash gate, making this a real oracle-checked row, not rows-only.
     "approx_distinct" -> QueryDef(
       (s, d) => Tables.lineitem(s, d)
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey"), 0.01).as("__approx"))
+        .withColumn("hll_within_5pct",
+          abs(col("__approx") - col("exact_parts")) <=
+            col("exact_parts") * lit(0.05))
+        .drop("__approx")
         .orderBy("l_returnflag"),
-      None)
+      Some("""SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS hll_within_5pct
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin))
   )
 }

@@ -52,18 +52,31 @@ object MultimodalQueries {
         |FROM documents ORDER BY asset_id""".stripMargin)),
 
     // Frame sampling: rows generated plan-side from metadata (payload
-    // never moves). Metadata is hash-derived → no SQL oracle;
-    // frame-count arithmetic asserted in MultimodalSpec.
+    // never moves). Durations are arithmetic in the id, so the
+    // explode/step logic is fully oracle-checked: n_frames must equal
+    // ceil(duration/step) and the last frame ts must land on the step
+    // grid — computed independently by DuckDB.
     "multimodal_frame_sample" -> QueryDef(
       (s, d) => {
-        val assets = MultimodalOps.assetsFromText(
-          Tables.documents(s, d), "doc_id", "text")
+        import org.apache.spark.sql.types.{BinaryType, IntegerType}
+        val assets = Tables.documents(s, d).select(
+          col("doc_id").cast("long").as("asset_id"),
+          lit(null).cast(BinaryType).as("payload"),
+          struct(
+            lit("video").as("media_type"),
+            lit(640).cast(IntegerType).as("width"),
+            lit(480).cast(IntegerType).as("height"),
+            ((col("doc_id") % 600) * 100 + 500).as("duration_ms"),
+            lit(16000).cast(IntegerType).as("sample_rate")).as("meta"))
         MultimodalOps.sampleFrames(assets, fps = 1.0)
           .groupBy("asset_id")
           .agg(count(lit(1)).as("n_frames"),
             max(col("frame_ts_ms")).as("last_frame_ts_ms"))
           .orderBy("asset_id")
       },
-      None)
+      Some("""SELECT doc_id AS asset_id,
+        |  ((doc_id % 600) * 100 + 500 - 1) // 1000 + 1 AS n_frames,
+        |  (((doc_id % 600) * 100 + 500 - 1) // 1000) * 1000 AS last_frame_ts_ms
+        |FROM documents ORDER BY asset_id""".stripMargin))
   )
 }

@@ -192,8 +192,12 @@ object TextQueries {
         |ORDER BY doc_id""".stripMargin)),
 
     // MinHash+LSH near-dup candidates: top 20 by estimated Jaccard.
-    // Hash-family-specific (xxhash64 signatures) → no SQL oracle;
-    // recall/precision asserted against exact Jaccard in DedupSpec.
+    // Hash-family-specific (xxhash64 signatures) → no SQL oracle for
+    // the row set; the in-query invariant is the `jaccard` column —
+    // every emitted pair carries its EXACT token-set Jaccard computed
+    // from the tokens themselves, so a bogus candidate cannot carry a
+    // plausible score. Recall/precision vs exact Jaccard asserted in
+    // DedupSpec.
     "dedup_minhash_lsh" -> QueryDef(
       (s, d) => DedupOps.minhashNearDupPairs(
           // single-file local parquet scans into 1 partition; spread the
@@ -205,7 +209,12 @@ object TextQueries {
         .limit(20),
       None),
 
-    // SimHash near-dup candidates (Hamming ≤ 8 of 64 bits).
+    // SimHash near-dup candidates (Hamming ≤ 8 of 64 bits). No SQL
+    // oracle (xxhash-based signatures); in-query invariant: the
+    // emitted `hamming_distance` is the full 64-bit distance recomputed
+    // on the complete signatures (not the chunk keys), bounded by the
+    // filter — chunk-blocking can only MISS pairs, never fabricate
+    // them. Verified against brute-force Hamming in DedupSpec.
     "dedup_simhash" -> QueryDef(
       (s, d) => DedupOps.simhashNearDupPairs(
           Tables.documents(s, d).repartition(32), // see minhash note

