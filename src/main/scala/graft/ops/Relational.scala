@@ -55,10 +55,19 @@ object Relational {
   /** R5 — incremental "load if new": keep rows whose key is NOT
     * already in `existing` (reference transformation_db.py:109-113).
     * Distributed left-anti; the `existing` side is pruned to the key
-    * column so a broadcast is possible whenever the key set is small. */
+    * column so a broadcast is possible whenever the key set is small.
+    *
+    * Deliberately NOT deduplicated: anti-join semantics are unaffected
+    * by duplicate right-side keys (the store's keys are unique by the
+    * load contract anyway), and a dedup aggregate between the shuffle
+    * and the join would defeat AQE's skew-join handling —
+    * OptimizeSkewedJoin only matches a sort-merge join whose shuffle
+    * stages sit DIRECTLY under its sorts, so an interposed
+    * HashAggregate leaves a hot staging key unsplit (asserted in
+    * SkewSpec). */
   def antiJoinNewKeys(df: DataFrame, existing: DataFrame,
                       key: String): DataFrame =
-    df.join(existing.select(key).distinct(), Seq(key), "left_anti")
+    df.join(existing.select(key), Seq(key), "left_anti")
 
   /** R6 — left outer equi-join enrichment (reference
     * transformation_dw.py:266-271). Right side pruned to join key +
