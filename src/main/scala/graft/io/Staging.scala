@@ -46,29 +46,44 @@ object Staging {
     * exceptions per record and skips them (extraction.py:160-165).
     * The Spark form is PERMISSIVE parsing with a corrupt-record
     * column: malformed rows are captured, well-formed rows load.
-    * Returns (clean rows, corrupt raw lines). */
+    * Returns (clean rows, corrupt raw lines).
+    *
+    * SCALE NOTE: `cache = true` (the default) caches the parsed input
+    * so the clean/corrupt split is one parse; Spark requires a
+    * materialization boundary before filtering `_corrupt_record`
+    * anyway. At 100 TB staging batches a full-input cache is the
+    * wrong trade — pass `cache = false` to parse the prefix twice
+    * instead (two streaming scans, zero memory footprint; the
+    * `spark.read.json/csv`-equivalent of a `badRecordsPath` sink). */
   def readCsvPrefixIsolated(spark: SparkSession, prefix: String,
-                            schema: StructType): (DataFrame, DataFrame) = {
+                            schema: StructType,
+                            cache: Boolean = true): (DataFrame, DataFrame) = {
     val withCorrupt = StructType(schema.fields :+
       org.apache.spark.sql.types.StructField("_corrupt_record",
         org.apache.spark.sql.types.StringType))
-    val raw = {
+    def parse() =
       if (!hasCsvFiles(spark, prefix)) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], withCorrupt)
-      else spark.read
-        .option("header", "true")
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt_record")
-        .schema(withCorrupt)
-        .csv(s"$prefix/*.csv")
-        // corrupt-record access requires materialization of the
-        // parsed frame (Spark disallows filtering the raw column on
-        // the streaming parse path)
-        .cache()
-    }
+      else {
+        val df = spark.read
+          .option("header", "true")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .schema(withCorrupt)
+          .csv(s"$prefix/*.csv")
+        // corrupt-record access requires a materialization boundary
+        // when the query touches ONLY the corrupt column (Spark
+        // disallows that on the streaming parse path)
+        if (cache) df.cache() else df
+      }
+    val raw = parse()
+    val raw2 = if (cache) raw else parse()
     val clean = raw.filter(raw("_corrupt_record").isNull)
       .drop("_corrupt_record")
-    val corrupt = raw.filter(raw("_corrupt_record").isNotNull)
+    // keep a real column referenced on the uncached path so the scan
+    // is never corrupt-column-only (the restriction above), then drop
+    val corrupt = raw2.filter(raw2("_corrupt_record").isNotNull)
+      .select("_corrupt_record", schema.fieldNames.head)
       .select("_corrupt_record")
     (clean, corrupt)
   }

@@ -38,6 +38,14 @@ class StagingSpec extends SparkSpec {
       == Seq(1L, 3L))
     assert(corrupt.count() == 1)
     assert(corrupt.head().getString(0).contains("notanumber"))
+    // the cache-free two-pass variant (100 TB staging batches: two
+    // streaming scans instead of a full-input cache) must agree
+    val (clean2, corrupt2) = Staging.readCsvPrefixIsolated(spark,
+      dir.toString, schema, cache = false)
+    assert(clean2.select("id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 3L))
+    assert(corrupt2.count() == 1)
+    assert(corrupt2.head().getString(0).contains("notanumber"))
   }
 
   test("staging probes resolve non-local-scheme URIs via Hadoop FS") {
