@@ -268,11 +268,17 @@ object DedupOps {
       col("__sig").as("__sa"))
     val b = pruned.select(col("__c"), col("doc_id").as("id_b"),
       col("__sig").as("__sb"))
+    // hamming-filter BEFORE deduplicating: the bit_count filter is a
+    // narrow map over the raw chunk-mate pairs, so the dedup shuffle
+    // only carries the (few) surviving near-dup pairs instead of every
+    // candidate pair — same result (the distance is a pure function of
+    // the pair), orders-of-magnitude smaller shuffle on a dup-heavy
+    // corpus
     val out = a.join(b, Seq("__c"))
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
       .withColumn("hamming_distance", hamming(col("__sa"), col("__sb")))
       .filter(col("hamming_distance") <= maxDistance)
+      .dropDuplicates("id_a", "id_b")
       .select("id_a", "id_b", "hamming_distance")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count() // materialize, then release the corpus-scale caches

@@ -173,11 +173,15 @@ object VectorOps {
       col("__bucket"))
     val b = sig.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
       col("__bucket"))
+    // rescore-then-dedup: the cosine is a narrow map and a pure
+    // function of the pair, so filtering before dropDuplicates means
+    // the dedup shuffle carries only surviving near-dup pairs, not
+    // every bucket-mate candidate
     val out = a.join(b, Seq("__bucket"))
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
       .withColumn("cosine_sim", cosine(col("__va"), col("__vb")))
       .filter(col("cosine_sim") >= threshold)
+      .dropDuplicates("id_a", "id_b")
       .select("id_a", "id_b", "cosine_sim")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count() // materialize, then release the corpus-scale sig cache
