@@ -130,6 +130,104 @@ object VectorOps {
       .select("query_id", "neighbor_id", "cosine_sim")
   }
 
+  // ------------------------------------------------------------------
+  // IVF (inverted-file) ANN — the centroid-bucketed scale path
+  // ------------------------------------------------------------------
+
+  /** Deterministic spherical-k-means-lite centroid training: seeds
+    * are the `k` corpus vectors with the smallest `xxhash64(id)`
+    * (hash-picked, stable across runs/executors), refined by `iters`
+    * Lloyd iterations under the cosine metric. Fully distributed —
+    * no driver-side collect: assignment is a broadcast join + per-id
+    * argmin window; the mean recompute is posexplode → (centroid,
+    * dim) aggregate → array rebuild. Returns (centroid_id,
+    * centroid: array<double>).
+    *
+    * Scale: the centroid table is k rows by construction (broadcast
+    * side); the corpus is scanned once per iteration. Persist
+    * between iterations cuts lineage. */
+  def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                   k: Int, iters: Int = 2): DataFrame = {
+    val seeds = corpus
+      .withColumn("__h", xxhash64(col(idCol)))
+      .orderBy(col("__h"), col(idCol))
+      .limit(k)
+      .withColumn("__rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("__h"), col(idCol))))
+      .select((col("__rn") - 1).as("centroid_id"),
+        transform(col(vecCol), x => x.cast("double")).as("centroid"))
+    (1 to iters).foldLeft(seeds) { (cents, _) =>
+      val assigned = assignToCentroids(corpus, idCol, vecCol, cents)
+      val next = corpus
+        .join(assigned, Seq(idCol))
+        .select(col("centroid_id"), posexplode(col(vecCol))
+          .as(Seq("dim", "component")))
+        .groupBy("centroid_id", "dim")
+        .agg(avg(col("component").cast("double")).as("mean"))
+        .groupBy("centroid_id")
+        .agg(array_sort(collect_list(struct(col("dim"), col("mean"))))
+          .as("__dims"))
+        .select(col("centroid_id"),
+          transform(col("__dims"), s => s.getField("mean")).as("centroid"))
+      next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+  }
+
+  /** Nearest-centroid assignment (the IVF index): one broadcast join
+    * of the corpus against the k-row centroid table, argmin by cosine
+    * with a deterministic centroid_id tiebreak. */
+  def assignToCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                        centroids: DataFrame): DataFrame = {
+    val scored = corpus.select(col(idCol), col(vecCol))
+      .join(broadcast(centroids))
+      .withColumn("__sim", cosine(
+        transform(col(vecCol), x => x.cast("double")), col("centroid")))
+    Relational.topNPerKey(scored, Seq(idCol),
+        Seq(col("__sim").desc, col("centroid_id")), 1)
+      .select(col(idCol), col("centroid_id"))
+  }
+
+  /** IVF top-k search: queries are scored against the k centroids
+    * (broadcast), the top `nProbe` centroid lists are probed via a
+    * join on centroid_id, and the candidates are exact-rescored. With
+    * `nProbe == nCentroids` the search is exhaustive and equals
+    * [[bruteForceTopK]] — which is exactly what the oracle query
+    * asserts; recall at `nProbe < nCentroids` is asserted in
+    * VectorSpec.
+    *
+    * Scale: the corpus is assigned once (the index — in production,
+    * persisted/partitioned by centroid_id); each query batch then
+    * touches ~nProbe/nCentroids of the corpus instead of all of it,
+    * and the probe is a shuffle on centroid_id, not a
+    * corpus-scan-per-query. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nCentroids: Int, nProbe: Int,
+              iters: Int = 2): DataFrame = {
+    val cents = ivfCentroids(corpus, idCol, vecCol, nCentroids, iters)
+    val index = assignToCentroids(corpus, idCol, vecCol, cents)
+    val probes = {
+      val scored = queries.select(col(idCol).as("query_id"),
+          col(vecCol).as("__qvec"))
+        .join(broadcast(cents))
+        .withColumn("__sim", cosine(
+          transform(col("__qvec"), x => x.cast("double")), col("centroid")))
+      Relational.topNPerKey(scored, Seq("query_id"),
+          Seq(col("__sim").desc, col("centroid_id")), nProbe)
+        .select(col("query_id"), col("__qvec"), col("centroid_id"))
+    }
+    val candidates = probes
+      .join(index.withColumnRenamed(idCol, "neighbor_id"),
+        Seq("centroid_id"))
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("__cvec")), Seq("neighbor_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine_sim", cosine(col("__qvec"), col("__cvec")))
+    Relational.topNPerKey(candidates, Seq("query_id"),
+        Seq(col("cosine_sim").desc, col("neighbor_id")), k)
+      .select("query_id", "neighbor_id", "cosine_sim")
+  }
+
   /** Blocked exact embedding near-dup pairs: all (a < b) pairs within
     * a blocking key (e.g. label, language, shard) whose cosine ≥
     * threshold — the verification-quality exact measure, viable when

@@ -39,6 +39,34 @@ object VectorQueries {
         |WHERE rn <= 10
         |ORDER BY query_id, cosine_sim DESC, neighbor_id""".stripMargin)),
 
+    // IVF (inverted-file) ANN: hash-seeded spherical k-means
+    // centroids, nearest-centroid index, probe-then-rescore. Run
+    // EXHAUSTIVELY here (nProbe = nCentroids), which must equal brute
+    // force — so centroid training, assignment, probing and rescoring
+    // are all under the exact DuckDB oracle. Sub-exhaustive recall
+    // (nProbe < nCentroids) is asserted in VectorSpec.
+    "ann_ivf_topk" -> QueryDef(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        VectorOps.ivfTopK(emb, emb.filter(col("vec_id") < 5),
+            "vec_id", "embedding", 10, nCentroids = 8, nProbe = 8)
+          .withColumn("cosine_sim", round(col("cosine_sim"), 6))
+          .orderBy(col("query_id"), col("cosine_sim").desc,
+            col("neighbor_id"))
+      },
+      Some("""SELECT query_id, neighbor_id,
+        |  round(cosine_sim, 6) AS cosine_sim
+        |FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |      CAST(c.embedding AS DOUBLE[])) AS cosine_sim,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |        CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rn
+        |  FROM embeddings q JOIN embeddings c
+        |    ON q.vec_id < 5 AND c.vec_id <> q.vec_id)
+        |WHERE rn <= 10
+        |ORDER BY query_id, cosine_sim DESC, neighbor_id""".stripMargin)),
+
     // Scale path: LSH-bucketed ANN (sign-random-projection buckets).
     // Engine-specific hashing → no SQL oracle for the row set, but the
     // in-query `in_exact_topk` column is a checkable recall-vs-brute-

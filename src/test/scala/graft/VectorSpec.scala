@@ -94,6 +94,46 @@ class VectorSpec extends SparkSpec {
     }
   }
 
+  test("IVF exhaustive (nProbe = nCentroids) equals brute force exactly") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter($"vec_id" < 5)
+    val exact = VectorOps.bruteForceTopK(emb, queries, "vec_id",
+        "embedding", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)]
+      .collect().toSeq.sorted
+    val ivf = VectorOps.ivfTopK(emb, queries, "vec_id", "embedding",
+        10, nCentroids = 4, nProbe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)]
+      .collect().toSeq.sorted
+    assert(ivf == exact)
+  }
+
+  test("IVF sub-exhaustive probe keeps sane recall and is deterministic") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter($"vec_id" < 5)
+    val exact = VectorOps.bruteForceTopK(emb, queries, "vec_id",
+        "embedding", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def run() = VectorOps.ivfTopK(emb, queries, "vec_id", "embedding",
+        10, nCentroids = 4, nProbe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = run()
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall > 0.3, s"IVF nProbe=2/4 recall $recall")
+    // hash-seeded centroids: rerun must be bit-identical
+    assert(run() == ivf)
+  }
+
+  test("IVF centroid training is distributed and collect-free") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = VectorOps.ivfCentroids(emb, "vec_id", "embedding", 4)
+    assert(cents.count() == 4)
+    // every corpus vector lands in exactly one list
+    val idx = VectorOps.assignToCentroids(emb, "vec_id", "embedding", cents)
+    assert(idx.count() == emb.count())
+    assert(idx.select("vec_id").distinct().count() == emb.count())
+  }
+
   test("srpSignature is deterministic and discriminates opposites") {
     val df = Seq(
       (0L, Seq(1f, 2f, 3f, 4f)),
