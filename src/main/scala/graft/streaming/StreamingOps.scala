@@ -54,6 +54,28 @@ object StreamingOps {
         col("session_window.end").as("session_end") +:
         keys.map(col) :+ col("n_events")): _*)
 
+  /** Stream-stream interval join (the streaming form of the as-of /
+    * range join family): left events join right events on `key`
+    * within `[right.ts, right.ts + interval]`. Both sides carry
+    * watermarks, which is what lets Spark expire join state — without
+    * the time bound and both watermarks the state would grow forever.
+    * Inner semantics; state per side is bounded by
+    * watermark + interval. */
+  def intervalJoinStream(left: DataFrame, right: DataFrame, key: String,
+                         tsCol: String, watermark: String,
+                         interval: String): DataFrame = {
+    val lw = left.withWatermark(tsCol, watermark)
+    // prefix the right side so both sides' columns stay addressable
+    val rw = right.withWatermark(tsCol, watermark)
+      .select(right.columns.map(c =>
+        if (c == key) col(c).as("__rkey") else col(c).as(s"r_$c")): _*)
+    lw.join(rw,
+        col(key) === col("__rkey") &&
+          col(tsCol) >= col(s"r_$tsCol") &&
+          col(tsCol) <= col(s"r_$tsCol") + expr(s"INTERVAL $interval"))
+      .drop("__rkey")
+  }
+
   /** Custom keyed state via mapGroupsWithState: a per-user running
     * profile (event count, value sum, last-seen) maintained across
     * micro-batches — the building block for any bespoke streaming

@@ -33,6 +33,29 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedup_out").count() == 2)
   }
 
+  test("intervalJoinStream joins two streams within the time bound only") {
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    clicks.addData(
+      Ev(t(1), 1, "click", 0.0),   // 1 min after purchase → joins
+      Ev(t(20), 1, "click", 0.0),  // 20 min after → outside interval
+      Ev(t(2), 2, "click", 0.0))   // no purchase for user 2
+    purchases.addData(Ev(t(0), 1, "purchase", 9.99))
+    val joined = StreamingOps.intervalJoinStream(
+      clicks.toDF(), purchases.toDF().select($"ts", $"user_id", $"value"),
+      "user_id", "ts", watermark = "30 minutes", interval = "10 minutes")
+    val q = joined.select($"user_id", $"ts", $"r_value")
+      .writeStream.format("memory").queryName("ivj_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ivj_out")
+      .as[(Long, Timestamp, Double)].collect().toSet
+    // only the click 1 minute after user 1's purchase joins
+    assert(rows == Set((1L, t(1), 9.99)))
+  }
+
   test("tumblingAggStream aggregates 5-minute windows") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Ev]
