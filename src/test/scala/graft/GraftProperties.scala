@@ -98,4 +98,56 @@ object GraftProperties extends Properties("graft") {
       out.count() == (a.size + b.size).toLong &&
         out.columns.toSet == Set("id", "x", "y")
     }
+
+  property("BMP codec round-trips any solid color and dimensions") =
+    forAll(Gen.choose(1, 40), Gen.choose(1, 20),
+      Gen.choose(0, 255), Gen.choose(0, 255), Gen.choose(0, 255)) {
+      (w, h, r, g, b) =>
+        val d = graft.ext.MediaCodecs.decodeBmp(
+          graft.ext.MediaCodecs.encodeBmp24(w, h, r, g, b))
+        d.format == "bmp" && d.width.contains(w) && d.height.contains(h) &&
+          d.mean_r.contains(r.toDouble) && d.mean_g.contains(g.toDouble) &&
+          d.mean_b.contains(b.toDouble)
+    }
+
+  property("WAV codec round-trips any PCM-16 sample sequence") =
+    forAll(Gen.choose(1, 48000),
+      Gen.nonEmptyListOf(Gen.choose(Short.MinValue, Short.MaxValue))) {
+      (rate, samples0) =>
+        val samples = samples0.take(500).toArray
+        val d = graft.ext.MediaCodecs.decodeWav(
+          graft.ext.MediaCodecs.encodeWavPcm16(rate, samples))
+        val mean = samples.map(_.toLong).sum.toDouble / samples.length
+        d.format == "wav" && d.sample_rate.contains(rate) &&
+          d.n_samples.contains(samples.length.toLong) &&
+          d.duration_ms.contains(samples.length.toLong * 1000 / rate) &&
+          d.mean_sample.contains(mean)
+    }
+
+  private val eventGen: Gen[List[(String, Long, String)]] = for {
+    n <- Gen.choose(1, 40)
+    rows <- Gen.listOfN(n, for {
+      k <- Gen.oneOf("a", "b", "hot")
+      ts <- Gen.choose(0L, 200L)
+      v <- Gen.alphaLowerStr.map(_.take(4))
+    } yield (k, ts, v))
+  } yield rows
+
+  property("asofJoinBucketed == asofJoin for any events and bucket width") =
+    forAll(eventGen, eventGen, Gen.oneOf(7L, 50L, 1000L)) {
+      (lrows, rrows0, width) =>
+        // unique right (key, ts) so the matched payload is unambiguous
+        val rrows = rrows0.groupBy(r => (r._1, r._2))
+          .map(_._2.head).toList
+        val left = lrows.toDF("key", "ts", "lval")
+        val right = rrows.toDF("key", "ts", "rval")
+        val plain = graft.ext.EventOps
+          .asofJoin(left, right, "key", "ts", Seq("rval"))
+          .as[(String, Long, String, String)].collect().sorted.toList
+        val bucketed = graft.ext.EventOps
+          .asofJoinBucketed(left, right, "key", "ts", Seq("rval"),
+            ts => floor(ts / width.toDouble))
+          .as[(String, Long, String, String)].collect().sorted.toList
+        plain == bucketed
+    }
 }
