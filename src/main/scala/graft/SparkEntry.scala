@@ -30,6 +30,7 @@ object SparkEntry {
     VectorQueries.defs,
     MultimodalQueries.defs,
     Analytic2Queries.defs,
+    Analytic3Queries.defs,
     FunctionQueries.defs)
 
   private lazy val all: Map[String, QueryDef] =
