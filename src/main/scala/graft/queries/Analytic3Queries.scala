@@ -94,6 +94,52 @@ object Analytic3Queries {
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin)),
 
+    // Approximate percentile sketch under the same discipline as
+    // approx_distinct: the query emits the EXACT percentile plus an
+    // in-query invariant that the sketch estimate (accuracy 10000)
+    // lands within 1 of it on this 1..50-valued column — the oracle
+    // asserts the exact value and TRUE, so sketch drift fails the
+    // hash gate.
+    "approx_percentile_check" -> QueryDef(
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(percentile_approx(col("l_quantity"), lit(0.5), lit(10000))
+            .as("__approx"),
+          expr("percentile(l_quantity, 0.5)").as("exact_median"))
+        .withColumn("sketch_within_1",
+          abs(col("__approx") - col("exact_median")) <= lit(1.0))
+        .drop("__approx")
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS exact_median,
+        |  TRUE AS sketch_within_1
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)),
+
+    // RANGE window frame: moving sum over a VALUE range (all rows
+    // whose order key is within 5 of the current row's), as opposed
+    // to the ROWS frames elsewhere.
+    "range_frame" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("l_orderkey"))
+          .rangeBetween(-5L, 0L)
+        Tables.lineitem(s, d)
+          .filter(col("l_orderkey") < 200)
+          .select(col("l_returnflag"), col("l_orderkey"),
+            col("l_linenumber"),
+            sum(col("l_quantity").cast("decimal(25,6)")).over(w)
+              .cast("double").as("moving_qty"))
+          .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_returnflag, l_orderkey, l_linenumber,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) OVER (
+        |    PARTITION BY l_returnflag ORDER BY l_orderkey
+        |    RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS moving_qty
+        |FROM lineitem WHERE l_orderkey < 200
+        |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin)),
+
     // Statistics aggregate family over small-magnitude columns.
     "stats_agg" -> QueryDef(
       (s, d) => Tables.lineitem(s, d)
