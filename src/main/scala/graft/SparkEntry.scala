@@ -31,6 +31,7 @@ object SparkEntry {
     MultimodalQueries.defs,
     Analytic2Queries.defs,
     Analytic3Queries.defs,
+    SurfaceQueries.defs,
     FunctionQueries.defs)
 
   private lazy val all: Map[String, QueryDef] =

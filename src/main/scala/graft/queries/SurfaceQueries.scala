@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Join/SQL-surface battery: the join types not yet covered by a
+  * query (right outer, cross), null-safe equality, conditional
+  * aggregates, the higher-order function family, and a full
+  * SQL-text query through `spark.sql` over registered views — the
+  * demonstration that the engine's SQL interface (not just the
+  * DataFrame API) runs end-to-end with identical semantics.
+  */
+object SurfaceQueries {
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // Right outer join: all suppliers kept, nation attrs where matched
+    // (on a filtered nation side so unmatched rows actually occur).
+    "right_outer_join" -> QueryDef(
+      (s, d) => Tables.nation(s, d)
+        .filter(col("n_nationkey") < 10)
+        .join(Tables.supplier(s, d),
+          col("n_nationkey") === col("s_nationkey"), "right_outer")
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey"),
+      Some("""SELECT s_suppkey, s_name, n_name
+        |FROM (SELECT * FROM nation WHERE n_nationkey < 10) n
+        |RIGHT JOIN supplier s ON n.n_nationkey = s.s_nationkey
+        |ORDER BY s_suppkey""".stripMargin)),
+
+    // Cross join (small x small): every region-nation combination.
+    "cross_join" -> QueryDef(
+      (s, d) => Tables.region(s, d)
+        .crossJoin(Tables.nation(s, d))
+        .select("r_name", "n_name")
+        .orderBy("r_name", "n_name"),
+      Some("""SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin)),
+
+    // Null-safe equality (<=> / IS NOT DISTINCT FROM): join events to
+    // themselves on a nullable JSON field where NULL must match NULL.
+    "null_safe_eq" -> QueryDef(
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("event_id"),
+            get_json_object(col("props"), "$.country").as("country"))
+        val counts = e.groupBy("country")
+          .agg(count(lit(1)).as("n_same_country"))
+        e.join(counts, e("country") <=> counts("country"))
+          .select("event_id", "n_same_country")
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (SELECT event_id,
+        |    props ->> '$.country' AS country FROM events),
+        |c AS (SELECT country, count(*) AS n_same_country
+        |      FROM e GROUP BY country)
+        |SELECT e.event_id, c.n_same_country
+        |FROM e JOIN c ON e.country IS NOT DISTINCT FROM c.country
+        |ORDER BY e.event_id""".stripMargin)),
+
+    // Conditional aggregates: count_if / bool_or / bool_and /
+    // FILTERed sums.
+    "conditional_agg" -> QueryDef(
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(
+          count_if(col("o_totalprice") > 100000).as("n_big"),
+          bool_or(col("o_orderstatus") === "F").as("any_f"),
+          bool_and(col("o_totalprice") > 0).as("all_positive"),
+          QueryDef.dsum(when(col("o_orderstatus") === "O",
+            col("o_totalprice")).otherwise(lit(0.0))).as("open_total"))
+        .orderBy("o_orderpriority"),
+      Some(s"""SELECT o_orderpriority,
+        |  count(*) FILTER (o_totalprice > 100000) AS n_big,
+        |  bool_or(o_orderstatus = 'F') AS any_f,
+        |  bool_and(o_totalprice > 0) AS all_positive,
+        |  ${QueryDef.dsumSql(
+              "CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0.0 END")}
+        |    AS open_total
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)),
+
+    // Higher-order function family over a per-row generated array:
+    // transform / filter / aggregate / exists / forall / zip_with.
+    "hof_funcs" -> QueryDef(
+      (s, d) => Tables.part(s, d)
+        .filter(col("p_partkey") <= 200)
+        .select(col("p_partkey"),
+          sequence(lit(1L), (col("p_partkey") % 5) + 1).as("xs"))
+        .select(col("p_partkey"),
+          aggregate(transform(col("xs"), x => x * x), lit(0L),
+            (acc, v) => acc + v).as("sum_sq"),
+          size(filter(col("xs"), _ % 2 === 0)).as("n_even"),
+          exists(col("xs"), _ > 4).as("has_gt4"),
+          forall(col("xs"), _ > 0).as("all_pos"),
+          aggregate(zip_with(col("xs"), col("xs"), (a, b) => a * b),
+            lit(0L), (acc, v) => acc + v).as("dot_self"))
+        .orderBy("p_partkey"),
+      Some("""WITH t AS (SELECT p_partkey,
+        |    range(1, (p_partkey % 5) + 2) AS xs
+        |  FROM part WHERE p_partkey <= 200)
+        |SELECT p_partkey,
+        |  CAST(list_sum(list_transform(xs, x -> x * x)) AS BIGINT) AS sum_sq,
+        |  len(list_filter(xs, x -> x % 2 = 0)) AS n_even,
+        |  len(list_filter(xs, x -> x > 4)) > 0 AS has_gt4,
+        |  len(list_filter(xs, x -> x <= 0)) = 0 AS all_pos,
+        |  CAST(list_sum(list_transform(xs, x -> x * x)) AS BIGINT) AS dot_self
+        |FROM t ORDER BY p_partkey""".stripMargin)),
+
+    // Full SQL-text query through spark.sql over registered views —
+    // TPC-H Q3 shape (3-way join, filtered, grouped, ordered top-10)
+    // with the exact-decimal revenue discipline.
+    "sql_q3" -> QueryDef(
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("v_customer")
+        Tables.orders(s, d).createOrReplaceTempView("v_orders")
+        Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+        s.sql("""SELECT o_orderkey,
+          |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+          |    AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+          |  date_format(o_orderdate, 'yyyy-MM-dd') AS order_date
+          |FROM v_customer
+          |JOIN v_orders ON c_custkey = o_custkey
+          |JOIN v_lineitem ON l_orderkey = o_orderkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |GROUP BY o_orderkey, o_orderdate
+          |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin)
+      },
+      Some("""SELECT o_orderkey,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin))
+  )
+}
