@@ -1,0 +1,54 @@
+package graft
+
+/** Plan-shape assertions for registry queries: the properties that
+  * decide 100×-scale behavior (scan pushdown, broadcast of small
+  * sides, map-side partial aggregation, top-k as
+  * TakeOrderedAndProject) are asserted against the executed plans,
+  * not just eyeballed in .explain output. */
+class QueryPlanSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
+
+  test("window_analytics pushes the orderkey filter into the scan") {
+    val p = plan("window_analytics")
+    assert(p.contains("PushedFilters: [") &&
+      p.contains("LessThan(l_orderkey,200)"), p)
+  }
+
+  test("sql_q3 broadcasts the filtered customer side and plans top-10 " +
+    "as TakeOrderedAndProject") {
+    val p = plan("sql_q3")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the segment predicate reaches the customer scan
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), p)
+  }
+
+  test("right_outer_join broadcasts the small nation side") {
+    val p = plan("right_outer_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("conditional_agg is a partial+final hash aggregate") {
+    val p = plan("conditional_agg")
+    assert(p.contains("partial_"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("unpivot keeps the exact-decimal sums partial+final before melt") {
+    val p = plan("unpivot_agg")
+    assert(p.contains("partial_sum"), p)
+    assert(p.contains("Expand") || p.contains("Unpivot"), p)
+  }
+
+  test("multimodal_meta reads only the needed columns") {
+    val p = plan("multimodal_meta")
+    // documents has text/lang/source/n_chars; lang+source+n_chars are
+    // not needed by this query and must be pruned from the scan
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("n_chars"), p)
+  }
+}
