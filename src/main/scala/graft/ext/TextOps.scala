@@ -21,6 +21,35 @@ object TextOps {
   def distinctTokenCount(text: Column): Column =
     size(array_distinct(tokens(text)))
 
+  /** Token-bounded document chunking with overlap — the
+    * context-window prep step of a training-data pipeline: each doc
+    * becomes ceil(max(n_tok,1) / stride) rows of up to `chunkSize`
+    * tokens, consecutive chunks sharing `overlap` tokens
+    * (stride = chunkSize - overlap). Pure plan-side explode of a
+    * per-row sequence — a narrow map, no payload shuffle; the chunk
+    * text is rebuilt by slicing the token array. Empty docs yield one
+    * empty chunk (chunk_idx 0, 0 tokens), so no document silently
+    * disappears. */
+  def chunkDocs(df: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String, chunkSize: Int,
+                overlap: Int): org.apache.spark.sql.DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      "need 0 <= overlap < chunkSize")
+    val stride = chunkSize - overlap
+    df.select(col(idCol), tokens(col(textCol)).as("__tok"))
+      // __tok referenced multiple times below → boundary preserved
+      .select(col(idCol), col("__tok"),
+        explode(sequence(lit(1), greatest(size(col("__tok")), lit(1)),
+          lit(stride))).as("__start"))
+      .select(col(idCol),
+        ((col("__start") - 1) / stride).cast("long").as("chunk_idx"),
+        concat_ws(" ", slice(col("__tok"), col("__start"), lit(chunkSize)))
+          .as("chunk_text"),
+        least(lit(chunkSize),
+          greatest(size(col("__tok")) - col("__start") + 1, lit(0)))
+          .as("n_chunk_tokens"))
+  }
+
   /** BPE-ish subword count: word-piece regex splits on whitespace AND
     * punctuation boundaries, counting punctuation runs as tokens —
     * a cheap stand-in for a real tokenizer's token count. */

@@ -191,6 +191,28 @@ object TextQueries {
         |SELECT doc_id, n_tokens FROM f WHERE rn = 1
         |ORDER BY doc_id""".stripMargin)),
 
+    // Token-bounded chunking with overlap (context-window prep):
+    // 32-token chunks, 8-token overlap, plan-side explode.
+    "doc_chunking" -> QueryDef(
+      (s, d) => graft.ext.TextOps.chunkDocs(
+          Tables.documents(s, d), "doc_id", "text",
+          chunkSize = 32, overlap = 8)
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH t AS (SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(lower(trim(text)), '\s+')
+        |    END AS tok FROM documents),
+        |s AS (SELECT doc_id, tok,
+        |    unnest(range(1, greatest(len(tok), 1) + 1, 24)) AS start
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST((start - 1) // 24 AS BIGINT) AS chunk_idx,
+        |  array_to_string(list_slice(tok, start, start + 31), ' ')
+        |    AS chunk_text,
+        |  CAST(least(32, greatest(len(tok) - start + 1, 0)) AS INT)
+        |    AS n_chunk_tokens
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin)),
+
     // MinHash+LSH near-dup candidates: top 20 by estimated Jaccard.
     // Hash-family-specific (xxhash64 signatures) → no SQL oracle for
     // the row set; the in-query invariant is the `jaccard` column —

@@ -56,4 +56,28 @@ class TextSpec extends SparkSpec {
     assert(one[Int](TextOps.subwordCount(lit("don't stop, now"))) == 6)
     // don + ' + t + stop + , + now
   }
+
+  test("chunkDocs: sizes, overlap, and empty-doc row") {
+    val docs = Seq(
+      (1L, (1 to 50).map(i => s"t$i").mkString(" ")), // 50 tokens
+      (2L, "a b c"),                                  // under one chunk
+      (3L, "")                                        // empty
+    ).toDF("doc_id", "text")
+    val out = TextOps.chunkDocs(docs, "doc_id", "text",
+      chunkSize = 32, overlap = 8)
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Long, String, Int)].collect()
+    // doc 1: starts at 1, 25, 49 -> 3 chunks of 32, 26, 2 tokens
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.map(_._2).toSeq == Seq(0L, 1L, 2L))
+    assert(d1.map(_._4).toSeq == Seq(32, 26, 2))
+    // overlap: chunk 1 starts at token 25, so tokens 25..32 are shared
+    assert(d1(0)._3.split(" ").drop(24).take(8).toSeq ==
+      d1(1)._3.split(" ").take(8).toSeq)
+    // doc 2: one short chunk
+    assert(out.filter(_._1 == 2L).toSeq ==
+      Seq((2L, 0L, "a b c", 3)))
+    // doc 3: survives as one empty chunk
+    assert(out.filter(_._1 == 3L).toSeq == Seq((3L, 0L, "", 0)))
+  }
 }
