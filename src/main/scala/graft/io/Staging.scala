@@ -1,6 +1,7 @@
 package graft.io
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
 
 /** Sources and sinks F1-F6 (SURVEY.md §2.1).
@@ -161,6 +162,98 @@ object Staging {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Schema-evolving append: like [[appendParquet]], but a read
+    * through [[readTableEvolved]] merges the schemas of every file,
+    * so a batch that ADDS columns doesn't require rewriting history —
+    * old rows surface the new columns as NULL. The scale form of
+    * "ALTER TABLE ADD COLUMN" on a file store: zero data movement. */
+  def appendParquetEvolving(df: DataFrame, storeDir: String,
+                            table: String): Unit =
+    df.write.mode(SaveMode.Append)
+      .option("mergeSchema", "true")
+      .parquet(s"$storeDir/$table")
+
+  /** Read with per-file schema merging (pairs with
+    * [[appendParquetEvolving]]). Schema merge reads footers only, not
+    * data; reserve it for evolving tables — fixed-schema reads keep
+    * the cheaper [[readTable]]. */
+  def readTableEvolved(spark: SparkSession, storeDir: String,
+                       table: String): DataFrame =
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$storeDir/$table")
+
+  /** Upsert (merge) into a parquet store table: rows in `updates`
+    * replace same-key rows in the store; new keys append. Parquet has
+    * no transactional MERGE, so this is the read-join-rewrite form:
+    * keep = store ⟕anti updates, result = keep ∪ updates, full
+    * overwrite. At 100 TB the rewrite must be scoped — pass
+    * `partitionCols` to rewrite with dynamic partition overwrite so
+    * only partitions containing updated keys (plus those the updates
+    * introduce) are rewritten, not the whole table. Updates must then
+    * carry the partition columns. Returns the new total row count. */
+  def mergeUpsert(spark: SparkSession, updates: DataFrame,
+                  storeDir: String, table: String, key: String,
+                  partitionCols: Seq[String] = Nil): Long = {
+    val path = s"$storeDir/$table"
+    if (!tableExists(spark, storeDir, table)) {
+      if (partitionCols.isEmpty) overwriteParquet(updates, storeDir, table)
+      else overwritePartitionsDynamic(updates, storeDir, table, partitionCols)
+      return updates.count()
+    }
+    val store = readTable(spark, storeDir, table)
+    if (partitionCols.isEmpty) {
+      val merged = store.join(updates.select(key), Seq(key), "left_anti")
+        .unionByName(updates)
+      // the overwrite reads its own input: stage through a checkpoint
+      // dir, then swap — never overwrite a path mid-read
+      val tmp = s"$storeDir/__merge_tmp_$table"
+      merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp),
+        new org.apache.hadoop.fs.Path(path))
+    } else {
+      // partition-scoped: rewrite only partitions that hold updated
+      // keys (their surviving rows ∪ the updates for them)
+      val touched = store.join(updates.select(key), Seq(key), "left_semi")
+        .select(partitionCols.map(col): _*).distinct()
+      val keep = store
+        .join(touched, partitionCols, "left_semi")
+        .join(updates.select(key), Seq(key), "left_anti")
+      val merged = keep.unionByName(updates)
+      // merged only emits touched + newly-introduced partitions →
+      // dynamic overwrite leaves every other partition's files alone
+      merged.cache()
+      merged.count()
+      overwritePartitionsDynamic(merged, storeDir, table, partitionCols)
+      merged.unpersist()
+    }
+    readTable(spark, storeDir, table).count()
+  }
+
+  /** Small-file compaction: rewrite a table directory into
+    * ~`targetFileMB`-sized files. Streaming appends and incremental
+    * loads accrete small files; at scale the file count (driver
+    * listing, task scheduling, parquet footer reads) becomes the
+    * bottleneck before data size does. Reads its own input → staged
+    * through a temp dir and swapped, like [[mergeUpsert]]. */
+  def compactTable(spark: SparkSession, storeDir: String, table: String,
+                   targetFileMB: Int = 128): Long = {
+    val path = s"$storeDir/$table"
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(hp).getLength
+    val nFiles = math.max(1L,
+      bytes / (targetFileMB.toLong * 1024 * 1024)).toInt
+    val df = readTable(spark, storeDir, table).repartition(nFiles)
+    val tmp = s"$storeDir/__compact_tmp_$table"
+    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    fs.delete(hp, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), hp)
+    nFiles.toLong
+  }
 
   /** D1/D2 — ensure a store table exists with its declared schema
     * (reference CREATE TABLE IF NOT EXISTS, transformation_db.py:11-89,

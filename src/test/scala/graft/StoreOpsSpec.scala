@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.io.Staging
+
+/** Store maintenance operations: upsert merge (whole-table and
+  * partition-scoped), schema-evolving append, small-file
+  * compaction. */
+class StoreOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mergeUpsert replaces same-key rows and appends new keys") {
+    val store = Files.createTempDirectory("graft-upsert").toString
+    Staging.overwriteParquet(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), store, "t")
+    val n = Staging.mergeUpsert(spark,
+      Seq((2L, "b2"), (3L, "c")).toDF("id", "v"), store, "t", "id")
+    assert(n == 3)
+    val rows = Staging.readTable(spark, store, "t")
+      .as[(Long, String)].collect().toMap
+    assert(rows == Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+  }
+
+  test("partition-scoped mergeUpsert rewrites only touched partitions") {
+    val store = Files.createTempDirectory("graft-upsert-p").toString
+    val init = Seq((1L, "a", "d1"), (2L, "b", "d1"), (3L, "c", "d2"))
+      .toDF("id", "v", "dt")
+    Staging.overwritePartitionsDynamic(init, store, "t", Seq("dt"))
+    val d2Before = new java.io.File(s"$store/t/dt=d2").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.lastModified).max
+    Thread.sleep(1100)
+    // update key 2 (partition d1) and introduce key 4 in new d3
+    val n = Staging.mergeUpsert(spark,
+      Seq((2L, "b2", "d1"), (4L, "d", "d3")).toDF("id", "v", "dt"),
+      store, "t", "id", partitionCols = Seq("dt"))
+    assert(n == 4)
+    val rows = Staging.readTable(spark, store, "t")
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(rows == Map(1L -> "a", 2L -> "b2", 3L -> "c", 4L -> "d"))
+    // untouched d2 partition files were not rewritten
+    val d2After = new java.io.File(s"$store/t/dt=d2").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.lastModified).max
+    assert(d2After == d2Before, "untouched partition was rewritten")
+  }
+
+  test("schema-evolving append surfaces new columns as NULL on old rows") {
+    val store = Files.createTempDirectory("graft-evolve").toString
+    Staging.appendParquetEvolving(
+      Seq((1L, "a")).toDF("id", "v"), store, "t")
+    Staging.appendParquetEvolving(
+      Seq((2L, "b", 0.5)).toDF("id", "v", "score"), store, "t")
+    val out = Staging.readTableEvolved(spark, store, "t")
+    assert(out.columns.toSet == Set("id", "v", "score"))
+    val byId = out.collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(byId(1L).isNullAt(byId(1L).fieldIndex("score")))
+    assert(byId(2L).getAs[Double]("score") == 0.5)
+  }
+
+  test("compactTable collapses many small files into few, same rows") {
+    val store = Files.createTempDirectory("graft-compact").toString
+    // 40 appends of 10 rows → ≥40 files
+    (1 to 40).foreach { i =>
+      Staging.appendParquet(
+        (1 to 10).map(j => (i * 100L + j, s"v$i-$j")).toDF("id", "v"),
+        store, "t")
+    }
+    def files() = new java.io.File(s"$store/t").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files() >= 40)
+    val before = Staging.readTable(spark, store, "t")
+      .as[(Long, String)].collect().toSet
+    Staging.compactTable(spark, store, "t", targetFileMB = 128)
+    assert(files() <= 4, s"still ${files()} files")
+    val after = Staging.readTable(spark, store, "t")
+      .as[(Long, String)].collect().toSet
+    assert(after == before)
+  }
+}
