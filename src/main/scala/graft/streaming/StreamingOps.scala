@@ -126,4 +126,24 @@ object StreamingOps {
           batch.sparkSession, batch, storeDir, table, idColumn)
         ()
       }
+
+  /** Streaming form of the staging scan (F1): a file-source stream
+    * over the CSV prefix — each newly landed `*.csv` becomes a
+    * micro-batch, read exactly once (the source tracks seen files in
+    * the checkpoint). The reference's daily Airflow rescan of the GCS
+    * prefix (`data/utils.py:28-45` driven by the DAG schedule) is
+    * exactly this with a 24 h trigger; composed with
+    * [[incrementalLoadStream]] it turns the whole operational load
+    * into a continuous pipeline with the same idempotency contract.
+    * `maxFilesPerTrigger` bounds micro-batch size so one giant
+    * backlog drop doesn't become one giant batch. */
+  def stagingCsvStream(spark: org.apache.spark.sql.SparkSession,
+                       prefix: String,
+                       schema: org.apache.spark.sql.types.StructType,
+                       maxFilesPerTrigger: Int = 100): DataFrame =
+    spark.readStream
+      .option("header", "true")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .schema(schema)
+      .csv(s"$prefix/*.csv")
 }

@@ -124,6 +124,41 @@ object GraftProperties extends Properties("graft") {
           d.mean_sample.contains(mean)
     }
 
+  property("chunkDocs covers every token; overlap tokens are shared") =
+    forAll(Gen.choose(0, 80), Gen.choose(2, 10), Gen.choose(0, 1)) {
+      (nTok, chunk, ovFlag) =>
+        val overlap = if (ovFlag == 1) chunk / 2 else 0
+        val text = (1 to nTok).map(i => s"t$i").mkString(" ")
+        val out = graft.ext.TextOps.chunkDocs(
+            Seq((1L, text)).toDF("doc_id", "text"),
+            "doc_id", "text", chunk, overlap)
+          .orderBy("chunk_idx")
+          .select("chunk_text").as[String].collect()
+        val rebuilt = out.flatMap(_.split(" ").filter(_.nonEmpty)).toSet
+        val expected = (1 to nTok).map(i => s"t$i").toSet
+        // every token lands in at least one chunk, none are invented
+        rebuilt == expected
+    }
+
+  property("mergeUpsert is idempotent and upsert-correct") =
+    forAll(tableGen, tableGen) { (init, updates) =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-prop-upsert").toString
+      val store = graft.io.Staging
+      // unique keys per frame (store contract)
+      val i = init.groupBy(_._1).map(_._2.head).toSeq
+      val u = updates.groupBy(_._1).map(_._2.head).toSeq
+      store.overwriteParquet(i.toDF("id", "v"), dir, "t")
+      store.mergeUpsert(spark, u.toDF("id", "v"), dir, "t", "id")
+      val once = store.readTable(spark, dir, "t")
+        .as[(Int, String)].collect().toMap
+      store.mergeUpsert(spark, u.toDF("id", "v"), dir, "t", "id")
+      val twice = store.readTable(spark, dir, "t")
+        .as[(Int, String)].collect().toMap
+      val want = i.toMap ++ u.toMap
+      once == want && twice == want
+    }
+
   private val eventGen: Gen[List[(String, Long, String)]] = for {
     n <- Gen.choose(1, 40)
     rows <- Gen.listOfN(n, for {
