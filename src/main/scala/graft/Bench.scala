@@ -29,9 +29,10 @@ object Bench {
     spark.read.parquet(s"$sfDir/nation.parquet").count()
     // parallel warmup: compile + execute each query once so the timed
     // pass below measures steady state (see scaladoc)
-    locally {
+    val warmupSec = {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration._
+      val t0 = System.nanoTime()
       val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
       implicit val ec: ExecutionContext =
         ExecutionContext.fromExecutor(pool)
@@ -40,6 +41,7 @@ object Bench {
       }
       Await.ready(Future.sequence(fs), 15.minutes)
       pool.shutdown()
+      (System.nanoTime() - t0) / 1e9
     }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
@@ -61,7 +63,7 @@ object Bench {
     // the metric JSON must be the sole, final stdout line so the
     // driver's parser finds it without scraping interleaved log output
     Console.out.flush()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","timing":"steady_state_after_warmup","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","timing":"steady_state_after_warmup","warmup_wall_sec":$warmupSec,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     if (errors.nonEmpty) sys.exit(1)
   }
 }

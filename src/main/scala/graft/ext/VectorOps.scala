@@ -171,6 +171,12 @@ object VectorOps {
         .select(col("centroid_id"),
           transform(col("__dims"), s => s.getField("mean")).as("centroid"))
       next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // materialize the new centroids, then release the previous
+      // iteration's cache (tiny, but persisted frames must not
+      // accumulate for the session lifetime)
+      next.count()
+      cents.unpersist()
+      next
     }
   }
 

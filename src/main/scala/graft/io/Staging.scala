@@ -224,7 +224,13 @@ object Staging {
         .join(updates.select(key), Seq(key), "left_anti")
       val merged = keep.unionByName(updates)
       // merged only emits touched + newly-introduced partitions →
-      // dynamic overwrite leaves every other partition's files alone
+      // dynamic overwrite leaves every other partition's files alone.
+      // The cache+count materializes `merged` BEFORE the overwrite
+      // starts deleting the files it was computed from; caveat: if an
+      // executor evicts cached blocks mid-write, the recovery lineage
+      // would re-read the store being overwritten — a production
+      // deployment stages per-partition through a temp dir (as the
+      // whole-table branch does) or uses a transactional table format
       merged.cache()
       merged.count()
       overwritePartitionsDynamic(merged, storeDir, table, partitionCols)
