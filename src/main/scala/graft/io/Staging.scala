@@ -261,6 +261,26 @@ object Staging {
     nFiles.toLong
   }
 
+  /** Retention / TTL: drop whole partitions of a partitioned table by
+    * predicate on the partition VALUE (e.g. `_ < "2024-01-01"` on a
+    * date partition). Deleting a partition is a metadata-speed
+    * directory removal — no scan, no rewrite — which is why retention
+    * policy belongs in the partition scheme: row-level deletes at
+    * 100 TB are rewrites. Returns the dropped partition values. */
+  def dropPartitions(spark: SparkSession, storeDir: String, table: String,
+                     partitionCol: String,
+                     drop: String => Boolean): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(s"$storeDir/$table")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prefix = s"$partitionCol="
+    val dropped = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .map(s => s.getPath)
+      .filter(p => drop(p.getName.stripPrefix(prefix)))
+    dropped.foreach(p => fs.delete(p, true))
+    dropped.map(_.getName.stripPrefix(prefix))
+  }
+
   /** D1/D2 — ensure a store table exists with its declared schema
     * (reference CREATE TABLE IF NOT EXISTS, transformation_db.py:11-89,
     * transformation_dw.py:6-120). Parquet stores are schema-on-write,

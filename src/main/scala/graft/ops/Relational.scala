@@ -85,6 +85,30 @@ object Relational {
                  joinType: String = "left"): DataFrame =
     df.join(broadcast(small), keys, joinType)
 
+  /** Salted equi-join for skewed keys: the fact side gets a
+    * deterministic per-row salt, the dim side is replicated across
+    * all `nSalts` salt values, and the join key becomes
+    * (key, salt) — a hot key's rows spread over `nSalts` shuffle
+    * partitions instead of one. Result-identical to
+    * `df.join(dim, keys, joinType)` (property-checked).
+    *
+    * Use when AQE's skew split can't reach the join: skewed
+    * aggregate-over-join pipelines, streaming joins (AQE is disabled
+    * in stateful streaming), or a build side too big to broadcast but
+    * small enough to replicate `nSalts`×. Supported types: inner and
+    * left_outer (dim-side replication preserves both). */
+  def saltedJoin(df: DataFrame, dim: DataFrame, keys: Seq[String],
+                 nSalts: Int, joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left" ||
+      joinType == "left_outer", s"unsupported salted join type $joinType")
+    val salt = "__salt"
+    val left = df.withColumn(salt,
+      pmod(xxhash64(struct(df.columns.map(col): _*)), lit(nSalts)))
+    val right = dim.withColumn(salt,
+      explode(sequence(lit(0L), lit(nSalts - 1L))))
+    left.join(right, keys :+ salt, joinType).drop(salt)
+  }
+
   /** R8 — union-all aligning by name, null-filling missing columns
     * (reference pd.concat semantics, utils.py:44). */
   def unionAll(dfs: Seq[DataFrame]): DataFrame =

@@ -107,6 +107,54 @@ object SurfaceQueries {
         |  CAST(list_sum(list_transform(xs, x -> x * x)) AS BIGINT) AS dot_self
         |FROM t ORDER BY p_partkey""".stripMargin)),
 
+    // Explicit salted join: result-identical to the plain join (the
+    // oracle IS the plain join), with the hot-key rows spread across
+    // 8 salt partitions — the skew tool for joins AQE can't reach
+    // (stateful streaming, agg-over-join). Equality with the unsalted
+    // join is also property-checked in GraftProperties.
+    "salted_join" -> QueryDef(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_partkey").as("p_partkey"), col("l_quantity"))
+        graft.ops.Relational.saltedJoin(li,
+            Tables.part(s, d).select("p_partkey", "p_brand"),
+            Seq("p_partkey"), nSalts = 8)
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n"),
+            QueryDef.dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy("p_brand")
+      },
+      Some(s"""SELECT p_brand, count(*) AS n,
+        |  ${QueryDef.dsumSql("l_quantity")} AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
+    // Frequent-items sketch with an exactness invariant: every value
+    // whose exact support is >= 15% MUST appear in the 10%-support
+    // sketch (freqItems guarantees no false negatives above its
+    // support), so the oracle asserts the exact heavy hitters and
+    // TRUE. The sketch's false positives never enter the output.
+    "freq_items" -> QueryDef(
+      (s, d) => {
+        val orders = Tables.orders(s, d)
+        val sketch = orders.stat
+          .freqItems(Seq("o_orderpriority"), 0.1)
+          .select(col("o_orderpriority_freqItems").as("__items"))
+        val total = orders.count()
+        orders.groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") >= total * 0.15)
+          .crossJoin(broadcast(sketch))
+          .withColumn("in_sketch",
+            array_contains(col("__items"), col("o_orderpriority")))
+          .select("o_orderpriority", "n", "in_sketch")
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n, TRUE AS in_sketch
+        |FROM orders GROUP BY o_orderpriority
+        |HAVING count(*) >= 0.15 * (SELECT count(*) FROM orders)
+        |ORDER BY o_orderpriority""".stripMargin)),
+
     // Full SQL-text query through spark.sql over registered views —
     // TPC-H Q3 shape (3-way join, filtered, grouped, ordered top-10)
     // with the exact-decimal revenue discipline.

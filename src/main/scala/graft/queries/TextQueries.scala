@@ -262,6 +262,38 @@ object TextQueries {
         |    AS n_chunk_tokens
         |FROM s ORDER BY doc_id, chunk_idx""".stripMargin)),
 
+    // Sub-document dedup: chunk every doc into non-overlapping
+    // 32-token windows, fingerprint each chunk, count cross-corpus
+    // copies — paragraph-level duplication that document-level dedup
+    // misses (boilerplate, quoted passages, templated sections).
+    "chunk_dedup" -> QueryDef(
+      (s, d) => graft.ext.TextOps.chunkDocs(
+          Tables.documents(s, d), "doc_id", "text",
+          chunkSize = 32, overlap = 0)
+        .filter(col("n_chunk_tokens") > 0)
+        .groupBy(md5(col("chunk_text")).as("chunk_digest"))
+        .agg(count(lit(1)).as("n_copies"),
+          min(col("doc_id")).as("first_doc"))
+        .filter(col("n_copies") > 1)
+        .orderBy(col("n_copies").desc, col("chunk_digest")),
+      Some("""WITH t AS (SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(lower(trim(text)), '\s+')
+        |    END AS tok FROM documents),
+        |s AS (SELECT doc_id, tok,
+        |    unnest(range(1, greatest(len(tok), 1) + 1, 32)) AS start
+        |  FROM t),
+        |c AS (SELECT doc_id,
+        |    array_to_string(list_slice(tok, start, start + 31), ' ')
+        |      AS chunk_text,
+        |    least(32, greatest(len(tok) - start + 1, 0)) AS n
+        |  FROM s)
+        |SELECT md5(chunk_text) AS chunk_digest,
+        |  count(*) AS n_copies, min(doc_id) AS first_doc
+        |FROM c WHERE n > 0
+        |GROUP BY 1 HAVING count(*) > 1
+        |ORDER BY n_copies DESC, chunk_digest""".stripMargin)),
+
     // MinHash+LSH near-dup candidates: top 20 by estimated Jaccard.
     // Hash-family-specific (xxhash64 signatures) → no SQL oracle for
     // the row set; the in-query invariant is the `jaccard` column —

@@ -140,6 +140,18 @@ object GraftProperties extends Properties("graft") {
         rebuilt == expected
     }
 
+  property("saltedJoin == plain join for inner and left_outer") =
+    forAll(tableGen, tableGen, Gen.oneOf("inner", "left_outer")) {
+      (facts, dims, joinType) =>
+        val f = facts.toDF("id", "v")
+        val dim = dims.toDF("id", "w")
+        val plain = f.join(dim, Seq("id"), joinType)
+          .as[(Int, String, Option[String])].collect().sorted.toList
+        val salted = Relational.saltedJoin(f, dim, Seq("id"), 4, joinType)
+          .as[(Int, String, Option[String])].collect().sorted.toList
+        plain == salted
+    }
+
   property("mergeUpsert is idempotent and upsert-correct") =
     forAll(tableGen, tableGen) { (init, updates) =>
       val dir = java.nio.file.Files

@@ -58,6 +58,19 @@ class StoreOpsSpec extends SparkSpec {
     assert(byId(2L).getAs[Double]("score") == 0.5)
   }
 
+  test("dropPartitions removes matching partitions without a scan") {
+    val store = Files.createTempDirectory("graft-retention").toString
+    val df = Seq((1L, "2024-01-01"), (2L, "2024-02-01"), (3L, "2024-03-01"))
+      .toDF("id", "dt")
+    Staging.overwritePartitionsDynamic(df, store, "t", Seq("dt"))
+    val dropped = Staging.dropPartitions(spark, store, "t", "dt",
+      _ < "2024-02-15")
+    assert(dropped.sorted == Seq("2024-01-01", "2024-02-01"))
+    val rest = Staging.readTable(spark, store, "t")
+      .select("id").as[Long].collect().toSeq
+    assert(rest == Seq(3L))
+  }
+
   test("compactTable collapses many small files into few, same rows") {
     val store = Files.createTempDirectory("graft-compact").toString
     // 40 appends of 10 rows → ≥40 files
