@@ -155,6 +155,74 @@ object SurfaceQueries {
         |HAVING count(*) >= 0.15 * (SELECT count(*) FROM orders)
         |ORDER BY o_orderpriority""".stripMargin)),
 
+    // Correlated LATERAL derived table: per-nation top-2 customers by
+    // balance — the "top-N per group as a join" formulation (vs the
+    // window-function form in topn_per_key), via SQL-text LATERAL on
+    // both engines.
+    "lateral_join" -> QueryDef(
+      (s, d) => {
+        Tables.nation(s, d).createOrReplaceTempView("v_nation")
+        Tables.customer(s, d).createOrReplaceTempView("v_customer")
+        s.sql("""SELECT n_name, t.c_name, t.c_acctbal
+          |FROM v_nation,
+          |LATERAL (SELECT c_name, c_acctbal FROM v_customer
+          |         WHERE c_nationkey = n_nationkey
+          |         ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+          |ORDER BY n_name, t.c_acctbal DESC, t.c_name""".stripMargin)
+      },
+      Some("""SELECT n_name, t.c_name, t.c_acctbal
+        |FROM nation,
+        |LATERAL (SELECT c_name, c_acctbal FROM customer
+        |         WHERE c_nationkey = n_nationkey
+        |         ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        |ORDER BY n_name, t.c_acctbal DESC, t.c_name""".stripMargin)),
+
+    // The try_ ANSI-safety family: errors become NULL instead of
+    // failing the job — division by zero, unparseable casts,
+    // overflowing arithmetic.
+    "try_funcs" -> QueryDef(
+      (s, d) => Tables.orders(s, d)
+        .filter(col("o_orderkey") <= 100)
+        .select(col("o_orderkey"),
+          try_divide(col("o_totalprice"),
+            col("o_orderkey") % 3).as("div3"),
+          when(col("o_orderkey") % 2 === 0, lit("nope"))
+            .otherwise(col("o_orderkey").cast("string"))
+            .try_cast("bigint").as("maybe_long"),
+          try_element_at(array(lit(10L), lit(20L), lit(30L)),
+            (col("o_orderkey") % 5 + 1).cast("int")).as("maybe_elem"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+        |  o_totalprice / nullif(o_orderkey % 3, 0) AS div3,
+        |  TRY_CAST(CASE WHEN o_orderkey % 2 = 0 THEN 'nope'
+        |    ELSE CAST(o_orderkey AS VARCHAR) END AS BIGINT) AS maybe_long,
+        |  list_extract([10, 20, 30],
+        |    CAST(o_orderkey % 5 + 1 AS INT)) AS maybe_elem
+        |FROM orders WHERE o_orderkey <= 100
+        |ORDER BY o_orderkey""".stripMargin)),
+
+    // Structured JSON parse: from_json with an explicit schema (vs
+    // the per-field get_json_object path in json_extract), fields
+    // accessed by dot reference.
+    "from_json_struct" -> QueryDef(
+      (s, d) => {
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("country",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("device",
+            org.apache.spark.sql.types.StringType)))
+        Tables.events(s, d)
+          .select(col("event_id"),
+            from_json(col("props"), schema).as("p"))
+          .select(col("event_id"), col("p.country").as("country"),
+            col("p.device").as("device"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+        |  props ->> '$.country' AS country,
+        |  props ->> '$.device' AS device
+        |FROM events ORDER BY event_id""".stripMargin)),
+
     // Full SQL-text query through spark.sql over registered views —
     // TPC-H Q3 shape (3-way join, filtered, grouped, ordered top-10)
     // with the exact-decimal revenue discipline.
