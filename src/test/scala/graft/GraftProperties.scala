@@ -140,6 +140,18 @@ object GraftProperties extends Properties("graft") {
         rebuilt == expected
     }
 
+  property("MediaCodecs.decode never throws on arbitrary bytes") =
+    forAll(Gen.oneOf(
+      Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)),
+      // adversarial: valid magic bytes followed by garbage
+      Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue))
+        .map(t => "BM".getBytes.toList ++ t),
+      Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue))
+        .map(t => "RIFF".getBytes.toList ++ t))) { bytes =>
+      val d = graft.ext.MediaCodecs.decode(bytes.toArray)
+      d.format == "unknown" || d.format == "bmp" || d.format == "wav"
+    }
+
   property("saltedJoin == plain join for inner and left_outer") =
     forAll(tableGen, tableGen, Gen.oneOf("inner", "left_outer")) {
       (facts, dims, joinType) =>

@@ -44,6 +44,20 @@ class QueryPlanSpec extends SparkSpec {
     assert(p.contains("Expand") || p.contains("Unpivot"), p)
   }
 
+  test("salted_join shuffles on (key, salt), not a plain-key exchange") {
+    val p = plan("salted_join")
+    // the join keys include the salt column on both sides
+    assert(p.contains("__salt"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("lateral_join decorrelates — no cartesian, no per-row subquery") {
+    val p = plan("lateral_join")
+    assert(!p.contains("CartesianProduct"), p)
+    // Catalyst rewrites the correlated LATERAL to a join + window/limit
+    assert(p.contains("Join") || p.contains("Window"), p)
+  }
+
   test("multimodal_meta reads only the needed columns") {
     val p = plan("multimodal_meta")
     // documents has text/lang/source/n_chars; lang+source+n_chars are
