@@ -348,4 +348,108 @@ object DedupOps {
       .select((blockCols.map(col) :+ col("id_a") :+ col("id_b") :+
         col("jaccard")): _*)
   }
+
+  // ------------------------------------------------------------------
+  // Incremental cross-batch dedup (continuous corpus curation)
+  // ------------------------------------------------------------------
+
+  /** Incremental MinHash dedup: dedupe a NEW batch of documents
+    * against everything previously accepted, using a persisted LSH
+    * index — the continuous form of [[minhashNearDupPairs]] for a
+    * corpus that grows daily. A one-shot re-dedup of the whole corpus
+    * per batch is O(corpus) per day; this is O(batch + matched
+    * buckets).
+    *
+    * The index is two parquet tables under `indexDir`:
+    * `band_index(doc_id, band)` — joined against the new batch's
+    * bands for cross-batch candidates — and `sig_store(doc_id,
+    * __tokset, __sig)` — the verification payload for matched
+    * candidates only. A new doc is DROPPED if it verifies (exact
+    * hashed-token Jaccard ≥ threshold) against any accepted doc, or
+    * against a surviving earlier-id doc within its own batch;
+    * survivors' bands and signatures are appended to the index, so
+    * the next batch dedups against them too.
+    *
+    * Scale shapes as the batch form: candidates carry ids only; the
+    * band join is index-bucket-sized, never corpus-wide; hot buckets
+    * in the NEW batch are capped by the same policy as
+    * [[minhashCandidates]] (the historical side was capped when it
+    * was appended).
+    *
+    * @return surviving new docs (doc_id + original columns). */
+  def incrementalMinhashDedup(newDocs: DataFrame, idCol: String,
+                              textCol: String, indexDir: String,
+                              shingleSize: Int = 3, numHashes: Int = 64,
+                              bands: Int = 16, threshold: Double = 0.8)
+      : DataFrame = {
+    val spark = newDocs.sparkSession
+    val rowsPerBand = numHashes / bands
+    val sigs = signatureTable(newDocs, idCol, textCol, shingleSize,
+      numHashes).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newBands = sigs.select(col("doc_id"),
+      explode(lshBandKeys(col("__sig"), bands, rowsPerBand)).as("band"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val haveIndex = graft.io.Staging.tableExists(spark, indexDir, "band_index")
+    // cross-batch candidate pairs: (new_id, old_id) sharing any band
+    val crossPairs =
+      if (!haveIndex) null
+      else {
+        val bandIndex = graft.io.Staging.readTable(spark, indexDir,
+          "band_index")
+        val sigStore = graft.io.Staging.readTable(spark, indexDir,
+          "sig_store")
+        newBands.select(col("doc_id").as("new_id"), col("band"))
+          .join(bandIndex.select(col("doc_id").as("old_id"), col("band")),
+            Seq("band"))
+          // a doc is never a duplicate of itself — also guards
+          // re-evaluation after this batch's own append (see below)
+          .filter(col("new_id") =!= col("old_id"))
+          .select("new_id", "old_id").distinct()
+          .join(sigs.select(col("doc_id").as("new_id"),
+            col("__tokset").as("__tn")), Seq("new_id"))
+          .join(sigStore.select(col("doc_id").as("old_id"),
+            col("__tokset").as("__to")), Seq("old_id"))
+          .withColumn("__i",
+            size(array_intersect(col("__tn"), col("__to"))))
+          .withColumn("jaccard", col("__i").cast("double") /
+            (size(col("__tn")) + size(col("__to")) - col("__i")))
+          .filter(col("jaccard") >= threshold)
+          .select("new_id")
+          .distinct()
+      }
+
+    // within-batch near-dups (min-id survivor policy, as CorpusPipeline)
+    val withinPairs = minhashNearDupPairs(newDocs, idCol, textCol,
+      shingleSize, numHashes, bands, threshold)
+    val withinDropped = withinPairs
+      .select(greatest(col("id_a"), col("id_b")).as("new_id")).distinct()
+
+    val droppedIds =
+      (if (crossPairs == null) withinDropped
+       else withinDropped.unionByName(crossPairs).distinct())
+        .withColumnRenamed("new_id", idCol)
+    // localCheckpoint (not persist): the appends below REFRESH the
+    // index paths, which invalidates any cached plan whose lineage
+    // reads them — a merely-persisted survivors frame would silently
+    // re-evaluate against the post-append index when the caller
+    // collects it. Checkpointing truncates the lineage, freezing the
+    // pre-append answer.
+    val survivors = newDocs.join(droppedIds, Seq(idCol), "left_anti")
+      .localCheckpoint(true)
+
+    // append survivors to the index so the NEXT batch sees them
+    val survivingSigs = sigs.join(
+      survivors.select(col(idCol).as("doc_id")), Seq("doc_id"))
+    graft.io.Staging.appendParquet(
+      survivingSigs.select("doc_id", "__tokset", "__sig"),
+      indexDir, "sig_store")
+    graft.io.Staging.appendParquet(
+      newBands.join(survivors.select(col(idCol).as("doc_id")),
+        Seq("doc_id")),
+      indexDir, "band_index")
+    sigs.unpersist()
+    newBands.unpersist()
+    survivors
+  }
 }

@@ -71,6 +71,47 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)))
   }
 
+  test("incrementalMinhashDedup drops cross-batch near-dups via the " +
+    "persisted index") {
+    val indexDir = java.nio.file.Files
+      .createTempDirectory("graft-incdedup").toString
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight"
+    val batch1 = Seq(
+      (1L, base),
+      (2L, "completely different content about databases and query " +
+        "engines running distributed aggregation plans at scale"))
+      .toDF("doc_id", "text")
+    val s1 = DedupOps.incrementalMinhashDedup(batch1, "doc_id", "text",
+      indexDir, threshold = 0.7)
+    assert(s1.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L))
+
+    val batch2 = Seq(
+      (10L, base),  // exact dup of accepted doc 1 → dropped
+      (11L, "fresh unrelated text describing mountains rivers valleys " +
+        "and the long winding hiking trails between them all summer"),
+      (12L, "fresh unrelated text describing mountains rivers valleys " +
+        "and the long winding hiking trails between them all summer"))
+      .toDF("doc_id", "text") // 11/12 near-dup within batch → keep 11
+    val s2 = DedupOps.incrementalMinhashDedup(batch2, "doc_id", "text",
+      indexDir, threshold = 0.7)
+    assert(s2.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(11L))
+
+    // batch 3: near-dup of a batch-2 SURVIVOR → the index grew
+    val batch3 = Seq((20L, "fresh unrelated text describing mountains " +
+      "rivers valleys and the long winding hiking trails between them " +
+      "all summer")).toDF("doc_id", "text")
+    val s3 = DedupOps.incrementalMinhashDedup(batch3, "doc_id", "text",
+      indexDir, threshold = 0.7)
+    assert(s3.isEmpty)
+    // the index only holds accepted docs (1, 2, 11)
+    val indexed = graft.io.Staging.readTable(spark, indexDir, "sig_store")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(indexed == Seq(1L, 2L, 11L))
+  }
+
   test("ngramJaccardPairs drops blocks over maxBlockSize instead of " +
     "exploding quadratically") {
     // one hot 5-doc block over the cap → zero pairs, not C(5,2)
