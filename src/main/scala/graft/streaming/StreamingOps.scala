@@ -127,6 +127,29 @@ object StreamingOps {
         ()
       }
 
+  /** Streaming corpus curation: each micro-batch of documents is
+    * deduped against every previously accepted document via the
+    * persisted LSH index
+    * ([[graft.ext.DedupOps.incrementalMinhashDedup]]), and the
+    * survivors are appended to the output corpus table. The
+    * continuous form of the batch curation pipeline: state lives in
+    * the index tables, not the streaming state store, so it survives
+    * restarts and is queryable as plain parquet. */
+  def curatedCorpusStream(stream: DataFrame, idCol: String,
+                          textCol: String, indexDir: String,
+                          corpusDir: String, threshold: Double = 0.8)
+      : DataStreamWriter[Row] =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val kept = graft.ext.DedupOps.incrementalMinhashDedup(
+            batch, idCol, textCol, indexDir, threshold = threshold)
+          graft.io.Staging.appendParquet(kept, corpusDir, "corpus")
+        }
+        ()
+      }
+
   /** Streaming form of the staging scan (F1): a file-source stream
     * over the CSV prefix — each newly landed `*.csv` becomes a
     * micro-batch, read exactly once (the source tracks seen files in

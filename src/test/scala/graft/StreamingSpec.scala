@@ -67,6 +67,34 @@ class StreamingSpec extends SparkSpec {
       Seq("r1", "r2", "r3"))
   }
 
+  test("curatedCorpusStream dedups micro-batches against the growing index") {
+    implicit val ctx = spark.sqlContext
+    val root = Files.createTempDirectory("graft-corpus-stream")
+    val (index, corpus) = (root.resolve("idx").toString,
+      root.resolve("corpus").toString)
+    val docs = MemoryStream[(Long, String)]
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight"
+    def drain(): Unit = {
+      val q = StreamingOps.curatedCorpusStream(
+        docs.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        index, corpus, threshold = 0.7)
+        .option("checkpointLocation",
+          root.resolve("ckpt").toString).start()
+      q.awaitTermination()
+    }
+    docs.addData((1L, base))
+    drain()
+    // second micro-batch: a near-dup of batch 1 plus a fresh doc
+    docs.addData((2L, base),
+      (3L, "fresh unrelated text describing mountains rivers valleys " +
+        "and the long winding hiking trails between them all summer"))
+    drain()
+    val kept = graft.io.Staging.readTable(spark, corpus, "corpus")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L))
+  }
+
   test("intervalJoinStream joins two streams within the time bound only") {
     implicit val ctx = spark.sqlContext
     val clicks = MemoryStream[Ev]
