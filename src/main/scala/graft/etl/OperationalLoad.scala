@@ -35,14 +35,18 @@ object OperationalLoad {
         val existing = Staging.readTable(spark, storeDir, table)
         Relational.antiJoinNewKeys(d, existing, idColumn)
       } else d
-    // Cache the new slice: it is both counted (load accounting,
-    // reference transformation_db.py:117) and appended — without the
-    // cache the anti-join would run twice.
-    fresh.cache()
-    val n = fresh.count()
-    if (n > 0) Staging.appendParquet(fresh, storeDir, table)
-    fresh.unpersist()
-    n
+    // Load accounting (reference transformation_db.py:117) via the
+    // Observation API: the row count is collected from the SAME job
+    // that writes the append — one pass over the data instead of the
+    // cache + count + write double-execution this used to do. A
+    // nothing-new run appends an empty part file (vs the old skip) —
+    // accepted litter at daily cadence; Staging.compactTable reclaims.
+    val obs = new org.apache.spark.sql.Observation()
+    Staging.appendParquet(
+      fresh.observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n")),
+      storeDir, table)
+    obs.get("n").asInstanceOf[Long]
   }
 
   /** [[loadIfNew]] against a JDBC operational store — the fidelity
@@ -66,11 +70,13 @@ object OperationalLoad {
         val existing = graft.io.JdbcStore.keyScan(spark, url, table, idColumn)
         Relational.antiJoinNewKeys(d, existing, idColumn)
       } else d
-    fresh.cache()
-    val n = fresh.count()
-    if (n > 0) graft.io.JdbcStore.append(fresh, url, table)
-    fresh.unpersist()
-    n
+    // one pass: the count rides the insert job (see loadIfNew note)
+    val obs = new org.apache.spark.sql.Observation()
+    graft.io.JdbcStore.append(
+      fresh.observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n")),
+      url, table)
+    obs.get("n").asInstanceOf[Long]
   }
 
   /** The five table loads (reference transformation_db.py:124-162). */

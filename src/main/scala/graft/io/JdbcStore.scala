@@ -85,6 +85,21 @@ object JdbcStore {
       .mode(SaveMode.Append)
       .save()
 
+  /** F6 — truncate-load sink over JDBC (reference BigQuery
+    * WRITE_TRUNCATE, transformation_dw.py:154-156): full rebuild of a
+    * mart table in the relational store. `truncate = true` keeps the
+    * existing table's DDL (indexes, grants) and empties it instead of
+    * drop+recreate, when the database supports it. */
+  def overwrite(df: DataFrame, url: String, table: String,
+                batchSize: Int = 1000): Unit =
+    df.write.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("batchsize", batchSize)
+      .option("truncate", "true")
+      .mode(SaveMode.Overwrite)
+      .save()
+
   /** Driver-side metadata probe — one cheap catalog query, never a
     * table scan. */
   def tableExists(url: String, table: String): Boolean = {

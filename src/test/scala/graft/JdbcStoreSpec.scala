@@ -57,6 +57,17 @@ class JdbcStoreSpec extends SparkSpec {
     assert(plan.contains("id_review") && !plan.contains("review_text"))
   }
 
+  test("overwrite is a truncate-load: full rebuild replaces all rows") {
+    val url = freshUrl()
+    JdbcStore.overwrite(Seq((1L, "a"), (2L, "b"))
+      .toDF("id_review", "review_text"), url, "mart_t")
+    JdbcStore.overwrite(Seq((3L, "c")).toDF("id_review", "review_text"),
+      url, "mart_t")
+    val rows = JdbcStore.read(spark, url, "mart_t")
+      .as[(Long, String)].collect().toMap
+    assert(rows == Map(3L -> "c"))
+  }
+
   test("partitioned JDBC read range-splits into parallel tasks") {
     val url = freshUrl()
     val batch = (1L to 100L).map(i => (i, s"t$i")).toDF("id_review", "review_text")
