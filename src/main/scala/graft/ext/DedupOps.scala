@@ -370,18 +370,20 @@ object DedupOps {
     * survivors' bands and signatures are appended to the index, so
     * the next batch dedups against them too.
     *
-    * Scale shapes as the batch form: candidates carry ids only; the
-    * band join is index-bucket-sized, never corpus-wide; hot buckets
-    * in the NEW batch are capped by the same policy as
-    * [[minhashCandidates]] (the historical side was capped when it
-    * was appended).
+    * Scale shapes as the batch form: candidates carry ids only, the
+    * signatures/bands are computed ONCE per batch and reused by both
+    * the within-batch and cross-batch stages, and the band join is
+    * capped: bucket sizes are measured over newBands ∪ band_index, so
+    * a degenerate hot band (boilerplate shingles accumulating in the
+    * index across batches) is dropped from candidate generation
+    * instead of producing |new hot| × |old hot| pairs.
     *
     * @return surviving new docs (doc_id + original columns). */
   def incrementalMinhashDedup(newDocs: DataFrame, idCol: String,
                               textCol: String, indexDir: String,
                               shingleSize: Int = 3, numHashes: Int = 64,
-                              bands: Int = 16, threshold: Double = 0.8)
-      : DataFrame = {
+                              bands: Int = 16, threshold: Double = 0.8,
+                              maxBucketSize: Int = 50): DataFrame = {
     val spark = newDocs.sparkSession
     val rowsPerBand = numHashes / bands
     val sigs = signatureTable(newDocs, idCol, textCol, shingleSize,
@@ -391,43 +393,63 @@ object DedupOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val haveIndex = graft.io.Staging.tableExists(spark, indexDir, "band_index")
-    // cross-batch candidate pairs: (new_id, old_id) sharing any band
-    val crossPairs =
+    val bandIndex =
+      if (haveIndex)
+        graft.io.Staging.readTable(spark, indexDir, "band_index")
+      else newBands.limit(0)
+    // hot-band cap over the UNION of batch and historical bands
+    val smallBands = newBands.select("band")
+      .unionByName(bandIndex.select("band"))
+      .groupBy("band").agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") <= maxBucketSize && col("__bsz") > 1)
+      .select("band")
+    val prunedNew = newBands.join(smallBands, Seq("band"))
+
+    def verified(pairs: DataFrame, rightTokset: DataFrame): DataFrame =
+      pairs
+        .join(sigs.select(col("doc_id").as("new_id"),
+          col("__tokset").as("__tn")), Seq("new_id"))
+        .join(rightTokset, Seq("other_id"))
+        .withColumn("__i",
+          size(array_intersect(col("__tn"), col("__to"))))
+        .withColumn("jaccard", col("__i").cast("double") /
+          (size(col("__tn")) + size(col("__to")) - col("__i")))
+        .filter(col("jaccard") >= threshold)
+        .select("new_id").distinct()
+
+    // cross-batch: new docs matching any accepted doc's band
+    val crossDropped =
       if (!haveIndex) null
       else {
-        val bandIndex = graft.io.Staging.readTable(spark, indexDir,
-          "band_index")
         val sigStore = graft.io.Staging.readTable(spark, indexDir,
           "sig_store")
-        newBands.select(col("doc_id").as("new_id"), col("band"))
-          .join(bandIndex.select(col("doc_id").as("old_id"), col("band")),
-            Seq("band"))
+        val pairs = prunedNew.select(col("doc_id").as("new_id"),
+            col("band"))
+          .join(bandIndex.select(col("doc_id").as("other_id"),
+            col("band")).join(smallBands, Seq("band")), Seq("band"))
           // a doc is never a duplicate of itself — also guards
           // re-evaluation after this batch's own append (see below)
-          .filter(col("new_id") =!= col("old_id"))
-          .select("new_id", "old_id").distinct()
-          .join(sigs.select(col("doc_id").as("new_id"),
-            col("__tokset").as("__tn")), Seq("new_id"))
-          .join(sigStore.select(col("doc_id").as("old_id"),
-            col("__tokset").as("__to")), Seq("old_id"))
-          .withColumn("__i",
-            size(array_intersect(col("__tn"), col("__to"))))
-          .withColumn("jaccard", col("__i").cast("double") /
-            (size(col("__tn")) + size(col("__to")) - col("__i")))
-          .filter(col("jaccard") >= threshold)
-          .select("new_id")
-          .distinct()
+          .filter(col("new_id") =!= col("other_id"))
+          .select("new_id", "other_id").distinct()
+        verified(pairs, sigStore.select(col("doc_id").as("other_id"),
+          col("__tokset").as("__to")))
       }
 
-    // within-batch near-dups (min-id survivor policy, as CorpusPipeline)
-    val withinPairs = minhashNearDupPairs(newDocs, idCol, textCol,
-      shingleSize, numHashes, bands, threshold)
-    val withinDropped = withinPairs
-      .select(greatest(col("id_a"), col("id_b")).as("new_id")).distinct()
+    // within-batch (min-id survivor policy): candidates from the SAME
+    // prebuilt bands — the batch's signatures are never recomputed
+    val withinDropped = {
+      val a = prunedNew.select(col("band"), col("doc_id").as("other_id"))
+      val b = prunedNew.select(col("band"), col("doc_id").as("new_id"))
+      val pairs = b.join(a, Seq("band"))
+        .filter(col("new_id") > col("other_id")) // drop the LARGER id
+        .select("new_id", "other_id").distinct()
+      verified(pairs, sigs.select(col("doc_id").as("other_id"),
+        col("__tokset").as("__to")))
+    }
 
     val droppedIds =
-      (if (crossPairs == null) withinDropped
-       else withinDropped.unionByName(crossPairs).distinct())
+      (if (crossDropped == null) withinDropped
+       else withinDropped.unionByName(crossDropped).distinct())
         .withColumnRenamed("new_id", idCol)
     // localCheckpoint (not persist): the appends below REFRESH the
     // index paths, which invalidates any cached plan whose lineage

@@ -84,9 +84,15 @@ object MediaCodecs {
     val compression = buf.getInt(30)
     if (bpp != 24 || compression != 0 || width <= 0 || height <= 0)
       return Unknown
-    val stride = bmpStride(width)
-    if (dataOffset.toLong + stride.toLong * height > bytes.length)
+    // totality against crafted headers: a negative dataOffset or an
+    // Int-overflowing width*3 would pass a naive end-bound check and
+    // then index negatively — validate offset range and compute the
+    // stride in Long before narrowing
+    if (dataOffset < 54 || dataOffset > bytes.length) return Unknown
+    val strideL = ((width.toLong * 3 + 3) / 4) * 4
+    if (dataOffset.toLong + strideL * height > bytes.length)
       return Unknown
+    val stride = strideL.toInt
     var (sr, sg, sb) = (0L, 0L, 0L)
     var y = 0
     while (y < height) {
@@ -137,7 +143,10 @@ object MediaCodecs {
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     def tag(off: Int) = new String(bytes, off, 4, "US-ASCII")
     if (tag(0) != "RIFF" || tag(8) != "WAVE") return Unknown
-    var off = 12
+    // the chunk walk runs in Long: a crafted length near Int.MaxValue
+    // would wrap `off + 8 + len` negative in Int arithmetic, pass the
+    // bound check, and index out of bounds on the next iteration
+    var off = 12L
     var sampleRate = 0
     var channels = 0
     var bits = 0
@@ -145,18 +154,18 @@ object MediaCodecs {
     var dataOff = -1
     var dataLen = 0
     while (off + 8 <= bytes.length) {
-      val id = tag(off)
-      val len = buf.getInt(off + 4)
+      val id = tag(off.toInt)
+      val len = buf.getInt(off.toInt + 4).toLong
       if (len < 0 || off + 8 + len > bytes.length) return Unknown
       id match {
         case "fmt " if len >= 16 =>
-          fmt = buf.getShort(off + 8).toInt
-          channels = buf.getShort(off + 10).toInt
-          sampleRate = buf.getInt(off + 12)
-          bits = buf.getShort(off + 22).toInt
+          fmt = buf.getShort(off.toInt + 8).toInt
+          channels = buf.getShort(off.toInt + 10).toInt
+          sampleRate = buf.getInt(off.toInt + 12)
+          bits = buf.getShort(off.toInt + 22).toInt
         case "data" =>
-          dataOff = off + 8
-          dataLen = len
+          dataOff = off.toInt + 8
+          dataLen = len.toInt
         case _ => ()
       }
       off += 8 + len + (len & 1) // chunks are word-aligned

@@ -27,9 +27,13 @@ object TextOps {
     * tokens, consecutive chunks sharing `overlap` tokens
     * (stride = chunkSize - overlap). Pure plan-side explode of a
     * per-row sequence — a narrow map, no payload shuffle; the chunk
-    * text is rebuilt by slicing the token array. Empty docs yield one
-    * empty chunk (chunk_idx 0, 0 tokens), so no document silently
-    * disappears. */
+    * text is rebuilt by slicing the token array. Start positions stop
+    * at n_tok - overlap, so no chunk is fully contained in its
+    * predecessor (a trailing chunk of only overlap tokens would be
+    * duplicated training content); coverage is preserved because the
+    * last admitted start still reaches the final token. Empty docs
+    * yield one empty chunk (chunk_idx 0, 0 tokens), so no document
+    * silently disappears. */
   def chunkDocs(df: org.apache.spark.sql.DataFrame, idCol: String,
                 textCol: String, chunkSize: Int,
                 overlap: Int): org.apache.spark.sql.DataFrame = {
@@ -39,7 +43,8 @@ object TextOps {
     df.select(col(idCol), tokens(col(textCol)).as("__tok"))
       // __tok referenced multiple times below → boundary preserved
       .select(col(idCol), col("__tok"),
-        explode(sequence(lit(1), greatest(size(col("__tok")), lit(1)),
+        explode(sequence(lit(1),
+          greatest(size(col("__tok")) - overlap, lit(1)),
           lit(stride))).as("__start"))
       .select(col(idCol),
         ((col("__start") - 1) / stride).cast("long").as("chunk_idx"),

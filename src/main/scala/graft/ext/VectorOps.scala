@@ -157,7 +157,7 @@ object VectorOps {
           .orderBy(col("__h"), col(idCol))))
       .select((col("__rn") - 1).as("centroid_id"),
         transform(col(vecCol), x => x.cast("double")).as("centroid"))
-    (1 to iters).foldLeft(seeds) { (cents, _) =>
+    val folded = (1 to iters).foldLeft(seeds) { (cents, _) =>
       val assigned = assignToCentroids(corpus, idCol, vecCol, cents)
       val next = corpus
         .join(assigned, Seq(idCol))
@@ -178,6 +178,13 @@ object VectorOps {
       cents.unpersist()
       next
     }
+    // hand back a lineage-truncated k-row frame and release the final
+    // iteration's explicit cache: localCheckpoint blocks are reclaimed
+    // by the ContextCleaner when the frame is GC'd, so callers don't
+    // have to own an unpersist
+    val result = folded.localCheckpoint(true)
+    folded.unpersist()
+    result
   }
 
   /** Nearest-centroid assignment (the IVF index) as a NARROW MAP: the

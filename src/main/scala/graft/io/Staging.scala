@@ -215,10 +215,15 @@ object Staging {
       fs.rename(new org.apache.hadoop.fs.Path(tmp),
         new org.apache.hadoop.fs.Path(path))
     } else {
-      // partition-scoped: rewrite only partitions that hold updated
-      // keys (their surviving rows ∪ the updates for them)
+      // partition-scoped: rewrite every partition the merge AFFECTS —
+      // the partitions the updates write INTO (dynamic overwrite will
+      // replace these, so their surviving rows must be re-emitted or
+      // they are lost) plus the partitions updated keys currently
+      // live in (covers a key MOVING between partitions)
       val touched = store.join(updates.select(key), Seq(key), "left_semi")
-        .select(partitionCols.map(col): _*).distinct()
+        .select(partitionCols.map(col): _*)
+        .unionByName(updates.select(partitionCols.map(col): _*))
+        .distinct()
       val keep = store
         .join(touched, partitionCols, "left_semi")
         .join(updates.select(key), Seq(key), "left_anti")

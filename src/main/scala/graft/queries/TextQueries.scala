@@ -252,7 +252,7 @@ object TextQueries {
         |         ELSE regexp_split_to_array(lower(trim(text)), '\s+')
         |    END AS tok FROM documents),
         |s AS (SELECT doc_id, tok,
-        |    unnest(range(1, greatest(len(tok), 1) + 1, 24)) AS start
+        |    unnest(range(1, greatest(len(tok) - 8, 1) + 1, 24)) AS start
         |  FROM t)
         |SELECT doc_id,
         |  CAST((start - 1) // 24 AS BIGINT) AS chunk_idx,

@@ -134,7 +134,16 @@ object StreamingOps {
     * survivors are appended to the output corpus table. The
     * continuous form of the batch curation pipeline: state lives in
     * the index tables, not the streaming state store, so it survives
-    * restarts and is queryable as plain parquet. */
+    * restarts and is queryable as plain parquet.
+    *
+    * Replay safety: foreachBatch is at-least-once, so a batch whose
+    * appends completed but whose checkpoint commit did not will be
+    * replayed. The id-level anti-join against the corpus table makes
+    * the corpus append exactly-once (a replayed doc is filtered
+    * before it can match only itself in the index); the index
+    * appends remain at-least-once, which is harmless — duplicate
+    * band/signature rows only produce duplicate candidate pairs,
+    * which the dedup pipeline's `distinct()` collapses. */
   def curatedCorpusStream(stream: DataFrame, idCol: String,
                           textCol: String, indexDir: String,
                           corpusDir: String, threshold: Double = 0.8)
@@ -142,9 +151,17 @@ object StreamingOps {
     stream.writeStream
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
+        val spark = batch.sparkSession
+        val fresh =
+          if (graft.io.Staging.tableExists(spark, corpusDir, "corpus")) {
+            val accepted = graft.io.Staging
+              .readTable(spark, corpusDir, "corpus")
+            graft.ops.Relational.antiJoinNewKeys(batch, accepted, idCol)
+              .localCheckpoint(true) // freeze before the appends below
+          } else batch
+        if (!fresh.isEmpty) {
           val kept = graft.ext.DedupOps.incrementalMinhashDedup(
-            batch, idCol, textCol, indexDir, threshold = threshold)
+            fresh, idCol, textCol, indexDir, threshold = threshold)
           graft.io.Staging.appendParquet(kept, corpusDir, "corpus")
         }
         ()

@@ -86,6 +86,27 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaCodecs.decode(bmp.take(40)).format == "unknown")
   }
 
+  test("crafted malicious headers decode to 'unknown', never throw") {
+    import graft.ext.MediaCodecs
+    import java.nio.{ByteBuffer, ByteOrder}
+    // BMP with a negative pixel-data offset: passes a naive end-bound
+    // check, then would index bytes(-1000)
+    val bmp1 = MediaCodecs.encodeBmp24(1, 1, 0, 0, 0)
+    ByteBuffer.wrap(bmp1).order(ByteOrder.LITTLE_ENDIAN).putInt(10, -1000)
+    assert(MediaCodecs.decode(bmp1).format == "unknown")
+    // BMP whose width*3 overflows Int (negative stride in Int math)
+    val bmp2 = MediaCodecs.encodeBmp24(1, 1, 0, 0, 0)
+    ByteBuffer.wrap(bmp2).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(18, Int.MaxValue / 2)
+    assert(MediaCodecs.decode(bmp2).format == "unknown")
+    // WAV with a chunk length near Int.MaxValue (off + 8 + len wraps
+    // negative in Int arithmetic)
+    val wav = MediaCodecs.encodeWavPcm16(8000, Array[Short](1, 2))
+    ByteBuffer.wrap(wav).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(16, Int.MaxValue)
+    assert(MediaCodecs.decode(wav).format == "unknown")
+  }
+
   test("decodeMedia decodes a mixed binary corpus distributed") {
     val assets = MultimodalOps.synthesizeMedia(
       spark.range(0, 10).toDF("doc_id"), "doc_id")

@@ -45,6 +45,25 @@ class StoreOpsSpec extends SparkSpec {
     assert(d2After == d2Before, "untouched partition was rewritten")
   }
 
+  test("partition-scoped mergeUpsert keeps existing rows when a NEW key " +
+    "lands in an EXISTING partition") {
+    // regression: `touched` once only collected partitions holding
+    // updated store keys, so a partition receiving only brand-new keys
+    // was dynamically overwritten with just the new rows, silently
+    // deleting its survivors
+    val store = Files.createTempDirectory("graft-upsert-newkey").toString
+    Staging.overwritePartitionsDynamic(
+      Seq((1L, "a", "d1"), (2L, "b", "d1"), (3L, "c", "d2"))
+        .toDF("id", "v", "dt"), store, "t", Seq("dt"))
+    val n = Staging.mergeUpsert(spark,
+      Seq((4L, "d", "d2")).toDF("id", "v", "dt"),
+      store, "t", "id", partitionCols = Seq("dt"))
+    assert(n == 4)
+    val rows = Staging.readTable(spark, store, "t")
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(rows == Map(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"))
+  }
+
   test("schema-evolving append surfaces new columns as NULL on old rows") {
     val store = Files.createTempDirectory("graft-evolve").toString
     Staging.appendParquetEvolving(

@@ -67,10 +67,11 @@ class TextSpec extends SparkSpec {
       chunkSize = 32, overlap = 8)
       .orderBy("doc_id", "chunk_idx")
       .as[(Long, Long, String, Int)].collect()
-    // doc 1: starts at 1, 25, 49 -> 3 chunks of 32, 26, 2 tokens
+    // doc 1: starts at 1, 25 (start 49 is suppressed — its 2 tokens
+    // are already covered by chunk 1) -> 2 chunks of 32, 26 tokens
     val d1 = out.filter(_._1 == 1L)
-    assert(d1.map(_._2).toSeq == Seq(0L, 1L, 2L))
-    assert(d1.map(_._4).toSeq == Seq(32, 26, 2))
+    assert(d1.map(_._2).toSeq == Seq(0L, 1L))
+    assert(d1.map(_._4).toSeq == Seq(32, 26))
     // overlap: chunk 1 starts at token 25, so tokens 25..32 are shared
     assert(d1(0)._3.split(" ").drop(24).take(8).toSeq ==
       d1(1)._3.split(" ").take(8).toSeq)
