@@ -397,13 +397,20 @@ object DedupOps {
       if (haveIndex)
         graft.io.Staging.readTable(spark, indexDir, "band_index")
       else newBands.limit(0)
-    // hot-band cap over the UNION of batch and historical bands
-    val smallBands = newBands.select("band")
-      .unionByName(bandIndex.select("band"))
-      .groupBy("band").agg(count(lit(1)).as("__bsz"))
+    // hot-band cap over the UNION of batch and historical bands.
+    // DISTINCT doc_id per band: the index appends are at-least-once
+    // under streaming replay, and raw-row counting would let
+    // duplicate index rows inflate a legitimate band past the cap,
+    // silently disabling dedup for it
+    val smallBands = newBands.select("band", "doc_id")
+      .unionByName(bandIndex.select("band", "doc_id"))
+      .groupBy("band").agg(countDistinct(col("doc_id")).as("__bsz"))
       .filter(col("__bsz") <= maxBucketSize && col("__bsz") > 1)
       .select("band")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // referenced by the cross pairs and twice by the within self-join
     val prunedNew = newBands.join(smallBands, Seq("band"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     def verified(pairs: DataFrame, rightTokset: DataFrame): DataFrame =
       pairs
@@ -412,8 +419,11 @@ object DedupOps {
         .join(rightTokset, Seq("other_id"))
         .withColumn("__i",
           size(array_intersect(col("__tn"), col("__to"))))
-        .withColumn("jaccard", col("__i").cast("double") /
-          (size(col("__tn")) + size(col("__to")) - col("__i")))
+        // round(,6) matches minhashNearDupPairs exactly, so the batch
+        // and incremental paths classify threshold-boundary pairs
+        // identically
+        .withColumn("jaccard", round(col("__i").cast("double") /
+          (size(col("__tn")) + size(col("__to")) - col("__i")), 6))
         .filter(col("jaccard") >= threshold)
         .select("new_id").distinct()
 
@@ -423,10 +433,12 @@ object DedupOps {
       else {
         val sigStore = graft.io.Staging.readTable(spark, indexDir,
           "sig_store")
+        // no pre-prune of the historical side needed: the equi-join
+        // with the already-pruned new side restricts it to small bands
         val pairs = prunedNew.select(col("doc_id").as("new_id"),
             col("band"))
           .join(bandIndex.select(col("doc_id").as("other_id"),
-            col("band")).join(smallBands, Seq("band")), Seq("band"))
+            col("band")), Seq("band"))
           // a doc is never a duplicate of itself — also guards
           // re-evaluation after this batch's own append (see below)
           .filter(col("new_id") =!= col("other_id"))
@@ -472,6 +484,8 @@ object DedupOps {
       indexDir, "band_index")
     sigs.unpersist()
     newBands.unpersist()
+    smallBands.unpersist()
+    prunedNew.unpersist()
     survivors
   }
 }

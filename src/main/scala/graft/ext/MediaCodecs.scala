@@ -90,7 +90,10 @@ object MediaCodecs {
     // stride in Long before narrowing
     if (dataOffset < 54 || dataOffset > bytes.length) return Unknown
     val strideL = ((width.toLong * 3 + 3) / 4) * 4
-    if (dataOffset.toLong + strideL * height > bytes.length)
+    // division-form bound check: strideL * height can overflow Long
+    // for crafted width×height, silently passing a product comparison
+    if (strideL > bytes.length - dataOffset ||
+      height.toLong > (bytes.length - dataOffset) / strideL)
       return Unknown
     val stride = strideL.toInt
     var (sr, sg, sb) = (0L, 0L, 0L)

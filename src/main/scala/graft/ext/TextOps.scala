@@ -23,8 +23,8 @@ object TextOps {
 
   /** Token-bounded document chunking with overlap — the
     * context-window prep step of a training-data pipeline: each doc
-    * becomes ceil(max(n_tok,1) / stride) rows of up to `chunkSize`
-    * tokens, consecutive chunks sharing `overlap` tokens
+    * becomes ceil(max(n_tok - overlap, 1) / stride) rows of up to
+    * `chunkSize` tokens, consecutive chunks sharing `overlap` tokens
     * (stride = chunkSize - overlap). Pure plan-side explode of a
     * per-row sequence — a narrow map, no payload shuffle; the chunk
     * text is rebuilt by slicing the token array. Start positions stop

@@ -238,7 +238,28 @@ object Staging {
       // whole-table branch does) or uses a transactional table format
       merged.cache()
       merged.count()
+      // dynamic overwrite only replaces partitions PRESENT in the
+      // written data: a touched partition whose every row was an
+      // updated key that moved elsewhere emits nothing and would keep
+      // its stale files — those are cleared explicitly below. The set
+      // is computed BEFORE the overwrite mutates the store files (its
+      // lineage reads them) and is bounded by the update batch's
+      // partition count, so the driver-side collect is a
+      // maintenance-op constant, not a data scan.
+      val emptied = touched
+        .join(merged.select(partitionCols.map(col): _*).distinct(),
+          partitionCols, "left_anti")
+        .collect()
       overwritePartitionsDynamic(merged, storeDir, table, partitionCols)
+      if (emptied.nonEmpty) {
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        emptied.foreach { row =>
+          val sub = partitionCols.zipWithIndex
+            .map { case (c, i) => s"$c=${row.get(i)}" }.mkString("/")
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/$sub"), true)
+        }
+      }
       merged.unpersist()
     }
     readTable(spark, storeDir, table).count()

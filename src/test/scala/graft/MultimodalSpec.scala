@@ -99,6 +99,13 @@ class MultimodalSpec extends SparkSpec {
     ByteBuffer.wrap(bmp2).order(ByteOrder.LITTLE_ENDIAN)
       .putInt(18, Int.MaxValue / 2)
     assert(MediaCodecs.decode(bmp2).format == "unknown")
+    // BMP whose stride*height overflows LONG (a product-form bound
+    // check would wrap negative and pass)
+    val bmp3 = MediaCodecs.encodeBmp24(1, 1, 0, 0, 0)
+    val b3 = ByteBuffer.wrap(bmp3).order(ByteOrder.LITTLE_ENDIAN)
+    b3.putInt(18, Int.MaxValue)
+    b3.putInt(22, Int.MaxValue)
+    assert(MediaCodecs.decode(bmp3).format == "unknown")
     // WAV with a chunk length near Int.MaxValue (off + 8 + len wraps
     // negative in Int arithmetic)
     val wav = MediaCodecs.encodeWavPcm16(8000, Array[Short](1, 2))

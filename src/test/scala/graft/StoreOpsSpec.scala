@@ -64,6 +64,24 @@ class StoreOpsSpec extends SparkSpec {
     assert(rows == Map(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"))
   }
 
+  test("partition-scoped mergeUpsert clears a partition a key moved " +
+    "out of (no stale duplicate)") {
+    // regression: dynamic overwrite only replaces partitions present
+    // in the written data; a partition whose ONLY row was an updated
+    // key that moved elsewhere emits nothing and kept its stale files
+    val store = Files.createTempDirectory("graft-upsert-move").toString
+    Staging.overwritePartitionsDynamic(
+      Seq((1L, "a", "d1"), (2L, "b", "d2")).toDF("id", "v", "dt"),
+      store, "t", Seq("dt"))
+    val n = Staging.mergeUpsert(spark,
+      Seq((1L, "a2", "d2")).toDF("id", "v", "dt"),
+      store, "t", "id", partitionCols = Seq("dt"))
+    assert(n == 2)
+    val rows = Staging.readTable(spark, store, "t")
+      .select("id", "v", "dt").as[(Long, String, String)].collect().toSet
+    assert(rows == Set((1L, "a2", "d2"), (2L, "b", "d2")))
+  }
+
   test("schema-evolving append surfaces new columns as NULL on old rows") {
     val store = Files.createTempDirectory("graft-evolve").toString
     Staging.appendParquetEvolving(
