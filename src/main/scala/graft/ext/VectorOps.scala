@@ -203,6 +203,25 @@ object VectorOps {
         col("centroid_id"), col("centroid")))).as("__cs"))
     corpus.select(col(idCol), col(vecCol))
       .crossJoin(broadcast(centArr))
+      // native fused argmax loop ([[graft.functions.NearestCentroid]])
+      // — one pass per row instead of an interpreted aggregate lambda
+      // re-evaluating a cosine expression per centroid; bit-identical
+      // to [[assignToCentroidsHof]] (NativeExprSpec)
+      .withColumn("centroid_id",
+        graft.functions.native.nearest_centroid(col(vecCol), col("__cs")))
+      .select(col(idCol), col("centroid_id"))
+  }
+
+  /** Composed-builtins form of the assignment fold — kept as the
+    * cross-check reference. */
+  def assignToCentroidsHof(corpus: DataFrame, idCol: String,
+                           vecCol: String,
+                           centroids: DataFrame): DataFrame = {
+    val centArr = centroids
+      .agg(array_sort(collect_list(struct(
+        col("centroid_id"), col("centroid")))).as("__cs"))
+    corpus.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(centArr))
       .withColumn("centroid_id",
         aggregate(col("__cs"),
           struct(lit(-2.0).as("sim"), lit(-1L).as("centroid_id")),

@@ -189,6 +189,61 @@ case class MinhashSig(child: Expression, numHashes: Int)
     copy(child = c)
 }
 
+/** Argmax-cosine nearest-centroid id: given a float vector and an
+  * array of (centroid_id, centroid) structs, returns the id of the
+  * centroid with the highest cosine similarity — the IVF assignment
+  * kernel as ONE fused loop per row instead of an interpreted
+  * `aggregate` lambda evaluating a cosine expression per centroid.
+  * Bit-identical to the higher-order fold it replaces (asserted in
+  * NativeExprSpec): centroid components narrow through float exactly
+  * like the HOF form's array<float> cast, accumulation order matches
+  * [[CosineSimilarity]], ties and NULL/zero-norm cosines keep the
+  * earlier centroid (strict improvement only). */
+case class NearestCentroid(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def prettyName: String = "nearest_centroid"
+
+  override def nullSafeEval(vecAny: Any, centsAny: Any): Any = {
+    val vec = vecAny.asInstanceOf[ArrayData]
+    val cents = centsAny.asInstanceOf[ArrayData]
+    val n = vec.numElements()
+    var bestSim = -2.0
+    var bestId = -1L
+    var c = 0
+    while (c < cents.numElements()) {
+      if (!cents.isNullAt(c)) {
+        val s = cents.getStruct(c, 2)
+        val id = s.getLong(0)
+        val cent = s.getArray(1)
+        if (cent.numElements() == n) {
+          var dot = 0.0; var na = 0.0; var nb = 0.0
+          var i = 0
+          while (i < n) {
+            val xi = vec.getFloat(i).toDouble
+            // narrow through float to match the HOF form's
+            // array<float> cast of the double centroid
+            val yi = cent.getDouble(i).toFloat.toDouble
+            dot += xi * yi; na += xi * xi; nb += yi * yi
+            i += 1
+          }
+          if (na != 0.0 && nb != 0.0) {
+            val sim = dot / (math.sqrt(na) * math.sqrt(nb))
+            if (sim > bestSim) { bestSim = sim; bestId = id }
+          }
+        }
+      }
+      c += 1
+    }
+    bestId
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): NearestCentroid = copy(l, r)
+}
+
 /** Multi-table sign-random-projection bucket signatures for a float
   * embedding: element t of the result is table t's `bits`-bit bucket
   * (bit i = sign of the projection onto deterministic hyperplane
@@ -330,4 +385,10 @@ object native {
   def minhash_sig(shingleHashes: Column, numHashes: Int): Column =
     Bridge.column(MinhashSig(
       Bridge.expression(shingleHashes.cast("array<bigint>")), numHashes))
+
+  def nearest_centroid(vec: Column, centroids: Column): Column =
+    Bridge.column(NearestCentroid(
+      Bridge.expression(vec.cast("array<float>")),
+      Bridge.expression(centroids.cast(
+        "array<struct<centroid_id:bigint,centroid:array<double>>>"))))
 }

@@ -115,6 +115,17 @@ class NativeExprSpec extends SparkSpec {
     assert(r.getLong(0) == colForm.getLong(0))
   }
 
+  test("native nearest_centroid == higher-order fold on real embeddings") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = VectorOps.ivfCentroids(emb, "vec_id", "embedding", 4)
+    val nat = VectorOps.assignToCentroids(emb, "vec_id", "embedding",
+        cents).as[(Long, Long)].collect().toMap
+    val hof = VectorOps.assignToCentroidsHof(emb, "vec_id", "embedding",
+        cents).as[(Long, Long)].collect().toMap
+    assert(nat == hof)
+    assert(nat.nonEmpty)
+  }
+
   test("null inputs propagate as null") {
     val r = spark.range(1).select(
       native.cosine_similarity(lit(null).cast("array<float>"),
