@@ -407,8 +407,9 @@ object DedupOps {
       .groupBy("band").agg(countDistinct(col("doc_id")).as("__bsz"))
       .filter(col("__bsz") <= maxBucketSize && col("__bsz") > 1)
       .select("band")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // referenced by the cross pairs and twice by the within self-join
+    // prunedNew feeds the cross pairs and both sides of the within
+    // self-join; smallBands has this single consumer, so only
+    // prunedNew needs the cache
     val prunedNew = newBands.join(smallBands, Seq("band"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -484,7 +485,6 @@ object DedupOps {
       indexDir, "band_index")
     sigs.unpersist()
     newBands.unpersist()
-    smallBands.unpersist()
     prunedNew.unpersist()
     survivors
   }

@@ -196,9 +196,14 @@ case class MinhashSig(child: Expression, numHashes: Int)
   * `aggregate` lambda evaluating a cosine expression per centroid.
   * Bit-identical to the higher-order fold it replaces (asserted in
   * NativeExprSpec): centroid components narrow through float exactly
-  * like the HOF form's array<float> cast, accumulation order matches
-  * [[CosineSimilarity]], ties and NULL/zero-norm cosines keep the
-  * earlier centroid (strict improvement only). */
+  * like the HOF form's array<float> cast, the per-centroid cosine
+  * runs over min(vec length, centroid length) with
+  * [[CosineSimilarity]]'s accumulation order, NULL centroid arrays
+  * and zero norms never improve the best (matching cosine → NULL →
+  * `when` keeps the accumulator in the HOF), and ties keep the
+  * earlier centroid. One documented divergence: a NULL input vector
+  * yields NULL here (null-intolerant expression) where the HOF fold
+  * yields its initial -1 — both mean "unassigned". */
 case class NearestCentroid(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
 
@@ -209,7 +214,6 @@ case class NearestCentroid(left: Expression, right: Expression)
   override def nullSafeEval(vecAny: Any, centsAny: Any): Any = {
     val vec = vecAny.asInstanceOf[ArrayData]
     val cents = centsAny.asInstanceOf[ArrayData]
-    val n = vec.numElements()
     var bestSim = -2.0
     var bestId = -1L
     var c = 0
@@ -218,7 +222,8 @@ case class NearestCentroid(left: Expression, right: Expression)
         val s = cents.getStruct(c, 2)
         val id = s.getLong(0)
         val cent = s.getArray(1)
-        if (cent.numElements() == n) {
+        if (cent != null) {
+          val n = math.min(vec.numElements(), cent.numElements())
           var dot = 0.0; var na = 0.0; var nb = 0.0
           var i = 0
           while (i < n) {

@@ -254,9 +254,18 @@ object Staging {
       if (emptied.nonEmpty) {
         val fs = new org.apache.hadoop.fs.Path(path)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // directory names use Spark's own partition-value escaping
+        // (e.g. ':' → '%3A', NULL → __HIVE_DEFAULT_PARTITION__) — a
+        // raw toString would miss the real directory and silently
+        // leave the stale files in place
+        import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         emptied.foreach { row =>
-          val sub = partitionCols.zipWithIndex
-            .map { case (c, i) => s"$c=${row.get(i)}" }.mkString("/")
+          val sub = partitionCols.zipWithIndex.map { case (c, i) =>
+            val v =
+              if (row.isNullAt(i)) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+              else ExternalCatalogUtils.escapePathName(row.get(i).toString)
+            s"$c=$v"
+          }.mkString("/")
           fs.delete(new org.apache.hadoop.fs.Path(s"$path/$sub"), true)
         }
       }

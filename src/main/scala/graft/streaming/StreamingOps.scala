@@ -136,13 +136,16 @@ object StreamingOps {
     * the index tables, not the streaming state store, so it survives
     * restarts and is queryable as plain parquet.
     *
-    * Replay safety (foreachBatch is at-least-once): a committed
-    * batchId marker makes full replays an O(1) skip — the common
-    * restart path never rescans the corpus. A batch that died
-    * BETWEEN its appends and its marker write falls through to the
-    * id-level anti-join backstop, which filters already-accepted
-    * docs with one column-pruned scan of the corpus id column
-    * (rare path only). The index appends remain at-least-once;
+    * Replay safety (foreachBatch is at-least-once): every micro-batch
+    * is id-level anti-joined against the corpus table, so a replayed
+    * batch re-filters its already-accepted docs before they can match
+    * only themselves in the index — the corpus append is effectively
+    * exactly-once. The backstop costs one column-pruned scan of the
+    * corpus id column per batch; a batchId-marker skip was
+    * deliberately REJECTED: batch ids are only unique within one
+    * checkpoint lineage, so a reset/temporary checkpoint (where ids
+    * restart at 0) would match stale markers and silently drop
+    * genuinely new batches. The index appends remain at-least-once;
     * duplicate band/signature rows only produce duplicate candidate
     * pairs, which the dedup pipeline's distinct-doc band counting
     * and `distinct()` collapse. */
@@ -152,31 +155,19 @@ object StreamingOps {
       : DataStreamWriter[Row] =
     stream.writeStream
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        import spark.implicits._
-        val committed =
-          graft.io.Staging.tableExists(spark, corpusDir, "__batches") && {
-            graft.io.Staging.readTable(spark, corpusDir, "__batches")
-              .filter(col("batch_id") === batchId).limit(1).count() > 0
-          }
-        if (!committed) {
-          val fresh =
-            if (graft.io.Staging.tableExists(spark, corpusDir, "corpus")) {
-              val accepted = graft.io.Staging
-                .readTable(spark, corpusDir, "corpus")
-              graft.ops.Relational.antiJoinNewKeys(batch, accepted, idCol)
-                .localCheckpoint(true) // freeze before the appends below
-            } else batch
-          if (!fresh.isEmpty) {
-            val kept = graft.ext.DedupOps.incrementalMinhashDedup(
-              fresh, idCol, textCol, indexDir, threshold = threshold)
-            graft.io.Staging.appendParquet(kept, corpusDir, "corpus")
-          }
-          // marker LAST: a crash before this line replays into the
-          // anti-join backstop above, never into duplicate corpus rows
-          graft.io.Staging.appendParquet(
-            Seq(batchId).toDF("batch_id"), corpusDir, "__batches")
+        val fresh =
+          if (graft.io.Staging.tableExists(spark, corpusDir, "corpus")) {
+            val accepted = graft.io.Staging
+              .readTable(spark, corpusDir, "corpus")
+            graft.ops.Relational.antiJoinNewKeys(batch, accepted, idCol)
+              .localCheckpoint(true) // freeze before the appends below
+          } else batch
+        if (!fresh.isEmpty) {
+          val kept = graft.ext.DedupOps.incrementalMinhashDedup(
+            fresh, idCol, textCol, indexDir, threshold = threshold)
+          graft.io.Staging.appendParquet(kept, corpusDir, "corpus")
         }
         ()
       }
