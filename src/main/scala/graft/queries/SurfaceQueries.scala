@@ -223,6 +223,23 @@ object SurfaceQueries {
         |  props ->> '$.device' AS device
         |FROM events ORDER BY event_id""".stripMargin)),
 
+    // Map-type surface: per-user event counts built into a MAP column
+    // (map_from_entries over sorted struct entries), then exploded
+    // back to rows — the map round-trip is Spark-side, the flattened
+    // result is the oracle.
+    "map_funcs" -> QueryDef(
+      (s, d) => Tables.events(s, d)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(map_from_entries(sort_array(collect_list(
+          struct(col("event_type"), col("n"))))).as("m"))
+        .select(col("user_id"),
+          explode(col("m")).as(Seq("event_type", "n")))
+        .orderBy("user_id", "event_type"),
+      Some("""SELECT user_id, event_type, count(*) AS n
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin)),
+
     // Full SQL-text query through spark.sql over registered views —
     // TPC-H Q3 shape (3-way join, filtered, grouped, ordered top-10)
     // with the exact-decimal revenue discipline.
