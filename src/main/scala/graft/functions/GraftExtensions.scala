@@ -27,6 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => SrpBuckets(exprs(0),
         GraftExtensions.intLiteral(exprs(1), "srp_buckets", "bits"),
         GraftExtensions.intLiteral(exprs(2), "srp_buckets", "tables"))))
+    e.injectFunction((Bridge.functionId("nearest_centroid"),
+      Bridge.functionInfo("nearest_centroid",
+        "nearest_centroid(vec, centroids) - argmax-cosine centroid id over an array of (centroid_id, centroid) structs"),
+      (exprs: Seq[Expression]) => NearestCentroid(exprs(0), exprs(1))))
     e.injectFunction((Bridge.functionId("cosine_similarity"),
       Bridge.functionInfo("cosine_similarity",
         "cosine_similarity(a, b) - double-precision cosine of two float arrays"),
@@ -61,6 +65,8 @@ object GraftExtensions {
       exprs => Simhash64(exprs.head))
     Bridge.registerFunction(spark, "token_set_jaccard",
       exprs => TokenSetJaccard(exprs(0), exprs(1)))
+    Bridge.registerFunction(spark, "nearest_centroid",
+      exprs => NearestCentroid(exprs(0), exprs(1)))
     Bridge.registerFunction(spark, "minhash_sig",
       exprs => MinhashSig(exprs(0), intLiteral(exprs(1), "minhash_sig", "n")))
     Bridge.registerFunction(spark, "srp_buckets",
