@@ -118,6 +118,40 @@ object VectorQueries {
     // Per-label centroid norms — distributed elementwise aggregation
     // of vectors via posexplode + regroup (the building block for IVF
     // centroid training).
+    // Same centroid norms via the custom typed Aggregator
+    // (functions.VectorAvg + udaf): partial buffers are one
+    // (sum-vector, count) per partition per group, so the shuffle
+    // carries partials instead of the posexplode form's rows × dims
+    // element rows — the UDAF extension point with its scale
+    // rationale, under the same DuckDB oracle as vector_centroids.
+    "vector_avg_agg" -> QueryDef(
+      (s, d) => Tables.embeddings(s, d)
+        .groupBy("label")
+        .agg(graft.functions.VectorAvg.column(col("embedding"))
+            .as("centroid"),
+          count(lit(1)).as("n_vectors"))
+        .select(col("label"),
+          round(sqrt(aggregate(col("centroid"), lit(0.0),
+            (acc, v) => acc + v * v)), 6).as("centroid_norm"),
+          col("n_vectors"))
+        .orderBy("label"),
+      // full-precision double sums on BOTH sides (the UDAF accumulates
+      // raw floats): cross-engine summation-order differences are
+      // ~1e-13 relative, far below the 1e-6 rounding granularity —
+      // unlike vector_centroids' decimal-exact discipline, which would
+      // disagree with the float-precision aggregator at the boundary
+      Some("""WITH comp AS (
+        |  SELECT label, u.dim, u.component FROM embeddings,
+        |    LATERAL (SELECT unnest(generate_series(1, len(embedding)))
+        |      AS dim, unnest(embedding) AS component) u),
+        |sums AS (SELECT label, dim,
+        |    sum(CAST(component AS DOUBLE)) AS dim_sum, count(*) AS n
+        |  FROM comp GROUP BY label, dim)
+        |SELECT label,
+        |  round(sqrt(sum(pow(dim_sum / n, 2))), 6) AS centroid_norm,
+        |  max(n) AS n_vectors
+        |FROM sums GROUP BY label ORDER BY label""".stripMargin)),
+
     "vector_centroids" -> QueryDef(
       (s, d) => Tables.embeddings(s, d)
         .select(col("label"), posexplode(col("embedding"))

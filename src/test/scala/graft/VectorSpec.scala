@@ -155,6 +155,27 @@ class VectorSpec extends SparkSpec {
     assert(shuffles.forall(l => !l.contains("embeddings")), plan)
   }
 
+  test("VectorAvg aggregator == posexplode mean, handles nulls and " +
+    "empty groups") {
+    import graft.functions.VectorAvg
+    val df = Seq(
+      (0, Some(Seq(1f, 2f, 3f))),
+      (0, Some(Seq(3f, 4f, 5f))),
+      (0, None),                      // ignored
+      (1, Some(Seq(10f, 20f, 30f))))
+      .toDF("label", "embedding")
+    val got = df.groupBy("label")
+      .agg(VectorAvg.column($"embedding").as("c"))
+      .as[(Int, Seq[Double])].collect().toMap
+    assert(got(0) == Seq(2.0, 3.0, 4.0))
+    assert(got(1) == Seq(10.0, 20.0, 30.0))
+    // all-null group yields an empty vector
+    val empty = Seq((9, Option.empty[Seq[Float]])).toDF("label", "embedding")
+      .groupBy("label").agg(VectorAvg.column($"embedding").as("c"))
+      .as[(Int, Seq[Double])].head()
+    assert(empty._2.isEmpty)
+  }
+
   test("srpSignature is deterministic and discriminates opposites") {
     val df = Seq(
       (0L, Seq(1f, 2f, 3f, 4f)),
