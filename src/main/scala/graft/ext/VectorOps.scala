@@ -196,45 +196,48 @@ object VectorOps {
     * Deterministic: centroids are scanned in centroid_id order and
     * ties keep the first (lowest id). Plan asserted shuffle-free in
     * VectorSpec. */
-  def assignToCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-                        centroids: DataFrame): DataFrame = {
+  /** Shared scaffold of both assignment forms: broadcast the k-row
+    * centroid table as one sorted array row against the corpus, then
+    * apply the given argmax column — keeping the two forms'
+    * surroundings identical so the parity test compares ONLY the
+    * argmax kernels. */
+  private def assignWith(corpus: DataFrame, idCol: String, vecCol: String,
+                         centroids: DataFrame)
+                        (argmax: Column => Column): DataFrame = {
     val centArr = centroids
       .agg(array_sort(collect_list(struct(
         col("centroid_id"), col("centroid")))).as("__cs"))
     corpus.select(col(idCol), col(vecCol))
       .crossJoin(broadcast(centArr))
-      // native fused argmax loop ([[graft.functions.NearestCentroid]])
-      // — one pass per row instead of an interpreted aggregate lambda
-      // re-evaluating a cosine expression per centroid; bit-identical
-      // to [[assignToCentroidsHof]] (NativeExprSpec)
-      .withColumn("centroid_id",
-        graft.functions.native.nearest_centroid(col(vecCol), col("__cs")))
+      .withColumn("centroid_id", argmax(col("__cs")))
       .select(col(idCol), col("centroid_id"))
   }
+
+  def assignToCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                        centroids: DataFrame): DataFrame =
+    // native fused argmax loop ([[graft.functions.NearestCentroid]])
+    // — one pass per row instead of an interpreted aggregate lambda
+    // re-evaluating a cosine expression per centroid; bit-identical
+    // to [[assignToCentroidsHof]] (NativeExprSpec)
+    assignWith(corpus, idCol, vecCol, centroids)(cs =>
+      graft.functions.native.nearest_centroid(col(vecCol), cs))
 
   /** Composed-builtins form of the assignment fold — kept as the
     * cross-check reference. */
   def assignToCentroidsHof(corpus: DataFrame, idCol: String,
                            vecCol: String,
-                           centroids: DataFrame): DataFrame = {
-    val centArr = centroids
-      .agg(array_sort(collect_list(struct(
-        col("centroid_id"), col("centroid")))).as("__cs"))
-    corpus.select(col(idCol), col(vecCol))
-      .crossJoin(broadcast(centArr))
-      .withColumn("centroid_id",
-        aggregate(col("__cs"),
-          struct(lit(-2.0).as("sim"), lit(-1L).as("centroid_id")),
-          (acc, c) => {
-            val sim = cosine(col(vecCol), c.getField("centroid"))
-            when(sim > acc.getField("sim"),
-              struct(sim.as("sim"),
-                c.getField("centroid_id").cast("long")
-                  .as("centroid_id")))
-              .otherwise(acc)
-          }).getField("centroid_id"))
-      .select(col(idCol), col("centroid_id"))
-  }
+                           centroids: DataFrame): DataFrame =
+    assignWith(corpus, idCol, vecCol, centroids)(cs =>
+      aggregate(cs,
+        struct(lit(-2.0).as("sim"), lit(-1L).as("centroid_id")),
+        (acc, c) => {
+          val sim = cosine(col(vecCol), c.getField("centroid"))
+          when(sim > acc.getField("sim"),
+            struct(sim.as("sim"),
+              c.getField("centroid_id").cast("long")
+                .as("centroid_id")))
+            .otherwise(acc)
+        }).getField("centroid_id"))
 
   /** IVF top-k search: queries are scored against the k centroids
     * (broadcast), the top `nProbe` centroid lists are probed via a

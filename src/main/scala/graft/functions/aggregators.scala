@@ -17,17 +17,21 @@ import org.apache.spark.sql.functions.udaf
   * aggregate. The IVF mean-recompute and any embedding-pooling
   * pipeline is this shape.
   *
-  * Null/ragged handling: null vectors are ignored; the buffer sizes
-  * itself from the first vector seen and shorter/longer vectors
-  * contribute their overlapping prefix (min-length, consistent with
-  * [[CosineSimilarity]]); an empty group yields an empty array. */
+  * Null/ragged handling: null AND empty vectors are ignored (an
+  * empty vector carries no components, and counting it would dilute
+  * the mean — and make the buffer-merge order observable); the
+  * buffer sizes itself from the first non-empty vector seen and
+  * shorter/longer vectors contribute their overlapping prefix
+  * (min-length, consistent with [[CosineSimilarity]]); a group with
+  * no non-empty vectors yields an empty array. Counts are summed in
+  * every merge branch, so results are partition-layout independent. */
 object VectorAvg extends Aggregator[Seq[Float], (Array[Double], Long), Seq[Double]] {
 
   override def zero: (Array[Double], Long) = (Array.empty[Double], 0L)
 
   override def reduce(b: (Array[Double], Long),
                       a: Seq[Float]): (Array[Double], Long) = {
-    if (a == null) b
+    if (a == null || a.isEmpty) b
     else {
       val buf = if (b._1.isEmpty) new Array[Double](a.length) else b._1
       val n = math.min(buf.length, a.length)
@@ -39,14 +43,16 @@ object VectorAvg extends Aggregator[Seq[Float], (Array[Double], Long), Seq[Doubl
 
   override def merge(x: (Array[Double], Long),
                      y: (Array[Double], Long)): (Array[Double], Long) = {
-    if (x._1.isEmpty) y
-    else if (y._1.isEmpty) x
-    else {
-      val n = math.min(x._1.length, y._1.length)
-      var i = 0
-      while (i < n) { x._1(i) += y._1(i); i += 1 }
-      (x._1, x._2 + y._2)
-    }
+    val sum =
+      if (x._1.isEmpty) y._1
+      else if (y._1.isEmpty) x._1
+      else {
+        val n = math.min(x._1.length, y._1.length)
+        var i = 0
+        while (i < n) { x._1(i) += y._1(i); i += 1 }
+        x._1
+      }
+    (sum, x._2 + y._2)
   }
 
   override def finish(b: (Array[Double], Long)): Seq[Double] =

@@ -205,9 +205,18 @@ case class MinhashSig(child: Expression, numHashes: Int)
   * yields NULL here (null-intolerant expression) where the HOF fold
   * yields its initial -1 — both mean "unassigned". */
 case class NearestCentroid(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with ImplicitCastInputTypes
+    with CodegenFallback {
 
   override def nullIntolerant: Boolean = true
+  // declared input types → Catalyst casts (or rejects) SQL-registered
+  // calls with double arrays etc., same discipline as the other
+  // expressions here — getFloat over undeclared input reads garbage
+  override def inputTypes =
+    Seq(ArrayType(FloatType),
+      ArrayType(StructType(Seq(
+        StructField("centroid_id", LongType),
+        StructField("centroid", ArrayType(DoubleType))))))
   override def dataType: DataType = LongType
   override def prettyName: String = "nearest_centroid"
 

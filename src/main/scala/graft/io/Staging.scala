@@ -246,9 +246,15 @@ object Staging {
       // lineage reads them) and is bounded by the update batch's
       // partition count, so the driver-side collect is a
       // maintenance-op constant, not a data scan.
-      val emptied = touched
-        .join(merged.select(partitionCols.map(col): _*).distinct(),
-          partitionCols, "left_anti")
+      // values go through Spark's own string cast, which matches the
+      // directory rendering for non-string partition types (e.g. a
+      // timestamp renders '2020-01-01 00:00:00', not the JVM
+      // toString's trailing '.0') — a toString-built path would miss
+      // the real directory and silently keep the stale files
+      def partStrs(df: DataFrame) = df.select(
+        partitionCols.map(c => col(c).cast("string").as(c)): _*)
+      val emptied = partStrs(touched)
+        .join(partStrs(merged).distinct(), partitionCols, "left_anti")
         .collect()
       overwritePartitionsDynamic(merged, storeDir, table, partitionCols)
       if (emptied.nonEmpty) {
@@ -263,7 +269,7 @@ object Staging {
           val sub = partitionCols.zipWithIndex.map { case (c, i) =>
             val v =
               if (row.isNullAt(i)) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
-              else ExternalCatalogUtils.escapePathName(row.get(i).toString)
+              else ExternalCatalogUtils.escapePathName(row.getString(i))
             s"$c=$v"
           }.mkString("/")
           fs.delete(new org.apache.hadoop.fs.Path(s"$path/$sub"), true)

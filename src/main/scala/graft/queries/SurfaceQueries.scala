@@ -229,6 +229,9 @@ object SurfaceQueries {
     // result is the oracle.
     "map_funcs" -> QueryDef(
       (s, d) => Tables.events(s, d)
+        // NULL map keys are a runtime error in Spark; exclude them
+        // symmetrically on both sides
+        .filter(col("event_type").isNotNull)
         .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
         .groupBy("user_id")
         .agg(map_from_entries(sort_array(collect_list(
@@ -237,7 +240,8 @@ object SurfaceQueries {
           explode(col("m")).as(Seq("event_type", "n")))
         .orderBy("user_id", "event_type"),
       Some("""SELECT user_id, event_type, count(*) AS n
-        |FROM events GROUP BY user_id, event_type
+        |FROM events WHERE event_type IS NOT NULL
+        |GROUP BY user_id, event_type
         |ORDER BY user_id, event_type""".stripMargin)),
 
     // Full SQL-text query through spark.sql over registered views —

@@ -127,9 +127,12 @@ object VectorQueries {
     "vector_avg_agg" -> QueryDef(
       (s, d) => Tables.embeddings(s, d)
         .groupBy("label")
+        // count(embedding), not count(*): NULL embeddings contribute
+        // to neither the mean nor the oracle's unnested rows
         .agg(graft.functions.VectorAvg.column(col("embedding"))
             .as("centroid"),
-          count(lit(1)).as("n_vectors"))
+          count(col("embedding")).as("n_vectors"))
+        .filter(col("n_vectors") > 0)
         .select(col("label"),
           round(sqrt(aggregate(col("centroid"), lit(0.0),
             (acc, v) => acc + v * v)), 6).as("centroid_norm"),

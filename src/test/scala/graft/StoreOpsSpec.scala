@@ -82,6 +82,25 @@ class StoreOpsSpec extends SparkSpec {
     assert(rows == Set((1L, "a2", "d2"), (2L, "b", "d2")))
   }
 
+  test("partition-scoped mergeUpsert clears moved-out TIMESTAMP " +
+    "partitions (directory-name rendering)") {
+    // regression: JVM Timestamp.toString renders '...00:00:00.0' but
+    // the directory is the Spark string cast '...00:00:00' — a
+    // toString-built delete path missed the stale directory
+    val store = Files.createTempDirectory("graft-upsert-ts").toString
+    val mk = (s: String) => java.sql.Timestamp.valueOf(s)
+    Staging.overwritePartitionsDynamic(
+      Seq((1L, "a", mk("2020-01-01 00:00:00")),
+        (2L, "b", mk("2020-01-02 00:00:00"))).toDF("id", "v", "ts"),
+      store, "t", Seq("ts"))
+    Staging.mergeUpsert(spark,
+      Seq((1L, "a2", mk("2020-01-02 00:00:00"))).toDF("id", "v", "ts"),
+      store, "t", "id", partitionCols = Seq("ts"))
+    val rows = Staging.readTable(spark, store, "t")
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(rows == Map(1L -> "a2", 2L -> "b"))
+  }
+
   test("schema-evolving append surfaces new columns as NULL on old rows") {
     val store = Files.createTempDirectory("graft-evolve").toString
     Staging.appendParquetEvolving(

@@ -174,6 +174,17 @@ class VectorSpec extends SparkSpec {
       .groupBy("label").agg(VectorAvg.column($"embedding").as("c"))
       .as[(Int, Seq[Double])].head()
     assert(empty._2.isEmpty)
+    // empty vectors are ignored like nulls, and the answer must not
+    // depend on partition layout (regression: a merge branch once
+    // dropped the empty-buffer side's count)
+    (1 to 4).foreach { parts =>
+      val mixed = Seq((0, Seq.empty[Float]), (0, Seq.empty[Float]),
+        (0, Seq(6f, 6f))).toDF("label", "embedding").repartition(parts)
+      val m = mixed.groupBy("label")
+        .agg(VectorAvg.column($"embedding").as("c"))
+        .as[(Int, Seq[Double])].head()
+      assert(m._2 == Seq(6.0, 6.0), s"parts=$parts")
+    }
   }
 
   test("srpSignature is deterministic and discriminates opposites") {
