@@ -29,6 +29,29 @@ object EventQueries {
         |FROM events GROUP BY 1, 2
         |ORDER BY window_start, event_type""".stripMargin)),
 
+    // SLIDING windows (1 h window, 30 min slide): every event lands in
+    // two windows. The oracle reproduces Spark's window set by
+    // unnesting both candidate starts per event.
+    "events_sliding" -> QueryDef(
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .select(col("window.start").as("window_start"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy("window_start", "event_type"),
+      Some(s"""WITH w AS (SELECT event_type, value,
+        |    unnest([date_trunc('hour', ts),
+        |      CASE WHEN extract(minute FROM ts) >= 30
+        |        THEN date_trunc('hour', ts) + INTERVAL 30 MINUTE
+        |        ELSE date_trunc('hour', ts) - INTERVAL 30 MINUTE
+        |      END]) AS window_start
+        |  FROM events)
+        |SELECT window_start, event_type, count(*) AS n,
+        |  ${dsumSql("value")} AS total_value
+        |FROM w GROUP BY 1, 2
+        |ORDER BY window_start, event_type""".stripMargin)),
+
     // Gap-based sessions (30 min) per user; session_end = last + gap.
     "events_session" -> QueryDef(
       (s, d) => EventOps.sessionize(Tables.events(s, d), "ts",

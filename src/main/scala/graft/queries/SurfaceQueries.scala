@@ -223,6 +223,27 @@ object SurfaceQueries {
         |  props ->> '$.device' AS device
         |FROM events ORDER BY event_id""".stripMargin)),
 
+    // regexp_extract_all: every digit run per document, as count +
+    // joined list — the multi-match regex surface beyond the single
+    // capture in string_funcs.
+    "regex_extract_all" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit("\\d+"), lit(0)))
+            .as("n_numbers"),
+          concat_ws(",",
+            regexp_extract_all(col("text"), lit("\\d+"), lit(0)))
+            .as("numbers"))
+        .orderBy("doc_id"),
+      // DuckDB yields NULL (not an empty list) on zero matches where
+      // Spark yields [] — coalesce to Spark's semantics
+      Some("""SELECT doc_id,
+        |  coalesce(CAST(len(regexp_extract_all(text, '\d+')) AS INT), 0)
+        |    AS n_numbers,
+        |  coalesce(array_to_string(regexp_extract_all(text, '\d+'), ','),
+        |    '') AS numbers
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Map-type surface: per-user event counts built into a MAP column
     // (map_from_entries over sorted struct entries), then exploded
     // back to rows — the map round-trip is Spark-side, the flattened
