@@ -223,6 +223,39 @@ object SurfaceQueries {
         |  props ->> '$.device' AS device
         |FROM events ORDER BY event_id""".stripMargin)),
 
+    // Array set operations: union/intersect/except of the token sets
+    // of consecutive documents (sorted for determinism, sizes +
+    // joined samples).
+    "array_set_ops" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"),
+            array_distinct(graft.ext.TextOps.tokens(col("text")))
+              .as("tok"))
+        val nxt = docs.select((col("doc_id") - 1).as("doc_id"),
+          col("tok").as("tok2"))
+        docs.join(nxt, Seq("doc_id"))
+          .select(col("doc_id"),
+            size(array_union(col("tok"), col("tok2"))).as("n_union"),
+            size(array_intersect(col("tok"), col("tok2")))
+              .as("n_intersect"),
+            concat_ws(",", sort_array(
+              array_except(col("tok"), col("tok2")))).as("only_first"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+        |    list_distinct(CASE WHEN length(trim(text)) = 0
+        |      THEN []::VARCHAR[]
+        |      ELSE regexp_split_to_array(lower(trim(text)), '\s+')
+        |    END) AS tok FROM documents)
+        |SELECT a.doc_id,
+        |  CAST(len(list_distinct(a.tok || b.tok)) AS INT) AS n_union,
+        |  CAST(len(list_intersect(a.tok, b.tok)) AS INT) AS n_intersect,
+        |  coalesce(array_to_string(list_sort(list_filter(a.tok,
+        |    x -> NOT list_contains(b.tok, x))), ','), '') AS only_first
+        |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+        |ORDER BY a.doc_id""".stripMargin)),
+
     // regexp_extract_all: every digit run per document, as count +
     // joined list — the multi-match regex surface beyond the single
     // capture in string_funcs.
