@@ -2,23 +2,37 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every SparkEntry query at the configured SF
-  * and prints one JSON metric line.
+  * and emits one JSON metric object — printed as the final stdout
+  * line AND written to a file (`SPARK_GRAFT_BENCH_OUT` env var, else
+  * `BENCH_METRIC.json` in the working directory) so the driver can
+  * parse it without scraping sbt-decorated logs.
   *
   * METHODOLOGY (recorded in the JSON as "timing"): each query is
   * first run once, untimed, in a parallel warmup pass; the timed
-  * sequential pass then measures STEADY-STATE execution. At bench SF
+  * sequential passes then measure STEADY-STATE execution. At bench SF
   * the one-time Janino/JIT compilation of each query's generated
   * stages (~0.3-0.5 s per query, ~25 s across the registry) would
   * otherwise dominate and scale-invert the signal — on the target
   * 100 TB runs the same compile cost is amortized over
   * minutes-to-hours of execution, so steady-state is the
-  * scale-faithful throughput measure. Warmup failures are ignored;
-  * the timed pass records per-query errors and exits non-zero on
+  * scale-faithful throughput measure. Both sides of that trade are in
+  * the JSON: "value" is the steady-state total (median per query over
+  * `SPARK_GRAFT_BENCH_RUNS` passes, default 3, so one noisy pass
+  * can't masquerade as a regression), "wall_total_sec" is the whole
+  * process wall including warmup and every pass — the cold-cost
+  * ceiling for a parser that wants warmup included. A warmup timeout
+  * or failure is logged and the bench continues (partial warmup just
+  * shifts some compile cost into pass 1, which the median absorbs);
+  * the timed passes record per-query errors and exit non-zero on
   * any. */
 object Bench {
   def main(args: Array[String]): Unit = {
+    val procT0 = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "BENCH_METRIC.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -28,7 +42,10 @@ object Bench {
     // absorb first-job session warmup (codegen, broadcast infra)
     spark.read.parquet(s"$sfDir/nation.parquet").count()
     // parallel warmup: compile + execute each query once so the timed
-    // pass below measures steady state (see scaladoc)
+    // passes below measure steady state (see scaladoc). Failures and
+    // timeouts are non-fatal by design — a partially-warmed registry
+    // still benches, just with some compile cost in pass 1.
+    var warmupIncomplete = 0
     val warmupSec = {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration._
@@ -39,31 +56,71 @@ object Bench {
       val fs = SparkEntry.queries.toSeq.map { case (_, fn) =>
         Future { try fn(spark, sfDir).count() catch { case _: Throwable => } }
       }
-      Await.ready(Future.sequence(fs), 15.minutes)
+      try Await.ready(Future.sequence(fs), 15.minutes)
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          warmupIncomplete = fs.count(!_.isCompleted)
+          System.err.println(
+            s"[bench] warmup timed out with $warmupIncomplete queries " +
+              "unfinished; continuing — pass-1 times for those include " +
+              "compile cost (median over runs absorbs it)")
+      }
       pool.shutdown()
       (System.nanoTime() - t0) / 1e9
     }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .linesIterator.next().take(200)
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+    // nRuns timed sequential passes; per-query stats over the passes
+    val passes: Seq[Map[String, Double]] = (1 to nRuns).map { _ =>
+      SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .linesIterator.next().take(200)
+        }
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
     }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val names = SparkEntry.queries.keys.toSeq
+    val med = names.map(n => n -> median(passes.map(_(n)))).toMap
+    val mn = names.map(n => n -> passes.map(_(n)).min).toMap
+    val mx = names.map(n => n -> passes.map(_(n)).max).toMap
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def f(v: Double) = BigDecimal(v).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toString
+    // "queries" stays a flat name->seconds map (driver compatibility);
+    // the per-query median/min/max detail rides in "query_stats"
+    val qs = names.map(n => s"\"${esc(n)}\":${f(med(n))}")
       .mkString("{", ",", "}")
+    val stats = names.map { n =>
+      s"\"${esc(n)}\":{\"median\":${f(med(n))},\"min\":${f(mn(n))},\"max\":${f(mx(n))}}"
+    }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"\"${esc(k)}\":\"${esc(v)}\"" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = med.values.sum
     spark.stop()
-    // the metric JSON must be the sole, final stdout line so the
-    // driver's parser finds it without scraping interleaved log output
+    val wallTotal = (System.nanoTime() - procT0) / 1e9
+    val json =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","timing":"steady_state_median_of_${nRuns}_runs_after_warmup","warmup_wall_sec":${f(warmupSec)},"warmup_incomplete":$warmupIncomplete,"wall_total_sec":${f(wallTotal)},"runs":$nRuns,"queries":$qs,"query_stats":$stats,"errors":$errJson,"sf":"$sfDir"}"""
+    // file first — the durable, parseable delivery channel (the
+    // driver's stdout capture is sbt-decorated and has repeatedly
+    // failed to yield a parseable line)
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (json + "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] metric written to $outPath")
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] could not write $outPath: $e")
+    }
+    // the metric JSON is also the sole, final stdout line
     Console.out.flush()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","timing":"steady_state_after_warmup","warmup_wall_sec":$warmupSec,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(json)
     if (errors.nonEmpty) sys.exit(1)
   }
 }

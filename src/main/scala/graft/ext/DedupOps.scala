@@ -365,10 +365,19 @@ object DedupOps {
     * bands for cross-batch candidates — and `sig_store(doc_id,
     * __tokset, __sig)` — the verification payload for matched
     * candidates only. A new doc is DROPPED if it verifies (exact
-    * hashed-token Jaccard ≥ threshold) against any accepted doc, or
-    * against a surviving earlier-id doc within its own batch;
-    * survivors' bands and signatures are appended to the index, so
-    * the next batch dedups against them too.
+    * hashed-token Jaccard ≥ threshold) against any previously
+    * accepted doc, or against ANY earlier-id doc within its own
+    * batch — whether or not that earlier doc itself survives. This
+    * is the single-pass greedy filter: on a transitive chain A~B,
+    * B~C (A≁C) both B and C are dropped (the chain collapses to
+    * its representative), which over-drops relative to a strict
+    * only-survivors-eliminate policy. That policy would need an
+    * iterative connected-components pass (multi-round shuffles over
+    * the candidate graph); the greedy form is deterministic,
+    * order-independent, and one shuffle — the right trade for a
+    * daily 100 TB batch, and the convention used by large-corpus
+    * dedup pipelines. Survivors' bands and signatures are appended
+    * to the index, so the next batch dedups against them too.
     *
     * Scale shapes as the batch form: candidates carry ids only, the
     * signatures/bands are computed ONCE per batch and reused by both

@@ -19,48 +19,56 @@ import org.apache.spark.sql.functions.udaf
   *
   * Null/ragged handling: null AND empty vectors are ignored (an
   * empty vector carries no components, and counting it would dilute
-  * the mean — and make the buffer-merge order observable); the
-  * buffer sizes itself from the first non-empty vector seen and
-  * shorter/longer vectors contribute their overlapping prefix
-  * (min-length, consistent with [[CosineSimilarity]]); a group with
-  * no non-empty vectors yields an empty array. Counts are summed in
-  * every merge branch, so results are partition-layout independent. */
-object VectorAvg extends Aggregator[Seq[Float], (Array[Double], Long), Seq[Double]] {
+  * the mean); ragged groups are handled per-dimension — the buffer
+  * grows to the LONGEST vector seen and each dimension tracks its
+  * own count, so dimension i's output is the mean over exactly the
+  * vectors that have a dimension i. No vector is truncated, and the
+  * result is independent of encounter/partition order (uniform-length
+  * groups — the normal case — reduce to the plain element-wise mean).
+  * A group with no non-empty vectors yields an empty array. */
+object VectorAvg extends Aggregator[Seq[Float], (Array[Double], Array[Long]), Seq[Double]] {
 
-  override def zero: (Array[Double], Long) = (Array.empty[Double], 0L)
+  override def zero: (Array[Double], Array[Long]) =
+    (Array.empty[Double], Array.empty[Long])
 
-  override def reduce(b: (Array[Double], Long),
-                      a: Seq[Float]): (Array[Double], Long) = {
+  override def reduce(b: (Array[Double], Array[Long]),
+                      a: Seq[Float]): (Array[Double], Array[Long]) = {
     if (a == null || a.isEmpty) b
     else {
-      val buf = if (b._1.isEmpty) new Array[Double](a.length) else b._1
-      val n = math.min(buf.length, a.length)
+      val sums =
+        if (b._1.length >= a.length) b._1
+        else java.util.Arrays.copyOf(b._1, a.length)
+      val counts =
+        if (b._2.length >= a.length) b._2
+        else java.util.Arrays.copyOf(b._2, a.length)
       var i = 0
-      while (i < n) { buf(i) += a(i); i += 1 }
-      (buf, b._2 + 1)
+      while (i < a.length) { sums(i) += a(i); counts(i) += 1; i += 1 }
+      (sums, counts)
     }
   }
 
-  override def merge(x: (Array[Double], Long),
-                     y: (Array[Double], Long)): (Array[Double], Long) = {
-    val sum =
-      if (x._1.isEmpty) y._1
-      else if (y._1.isEmpty) x._1
-      else {
-        val n = math.min(x._1.length, y._1.length)
-        var i = 0
-        while (i < n) { x._1(i) += y._1(i); i += 1 }
-        x._1
+  override def merge(x: (Array[Double], Array[Long]),
+                     y: (Array[Double], Array[Long])): (Array[Double], Array[Long]) = {
+    if (x._1.isEmpty) y
+    else if (y._1.isEmpty) x
+    else {
+      // accumulate the shorter pair into the longer
+      val (big, small) = if (x._1.length >= y._1.length) (x, y) else (y, x)
+      var i = 0
+      while (i < small._1.length) {
+        big._1(i) += small._1(i); big._2(i) += small._2(i); i += 1
       }
-    (sum, x._2 + y._2)
+      big
+    }
   }
 
-  override def finish(b: (Array[Double], Long)): Seq[Double] =
-    if (b._2 == 0) Seq.empty
-    else b._1.toSeq.map(_ / b._2)
+  override def finish(b: (Array[Double], Array[Long])): Seq[Double] =
+    // every dimension that exists was contributed by at least the
+    // vector that set the buffer length, so counts are all > 0
+    b._1.toSeq.zip(b._2).map { case (s, c) => s / c }
 
-  override def bufferEncoder: Encoder[(Array[Double], Long)] =
-    ExpressionEncoder[(Array[Double], Long)]()
+  override def bufferEncoder: Encoder[(Array[Double], Array[Long])] =
+    ExpressionEncoder[(Array[Double], Array[Long])]()
   override def outputEncoder: Encoder[Seq[Double]] =
     ExpressionEncoder[Seq[Double]]()
 

@@ -101,24 +101,38 @@ object JdbcStore {
       .save()
 
   /** Driver-side metadata probe — one cheap catalog query, never a
-    * table scan. */
+    * table scan.
+    *
+    * `DatabaseMetaData.getTables` treats its table-name argument as a
+    * LIKE pattern: '_' and '%' are wildcards, so an unescaped probe
+    * for `band_index` would also match `bandXindex` — sending
+    * `loadIfNewJdbc` down the existing-table path against a table
+    * that doesn't exist. The name is escaped with the driver's own
+    * search-string escape and each returned TABLE_NAME is compared
+    * for exact (case-insensitive) equality. */
   def tableExists(url: String, table: String): Boolean = {
     val conn = DriverManager.getConnection(url, connProps())
     try {
       val md = conn.getMetaData
+      val escChar = Option(md.getSearchStringEscape).getOrElse("\\")
+      val pattern = table.flatMap {
+        case c @ ('_' | '%') => escChar + c
+        case c if escChar.length == 1 && c == escChar.head => escChar + c
+        case c => c.toString
+      }
+      def probe(pat: String): Boolean = {
+        val rs = md.getTables(null, null, pat, null)
+        try {
+          var found = false
+          while (!found && rs.next())
+            found = table.equalsIgnoreCase(rs.getString("TABLE_NAME"))
+          found
+        } finally rs.close()
+      }
       // Spark's JDBC writer quotes identifiers, so a lowercase Spark
       // table name is stored case-exact; probe both it and the
       // dialect-uppercased form to stay portable across databases.
-      val rs = md.getTables(null, null, table, null)
-      val exact = rs.next()
-      rs.close()
-      if (exact) true
-      else {
-        val rs2 = md.getTables(null, null, table.toUpperCase, null)
-        val upper = rs2.next()
-        rs2.close()
-        upper
-      }
+      probe(pattern) || probe(pattern.toUpperCase)
     } finally conn.close()
   }
 }

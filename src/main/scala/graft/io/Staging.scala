@@ -216,10 +216,10 @@ object Staging {
         new org.apache.hadoop.fs.Path(path))
     } else {
       // partition-scoped: rewrite every partition the merge AFFECTS —
-      // the partitions the updates write INTO (dynamic overwrite will
-      // replace these, so their surviving rows must be re-emitted or
-      // they are lost) plus the partitions updated keys currently
-      // live in (covers a key MOVING between partitions)
+      // the partitions the updates write INTO (their surviving rows
+      // must be re-emitted or they are lost) plus the partitions
+      // updated keys currently live in (covers a key MOVING between
+      // partitions)
       val touched = store.join(updates.select(key), Seq(key), "left_semi")
         .select(partitionCols.map(col): _*)
         .unionByName(updates.select(partitionCols.map(col): _*))
@@ -228,54 +228,72 @@ object Staging {
         .join(touched, partitionCols, "left_semi")
         .join(updates.select(key), Seq(key), "left_anti")
       val merged = keep.unionByName(updates)
-      // merged only emits touched + newly-introduced partitions →
-      // dynamic overwrite leaves every other partition's files alone.
-      // The cache+count materializes `merged` BEFORE the overwrite
-      // starts deleting the files it was computed from; caveat: if an
-      // executor evicts cached blocks mid-write, the recovery lineage
-      // would re-read the store being overwritten — a production
-      // deployment stages per-partition through a temp dir (as the
-      // whole-table branch does) or uses a transactional table format
-      merged.cache()
-      merged.count()
-      // dynamic overwrite only replaces partitions PRESENT in the
-      // written data: a touched partition whose every row was an
-      // updated key that moved elsewhere emits nothing and would keep
-      // its stale files — those are cleared explicitly below. The set
-      // is computed BEFORE the overwrite mutates the store files (its
-      // lineage reads them) and is bounded by the update batch's
-      // partition count, so the driver-side collect is a
-      // maintenance-op constant, not a data scan.
-      // values go through Spark's own string cast, which matches the
-      // directory rendering for non-string partition types (e.g. a
-      // timestamp renders '2020-01-01 00:00:00', not the JVM
-      // toString's trailing '.0') — a toString-built path would miss
-      // the real directory and silently keep the stale files
-      def partStrs(df: DataFrame) = df.select(
+      // Stage `merged` — whose lineage READS the store — through a
+      // temp directory, fully materialized on durable storage BEFORE
+      // any store file is touched, then swap partition directories
+      // into place. The earlier cache()-then-dynamic-overwrite form
+      // had a data-loss window: cached blocks evicted mid-overwrite
+      // would recompute from the half-overwritten store. Staging
+      // removes the window entirely; a crash mid-swap leaves each
+      // partition either old or new (the same per-partition
+      // granularity dynamic overwrite has), never half-written.
+      val tmp = s"$storeDir/__merge_tmp_$table"
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+      fs.delete(tmpPath, true)
+      merged.write.mode(SaveMode.Overwrite)
+        .partitionBy(partitionCols: _*).parquet(tmp)
+      // `partitionBy` renders directory names with Spark's own value
+      // escaping (':' → '%3A', NULL → __HIVE_DEFAULT_PARTITION__) —
+      // listing the temp dir therefore yields the authoritative
+      // relative paths, identical to what a dynamic overwrite of the
+      // store would have produced. Walk partitionCols.size levels to
+      // collect "c1=v1/c2=v2"-style relative paths.
+      def listPartDirs(base: org.apache.hadoop.fs.Path, depth: Int,
+                       prefix: String): Seq[String] =
+        if (depth == 0) Seq(prefix)
+        else fs.listStatus(base).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+          .flatMap { s =>
+            val rel = if (prefix.isEmpty) s.getPath.getName
+                      else s"$prefix/${s.getPath.getName}"
+            listPartDirs(s.getPath, depth - 1, rel)
+          }
+      val emitted = listPartDirs(tmpPath, partitionCols.size, "")
+      // a touched partition whose every row was an updated key that
+      // moved elsewhere emits nothing — its stale store files are
+      // cleared explicitly. The collect is bounded by the update
+      // batch's partition count (maintenance-op constant, not a data
+      // scan) and runs BEFORE the store is mutated. Values go through
+      // Spark's string cast so non-string partition types render as
+      // the directory names do (e.g. timestamps without a JVM
+      // toString trailing '.0').
+      import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      val touchedSubs = touched.select(
         partitionCols.map(c => col(c).cast("string").as(c)): _*)
-      val emptied = partStrs(touched)
-        .join(partStrs(merged).distinct(), partitionCols, "left_anti")
         .collect()
-      overwritePartitionsDynamic(merged, storeDir, table, partitionCols)
-      if (emptied.nonEmpty) {
-        val fs = new org.apache.hadoop.fs.Path(path)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        // directory names use Spark's own partition-value escaping
-        // (e.g. ':' → '%3A', NULL → __HIVE_DEFAULT_PARTITION__) — a
-        // raw toString would miss the real directory and silently
-        // leave the stale files in place
-        import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        emptied.foreach { row =>
-          val sub = partitionCols.zipWithIndex.map { case (c, i) =>
+        .map { row =>
+          partitionCols.zipWithIndex.map { case (c, i) =>
             val v =
               if (row.isNullAt(i)) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
               else ExternalCatalogUtils.escapePathName(row.getString(i))
             s"$c=$v"
           }.mkString("/")
-          fs.delete(new org.apache.hadoop.fs.Path(s"$path/$sub"), true)
-        }
+        }.toSet
+      // swap staged partitions into the store (replace-or-add), then
+      // drop touched-but-empty partitions; untouched partitions'
+      // files are never listed, read, or moved
+      emitted.foreach { rel =>
+        val dst = new org.apache.hadoop.fs.Path(s"$path/$rel")
+        fs.delete(dst, true)
+        fs.mkdirs(dst.getParent)
+        fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/$rel"), dst)
       }
-      merged.unpersist()
+      (touchedSubs -- emitted).foreach { rel =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/$rel"), true)
+      }
+      fs.delete(tmpPath, true)
     }
     readTable(spark, storeDir, table).count()
   }
