@@ -173,17 +173,25 @@ object DedupOps {
     * @param maxCandidates optional cap: keep only the top candidates
     *                      by band-collision count before the payload
     *                      joins (for top-k style queries)
+    * @param maxBucketSize hot-bucket drop cap forwarded to
+    *                      [[minhashCandidates]]; raise it (e.g. to the
+    *                      corpus size) when the query must be an
+    *                      exactness proof — capped buckets trade recall
+    *                      for boundedness and a verification-against-
+    *                      ground-truth run must not take that trade
     * @return (id_a, id_b, est_jaccard, jaccard) with id_a < id_b */
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           shingleSize: Int = 3, numHashes: Int = 64,
                           bands: Int = 16, threshold: Double = 0.5,
-                          maxCandidates: Int = 0): DataFrame = {
+                          maxCandidates: Int = 0,
+                          maxBucketSize: Int = 50): DataFrame = {
     // The signature table feeds candidate generation and both payload
     // joins — persist it (corpus-linear: id + 64 longs + token set;
     // at 100 TB this is the table you'd checkpoint to storage).
     val sigs = signatureTable(df, idCol, textCol, shingleSize, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val candAll = minhashCandidates(sigs, bands, numHashes / bands)
+    val candAll =
+      minhashCandidates(sigs, bands, numHashes / bands, maxBucketSize)
     val cand =
       if (maxCandidates > 0)
         candAll.orderBy(col("n_bands_matching").desc, col("id_a"),

@@ -312,6 +312,52 @@ object TextQueries {
         .limit(20),
       None),
 
+    // MinHash/LSH as an EXACTNESS PROOF under a full DuckDB oracle:
+    // over a deterministic doc subset, the verified output (exact
+    // token-set Jaccard ≥ 0.9) must equal ALL subset pairs at that
+    // threshold — i.e. LSH recall is exactly 1 here, not just "high".
+    // Three parameter choices make that provable rather than hoped:
+    //   - shingleSize = 1: the banded minhash estimates the SAME
+    //     token-set Jaccard the verification (and oracle) computes, so
+    //     banding probability is driven by the verified quantity
+    //     (3-gram shingle similarity can be near zero for reordered
+    //     token sets with Jaccard 1);
+    //   - maxBucketSize = Int.MaxValue: the hot-bucket recall/
+    //     boundedness trade is disabled — a ground-truth run must not
+    //     drop buckets (the production path with the cap is
+    //     `dedup_minhash_lsh` above);
+    //   - 16 bands × 4 rows: per-pair miss probability at j ≥ 0.9 is
+    //     (1-j⁴)¹⁶ ≤ 4e-8 under the deterministic xxhash64 family —
+    //     and this oracle row-hash-verifies the realized outcome is
+    //     zero misses. DedupSpec's recall case asserts the same
+    //     equality on its crafted corpus.
+    // The doc_id % 5 subset bounds the dense-corpus candidate flood
+    // (this synthetic corpus has ~1M pairs at j ≥ 0.9 at sf0.1) while
+    // keeping the oracle a genuine all-pairs ground truth.
+    "dedup_minhash_verified" -> QueryDef(
+      (s, d) => DedupOps.minhashNearDupPairs(
+          Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+            .repartition(32), // see minhash note
+          "doc_id", "text", shingleSize = 1, numHashes = 64, bands = 16,
+          threshold = 0.9, maxBucketSize = Int.MaxValue)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .orderBy(col("jaccard").desc, col("id_a"), col("id_b")),
+      // the threshold applies to the ROUNDED jaccard on both sides
+      // (minhashNearDupPairs filters the rounded column)
+      Some("""WITH t AS (SELECT doc_id,
+        |    list_distinct(CASE WHEN length(trim(text)) = 0
+        |         THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(lower(trim(text)), '\s+')
+        |    END) AS ts
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    round(len(list_intersect(a.ts, b.ts))::DOUBLE /
+        |      (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))),
+        |      6) AS jaccard
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.9
+        |ORDER BY jaccard DESC, id_a, id_b""".stripMargin)),
+
     // SimHash near-dup candidates (Hamming ≤ 8 of 64 bits). No SQL
     // oracle (xxhash-based signatures); in-query invariant: the
     // emitted `hamming_distance` is the full 64-bit distance recomputed

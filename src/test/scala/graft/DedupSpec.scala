@@ -54,6 +54,40 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("uncapped token-level minhash has recall 1 vs exact jaccard " +
+    "(the dedup_minhash_verified contract)") {
+    // richer corpus: clusters of token-set near-dups plus noise docs
+    val corpus = (
+      (1 to 8).map(i => (i.toLong,
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+          (if (i % 2 == 0) "lambda" else "mu"))) ++
+      (9 to 12).map(i => (i.toLong,
+        s"totally distinct content number $i about nothing shared")) ++
+      Seq((13L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    ).toDF("doc_id", "text")
+    val t = 0.8
+    // exact ground truth: all-pairs token-set jaccard in Spark itself
+    val ts = corpus.select($"doc_id",
+      array_distinct(graft.ext.TextOps.tokens($"text")).as("ts"))
+    val exact = ts.as("a").join(ts.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        (size(array_intersect($"a.ts", $"b.ts")).cast("double") /
+          (size($"a.ts") + size($"b.ts") -
+            size(array_intersect($"a.ts", $"b.ts")))).as("j"))
+      .filter(round($"j", 6) >= t)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    // shingleSize=1 + uncapped buckets: banding estimates the SAME
+    // token-set jaccard being verified → every pair at j >= t shares
+    // a band and survives verification — set equality, not just recall
+    val got = DedupOps.minhashNearDupPairs(corpus, "doc_id", "text",
+        shingleSize = 1, numHashes = 64, bands = 16, threshold = t,
+        maxBucketSize = Int.MaxValue)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == exact, s"verified=$got exact=$exact")
+  }
+
   test("simhash: near-dups within small hamming distance, unrelated far") {
     val sigs = docs.select($"doc_id",
       DedupOps.simhash(graft.ext.TextOps.tokens($"text")).as("sig"))
