@@ -3,21 +3,21 @@ package graft.ext
 import java.nio.{ByteBuffer, ByteOrder}
 
 /** Pure-JVM media codecs for the multimodal pipeline: uncompressed
-  * 24-bit BMP and 16-bit PCM WAV — real byte-level decode with zero
-  * native/library dependencies, replacing the hash-derived
-  * [[MultimodalOps.decodeStub]] pseudo-features with actual pixel and
-  * sample values. The reference has no media layer at all; this is
-  * part of the mandated training-data-pipeline surface (multimodal
-  * binary columns with a real decode seam).
+  * 24-bit BMP and 16-bit PCM WAV parsed from first principles, plus
+  * compressed PNG/JPEG through the JDK's own `javax.imageio` (in
+  * every JRE, zero external dependencies) — real byte-level decode
+  * replacing the hash-derived [[MultimodalOps.decodeStub]]
+  * pseudo-features with actual pixel and sample values. The reference
+  * has no media layer at all; this is part of the mandated
+  * training-data-pipeline surface (multimodal binary columns with a
+  * real decode seam).
   *
-  * These are deliberately *formats a JVM can parse from first
-  * principles*: the container sandbox ships no image/audio libraries,
-  * and a production deployment swaps in its codec behind the same
-  * [[Decoded]] row shape. All functions are total: malformed bytes
-  * decode to `format = "unknown"` instead of throwing, so one corrupt
-  * asset cannot kill a 100 TB decode stage (row-group-granularity
-  * error isolation, same philosophy as the reference's per-place
-  * try/except at extraction.py:160-165).
+  * A production deployment swaps in richer codecs (video containers,
+  * FLAC, …) behind the same [[Decoded]] row shape. All functions are
+  * total: malformed bytes decode to `format = "unknown"` instead of
+  * throwing, so one corrupt asset cannot kill a 100 TB decode stage
+  * (row-group-granularity error isolation, same philosophy as the
+  * reference's per-place try/except at extraction.py:160-165).
   */
 object MediaCodecs {
 
@@ -189,11 +189,72 @@ object MediaCodecs {
       if (totalSamples == 0) None else Some(sum.toDouble / totalSamples))
   }
 
+  // ------------------------------------------------------------------
+  // PNG / JPEG via the JDK's javax.imageio (headless-safe, no deps)
+  // ------------------------------------------------------------------
+
+  /** Encode a solid-color PNG through `ImageIO` — lossless, so a
+    * constant-color image round-trips to EXACT per-channel means
+    * (which is what keeps the decode oracle arithmetic). */
+  def encodePng(width: Int, height: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    require(width > 0 && height > 0)
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = ((r & 0xff) << 16) | ((g & 0xff) << 8) | (b & 0xff)
+    val row = Array.fill(width)(rgb)
+    var y = 0
+    while (y < height) { img.setRGB(0, y, width, 1, row, 0, width); y += 1 }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decode a compressed image (PNG/JPEG — whatever the JRE's
+    * `ImageIO` readers accept) to dimensions + per-channel means.
+    * `getRGB` converts any source color model to packed sRGB, so the
+    * channel extraction is uniform; rows are read in bulk to avoid a
+    * per-pixel conversion call. A payload the reader rejects (or a
+    * decode error deep in the codec) yields `Unknown` — same totality
+    * contract as the hand-rolled parsers above. */
+  def decodeImage(bytes: Array[Byte], format: String): Decoded =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) Unknown
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val row = new Array[Int](w)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < h) {
+          img.getRGB(0, y, w, 1, row, 0, w)
+          var x = 0
+          while (x < w) {
+            val p = row(x)
+            sr += (p >> 16) & 0xff
+            sg += (p >> 8) & 0xff
+            sb += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        Decoded(format, Some(w), Some(h),
+          Some(sr.toDouble / n), Some(sg.toDouble / n), Some(sb.toDouble / n),
+          None, None, None, None)
+      }
+    } catch { case scala.util.control.NonFatal(_) => Unknown }
+
   /** Sniff-and-decode: dispatch on magic bytes. */
   def decode(bytes: Array[Byte]): Decoded =
     if (bytes == null || bytes.length < 4) Unknown
     else if (bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
     else if (bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
       bytes(3) == 'F') decodeWav(bytes)
+    else if ((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' &&
+      bytes(2) == 'N' && bytes(3) == 'G') decodeImage(bytes, "png")
+    else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8 &&
+      (bytes(2) & 0xff) == 0xff) decodeImage(bytes, "jpeg")
     else Unknown
 }

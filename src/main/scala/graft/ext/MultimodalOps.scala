@@ -8,13 +8,15 @@ import org.apache.spark.sql.types._
   * `BinaryType` payloads with a typed metadata struct, plus the
   * decode / feature-extract / resize / frame-sample plumbing.
   *
-  * The actual codec step is STUBBED (no image/audio libraries in this
-  * environment): [[decodeStub]] derives deterministic pseudo-features
-  * from the payload bytes. Everything around it — schema, batch
-  * shape, partition-parallel execution, column pruning of large
-  * binaries — is real Spark plumbing: a production deployment swaps
-  * `decodeStub`'s expression for a `mapPartitions` batch over a real
-  * codec with the same signature.
+  * The decode path is REAL for BMP, WAV, PNG, and JPEG
+  * ([[MediaCodecs]]: hand-rolled parsers + the JDK's `javax.imageio`
+  * — no external libraries). [[decodeStub]] remains only as the
+  * documented seam for formats beyond those (video containers etc.,
+  * whose codecs this sandbox doesn't ship): it derives deterministic
+  * pseudo-features from payload bytes with the same row shape, so a
+  * production deployment swaps in its codec without touching the
+  * plumbing — schema, batch shape, partition-parallel execution, and
+  * column pruning of large binaries are identical either way.
   *
   * Scale notes: payloads only flow through narrow maps — every
   * wide op (grouping, joins) runs on `asset_id`/metadata only, never
@@ -90,11 +92,14 @@ object MultimodalOps {
   }
 
   /** Deterministic mixed-media corpus keyed by id — even ids become
-    * solid-color BMPs, odd ids constant-amplitude WAVs, with every
-    * decoded property a pure arithmetic function of the id. This is
-    * what makes the decode round-trip *oracle-checkable*: DuckDB can
-    * compute the expected width/mean/duration from the id alone while
-    * Spark actually encodes and decodes the bytes. */
+    * solid-color images (id % 4 == 0 → compressed PNG through
+    * `javax.imageio`, else uncompressed BMP — both lossless, so
+    * constant color round-trips exactly), odd ids constant-amplitude
+    * WAVs, with every decoded property a pure arithmetic function of
+    * the id. This is what makes the decode round-trip
+    * *oracle-checkable*: DuckDB can compute the expected
+    * width/mean/duration from the id alone while Spark actually
+    * encodes and decodes the bytes. */
   def synthesizeMedia(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -103,8 +108,12 @@ object MultimodalOps {
         val payload =
           if (id % 2 == 0) {
             val v = (id % 256).toInt
-            MediaCodecs.encodeBmp24((id % 16).toInt + 1,
-              (id % 8).toInt + 1, v, v, v)
+            if (id % 4 == 0)
+              MediaCodecs.encodePng((id % 16).toInt + 1,
+                (id % 8).toInt + 1, v, v, v)
+            else
+              MediaCodecs.encodeBmp24((id % 16).toInt + 1,
+                (id % 8).toInt + 1, v, v, v)
           } else {
             val n = (id % 100).toInt + 1
             val amp = (id % 1000).toShort

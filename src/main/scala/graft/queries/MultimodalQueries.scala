@@ -29,17 +29,20 @@ object MultimodalQueries {
         |FROM documents ORDER BY asset_id""".stripMargin)),
 
     // REAL byte-level decode round-trip: encode deterministic media
-    // (even ids → solid-color 24-bit BMP, odd ids → constant-amplitude
-    // PCM WAV), decode the actual bytes back, emit pixel/sample stats.
-    // Oracle-checkable because every decoded property is arithmetic in
-    // the id — DuckDB computes the expectation, Spark earns it by
-    // parsing the binary.
+    // (id % 4 == 0 → solid-color PNG via javax.imageio, other even
+    // ids → 24-bit BMP, odd ids → constant-amplitude PCM WAV), decode
+    // the actual bytes back, emit pixel/sample stats. Oracle-checkable
+    // because every decoded property is arithmetic in the id — DuckDB
+    // computes the expectation, Spark earns it by parsing the binary
+    // (PNG included: lossless, so constant color round-trips exactly
+    // through deflate + the ImageIO reader).
     "multimodal_decode" -> QueryDef(
       (s, d) => MultimodalOps.decodeMedia(
           MultimodalOps.synthesizeMedia(Tables.documents(s, d), "doc_id"))
         .orderBy("asset_id"),
       Some("""SELECT doc_id AS asset_id,
-        |  CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS format,
+        |  CASE WHEN doc_id % 2 = 1 THEN 'wav'
+        |       WHEN doc_id % 4 = 0 THEN 'png' ELSE 'bmp' END AS format,
         |  CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 16 + 1 AS INT) END AS width,
         |  CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 8 + 1 AS INT) END AS height,
         |  CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 256 AS DOUBLE) END AS mean_r,

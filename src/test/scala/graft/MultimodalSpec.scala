@@ -74,6 +74,45 @@ class MultimodalSpec extends SparkSpec {
     assert(long.duration_ms.contains(2000L) && long.mean_sample.contains(5.0))
   }
 
+  test("PNG encode→decode round-trips real pixel values via ImageIO") {
+    import graft.ext.MediaCodecs
+    val d = MediaCodecs.decode(MediaCodecs.encodePng(7, 4, 10, 20, 30))
+    assert(d.format == "png" && d.width.contains(7) && d.height.contains(4))
+    // lossless: constant color survives deflate exactly
+    assert(d.mean_r.contains(10.0) && d.mean_g.contains(20.0) &&
+      d.mean_b.contains(30.0))
+    // non-constant image: means are the true pixel averages
+    val img = new java.awt.image.BufferedImage(2, 1,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000) // red
+    img.setRGB(1, 0, 0x0000ff) // blue
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val d2 = MediaCodecs.decode(bos.toByteArray)
+    assert(d2.format == "png")
+    assert(d2.mean_r.contains(127.5) && d2.mean_g.contains(0.0) &&
+      d2.mean_b.contains(127.5))
+  }
+
+  test("JPEG decode via ImageIO: sniffed, dimensions exact, means near") {
+    import graft.ext.MediaCodecs
+    val img = new java.awt.image.BufferedImage(16, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(100, 150, 200))
+    g.fillRect(0, 0, 16, 8)
+    g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpeg", bos)
+    val d = MediaCodecs.decode(bos.toByteArray)
+    assert(d.format == "jpeg" && d.width.contains(16) && d.height.contains(8))
+    // lossy codec: means approximate the source color
+    assert(math.abs(d.mean_r.get - 100) < 8 &&
+      math.abs(d.mean_g.get - 150) < 8 && math.abs(d.mean_b.get - 200) < 8)
+    // truncated JPEG stays total
+    assert(MediaCodecs.decode(bos.toByteArray.take(8)).format == "unknown")
+  }
+
   test("malformed payloads decode to 'unknown', never throw") {
     import graft.ext.MediaCodecs
     assert(MediaCodecs.decode(null).format == "unknown")
@@ -121,7 +160,8 @@ class MultimodalSpec extends SparkSpec {
       .map(r => r.getAs[Long]("asset_id") -> r.getAs[String]("format"))
       .toMap
     assert(out == (0L to 9L).map(i =>
-      i -> (if (i % 2 == 0) "bmp" else "wav")).toMap)
+      i -> (if (i % 2 == 1) "wav"
+            else if (i % 4 == 0) "png" else "bmp")).toMap)
     val r4 = MultimodalOps.decodeMedia(assets)
       .filter($"asset_id" === 4).head()
     assert(r4.getAs[Int]("width") == 5 && r4.getAs[Int]("height") == 5)
