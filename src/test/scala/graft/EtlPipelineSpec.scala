@@ -101,4 +101,48 @@ class EtlPipelineSpec extends SparkSpec {
     assert(r3.loaded("reviews") == 1)
     assert(r3.mart("fact_maps") == 3)
   }
+
+  test("catalog mode: store and mart addressable as named SQL tables " +
+    "with declared schemas") {
+    import graft.schema.{CatalogDDL, Schemas}
+    val root = Files.createTempDirectory("graft-etl-cat")
+    val (staging, store, mart) =
+      (root.resolve("staging"), root.resolve("store"), root.resolve("mart"))
+    fixtures(staging)
+    Pipeline.run(spark, staging.toString, store.toString, mart.toString)
+
+    // D1/D2 catalog form: CREATE DATABASE + CREATE TABLE ... USING
+    // parquet LOCATION with the DECLARED StructTypes
+    CatalogDDL.registerOperationalStore(spark, store.toString, "t_ops")
+    CatalogDDL.registerMart(spark, mart.toString, "t_mart")
+    assert(Schemas.operational.keySet.forall(t =>
+      spark.catalog.tableExists(s"t_ops.$t")))
+    assert(Schemas.mart.keySet.forall(t =>
+      spark.catalog.tableExists(s"t_mart.$t")))
+    // catalog schema is the declared one, not inference
+    assert(spark.table("t_mart.fact_maps").schema == Schemas.factMaps)
+
+    // entry-point-C data readable through named tables: same rows the
+    // path API sees
+    assert(spark.sql("SELECT count(*) AS n FROM t_ops.reviews")
+      .head().getAs[Long]("n") ==
+      Staging.readTable(spark, store.toString, "reviews").count())
+
+    // a mart query in pure SQL over named tables — dim/fact join the
+    // way the reference's DW SQL layer reads its mart
+    val byDay = spark.sql(
+      """SELECT w.hari, count(*) AS n_reviews
+        |FROM t_mart.fact_maps f
+        |JOIN t_mart.dim_waktu w
+        |  ON f.timestamp_datetime = w.timestamp_datetime
+        |GROUP BY w.hari ORDER BY w.hari""".stripMargin).collect()
+    assert(byDay.map(_.getAs[Long]("n_reviews")).sum == 2) // r1, r2
+    // idempotent re-registration (IF NOT EXISTS semantics)
+    CatalogDDL.registerMart(spark, mart.toString, "t_mart")
+    assert(spark.table("t_mart.dim_waktu").count() > 0)
+    spark.sql("DROP DATABASE t_ops CASCADE")
+    spark.sql("DROP DATABASE t_mart CASCADE")
+    // external tables: dropping catalog entries never deletes data
+    assert(Staging.readTable(spark, mart.toString, "fact_maps").count() == 2)
+  }
 }
