@@ -88,6 +88,60 @@ class DedupSpec extends SparkSpec {
     assert(got == exact, s"verified=$got exact=$exact")
   }
 
+  test("degenerate corpus: hot LSH buckets and hot blocks stay capped — " +
+    "pair counts bounded, wall-time flat") {
+    // adversarial shape at stress size: HALF the corpus is one
+    // boilerplate text (→ identical signatures → every band lands 50%
+    // of docs in ONE bucket), the rest is diverse. Uncapped, the hot
+    // bucket alone contributes n²/8 ≈ 12.5M candidate pairs; the cap
+    // must keep both the pair count and the wall-time at the diverse
+    // corpus's order of magnitude.
+    val n = 10000
+    val boiler = "identical boilerplate text repeated across half of " +
+      "the whole corpus in every single row"
+    def corpus(degenerate: Boolean) = {
+      val uniq = concat_ws(" ", (0 until 12).map(k =>
+        concat(lit(s"w${k}_"), pmod($"doc_id" * (k + 7), lit(99991)))): _*)
+      spark.range(n).toDF("doc_id").select($"doc_id",
+        (if (degenerate) when($"doc_id" % 2 === 0, lit(boiler)).otherwise(uniq)
+         else uniq).as("text"))
+    }
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    // minhash: hot buckets (> maxBucketSize=50) are dropped, so the
+    // 5000-identical-doc cluster contributes ZERO candidate pairs and
+    // survivors are bounded by small-bucket combinatorics
+    val (degPairs, tDeg) = timed(DedupOps.minhashNearDupPairs(
+      corpus(degenerate = true), "doc_id", "text", threshold = 0.5).count())
+    val (divPairs, tDiv) = timed(DedupOps.minhashNearDupPairs(
+      corpus(degenerate = false), "doc_id", "text", threshold = 0.5).count())
+    assert(degPairs < 10000L,
+      s"degenerate corpus emitted $degPairs pairs — hot-bucket cap broken")
+    // wall-time flat: the degenerate run must stay within noise range
+    // of the diverse run, nowhere near the ~1000× of an uncapped n²/8
+    assert(tDeg <= 5 * math.max(tDiv, 2.0),
+      s"degenerate $tDeg s vs diverse $tDiv s — quadratic blowup")
+    info(f"minhash degenerate: $degPairs pairs in $tDeg%.1f s; " +
+      f"diverse: $divPairs pairs in $tDiv%.1f s")
+
+    // ngram-jaccard blocking: one (lang, source) block holds 50% of
+    // docs → over maxBlockSize → dropped, never joined quadratically
+    val blocked = corpus(degenerate = true).select($"doc_id", $"text",
+      when($"doc_id" % 2 === 0, lit("xx")).otherwise(
+        concat(lit("lang_"), pmod($"doc_id", lit(200)))).as("lang"))
+    val (nPairs, tNg) = timed(DedupOps.ngramJaccardPairs(
+      blocked, "doc_id", "text", Seq("lang"), maxBlockSize = 100).count())
+    // odd doc_ids hit only odd residues mod 200 → 100 surviving blocks
+    // of 50 docs → exactly 100 × C(50,2) = 122500 within-block pairs;
+    // the hot block's C(5000,2) ≈ 12.5M pairs must contribute NOTHING
+    assert(nPairs <= 100L * 1225,
+      s"ngram blocking emitted $nPairs pairs — hot-block cap broken")
+    assert(tNg <= 5 * math.max(tDiv, 2.0),
+      s"ngram blocked run took $tNg s — quadratic blowup")
+    info(f"ngram blocked: $nPairs pairs in $tNg%.1f s")
+  }
+
   test("simhash: near-dups within small hamming distance, unrelated far") {
     val sigs = docs.select($"doc_id",
       DedupOps.simhash(graft.ext.TextOps.tokens($"text")).as("sig"))
