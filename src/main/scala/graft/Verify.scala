@@ -16,6 +16,10 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // coalesce(1) serializes each query's FINAL stage — fine for this
+      // oracle dump (bounded sf0.01 results, one comparable file per
+      // query), but it is the opposite of a production sink: never copy
+      // this pattern into a real write path
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
