@@ -32,7 +32,8 @@ object SparkEntry {
     Analytic2Queries.defs,
     Analytic3Queries.defs,
     SurfaceQueries.defs,
-    FunctionQueries.defs)
+    FunctionQueries.defs,
+    CurationQueries.defs)
 
   private lazy val all: Map[String, QueryDef] =
     modules.reduce(_ ++ _)

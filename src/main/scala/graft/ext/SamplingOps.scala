@@ -1,0 +1,108 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Reproducible sampling, splitting, mixing, and sequence packing —
+  * the corpus-assembly operations of a training-data pipeline, all
+  * keyed by CONTENT-DETERMINISTIC hashes rather than RNG state.
+  *
+  * Why not `df.sample()`/`rand()`: RNG sampling is seed-and-partition
+  * dependent — re-running after a repartition, adding one input file,
+  * or recovering a failed stage yields a DIFFERENT sample, which at
+  * 100 TB means a train/test split that silently drifts between
+  * pipeline runs (and test-set leakage when a doc hops splits). A
+  * hash of a stable key gives every row a permanent bucket: the split
+  * is a pure function of the data, reproducible across runs, engines,
+  * partitionings, and cluster sizes, and new data lands in the same
+  * proportions without touching old rows' assignments. This is the
+  * standard large-corpus practice, and it is also what makes these
+  * operators DuckDB-oracle-checkable (no RNG to replicate).
+  *
+  * Scale shapes: bucket assignment is a narrow map (one md5 over the
+  * key per row); sampling/splitting are filters with no shuffle at
+  * all; the mixture is a union of filters; packing is one window
+  * cumsum per shard (single shuffle on the shard key).
+  */
+object SamplingOps {
+
+  /** Content-keyed deterministic bucket in [0, buckets): the first 8
+    * hex chars of md5(key) as an integer, mod buckets. Stable across
+    * runs/engines/partitionings; uniform to ~2⁻³² (the md5 prefix is
+    * effectively a uniform 32-bit value, far finer than any realistic
+    * bucket count). */
+  def md5Bucket(key: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(key.cast("binary")), 1, 8), 16, 10)
+      .cast("long"), lit(buckets))
+
+  /** Keep ~pct% of rows, deterministically by key. A filter — no
+    * shuffle, fully pushdown-friendly. */
+  def deterministicSample(df: DataFrame, keyCol: String,
+                          pct: Int): DataFrame =
+    df.filter(md5Bucket(col(keyCol), 100) < pct)
+
+  /** Permanent train/test assignment (~testPct% test) as a `split`
+    * column. A doc's split never changes as the corpus grows — the
+    * property that prevents slow test-set leakage across pipeline
+    * re-runs. */
+  def trainTestSplit(df: DataFrame, keyCol: String,
+                     testPct: Int): DataFrame =
+    df.withColumn("split",
+      when(md5Bucket(col(keyCol), 100) < testPct, lit("test"))
+        .otherwise(lit("train")))
+
+  /** Per-stratum sampling rates (e.g. downsample dominant languages,
+    * keep all of rare ones): rates maps stratum value → keep-percent,
+    * `defaultPct` applies to unlisted strata. The rate lookup is a
+    * broadcast-free CASE expression (rates is a small static config,
+    * not data). */
+  def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,
+                       rates: Map[String, Int],
+                       defaultPct: Int): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultPct)) { case (acc, (k, p)) =>
+      when(col(stratumCol) === k, lit(p)).otherwise(acc)
+    }
+    df.filter(md5Bucket(col(keyCol), 100) < rate)
+  }
+
+  /** Deterministic dataset mixture: from each (source-filter, weight)
+    * component keep weight% of its rows, tagged with the component
+    * name — the reproducible form of "mix corpora at fixed ratios".
+    * Union of narrow filters: no shuffle, each component's scan keeps
+    * its own pushdown. */
+  def mixture(components: Seq[(String, DataFrame, Int)],
+              keyCol: String): DataFrame =
+    components.map { case (name, df, pct) =>
+      deterministicSample(df, keyCol, pct)
+        .withColumn("mix_component", lit(name))
+    }.reduce(_ unionByName _)
+
+  /** Concat-and-chunk sequence packing: documents are laid out
+    * end-to-end in a deterministic order within each shard and cut
+    * into fixed-`capacity` token windows — the standard LLM-training
+    * packing (documents spanning a window boundary appear in both
+    * windows; no padding waste). Emits per doc: its token count, the
+    * first/last window it lands in, and how many windows it spans.
+    *
+    * One window cumsum per shard = a single shuffle on `shardCol`;
+    * at 100 TB shard by (lang, date, …) so each shard's running sum
+    * is an independent partition-local scan. The window ids are pure
+    * arithmetic on the cumsum, so the layout is reproducible and
+    * oracle-checkable. */
+  def packSequences(df: DataFrame, shardCol: String, orderCol: String,
+                    tokenCol: Column, capacity: Int): DataFrame = {
+    val w = Window.partitionBy(shardCol).orderBy(orderCol)
+    df.withColumn("__tokens", tokenCol)
+      .withColumn("__end", sum(col("__tokens")).over(w))
+      .withColumn("__start", col("__end") - col("__tokens"))
+      .withColumn("first_window",
+        floor(col("__start") / capacity).cast("long"))
+      .withColumn("last_window",
+        floor((col("__end") - 1) / capacity).cast("long"))
+      .withColumn("n_windows",
+        col("last_window") - col("first_window") + 1)
+      .drop("__start", "__end")
+      .withColumnRenamed("__tokens", "n_tokens")
+  }
+}

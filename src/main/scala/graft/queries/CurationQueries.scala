@@ -1,0 +1,145 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ext.SamplingOps
+
+/** Corpus-assembly queries: reproducible sampling / splitting /
+  * mixing / sequence packing ([[graft.ext.SamplingOps]] scaladoc for
+  * why content-keyed hashing, not RNG), plus one-pass data-quality
+  * profiling. All fully DuckDB-oracle-checkable — the md5-bucket is
+  * computed identically by both engines, which is exactly the
+  * reproducibility property the operators exist to provide.
+  */
+object CurationQueries {
+
+  // DuckDB twin of SamplingOps.md5Bucket (md5 of the same UTF-8
+  // bytes; first 8 hex chars as a 32-bit value)
+  private def bucketSql(key: String, buckets: Int): String =
+    s"CAST(('0x' || substring(md5($key), 1, 8)) AS BIGINT) % $buckets"
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // Deterministic 20% sample keyed by text content: the same rows
+    // survive on every run, engine, and partitioning — asserted
+    // literally by the oracle (DuckDB independently recomputes the
+    // bucket of every row).
+    "deterministic_sample" -> QueryDef(
+      (s, d) => SamplingOps.deterministicSample(
+          Tables.documents(s, d), "text", 20)
+        .select(col("doc_id"),
+          SamplingOps.md5Bucket(col("text"), 100).as("bucket"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, ${bucketSql("text", 100)} AS bucket
+        |FROM documents WHERE ${bucketSql("text", 100)} < 20
+        |ORDER BY doc_id""".stripMargin)),
+
+    // Permanent train/test split (10% test) + per-(lang, split)
+    // counts: the stratification stability report a corpus build
+    // ships with. Content-keyed → a doc can never hop splits between
+    // runs (the slow-test-set-leakage failure mode of rand()).
+    "train_test_split" -> QueryDef(
+      (s, d) => SamplingOps.trainTestSplit(
+          Tables.documents(s, d), "text", 10)
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "split"),
+      Some(s"""SELECT lang,
+        |  CASE WHEN ${bucketSql("text", 100)} < 10
+        |       THEN 'test' ELSE 'train' END AS split,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin)),
+
+    // Per-stratum rates: downsample the dominant language, keep the
+    // rest — the language-rebalancing step of corpus assembly.
+    "stratified_sample" -> QueryDef(
+      (s, d) => SamplingOps.stratifiedSample(
+          Tables.documents(s, d), "text", "lang",
+          Map("en" -> 25), defaultPct = 90)
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+        .orderBy("lang"),
+      Some(s"""SELECT lang, count(*) AS n_kept FROM documents
+        |WHERE ${bucketSql("text", 100)} <
+        |  CASE WHEN lang = 'en' THEN 25 ELSE 90 END
+        |GROUP BY 1 ORDER BY lang""".stripMargin)),
+
+    // Deterministic mixture at fixed ratios: 80% of src0 + 40% of
+    // everything else, tagged by component. Union of narrow filters —
+    // no shuffle, each component keeps its pushdown.
+    "dataset_mixture" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        SamplingOps.mixture(Seq(
+            ("primary", docs.filter(col("source") === "src0"), 80),
+            ("rest", docs.filter(col("source") =!= "src0"), 40)),
+          "text")
+          .groupBy("mix_component", "source")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("mix_component", "source")
+      },
+      Some(s"""SELECT CASE WHEN source = 'src0' THEN 'primary'
+        |         ELSE 'rest' END AS mix_component,
+        |  source, count(*) AS n_docs
+        |FROM documents
+        |WHERE (source = 'src0' AND ${bucketSql("text", 100)} < 80)
+        |   OR (source <> 'src0' AND ${bucketSql("text", 100)} < 40)
+        |GROUP BY 1, 2 ORDER BY mix_component, source""".stripMargin)),
+
+    // Concat-and-chunk sequence packing into 512-token windows,
+    // sharded by lang, laid out in doc_id order: per doc the window
+    // span it occupies. The oracle recomputes the running layout
+    // independently — any drift in cumsum/window arithmetic (or a
+    // nondeterministic layout order) breaks the row hash.
+    "doc_packing" -> QueryDef(
+      (s, d) => SamplingOps.packSequences(
+          Tables.documents(s, d), "lang", "doc_id",
+          size(graft.ext.TextOps.tokens(col("text"))), capacity = 512)
+        .select("doc_id", "lang", "n_tokens", "first_window",
+          "last_window", "n_windows")
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, lang,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(lower(trim(text)), '\s+'))
+        |    END AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, lang, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS e
+        |  FROM t)
+        |SELECT doc_id, lang, CAST(n_tokens AS INT) AS n_tokens,
+        |  CAST((e - n_tokens) // 512 AS BIGINT) AS first_window,
+        |  CAST((e - 1) // 512 AS BIGINT) AS last_window,
+        |  CAST((e - 1) // 512 - (e - n_tokens) // 512 + 1 AS BIGINT)
+        |    AS n_windows
+        |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // One-pass data-quality profile of a table: null counts, distinct
+    // counts, ranges — the expectation-check a load ships with
+    // (single aggregate, no second scan per metric).
+    "data_quality_report" -> QueryDef(
+      (s, d) => Tables.orders(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L))
+          .as("null_custkey"),
+        countDistinct(col("o_orderstatus")).as("distinct_status"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        date_format(min(col("o_orderdate")), "yyyy-MM-dd")
+          .as("min_date"),
+        date_format(max(col("o_orderdate")), "yyyy-MM-dd")
+          .as("max_date"),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L))
+          .as("nonpositive_price")),
+      Some("""SELECT count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS null_custkey,
+        |  count(DISTINCT o_orderstatus) AS distinct_status,
+        |  min(o_totalprice) AS min_price,
+        |  max(o_totalprice) AS max_price,
+        |  strftime(min(o_orderdate), '%Y-%m-%d') AS min_date,
+        |  strftime(max(o_orderdate), '%Y-%m-%d') AS max_date,
+        |  CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS nonpositive_price
+        |FROM orders""".stripMargin))
+  )
+}

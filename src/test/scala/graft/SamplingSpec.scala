@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.SamplingOps
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = (1 to 200).map(i =>
+    (i.toLong, s"document number $i with some content",
+      if (i % 3 == 0) "en" else "de")).toDF("doc_id", "text", "lang")
+
+  test("md5Bucket is deterministic, uniform-ish, and repartition-proof") {
+    val b1 = docs.select($"doc_id",
+      SamplingOps.md5Bucket($"text", 100).as("b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b2 = docs.repartition(13).select($"doc_id",
+      SamplingOps.md5Bucket($"text", 100).as("b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b1 == b2) // layout-independent
+    assert(b1.values.forall(b => b >= 0 && b < 100))
+    // rough uniformity: 200 docs over 100 buckets → no bucket hogs 10%
+    val hist = b1.values.groupBy(identity).view.mapValues(_.size)
+    assert(hist.values.max <= 20)
+  }
+
+  test("trainTestSplit assignments are permanent as the corpus grows") {
+    val s1 = SamplingOps.trainTestSplit(docs, "text", 20)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    // grow the corpus 2x: every original doc keeps its split
+    val grown = docs.unionByName((201 to 400).map(i =>
+      (i.toLong, s"new doc $i arriving later", "en"))
+      .toDF("doc_id", "text", "lang"))
+    val s2 = SamplingOps.trainTestSplit(grown, "text", 20)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(s1.forall { case (id, sp) => s2(id) == sp })
+    // both splits non-empty at 20%
+    assert(s1.values.toSet == Set("train", "test"))
+  }
+
+  test("stratifiedSample applies per-stratum rates") {
+    val kept = SamplingOps.stratifiedSample(docs, "text", "lang",
+        Map("en" -> 0), defaultPct = 100)
+      .select("lang").as[String].collect()
+    assert(!kept.contains("en")) // rate 0 → stratum fully dropped
+    assert(kept.length == docs.filter($"lang" === "de").count())
+  }
+
+  test("mixture tags components and never duplicates rows across them") {
+    val mixed = SamplingOps.mixture(Seq(
+      ("a", docs.filter($"lang" === "en"), 100),
+      ("b", docs.filter($"lang" === "de"), 50)), "text")
+    val byComp = mixed.groupBy("mix_component").count()
+      .as[(String, Long)].collect().toMap
+    assert(byComp("a") == docs.filter($"lang" === "en").count())
+    assert(byComp("b") < docs.filter($"lang" === "de").count())
+    assert(mixed.select("doc_id").distinct().count() == mixed.count())
+  }
+
+  test("packSequences lays out shards independently with exact window " +
+    "arithmetic") {
+    // crafted: shard x = 300+300+300 tokens at capacity 512 →
+    // doc1 [0,299] w0; doc2 [300,599] spans w0-w1; doc3 [600,899] w1
+    val d = Seq((1L, "x", 300), (2L, "x", 300), (3L, "x", 300),
+      (10L, "y", 1200)).toDF("doc_id", "shard", "toks")
+    val out = SamplingOps.packSequences(d, "shard", "doc_id",
+        $"toks", capacity = 512)
+      .select("doc_id", "first_window", "last_window", "n_windows")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) == (0L, 0L, 1L))
+    assert(out(2L) == (0L, 1L, 2L)) // spans the w0/w1 boundary
+    assert(out(3L) == (1L, 1L, 1L))
+    // shard y starts at its own offset 0 and spans ceil(1200/512)=3
+    assert(out(10L) == (0L, 2L, 3L))
+  }
+}
