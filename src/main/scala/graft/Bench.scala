@@ -56,16 +56,24 @@ object Bench {
       val fs = SparkEntry.queries.toSeq.map { case (_, fn) =>
         Future { try fn(spark, sfDir).count() catch { case _: Throwable => } }
       }
-      try Await.ready(Future.sequence(fs), 15.minutes)
+      try { Await.ready(Future.sequence(fs), 15.minutes); pool.shutdown() }
       catch {
         case _: java.util.concurrent.TimeoutException =>
           warmupIncomplete = fs.count(!_.isCompleted)
+          // HARD-stop the stragglers: shutdown() alone would let
+          // queued/running warmup queries keep submitting Spark jobs
+          // CONCURRENTLY with every timed pass — sustained contention
+          // that inflates all passes the same way, which a per-query
+          // median cannot absorb. shutdownNow() discards the queue and
+          // interrupts workers; cancelAllJobs() kills their in-flight
+          // Spark stages before timing starts.
+          pool.shutdownNow()
+          spark.sparkContext.cancelAllJobs()
           System.err.println(
             s"[bench] warmup timed out with $warmupIncomplete queries " +
-              "unfinished; continuing — pass-1 times for those include " +
-              "compile cost (median over runs absorbs it)")
+              "unfinished; their stragglers were cancelled — pass-1 " +
+              "times for those include compile cost")
       }
-      pool.shutdown()
       (System.nanoTime() - t0) / 1e9
     }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
@@ -106,7 +114,7 @@ object Bench {
     spark.stop()
     val wallTotal = (System.nanoTime() - procT0) / 1e9
     val json =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","timing":"steady_state_median_of_${nRuns}_runs_after_warmup","warmup_wall_sec":${f(warmupSec)},"warmup_incomplete":$warmupIncomplete,"wall_total_sec":${f(wallTotal)},"runs":$nRuns,"queries":$qs,"query_stats":$stats,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","timing":"steady_state_median_of_${nRuns}_runs_after_warmup","warmup_wall_sec":${f(warmupSec)},"warmup_incomplete":$warmupIncomplete,"wall_total_sec":${f(wallTotal)},"runs":$nRuns,"queries":$qs,"query_stats":$stats,"errors":$errJson,"sf":"${esc(sfDir)}"}"""
     // file first — the durable, parseable delivery channel (the
     // driver's stdout capture is sbt-decorated and has repeatedly
     // failed to yield a parseable line)

@@ -209,17 +209,50 @@ object MediaCodecs {
     bos.toByteArray
   }
 
+  /** Pixel cap for compressed-image decode: a ~100-byte adversarial
+    * PNG can declare a 60000×60000 IHDR and make the reader allocate
+    * a ~14 GB raster BEFORE any pixel data is validated — an
+    * OutOfMemoryError, which is fatal and would escape any exception
+    * guard, killing the executor. Dimensions are read from the header
+    * FIRST (no pixel allocation) and oversized images decode to
+    * `Unknown` instead. 64 M pixels ≈ 256 MB raster — generous for
+    * corpus media, far below executor-killing. */
+  val MaxImagePixels: Long = 64L * 1024 * 1024
+
   /** Decode a compressed image (PNG/JPEG — whatever the JRE's
     * `ImageIO` readers accept) to dimensions + per-channel means.
     * `getRGB` converts any source color model to packed sRGB, so the
     * channel extraction is uniform; rows are read in bulk to avoid a
-    * per-pixel conversion call. A payload the reader rejects (or a
-    * decode error deep in the codec) yields `Unknown` — same totality
-    * contract as the hand-rolled parsers above. */
+    * per-pixel conversion call. A payload the reader rejects, a
+    * decode error deep in the codec, or a decompression-bomb header
+    * (see [[MaxImagePixels]]) yields `Unknown` — same totality
+    * contract as the hand-rolled parsers above.
+    *
+    * The image input stream is an explicit MEMORY-cache stream: the
+    * default `ImageIO.read(InputStream)` path wraps the (already
+    * in-memory) bytes in a disk-backed FileCacheImageInputStream —
+    * one temp-file write per decoded row on the hot path, and a
+    * full/read-only executor tmpdir would silently turn the whole
+    * corpus into `Unknown`. */
   def decodeImage(bytes: Array[Byte], format: String): Decoded =
     try {
-      val img = javax.imageio.ImageIO.read(
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return Unknown
+      val reader = readers.next()
+      val img =
+        try {
+          reader.setInput(iis, true, true)
+          // header-only dimension probe — no raster allocation yet
+          val (w, h) = (reader.getWidth(0), reader.getHeight(0))
+          if (w <= 0 || h <= 0 || w.toLong * h > MaxImagePixels)
+            return Unknown
+          reader.read(0)
+        } finally {
+          reader.dispose()
+          iis.close()
+        }
       if (img == null || img.getWidth <= 0 || img.getHeight <= 0) Unknown
       else {
         val w = img.getWidth

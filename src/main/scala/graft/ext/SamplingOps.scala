@@ -92,7 +92,15 @@ object SamplingOps {
     * oracle-checkable. */
   def packSequences(df: DataFrame, shardCol: String, orderCol: String,
                     tokenCol: Column, capacity: Int): DataFrame = {
+    // explicit ROWS frame: the default frame with an orderBy is RANGE
+    // UNBOUNDED PRECEDING..CURRENT ROW, which sums over ORDER-KEY
+    // PEERS — duplicate orderCol values would all receive the
+    // peer-group total and get identical (wrong, overlapping) window
+    // spans. ROWS gives each row its own running prefix regardless of
+    // ties; for a REPRODUCIBLE layout pass a unique orderCol (tied
+    // rows fall back to partition-arrival order).
     val w = Window.partitionBy(shardCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("__tokens", tokenCol)
       .withColumn("__end", sum(col("__tokens")).over(w))
       .withColumn("__start", col("__end") - col("__tokens"))

@@ -231,16 +231,29 @@ object Staging {
       // Stage `merged` — whose lineage READS the store — through a
       // temp directory, fully materialized on durable storage BEFORE
       // any store file is touched, then swap partition directories
-      // into place. The earlier cache()-then-dynamic-overwrite form
-      // had a data-loss window: cached blocks evicted mid-overwrite
-      // would recompute from the half-overwritten store. Staging
-      // removes the window entirely; a crash mid-swap leaves each
-      // partition either old or new (the same per-partition
-      // granularity dynamic overwrite has), never half-written.
+      // into place via backup-then-rename. The earlier
+      // cache()-then-dynamic-overwrite form had a data-loss window:
+      // cached blocks evicted mid-overwrite would recompute from the
+      // half-overwritten store. The swap protocol never deletes the
+      // only copy of a partition: the old directory is MOVED to a
+      // per-run backup first, the new one renamed in (result
+      // CHECKED — Hadoop rename reports most failures as `false`,
+      // not an exception), and the backup dropped only after every
+      // partition swapped. A crash mid-swap leaves each partition's
+      // data in exactly one of store/backup/temp — recoverable by an
+      // operator, never silently gone. (Atomic MULTI-partition commit
+      // is beyond what raw parquet directories can express; a
+      // transactional table format is the production answer, and the
+      // scope here is documented, not hidden.)
       val tmp = s"$storeDir/__merge_tmp_$table"
+      val bak = s"$storeDir/__merge_bak_$table"
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+      val bakPath = new org.apache.hadoop.fs.Path(bak)
+      require(!fs.exists(bakPath),
+        s"$bak exists — a previous merge crashed mid-swap; restore or " +
+          "remove it before re-running (it holds pre-merge partitions)")
       fs.delete(tmpPath, true)
       merged.write.mode(SaveMode.Overwrite)
         .partitionBy(partitionCols: _*).parquet(tmp)
@@ -281,18 +294,35 @@ object Staging {
             s"$c=$v"
           }.mkString("/")
         }.toSet
-      // swap staged partitions into the store (replace-or-add), then
-      // drop touched-but-empty partitions; untouched partitions'
-      // files are never listed, read, or moved
-      emitted.foreach { rel =>
+      // swap staged partitions into the store (replace-or-add):
+      // old → backup, new → store, both renames result-checked; a
+      // failure aborts with store+backup+temp all intact. Untouched
+      // partitions' files are never listed, read, or moved.
+      def renameChecked(src: org.apache.hadoop.fs.Path,
+                        dst: org.apache.hadoop.fs.Path): Unit =
+        if (!fs.rename(src, dst))
+          throw new java.io.IOException(
+            s"rename $src -> $dst failed; merge aborted with data " +
+              s"intact (new data in $tmp, displaced partitions in $bak)")
+      def moveToBackup(rel: String): Unit = {
         val dst = new org.apache.hadoop.fs.Path(s"$path/$rel")
-        fs.delete(dst, true)
+        if (fs.exists(dst)) {
+          val b = new org.apache.hadoop.fs.Path(s"$bak/$rel")
+          fs.mkdirs(b.getParent)
+          renameChecked(dst, b)
+        }
+      }
+      emitted.foreach { rel =>
+        moveToBackup(rel)
+        val dst = new org.apache.hadoop.fs.Path(s"$path/$rel")
         fs.mkdirs(dst.getParent)
-        fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/$rel"), dst)
+        renameChecked(new org.apache.hadoop.fs.Path(s"$tmp/$rel"), dst)
       }
-      (touchedSubs -- emitted).foreach { rel =>
-        fs.delete(new org.apache.hadoop.fs.Path(s"$path/$rel"), true)
-      }
+      // touched-but-empty partitions (every row was an updated key
+      // that moved elsewhere): displaced to backup, not deleted
+      (touchedSubs -- emitted).foreach(moveToBackup)
+      // all partitions swapped — drop the backup and temp scaffolding
+      fs.delete(bakPath, true)
       fs.delete(tmpPath, true)
     }
     readTable(spark, storeDir, table).count()

@@ -140,6 +140,19 @@ class EtlPipelineSpec extends SparkSpec {
     // idempotent re-registration (IF NOT EXISTS semantics)
     CatalogDDL.registerMart(spark, mart.toString, "t_mart")
     assert(spark.table("t_mart.dim_waktu").count() > 0)
+
+    // re-registering the SAME name at a DIFFERENT location must not
+    // serve stale data: the entry is dropped and recreated, not
+    // silently kept (the store_v2-over-store_v1 hazard)
+    val mart2 = root.resolve("mart2")
+    Staging.overwriteParquet(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        Schemas.factMaps),
+      mart2.toString, "fact_maps")
+    CatalogDDL.ensureExternalTable(spark, "t_mart", "fact_maps",
+      Schemas.factMaps, s"$mart2/fact_maps")
+    assert(spark.table("t_mart.fact_maps").count() == 0) // new location
     spark.sql("DROP DATABASE t_ops CASCADE")
     spark.sql("DROP DATABASE t_mart CASCADE")
     // external tables: dropping catalog entries never deletes data

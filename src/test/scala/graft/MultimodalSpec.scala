@@ -113,6 +113,29 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaCodecs.decode(bos.toByteArray.take(8)).format == "unknown")
   }
 
+  test("decompression-bomb PNG header decodes to 'unknown' without " +
+    "allocating the raster") {
+    import graft.ext.MediaCodecs
+    // take a valid 1x1 PNG and rewrite its IHDR to claim 60000x60000
+    // (~14 GB INT_RGB raster), fixing the chunk CRC so the reader
+    // accepts the header and reaches the dimension check
+    val png = MediaCodecs.encodePng(1, 1, 5, 5, 5)
+    val huge = png.clone()
+    def putInt(off: Int, v: Int): Unit = {
+      huge(off) = (v >>> 24).toByte; huge(off + 1) = (v >>> 16).toByte
+      huge(off + 2) = (v >>> 8).toByte; huge(off + 3) = v.toByte
+    }
+    putInt(16, 60000) // IHDR width  (8 sig + 4 len + 4 type)
+    putInt(20, 60000) // IHDR height
+    val crc = new java.util.zip.CRC32
+    crc.update(huge, 12, 4 + 13) // chunk type + IHDR payload
+    putInt(29, crc.getValue.toInt)
+    val d = MediaCodecs.decode(huge)
+    assert(d.format == "unknown") // capped by MaxImagePixels, no OOM
+    // the cap leaves normal-size images untouched
+    assert(MediaCodecs.decode(png).format == "png")
+  }
+
   test("malformed payloads decode to 'unknown', never throw") {
     import graft.ext.MediaCodecs
     assert(MediaCodecs.decode(null).format == "unknown")

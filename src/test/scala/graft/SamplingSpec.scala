@@ -74,4 +74,18 @@ class SamplingSpec extends SparkSpec {
     // shard y starts at its own offset 0 and spans ceil(1200/512)=3
     assert(out(10L) == (0L, 2L, 3L))
   }
+
+  test("packSequences gives tied order keys sequential prefixes, not " +
+    "the peer-group sum (ROWS frame, not RANGE)") {
+    // two 300-token docs with the SAME order key: a RANGE frame would
+    // give both the peer total 600 → both (0,1); ROWS must lay them
+    // out sequentially → one (0,0), one (0,1)
+    val d = Seq((1L, "x", 5, 300), (2L, "x", 5, 300))
+      .toDF("doc_id", "shard", "ord", "toks")
+    val spans = SamplingOps.packSequences(d, "shard", "ord",
+        $"toks", capacity = 512)
+      .select("first_window", "last_window").as[(Long, Long)]
+      .collect().toSet
+    assert(spans == Set((0L, 0L), (0L, 1L)))
+  }
 }

@@ -45,6 +45,33 @@ class StoreOpsSpec extends SparkSpec {
     assert(d2After == d2Before, "untouched partition was rewritten")
   }
 
+  test("partition-scoped mergeUpsert refuses to run over a crashed " +
+    "swap's backup dir and cleans scaffolding on success") {
+    val store = Files.createTempDirectory("graft-upsert-bak").toString
+    Staging.overwritePartitionsDynamic(
+      Seq((1L, "a", "d1")).toDF("id", "v", "dt"), store, "t", Seq("dt"))
+    // simulate a merge that died mid-swap: its backup dir survives
+    val bak = new java.io.File(s"$store/__merge_bak_t")
+    bak.mkdirs()
+    val e = intercept[IllegalArgumentException] {
+      Staging.mergeUpsert(spark,
+        Seq((2L, "b", "d1")).toDF("id", "v", "dt"),
+        store, "t", "id", partitionCols = Seq("dt"))
+    }
+    assert(e.getMessage.contains("crashed mid-swap"))
+    // store untouched by the refused run
+    assert(Staging.readTable(spark, store, "t").count() == 1)
+    // operator clears the backup → merge proceeds and removes its
+    // scaffolding (no __merge_tmp/__merge_bak left behind)
+    assert(bak.delete())
+    Staging.mergeUpsert(spark,
+      Seq((2L, "b", "d1")).toDF("id", "v", "dt"),
+      store, "t", "id", partitionCols = Seq("dt"))
+    assert(Staging.readTable(spark, store, "t").count() == 2)
+    assert(!new java.io.File(s"$store/__merge_bak_t").exists())
+    assert(!new java.io.File(s"$store/__merge_tmp_t").exists())
+  }
+
   test("partition-scoped mergeUpsert keeps existing rows when a NEW key " +
     "lands in an EXISTING partition") {
     // regression: `touched` once only collected partitions holding
