@@ -163,6 +163,27 @@ object Staging {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Clustered (sorted) write: range-partition the frame on
+    * `clusterCols` and sort within each partition before writing, so
+    * every output file covers a NARROW, near-disjoint key range. The
+    * payoff is file/row-group SKIPPING: parquet footers carry per-
+    * column min/max stats, and a pushed-down predicate on the cluster
+    * key then eliminates the files/row groups whose range can't match
+    * — on a 100 TB table a point or range query reads a handful of
+    * files instead of all of them. Unclustered writes spread every
+    * key across every file (each file's [min,max] ≈ the full domain),
+    * making the same stats useless. The physical property (disjoint
+    * per-file ranges) is asserted from the actual parquet footers in
+    * ClusteringSpec, not assumed. `repartitionByRange` samples the
+    * data to pick balanced boundaries — one extra pass, the standard
+    * price of clustering at write time, amortized over every
+    * subsequent pruned read. */
+  def writeClusteredBy(df: DataFrame, storeDir: String, table: String,
+                       clusterCols: Seq[String], files: Int): Unit =
+    df.repartitionByRange(files, clusterCols.map(col): _*)
+      .sortWithinPartitions(clusterCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(s"$storeDir/$table")
+
   /** Schema-evolving append: like [[appendParquet]], but a read
     * through [[readTableEvolved]] merges the schemas of every file,
     * so a batch that ADDS columns doesn't require rewriting history —

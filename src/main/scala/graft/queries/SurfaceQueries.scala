@@ -368,6 +368,59 @@ object SurfaceQueries {
         |JOIN customer c ON o.o_custkey = c.c_custkey
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
         |GROUP BY 1, 2
-        |ORDER BY 1, 2""".stripMargin))
+        |ORDER BY 1, 2""".stripMargin)),
+
+    // Incrementally-maintained rollup (graft.etl.RollupMaintain): the
+    // orders table arrives as THREE batches folded into a persisted
+    // partial-aggregate store; the final read must equal the direct
+    // aggregate over everything — which is exactly what the oracle
+    // computes in one shot. O(batch + groups) per load instead of a
+    // full rescan: the standing-aggregate pattern a 100 TB fact table
+    // needs.
+    "incremental_rollup" -> QueryDef(
+      (s, d) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-rollup-q").toString
+        val orders = Tables.orders(s, d)
+        (0 until 3).foreach { i =>
+          graft.etl.RollupMaintain.updateRollup(s, dir, "by_status",
+            orders.filter(pmod(col("o_orderkey"), lit(3)) === i),
+            Seq("o_orderstatus"), "o_totalprice")
+        }
+        graft.etl.RollupMaintain.readFinal(s, dir, "by_status")
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus,
+        |  count(o_totalprice) AS n_rows,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+        |    AS total,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) /
+        |    count(o_totalprice) AS mean
+        |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin)),
+
+    // Clustered write + pruned read round-trip: orders rewritten with
+    // writeClusteredBy(o_orderkey) — near-disjoint per-file key ranges
+    // (physical property asserted from real footers in ClusteringSpec)
+    // — then a key-range scan over the clustered copy. The oracle
+    // aggregates the same range from the original table: identical
+    // results prove the clustered layout is a pure physical
+    // optimization, invisible to semantics.
+    "clustered_scan" -> QueryDef(
+      (s, d) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-cluster-q").toString
+        graft.io.Staging.writeClusteredBy(Tables.orders(s, d), dir,
+          "orders_c", Seq("o_orderkey"), files = 8)
+        graft.io.Staging.readTable(s, dir, "orders_c")
+          .filter(col("o_orderkey").between(1000, 5000))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            QueryDef.dsum(col("o_totalprice")).as("total"))
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""SELECT o_orderstatus, count(*) AS n,
+        |  ${QueryDef.dsumSql("o_totalprice")} AS total
+        |FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000
+        |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin))
   )
 }
