@@ -421,6 +421,40 @@ object SurfaceQueries {
       Some(s"""SELECT o_orderstatus, count(*) AS n,
         |  ${QueryDef.dsumSql("o_totalprice")} AS total
         |FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000
-        |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin))
+        |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin)),
+
+    // SCD type-2 dimension history (graft.etl.ScdHistory): each
+    // user's event_type stream collapses into chained versions with
+    // valid_from/valid_to/is_current — one window per key, no
+    // self-join. The oracle rebuilds the same change-point logic
+    // independently with lag/lead; (user_id, ts) is unique in the
+    // events table, so the layout is deterministic. Version rows are
+    // bounded to users < 200 to keep the oracle dump small; the
+    // operator itself is corpus-wide.
+    "scd2_history" -> QueryDef(
+      (s, d) => graft.etl.ScdHistory.buildHistory(
+          Tables.events(s, d).filter(col("user_id") < 200),
+          "user_id", Seq("event_type"), "ts")
+        .select(col("user_id"), col("event_type"),
+          date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss")
+            .as("valid_from"),
+          date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss")
+            .as("valid_to"),
+          col("is_current"))
+        .orderBy("user_id", "valid_from"),
+      Some("""WITH e AS (SELECT user_id, event_type, ts,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts)
+        |      AS prev_type
+        |  FROM events WHERE user_id < 200),
+        |c AS (SELECT user_id, event_type, ts FROM e
+        |  WHERE prev_type IS NULL OR event_type <> prev_type),
+        |v AS (SELECT user_id, event_type, ts AS vf,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS vt
+        |  FROM c)
+        |SELECT user_id, event_type,
+        |  strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |  strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to,
+        |  vt IS NULL AS is_current
+        |FROM v ORDER BY user_id, valid_from""".stripMargin))
   )
 }

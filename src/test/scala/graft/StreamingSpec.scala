@@ -95,6 +95,31 @@ class StreamingSpec extends SparkSpec {
     assert(kept == Seq(1L, 3L))
   }
 
+  test("train/test split and deterministic sampling apply to streams " +
+    "unchanged (stateless narrow maps)") {
+    implicit val ctx = spark.sqlContext
+    val docs = MemoryStream[(Long, String)]
+    // the batch operators compose directly onto readStream frames —
+    // no state store, no watermark: the split is a pure function of
+    // each row, which is exactly why it is replay/retry-safe
+    val split = graft.ext.SamplingOps.trainTestSplit(
+      docs.toDF().toDF("doc_id", "text"), "text", 30)
+    val q = split.writeStream.format("memory")
+      .queryName("split_stream").outputMode("append").start()
+    val rows = (1 to 100).map(i => (i.toLong, s"stream doc $i body"))
+    docs.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("split_stream")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    // identical assignments to the batch operator over the same rows
+    val batchGot = graft.ext.SamplingOps.trainTestSplit(
+        rows.toDF("doc_id", "text"), "text", 30)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(got == batchGot)
+    assert(got.values.toSet == Set("train", "test"))
+  }
+
   test("intervalJoinStream joins two streams within the time bound only") {
     implicit val ctx = spark.sqlContext
     val clicks = MemoryStream[Ev]
