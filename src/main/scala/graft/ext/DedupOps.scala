@@ -226,6 +226,60 @@ object DedupOps {
   }
 
   // ------------------------------------------------------------------
+  // Duplicate clusters (connected components over near-dup pairs)
+  // ------------------------------------------------------------------
+
+  /** Transitive duplicate CLUSTERS from a near-dup pair set: connected
+    * components of the pair graph, each doc labeled with its
+    * component's minimum id (`cluster_rep`). Pairwise output (A~B,
+    * B~C) under-states duplication — keep-one-per-cluster needs the
+    * transitive closure, and a cluster's representative must be
+    * deterministic for reproducible survivor selection.
+    *
+    * Distributed min-label propagation: every vertex starts as its own
+    * label; each round, labels flow across edges and every vertex
+    * keeps the minimum seen; fixpoint = components labeled by their
+    * min id. Round count is the graph DIAMETER — near-dup graphs are
+    * dense little clumps (diameter 2-4), not long chains, so a handful
+    * of rounds closes corpus-scale graphs. Each round is one join +
+    * one min-aggregate on (id, label) pairs — edge-linear shuffles
+    * carrying two longs; `localCheckpoint` truncates the per-round
+    * lineage so the plan doesn't grow with iterations (the classic
+    * iterative-Spark failure). `maxIter` bounds adversarial chains;
+    * hitting it raises rather than silently emitting a non-fixpoint
+    * labeling. */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(
+        pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val viaEdges = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("label"))
+      val updated = labels.unionByName(viaEdges)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      changed = updated.as("u")
+        .join(labels.withColumnRenamed("label", "__old"), Seq("id"))
+        .filter(col("label") =!= col("__old")).count()
+      labels = updated
+      i += 1
+    }
+    edges.unpersist()
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"duplicateClusters did not converge in $maxIter rounds — " +
+          "pair graph has a longer diameter than a dedup graph should; " +
+          "raise maxIter explicitly if the chain is legitimate")
+    labels.withColumnRenamed("label", "cluster_rep")
+  }
+
+  // ------------------------------------------------------------------
   // SimHash
   // ------------------------------------------------------------------
 

@@ -358,6 +358,43 @@ object TextQueries {
         |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.9
         |ORDER BY jaccard DESC, id_a, id_b""".stripMargin)),
 
+    // Transitive duplicate clusters: connected components over the
+    // provably-complete verified pair set (same uncapped token-level
+    // LSH as dedup_minhash_verified, on a smaller subset), each doc
+    // labeled with its component's min id. The oracle rebuilds the
+    // SAME components with a recursive CTE over the exact all-pairs
+    // jaccard edges — so both the pair recall AND the distributed
+    // label-propagation fixpoint are independently ground-truthed.
+    "dedup_clusters" -> QueryDef(
+      (s, d) => DedupOps.duplicateClusters(
+          DedupOps.minhashNearDupPairs(
+            Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
+              .repartition(32),
+            "doc_id", "text", shingleSize = 1, numHashes = 64,
+            bands = 16, threshold = 0.9,
+            maxBucketSize = Int.MaxValue))
+        .select(col("id").as("doc_id"), col("cluster_rep"))
+        .orderBy("doc_id"),
+      Some("""WITH RECURSIVE t AS (SELECT doc_id,
+        |    list_distinct(CASE WHEN length(trim(text)) = 0
+        |         THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(lower(trim(text)), '\s+')
+        |    END) AS ts
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |  WHERE round(len(list_intersect(a.ts, b.ts))::DOUBLE /
+        |    (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))),
+        |    6) >= 0.9),
+        |e AS (SELECT id_a AS s, id_b AS d FROM p
+        |  UNION ALL SELECT id_b, id_a FROM p),
+        |reach(id, r) AS (
+        |  SELECT s, s FROM e GROUP BY s
+        |  UNION
+        |  SELECT e.s, reach.r FROM e JOIN reach ON e.d = reach.id)
+        |SELECT id AS doc_id, min(r) AS cluster_rep
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
+
     // SimHash near-dup candidates (Hamming ≤ 8 of 64 bits). No SQL
     // oracle (xxhash-based signatures); in-query invariant: the
     // emitted `hamming_distance` is the full 64-bit distance recomputed

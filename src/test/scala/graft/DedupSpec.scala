@@ -88,6 +88,27 @@ class DedupSpec extends SparkSpec {
     assert(got == exact, s"verified=$got exact=$exact")
   }
 
+  test("duplicateClusters finds transitive components with min-id reps") {
+    // components: {1,2,3,7} via chain 1-2, 2-3, 3-7; {5,9}; pair list
+    // never contains (1,7) etc. — only the closure connects them
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 7L), (5L, 9L))
+      .toDF("id_a", "id_b")
+    val out = DedupOps.duplicateClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L,
+      5L -> 5L, 9L -> 5L))
+    // a long chain exceeds a tiny maxIter → loud failure, not a wrong
+    // labeling
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      DedupOps.duplicateClusters(chain, maxIter = 2)
+    }
+    // and converges fine with the default budget
+    val full = DedupOps.duplicateClusters(chain)
+      .as[(Long, Long)].collect().toMap
+    assert(full.values.toSet == Set(1L) && full.size == 12)
+  }
+
   test("degenerate corpus: hot LSH buckets and hot blocks stay capped — " +
     "pair counts bounded, wall-time flat") {
     // adversarial shape at stress size: HALF the corpus is one
