@@ -249,28 +249,75 @@ object DedupOps {
     * hitting it raises rather than silently emitting a non-fixpoint
     * labeling. */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val edgesRaw = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(
         pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Size the loop's shuffle width from the GRAPH, not the session
+    // default: the iterate state is vertex/edge-sized (often tiny
+    // relative to the corpus the pairs came from), and at session
+    // width every round pays tens of near-empty AQE-scheduled stages
+    // — measured 10× the whole propagation on the bench graph. ~1M
+    // edges per partition; keyed repartitions below keep every round
+    // join/aggregate co-partitioned at this width, so a round is ONE
+    // real exchange.
+    val spark = pairs.sparkSession
+    val w = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong,
+      edgesRaw.count() / 1000000L + 1)).toInt
+    val edges = edgesRaw.repartition(w, col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // AQE OFF for the loop: adaptive execution materializes every
+    // shuffle as its own scheduled query stage — right for one big
+    // query, but an iterative loop over vertex-sized state pays
+    // ~250 ms of stage scheduling per tiny shuffle (measured 7× the
+    // whole propagation at bench SF). The width is already sized from
+    // the data above, which is the decision AQE would be making.
+    // Session-conf scope: restored in finally; a query PLANNED
+    // concurrently in this session during the loop window would plan
+    // without AQE — correctness unaffected, one plan's runtime
+    // adaptivity lost (relevant only to concurrent-warmup style use).
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevAqe = spark.conf.get(aqeKey, "true")
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
+      .repartition(w, col("id"))
       .localCheckpoint(true)
     var changed = 1L
     var i = 0
+    try {
+      spark.conf.set(aqeKey, "false")
+    // SUPERSTEPS of 3 lazily-chained rounds, two jobs each (eager
+    // checkpoint + convergence count). The obvious alternatives both
+    // measured badly at bench SF: per-round checkpoint+count is 3
+    // fixed-cost jobs per round, and per-round persist-without-
+    // checkpoint recomputes the whole chain each round (labels appears
+    // twice per round, so cost TRIPLES per un-truncated level —
+    // measured 0.6→45 s/round before the first lineage cut). Chaining
+    // 3 rounds inside one job re-scans the checkpointed labels RDD a
+    // few extra times — trivially cheap — while cutting job count to
+    // 2 per 3 rounds; dedup graphs (diameter 2-4) close in 1-2
+    // supersteps. */
     while (changed > 0 && i < maxIter) {
-      val viaEdges = edges.join(labels, edges("dst") === labels("id"))
-        .select(edges("src").as("id"), col("label"))
-      val updated = labels.unionByName(viaEdges)
-        .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint(true)
-      changed = updated.as("u")
-        .join(labels.withColumnRenamed("label", "__old"), Seq("id"))
+      var cur = labels
+      for (_ <- 0 until 3) {
+        val via = edges.join(cur, edges("dst") === cur("id"))
+          .select(edges("src").as("id"), col("label"))
+        cur = cur.unionByName(via)
+          .repartition(w, col("id"))
+          .groupBy("id").agg(min("label").as("label"))
+      }
+      val next = cur.localCheckpoint(true)
+      changed = next
+        .join(labels.select(col("id"), col("label").as("__old")), Seq("id"))
         .filter(col("label") =!= col("__old")).count()
-      labels = updated
-      i += 1
+      labels = next
+      i += 3
     }
+    } finally spark.conf.set(aqeKey, prevAqe)
     edges.unpersist()
+    edgesRaw.unpersist()
     if (changed > 0)
       throw new IllegalStateException(
         s"duplicateClusters did not converge in $maxIter rounds — " +
