@@ -41,46 +41,21 @@ object RollupMaintain {
     val bp = batch.groupBy(groupCols.map(col): _*)
       .agg(sum(col(measureCol).cast("decimal(25,6)")).as("psum"),
         count(col(measureCol)).as("pcnt"))
-    val path = s"$storeDir/$table"
-    val tmpCheck = new org.apache.hadoop.fs.Path(
-      s"$storeDir/__rollup_tmp_$table")
-    val fsCheck = tmpCheck.getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    // a leftover temp dir means a previous update crashed between the
-    // store delete and the rename — the temp dir IS the current full
-    // state; refusing (instead of silently restarting from just this
-    // batch) preserves it for operator recovery
-    require(!fsCheck.exists(tmpCheck),
-      s"$tmpCheck exists — a previous rollup update crashed mid-swap. " +
-        s"It holds the COMPLETE post-update partials: rename it to " +
-        s"$path to finish that update (do not re-apply that batch)")
+    // union + re-aggregate, NOT a join: groupBy places NULL group
+    // keys in one group like any aggregate, whereas a full-outer join
+    // on the keys is null-UNSAFE — a NULL-keyed store row and a
+    // NULL-keyed batch row would both pass through unmatched and the
+    // null group would duplicate forever. The decimal re-cast keeps
+    // the stored schema stable (sum widens decimal(25,6) to (35,6)).
     val merged =
       if (!Staging.tableExists(spark, storeDir, table)) bp
-      else {
-        val existing = Staging.readTable(spark, storeDir, table)
-        // full outer: a group may exist only in the store (untouched
-        // by this batch) or only in the batch (new group)
-        existing.select((groupCols.map(col) :+
-            col("psum").as("__es") :+ col("pcnt").as("__ec")): _*)
-          .join(bp, groupCols, "full_outer")
-          .select((groupCols.map(col) :+
-            (coalesce(col("__es"), lit(0).cast("decimal(25,6)")) +
-              coalesce(col("psum"), lit(0).cast("decimal(25,6)")))
-              .as("psum") :+
-            (coalesce(col("__ec"), lit(0L)) + coalesce(col("pcnt"),
-              lit(0L))).as("pcnt")): _*)
-      }
-    // stage-then-swap: `merged` reads the store it replaces
-    val tmp = s"$storeDir/__rollup_tmp_$table"
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp),
-      new org.apache.hadoop.fs.Path(path)))
-      throw new java.io.IOException(
-        s"rename $tmp -> $path failed; partials intact in $tmp")
-    Staging.readTable(spark, storeDir, table).count()
+      else Staging.readTable(spark, storeDir, table)
+        .unionByName(bp)
+        .groupBy(groupCols.map(col): _*)
+        .agg(sum(col("psum")).cast("decimal(25,6)").as("psum"),
+          sum(col("pcnt")).as("pcnt"))
+    // merged reads the store it replaces → shared stage-and-swap
+    Staging.stageAndSwap(spark, merged, storeDir, table, "rollup")
   }
 
   /** The user-facing aggregate derived from the partials: exact

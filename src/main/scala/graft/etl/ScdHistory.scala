@@ -67,6 +67,21 @@ object ScdHistory {
         val store = Staging.readTable(spark, storeDir, table)
         val current = store.filter(col("is_current"))
         val history = store.filter(!col("is_current"))
+        // LATE-EVENT GUARD: a batch event at or before its key's
+        // current valid_from would be replayed BEFORE the seed row,
+        // emitting a version that overlaps the already-closed history
+        // (an asOf fact in the overlap would then match two versions
+        // and silently duplicate). SCD2 maintenance is forward-only;
+        // late data must be quarantined or the history rebuilt from
+        // the full event log — so reject loudly, never corrupt.
+        val late = batch.join(current.select(col(keyCol),
+            col("valid_from").as("__cur_from")), Seq(keyCol))
+          .filter(col(tsCol) <= col("__cur_from")).count()
+        require(late == 0L,
+          s"$late batch event(s) at or before their key's current " +
+            s"valid_from — out-of-order SCD input would overlap closed " +
+            "history; quarantine the late events or rebuild from the " +
+            "full log")
         // one version event per (key, ts) from the batch, replayed
         // over the key's current attributes via buildHistory: the
         // current open row becomes the seed event so unchanged
@@ -80,20 +95,8 @@ object ScdHistory {
           keyCol, attrCols, tsCol)
         history.unionByName(replay)
       }
-    val path = s"$storeDir/$table"
-    val tmp = new org.apache.hadoop.fs.Path(s"$storeDir/__scd_tmp_$table")
-    val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(!fs.exists(tmp),
-      s"$tmp exists — a previous SCD apply crashed mid-swap; it holds " +
-        s"the complete post-update history: rename it to $path " +
-        "(do not re-apply that batch)")
-    newHist.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(tmp.toString)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(path)))
-      throw new java.io.IOException(
-        s"rename $tmp -> $path failed; history intact in $tmp")
-    Staging.readTable(spark, storeDir, table).count()
+    // newHist reads the store it replaces → shared stage-and-swap
+    Staging.stageAndSwap(spark, newHist, storeDir, table, "scd")
   }
 
   /** Point-in-time join: enrich facts with the dimension version that

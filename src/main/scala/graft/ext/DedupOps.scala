@@ -288,6 +288,7 @@ object DedupOps {
     var i = 0
     try {
       spark.conf.set(aqeKey, "false")
+      // supersteps never overrun maxIter: the final one is truncated
     // SUPERSTEPS of 3 lazily-chained rounds, two jobs each (eager
     // checkpoint + convergence count). The obvious alternatives both
     // measured badly at bench SF: per-round checkpoint+count is 3
@@ -300,8 +301,9 @@ object DedupOps {
     // 2 per 3 rounds; dedup graphs (diameter 2-4) close in 1-2
     // supersteps. */
     while (changed > 0 && i < maxIter) {
+      val step = math.min(3, maxIter - i)
       var cur = labels
-      for (_ <- 0 until 3) {
+      for (_ <- 0 until step) {
         val via = edges.join(cur, edges("dst") === cur("id"))
           .select(edges("src").as("id"), col("label"))
         cur = cur.unionByName(via)
@@ -313,14 +315,18 @@ object DedupOps {
         .join(labels.select(col("id"), col("label").as("__old")), Seq("id"))
         .filter(col("label") =!= col("__old")).count()
       labels = next
-      i += 3
+      i += step
     }
-    } finally spark.conf.set(aqeKey, prevAqe)
-    edges.unpersist()
-    edgesRaw.unpersist()
+    } finally {
+      spark.conf.set(aqeKey, prevAqe)
+      // in the finally: an exception mid-loop (including a cancelled
+      // job) must not leak two corpus-pair caches into the session
+      edges.unpersist()
+      edgesRaw.unpersist()
+    }
     if (changed > 0)
       throw new IllegalStateException(
-        s"duplicateClusters did not converge in $maxIter rounds — " +
+        s"duplicateClusters did not converge in $i rounds — " +
           "pair graph has a longer diameter than a dedup graph should; " +
           "raise maxIter explicitly if the chain is legitimate")
     labels.withColumnRenamed("label", "cluster_rep")

@@ -349,6 +349,51 @@ object Staging {
     readTable(spark, storeDir, table).count()
   }
 
+  /** Whole-table stage-and-swap for operators whose OUTPUT LINEAGE
+    * READS THE STORE THEY REPLACE (rollup maintenance, SCD history —
+    * anything read-modify-write): materialize `df` fully to a temp
+    * directory, then delete-and-rename into place with the rename
+    * result CHECKED. One shared implementation of the swap-safety
+    * discipline (SCALING.md) so the crash-window handling cannot
+    * drift between operators.
+    *
+    * Leftover temp handling distinguishes the two crash windows by
+    * the parquet `_SUCCESS` marker:
+    *   - no `_SUCCESS`: the previous run died DURING its temp write
+    *     (by far the widest window) — the temp is partial garbage and
+    *     the store is intact; it is deleted and this run proceeds;
+    *   - `_SUCCESS` present: the previous run died in the
+    *     milliseconds between its store delete and rename — the temp
+    *     is the COMPLETE post-update state (the store may or may not
+    *     still exist); this run REFUSES so the operator can rename it
+    *     into place, because proceeding would re-fold a batch this
+    *     run cannot identify. */
+  def stageAndSwap(spark: SparkSession, df: DataFrame, storeDir: String,
+                   table: String, markerPrefix: String): Long = {
+    val path = s"$storeDir/$table"
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$storeDir/__${markerPrefix}_tmp_$table")
+    val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(tmp)) {
+      val complete = fs.exists(
+        new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))
+      if (complete)
+        throw new IllegalStateException(
+          s"$tmp exists with _SUCCESS — a previous $markerPrefix update " +
+            s"crashed between its store delete and rename. It holds the " +
+            s"COMPLETE post-update state: rename it to $path to finish " +
+            "that update, and do NOT re-apply that run's batch")
+      // partial write from a crashed run; the store was never touched
+      fs.delete(tmp, true)
+    }
+    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(path)))
+      throw new java.io.IOException(
+        s"rename $tmp -> $path failed; new state intact in $tmp")
+    readTable(spark, storeDir, table).count()
+  }
+
   /** Small-file compaction: rewrite a table directory into
     * ~`targetFileMB`-sized files. Streaming appends and incremental
     * loads accrete small files; at scale the file count (driver

@@ -379,8 +379,15 @@ object SurfaceQueries {
     // needs.
     "incremental_rollup" -> QueryDef(
       (s, d) => {
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft-rollup-q").toString
+        // fixed per-(query, data-dir) scratch path, CLEARED up front:
+        // a fresh createTempDirectory per invocation leaks a store
+        // copy every bench pass, and a leftover rollup store would
+        // double-fold the batches
+        val dir = s"${System.getProperty("java.io.tmpdir")}/" +
+          "graft_q_rollup_" + java.lang.Integer.toHexString(d.hashCode)
+        val dp = new org.apache.hadoop.fs.Path(dir)
+        dp.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(dp, true)
         val orders = Tables.orders(s, d)
         (0 until 3).foreach { i =>
           graft.etl.RollupMaintain.updateRollup(s, dir, "by_status",
@@ -407,8 +414,11 @@ object SurfaceQueries {
     // optimization, invisible to semantics.
     "clustered_scan" -> QueryDef(
       (s, d) => {
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft-cluster-q").toString
+        // fixed scratch path, overwritten per invocation (see
+        // incremental_rollup note) — writeClusteredBy's Overwrite
+        // mode makes re-runs self-cleaning
+        val dir = s"${System.getProperty("java.io.tmpdir")}/" +
+          "graft_q_cluster_" + java.lang.Integer.toHexString(d.hashCode)
         graft.io.Staging.writeClusteredBy(Tables.orders(s, d), dir,
           "orders_c", Seq("o_orderkey"), files = 8)
         graft.io.Staging.readTable(s, dir, "orders_c")

@@ -39,23 +39,46 @@ class RollupSpec extends SparkSpec {
     assert(math.abs(m - (1.5 + 2.5 + 4.0) / 3) < 1e-9)
   }
 
-  test("crashed update leaves a refusal marker instead of losing history") {
+  test("NULL group keys accumulate as ONE group, matching the direct " +
+    "aggregate") {
+    val store = Files.createTempDirectory("graft-rollup-null").toString
+    val b1 = Seq((Option("a"), 1.0), (None, 10.0)).toDF("grp", "amount")
+    val b2 = Seq((Option.empty[String], 5.0)).toDF("grp", "amount")
+    RollupMaintain.updateRollup(spark, store, "t", b1, Seq("grp"), "amount")
+    RollupMaintain.updateRollup(spark, store, "t", b2, Seq("grp"), "amount")
+    val rows = RollupMaintain.readFinal(spark, store, "t")
+      .select("grp", "total", "n_rows")
+      .collect().map(r => Option(r.getString(0)) ->
+        (r.getAs[Double]("total"), r.getAs[Long]("n_rows"))).toMap
+    // a null-UNSAFE merge join would leave two (or more) NULL rows
+    assert(rows.size == 2)
+    assert(rows(None) == (15.0, 2L))
+    assert(rows(Some("a")) == (1.0, 1L))
+  }
+
+  test("crash windows: partial temp self-heals, complete temp refuses") {
     val store = Files.createTempDirectory("graft-rollup-crash").toString
     RollupMaintain.updateRollup(spark, store, "t",
       batch(("a", 1.0)), Seq("grp"), "amount")
-    // simulate a crash between store delete and rename
+    // crash DURING the temp write: no _SUCCESS → partial garbage; the
+    // next run clears it and proceeds
     new java.io.File(s"$store/__rollup_tmp_t").mkdirs()
-    val e = intercept[IllegalArgumentException] {
-      RollupMaintain.updateRollup(spark, store, "t",
-        batch(("a", 2.0)), Seq("grp"), "amount")
-    }
-    assert(e.getMessage.contains("crashed mid-swap"))
-    // recovery path: clear the marker, updates resume
-    assert(new java.io.File(s"$store/__rollup_tmp_t").delete())
     RollupMaintain.updateRollup(spark, store, "t",
       batch(("a", 2.0)), Seq("grp"), "amount")
-    val total = RollupMaintain.readFinal(spark, store, "t")
-      .head().getAs[Double]("total")
-    assert(total == 3.0)
+    assert(RollupMaintain.readFinal(spark, store, "t")
+      .head().getAs[Double]("total") == 3.0)
+    // crash BETWEEN store delete and rename: _SUCCESS present → the
+    // temp is the complete post-update state; the next run refuses
+    val tmp = new java.io.File(s"$store/__rollup_tmp_t")
+    tmp.mkdirs()
+    java.nio.file.Files.createFile(tmp.toPath.resolve("_SUCCESS"))
+    val e = intercept[IllegalStateException] {
+      RollupMaintain.updateRollup(spark, store, "t",
+        batch(("a", 4.0)), Seq("grp"), "amount")
+    }
+    assert(e.getMessage.contains("COMPLETE post-update state"))
+    // store untouched by the refused run
+    assert(RollupMaintain.readFinal(spark, store, "t")
+      .head().getAs[Double]("total") == 3.0)
   }
 }

@@ -59,6 +59,31 @@ class ScdSpec extends SparkSpec {
     assert(got.count(_._5) == 3) // exactly one current row per key
   }
 
+  test("applyBatch rejects late events instead of overlapping closed " +
+    "history") {
+    val store = Files.createTempDirectory("graft-scd-late").toString
+    ScdHistory.applyBatch(spark, store, "tiers", events,
+      "user_id", Seq("tier"), "ts")
+    // user 1 is currently gold since 2024-03-01; an event BEFORE that
+    // would replay ahead of the seed and overlap the closed bronze row
+    val late = Seq((1L, "silver", ts("2024-02-15 00:00:00")))
+      .toDF("user_id", "tier", "ts")
+    val e = intercept[IllegalArgumentException] {
+      ScdHistory.applyBatch(spark, store, "tiers", late,
+        "user_id", Seq("tier"), "ts")
+    }
+    assert(e.getMessage.contains("out-of-order"))
+    // a ts EQUAL to the current valid_from is also a (tie-order) hazard
+    val tie = Seq((1L, "silver", ts("2024-03-01 00:00:00")))
+      .toDF("user_id", "tier", "ts")
+    intercept[IllegalArgumentException] {
+      ScdHistory.applyBatch(spark, store, "tiers", tie,
+        "user_id", Seq("tier"), "ts")
+    }
+    // store untouched by the refused batches
+    assert(graft.io.Staging.readTable(spark, store, "tiers").count() == 3)
+  }
+
   test("asOf joins facts to the version valid at the fact timestamp") {
     val dim = ScdHistory.buildHistory(events, "user_id", Seq("tier"), "ts")
     val facts = Seq(
