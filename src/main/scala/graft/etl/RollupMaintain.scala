@@ -58,6 +58,39 @@ object RollupMaintain {
     Staging.stageAndSwap(spark, merged, storeDir, table, "rollup")
   }
 
+  /** COUNT-DISTINCT maintained incrementally via mergeable HLL
+    * sketches (Apache DataSketches through Spark's `hll_sketch_agg` /
+    * `hll_union_agg`): exact count-distinct is holistic — partials
+    * cannot merge — so the standing form persists a per-group sketch
+    * (~KB regardless of cardinality) and unions new batches in. This
+    * is the documented sketch path for the aggregates [[updateRollup]]
+    * cannot maintain; estimate error is the standard HLL ~1-2% at the
+    * default lgConfigK=12. The sketch union is associative and
+    * commutative, so the maintained sketch is bit-identical to a
+    * one-shot sketch over all data (asserted in RollupSpec). */
+  def updateDistinctRollup(spark: SparkSession, storeDir: String,
+                           table: String, batch: DataFrame,
+                           groupCols: Seq[String],
+                           keyCol: String): Long = {
+    val bp = batch.groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_agg(col(keyCol)).as("sketch"))
+    val merged =
+      if (!Staging.tableExists(spark, storeDir, table)) bp
+      else Staging.readTable(spark, storeDir, table)
+        .unionByName(bp)
+        .groupBy(groupCols.map(col): _*)
+        .agg(hll_union_agg(col("sketch")).as("sketch"))
+    Staging.stageAndSwap(spark, merged, storeDir, table, "hll")
+  }
+
+  /** Estimated distinct count per group from the persisted sketches. */
+  def readDistinct(spark: SparkSession, storeDir: String,
+                   table: String): DataFrame =
+    Staging.readTable(spark, storeDir, table)
+      .withColumn("approx_distinct",
+        hll_sketch_estimate(col("sketch")))
+      .drop("sketch")
+
   /** The user-facing aggregate derived from the partials: exact
     * decimal total (cast to double at the edge, the engine's
     * bit-determinism discipline), row count, and mean. */

@@ -227,14 +227,11 @@ object Staging {
       val merged = store.join(updates.select(key), Seq(key), "left_anti")
         .unionByName(updates)
       // the overwrite reads its own input: stage through a checkpoint
-      // dir, then swap — never overwrite a path mid-read
-      val tmp = s"$storeDir/__merge_tmp_$table"
-      merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(path), true)
-      fs.rename(new org.apache.hadoop.fs.Path(tmp),
-        new org.apache.hadoop.fs.Path(path))
+      // dir, then swap — the shared protocol checks the rename result
+      // and diagnoses leftover-temp crash windows ("mergefull" marker,
+      // distinct from the partition branch's "__merge_tmp_" staging
+      // which is cleared unconditionally at its start)
+      return stageAndSwap(spark, merged, storeDir, table, "mergefull")
     } else {
       // partition-scoped: rewrite every partition the merge AFFECTS —
       // the partitions the updates write INTO (their surviving rows

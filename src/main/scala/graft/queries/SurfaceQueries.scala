@@ -405,6 +405,45 @@ object SurfaceQueries {
         |    count(o_totalprice) AS mean
         |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin)),
 
+    // Count-distinct maintained incrementally via mergeable HLL
+    // sketches (the sketch path for holistic aggregates that
+    // incremental_rollup's sum/count partials cannot maintain).
+    // Oracle pattern: the estimate itself is engine-specific, so the
+    // HASHED output carries the exact distinct (computed in-query,
+    // which DuckDB recomputes independently) plus a within-2pct
+    // BOOLEAN the oracle pins to TRUE — if the maintained sketch ever
+    // drifts past the bound, the row hash breaks. Same invariant
+    // style as the near-dup queries' exact-jaccard column.
+    "incremental_distinct_hll" -> QueryDef(
+      (s, d) => {
+        val dir = s"${System.getProperty("java.io.tmpdir")}/" +
+          "graft_q_hll_" + java.lang.Integer.toHexString(d.hashCode)
+        val dp = new org.apache.hadoop.fs.Path(dir)
+        dp.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(dp, true)
+        val orders = Tables.orders(s, d)
+        (0 until 3).foreach { i =>
+          graft.etl.RollupMaintain.updateDistinctRollup(s, dir,
+            "cust_by_status",
+            orders.filter(pmod(col("o_orderkey"), lit(3)) === i),
+            Seq("o_orderstatus"), "o_custkey")
+        }
+        val approx = graft.etl.RollupMaintain.readDistinct(s, dir,
+          "cust_by_status")
+        val exact = orders.groupBy("o_orderstatus")
+          .agg(countDistinct(col("o_custkey")).as("exact_distinct"))
+        approx.join(exact, Seq("o_orderstatus"))
+          .select(col("o_orderstatus"), col("exact_distinct"),
+            (abs(col("approx_distinct") - col("exact_distinct"))
+              .cast("double") / col("exact_distinct") <= 0.02)
+              .as("within_2pct"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus,
+        |  count(DISTINCT o_custkey) AS exact_distinct,
+        |  TRUE AS within_2pct
+        |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin)),
+
     // Clustered write + pruned read round-trip: orders rewritten with
     // writeClusteredBy(o_orderkey) — near-disjoint per-file key ranges
     // (physical property asserted from real footers in ClusteringSpec)

@@ -56,6 +56,32 @@ class RollupSpec extends SparkSpec {
     assert(rows(Some("a")) == (1.0, 1L))
   }
 
+  test("HLL distinct rollup: maintained sketch == one-shot sketch, " +
+    "estimate near exact") {
+    import org.apache.spark.sql.functions.{hll_sketch_agg, hll_sketch_estimate}
+    val store = Files.createTempDirectory("graft-hll").toString
+    val b1 = (1 to 400).map(i => ("g", s"user_${i % 150}"))
+      .toDF("grp", "uid")
+    val b2 = (1 to 400).map(i => ("g", s"user_${100 + i % 200}"))
+      .toDF("grp", "uid")
+    RollupMaintain.updateDistinctRollup(spark, store, "d", b1,
+      Seq("grp"), "uid")
+    RollupMaintain.updateDistinctRollup(spark, store, "d", b2,
+      Seq("grp"), "uid")
+    val est = RollupMaintain.readDistinct(spark, store, "d")
+      .head().getAs[Long]("approx_distinct")
+    // maintained (union of 2 batch sketches) == one-shot sketch over
+    // the concatenation: HLL union is associative/commutative
+    val oneShot = b1.unionByName(b2).groupBy("grp")
+      .agg(hll_sketch_estimate(hll_sketch_agg($"uid")).as("e"))
+      .head().getAs[Long]("e")
+    assert(est == oneShot)
+    // and near the exact cardinality (200 distinct uids)
+    val exact = b1.unionByName(b2).select("uid").distinct().count()
+    assert(math.abs(est - exact).toDouble / exact < 0.05,
+      s"est=$est exact=$exact")
+  }
+
   test("crash windows: partial temp self-heals, complete temp refuses") {
     val store = Files.createTempDirectory("graft-rollup-crash").toString
     RollupMaintain.updateRollup(spark, store, "t",
