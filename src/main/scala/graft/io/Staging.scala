@@ -246,23 +246,38 @@ object Staging {
         .join(touched, partitionCols, "left_semi")
         .join(updates.select(key), Seq(key), "left_anti")
       val merged = keep.unionByName(updates)
-      // Stage `merged` — whose lineage READS the store — through a
-      // temp directory, fully materialized on durable storage BEFORE
-      // any store file is touched, then swap partition directories
-      // into place via backup-then-rename. The earlier
-      // cache()-then-dynamic-overwrite form had a data-loss window:
-      // cached blocks evicted mid-overwrite would recompute from the
-      // half-overwritten store. The swap protocol never deletes the
-      // only copy of a partition: the old directory is MOVED to a
-      // per-run backup first, the new one renamed in (result
-      // CHECKED — Hadoop rename reports most failures as `false`,
-      // not an exception), and the backup dropped only after every
-      // partition swapped. A crash mid-swap leaves each partition's
-      // data in exactly one of store/backup/temp — recoverable by an
-      // operator, never silently gone. (Atomic MULTI-partition commit
-      // is beyond what raw parquet directories can express; a
-      // transactional table format is the production answer, and the
-      // scope here is documented, not hidden.)
+      swapTouchedPartitions(spark, merged, storeDir, table,
+        partitionCols, touched)
+    }
+    readTable(spark, storeDir, table).count()
+  }
+
+  /** Partition-scoped stage-and-swap shared by [[mergeUpsert]] and
+    * [[deleteKeys]]: stage `merged` — whose lineage READS the store —
+    * through a temp directory, fully materialized on durable storage
+    * BEFORE any store file is touched, then swap partition
+    * directories into place via backup-then-rename. The swap never
+    * deletes the only copy of a partition: the old directory is MOVED
+    * to a per-run backup first, the new one renamed in (result
+    * CHECKED — Hadoop rename reports most failures as `false`, not an
+    * exception), and the backup dropped only after every partition
+    * swapped. A crash mid-swap leaves each partition's data in
+    * exactly one of store/backup/temp — recoverable by an operator,
+    * never silently gone. (Atomic MULTI-partition commit is beyond
+    * what raw parquet directories can express; a transactional table
+    * format is the production answer, and the scope here is
+    * documented, not hidden.)
+    *
+    * `merged` must emit ONLY rows belonging to `touched` partitions
+    * (plus any brand-new partitions); untouched partitions' files are
+    * never listed, read, or moved. A touched partition `merged` emits
+    * NO rows for is displaced to the backup (i.e. logically deleted). */
+  private def swapTouchedPartitions(spark: SparkSession,
+                                    merged: DataFrame, storeDir: String,
+                                    table: String,
+                                    partitionCols: Seq[String],
+                                    touched: DataFrame): Unit = {
+      val path = s"$storeDir/$table"
       val tmp = s"$storeDir/__merge_tmp_$table"
       val bak = s"$storeDir/__merge_bak_$table"
       val fs = new org.apache.hadoop.fs.Path(path)
@@ -336,13 +351,40 @@ object Staging {
         fs.mkdirs(dst.getParent)
         renameChecked(new org.apache.hadoop.fs.Path(s"$tmp/$rel"), dst)
       }
-      // touched-but-empty partitions (every row was an updated key
-      // that moved elsewhere): displaced to backup, not deleted
+      // touched-but-empty partitions (every surviving row was removed
+      // or moved elsewhere): displaced to backup, not deleted
       (touchedSubs -- emitted).foreach(moveToBackup)
       // all partitions swapped — drop the backup and temp scaffolding
       fs.delete(bakPath, true)
       fs.delete(tmpPath, true)
+  }
+
+  /** Targeted key deletion ("forget these ids") — the
+    * right-to-be-forgotten operation a production store needs. The
+    * whole-table form anti-joins and swaps; the partition-scoped form
+    * rewrites ONLY partitions that actually hold a doomed key (same
+    * backup-then-rename protocol as [[mergeUpsert]]), so deleting a
+    * handful of users from a date-partitioned 100 TB store rewrites a
+    * handful of partitions, not the table. `keys` is a one-column
+    * frame of ids to remove. Returns the new total row count. */
+  def deleteKeys(spark: SparkSession, keys: DataFrame,
+                 storeDir: String, table: String, key: String,
+                 partitionCols: Seq[String] = Nil): Long = {
+    val store = readTable(spark, storeDir, table)
+    val doomed = keys.select(col(keys.columns.head).as(key)).distinct()
+    if (partitionCols.isEmpty) {
+      val kept = store.join(doomed, Seq(key), "left_anti")
+      return stageAndSwap(spark, kept, storeDir, table, "delete")
     }
+    // only partitions holding a doomed key are rewritten
+    val touched = store.join(doomed, Seq(key), "left_semi")
+      .select(partitionCols.map(col): _*)
+      .distinct()
+    val kept = store
+      .join(touched, partitionCols, "left_semi")
+      .join(doomed, Seq(key), "left_anti")
+    swapTouchedPartitions(spark, kept, storeDir, table,
+      partitionCols, touched)
     readTable(spark, storeDir, table).count()
   }
 

@@ -405,6 +405,36 @@ object SurfaceQueries {
         |    count(o_totalprice) AS mean
         |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin)),
 
+    // Targeted key deletion (right-to-be-forgotten): a copy of orders
+    // partitioned by status, a deterministic set of customer keys
+    // deleted partition-scoped, remaining rows aggregated. The oracle
+    // filters the same keys directly — identical results prove the
+    // swap rewrote exactly the surviving rows.
+    "delete_keys" -> QueryDef(
+      (s, d) => {
+        val dir = s"${System.getProperty("java.io.tmpdir")}/" +
+          "graft_q_del_" + java.lang.Integer.toHexString(d.hashCode)
+        val dp = new org.apache.hadoop.fs.Path(dir)
+        dp.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(dp, true)
+        val orders = Tables.orders(s, d)
+        graft.io.Staging.overwritePartitionsDynamic(orders, dir,
+          "orders_p", Seq("o_orderstatus"))
+        val doomed = orders.filter(pmod(col("o_custkey"), lit(7)) === 0)
+          .select("o_custkey")
+        graft.io.Staging.deleteKeys(s, doomed, dir, "orders_p",
+          "o_custkey", partitionCols = Seq("o_orderstatus"))
+        graft.io.Staging.readTable(s, dir, "orders_p")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            QueryDef.dsum(col("o_totalprice")).as("total"))
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""SELECT o_orderstatus, count(*) AS n,
+        |  ${QueryDef.dsumSql("o_totalprice")} AS total
+        |FROM orders WHERE o_custkey % 7 <> 0
+        |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin)),
+
     // Count-distinct maintained incrementally via mergeable HLL
     // sketches (the sketch path for holistic aggregates that
     // incremental_rollup's sum/count partials cannot maintain).

@@ -128,6 +128,37 @@ class StoreOpsSpec extends SparkSpec {
     assert(rows == Map(1L -> "a2", 2L -> "b"))
   }
 
+  test("deleteKeys removes ids; partition-scoped form rewrites only " +
+    "partitions holding a doomed key") {
+    val store = Files.createTempDirectory("graft-del").toString
+    // whole-table form
+    Staging.overwriteParquet(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), store, "t")
+    val n = Staging.deleteKeys(spark, Seq(2L).toDF("id"), store, "t", "id")
+    assert(n == 2)
+    assert(Staging.readTable(spark, store, "t")
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    // partition-scoped: d2 holds no doomed key → files untouched
+    val init = Seq((1L, "a", "d1"), (2L, "b", "d1"), (3L, "c", "d2"))
+      .toDF("id", "v", "dt")
+    Staging.overwritePartitionsDynamic(init, store, "p", Seq("dt"))
+    val d2Before = new java.io.File(s"$store/p/dt=d2").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.lastModified).max
+    Thread.sleep(1100)
+    val n2 = Staging.deleteKeys(spark, Seq(1L).toDF("id"), store, "p",
+      "id", partitionCols = Seq("dt"))
+    assert(n2 == 2)
+    val d2After = new java.io.File(s"$store/p/dt=d2").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.lastModified).max
+    assert(d2After == d2Before, "untouched partition was rewritten")
+    // deleting EVERY key of a partition clears its directory
+    Staging.deleteKeys(spark, Seq(3L).toDF("id"), store, "p",
+      "id", partitionCols = Seq("dt"))
+    assert(!new java.io.File(s"$store/p/dt=d2").exists())
+    assert(Staging.readTable(spark, store, "p")
+      .select("id").as[Long].collect().toSeq == Seq(2L))
+  }
+
   test("schema-evolving append surfaces new columns as NULL on old rows") {
     val store = Files.createTempDirectory("graft-evolve").toString
     Staging.appendParquetEvolving(
