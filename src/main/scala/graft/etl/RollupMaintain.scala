@@ -66,8 +66,10 @@ object RollupMaintain {
     * is the documented sketch path for the aggregates [[updateRollup]]
     * cannot maintain; estimate error is the standard HLL ~1-2% at the
     * default lgConfigK=12. The sketch union is associative and
-    * commutative, so the maintained sketch is bit-identical to a
-    * one-shot sketch over all data (asserted in RollupSpec). */
+    * commutative, so the maintained ESTIMATE equals a one-shot
+    * sketch's estimate over all data (asserted in RollupSpec); the
+    * sketch BYTES are not guaranteed identical — union-built sketches
+    * can differ in mode/HIP state from directly-built ones. */
   def updateDistinctRollup(spark: SparkSession, storeDir: String,
                            table: String, batch: DataFrame,
                            groupCols: Seq[String],

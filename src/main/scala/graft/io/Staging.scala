@@ -242,8 +242,7 @@ object Staging {
         .select(partitionCols.map(col): _*)
         .unionByName(updates.select(partitionCols.map(col): _*))
         .distinct()
-      val keep = store
-        .join(touched, partitionCols, "left_semi")
+      val keep = semiJoinNullSafe(store, touched, partitionCols)
         .join(updates.select(key), Seq(key), "left_anti")
       val merged = keep.unionByName(updates)
       swapTouchedPartitions(spark, merged, storeDir, table,
@@ -357,6 +356,36 @@ object Staging {
       // all partitions swapped — drop the backup and temp scaffolding
       fs.delete(bakPath, true)
       fs.delete(tmpPath, true)
+      // a swap can empty the table entirely (every partition touched,
+      // none re-emitted — e.g. deleteKeys of the last rows): a dir
+      // with zero data files is UNREADABLE (no schema to infer), so
+      // materialize an explicit empty table with the full schema
+      // (partition cols as ordinary columns — Spark writes one empty
+      // file for an empty frame precisely to preserve schema). A later
+      // REPOPULATION of the emptied table must go through a full
+      // overwrite (overwriteParquet / mergeUpsert whole-table), not a
+      // dynamic-partition write, which would leave this root file
+      // beside new partition dirs (conflicting layouts).
+      val anyLeft = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+        .exists(s => s.isDirectory && s.getPath.getName.contains("="))
+      if (!anyLeft)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          merged.schema)
+          .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** Null-safe partition-membership semi-join: `Seq(cols)` join keys
+    * use null-UNSAFE equality, so rows of a NULL-valued partition
+    * (`__HIVE_DEFAULT_PARTITION__`) would never match `touched` — the
+    * swap would then displace the whole null partition while its
+    * surviving rows were never re-emitted: silent data loss. `<=>`
+    * treats NULL = NULL as true. */
+  private def semiJoinNullSafe(store: DataFrame, touched: DataFrame,
+                               partitionCols: Seq[String]): DataFrame = {
+    val t = touched.toDF(partitionCols.map("__t_" + _): _*)
+    store.join(t, partitionCols.map(c => store(c) <=> t(s"__t_$c"))
+      .reduce(_ && _), "left_semi")
   }
 
   /** Targeted key deletion ("forget these ids") — the
@@ -366,10 +395,12 @@ object Staging {
     * backup-then-rename protocol as [[mergeUpsert]]), so deleting a
     * handful of users from a date-partitioned 100 TB store rewrites a
     * handful of partitions, not the table. `keys` is a one-column
-    * frame of ids to remove. Returns the new total row count. */
+    * frame of ids to remove. A missing table is "nothing to delete"
+    * (returns 0), not an error. Returns the new total row count. */
   def deleteKeys(spark: SparkSession, keys: DataFrame,
                  storeDir: String, table: String, key: String,
                  partitionCols: Seq[String] = Nil): Long = {
+    if (!tableExists(spark, storeDir, table)) return 0L
     val store = readTable(spark, storeDir, table)
     val doomed = keys.select(col(keys.columns.head).as(key)).distinct()
     if (partitionCols.isEmpty) {
@@ -380,8 +411,7 @@ object Staging {
     val touched = store.join(doomed, Seq(key), "left_semi")
       .select(partitionCols.map(col): _*)
       .distinct()
-    val kept = store
-      .join(touched, partitionCols, "left_semi")
+    val kept = semiJoinNullSafe(store, touched, partitionCols)
       .join(doomed, Seq(key), "left_anti")
     swapTouchedPartitions(spark, kept, storeDir, table,
       partitionCols, touched)

@@ -12,6 +12,21 @@ import graft.Tables
   */
 object SurfaceQueries {
 
+  /** Fixed per-(query, data-dir) scratch path for queries that
+    * exercise store-maintenance operators, CLEARED up front: a fresh
+    * createTempDirectory per invocation would leak a store copy every
+    * bench pass, and a leftover incremental store would double-fold
+    * its batches. One helper so the naming/cleanup scheme cannot
+    * drift between the queries that need it. */
+  private def clearedScratchDir(s: org.apache.spark.sql.SparkSession,
+                                name: String, d: String): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q_${name}_" +
+      java.lang.Integer.toHexString(d.hashCode)
+    val dp = new org.apache.hadoop.fs.Path(dir)
+    dp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(dp, true)
+    dir
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // Right outer join: all suppliers kept, nation attrs where matched
@@ -379,15 +394,7 @@ object SurfaceQueries {
     // needs.
     "incremental_rollup" -> QueryDef(
       (s, d) => {
-        // fixed per-(query, data-dir) scratch path, CLEARED up front:
-        // a fresh createTempDirectory per invocation leaks a store
-        // copy every bench pass, and a leftover rollup store would
-        // double-fold the batches
-        val dir = s"${System.getProperty("java.io.tmpdir")}/" +
-          "graft_q_rollup_" + java.lang.Integer.toHexString(d.hashCode)
-        val dp = new org.apache.hadoop.fs.Path(dir)
-        dp.getFileSystem(s.sparkContext.hadoopConfiguration)
-          .delete(dp, true)
+        val dir = clearedScratchDir(s, "rollup", d)
         val orders = Tables.orders(s, d)
         (0 until 3).foreach { i =>
           graft.etl.RollupMaintain.updateRollup(s, dir, "by_status",
@@ -412,11 +419,7 @@ object SurfaceQueries {
     // swap rewrote exactly the surviving rows.
     "delete_keys" -> QueryDef(
       (s, d) => {
-        val dir = s"${System.getProperty("java.io.tmpdir")}/" +
-          "graft_q_del_" + java.lang.Integer.toHexString(d.hashCode)
-        val dp = new org.apache.hadoop.fs.Path(dir)
-        dp.getFileSystem(s.sparkContext.hadoopConfiguration)
-          .delete(dp, true)
+        val dir = clearedScratchDir(s, "del", d)
         val orders = Tables.orders(s, d)
         graft.io.Staging.overwritePartitionsDynamic(orders, dir,
           "orders_p", Seq("o_orderstatus"))
@@ -440,17 +443,16 @@ object SurfaceQueries {
     // incremental_rollup's sum/count partials cannot maintain).
     // Oracle pattern: the estimate itself is engine-specific, so the
     // HASHED output carries the exact distinct (computed in-query,
-    // which DuckDB recomputes independently) plus a within-2pct
+    // which DuckDB recomputes independently) plus a within-5pct
     // BOOLEAN the oracle pins to TRUE — if the maintained sketch ever
     // drifts past the bound, the row hash breaks. Same invariant
-    // style as the near-dup queries' exact-jaccard column.
+    // style as the near-dup queries' exact-jaccard column. 5% is
+    // >3 sigma for lgConfigK=12 HLL (RSE ~1.3-1.6%, slightly worse
+    // for union-built sketches, which lose the HIP estimator) — a
+    // bound that holds across scale factors, not just the tuned one.
     "incremental_distinct_hll" -> QueryDef(
       (s, d) => {
-        val dir = s"${System.getProperty("java.io.tmpdir")}/" +
-          "graft_q_hll_" + java.lang.Integer.toHexString(d.hashCode)
-        val dp = new org.apache.hadoop.fs.Path(dir)
-        dp.getFileSystem(s.sparkContext.hadoopConfiguration)
-          .delete(dp, true)
+        val dir = clearedScratchDir(s, "hll", d)
         val orders = Tables.orders(s, d)
         (0 until 3).foreach { i =>
           graft.etl.RollupMaintain.updateDistinctRollup(s, dir,
@@ -465,13 +467,13 @@ object SurfaceQueries {
         approx.join(exact, Seq("o_orderstatus"))
           .select(col("o_orderstatus"), col("exact_distinct"),
             (abs(col("approx_distinct") - col("exact_distinct"))
-              .cast("double") / col("exact_distinct") <= 0.02)
-              .as("within_2pct"))
+              .cast("double") / col("exact_distinct") <= 0.05)
+              .as("within_5pct"))
           .orderBy("o_orderstatus")
       },
       Some("""SELECT o_orderstatus,
         |  count(DISTINCT o_custkey) AS exact_distinct,
-        |  TRUE AS within_2pct
+        |  TRUE AS within_5pct
         |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin)),
 
     // Clustered write + pruned read round-trip: orders rewritten with
@@ -483,11 +485,7 @@ object SurfaceQueries {
     // optimization, invisible to semantics.
     "clustered_scan" -> QueryDef(
       (s, d) => {
-        // fixed scratch path, overwritten per invocation (see
-        // incremental_rollup note) — writeClusteredBy's Overwrite
-        // mode makes re-runs self-cleaning
-        val dir = s"${System.getProperty("java.io.tmpdir")}/" +
-          "graft_q_cluster_" + java.lang.Integer.toHexString(d.hashCode)
+        val dir = clearedScratchDir(s, "cluster", d)
         graft.io.Staging.writeClusteredBy(Tables.orders(s, d), dir,
           "orders_c", Seq("o_orderkey"), files = 8)
         graft.io.Staging.readTable(s, dir, "orders_c")

@@ -76,7 +76,7 @@ class RollupSpec extends SparkSpec {
       .agg(hll_sketch_estimate(hll_sketch_agg($"uid")).as("e"))
       .head().getAs[Long]("e")
     assert(est == oneShot)
-    // and near the exact cardinality (200 distinct uids)
+    // and near the exact cardinality (user_0..149 + user_100..299 = 300 distinct)
     val exact = b1.unionByName(b2).select("uid").distinct().count()
     assert(math.abs(est - exact).toDouble / exact < 0.05,
       s"est=$est exact=$exact")

@@ -159,6 +159,44 @@ class StoreOpsSpec extends SparkSpec {
       .select("id").as[Long].collect().toSeq == Seq(2L))
   }
 
+  test("partition-scoped deleteKeys keeps non-doomed rows of a " +
+    "NULL-valued partition") {
+    // regression: the survivor semi-join on partitionCols used
+    // null-UNSAFE equality, so no row of the NULL partition
+    // (__HIVE_DEFAULT_PARTITION__) ever reached `kept` — the swap then
+    // displaced the whole directory and dropped the backup, deleting
+    // rows that were never in the doomed set
+    val store = Files.createTempDirectory("graft-del-nullpart").toString
+    val init = Seq((1L, "a", Some("d1")), (3L, "c", None), (4L, "d", None))
+      .toDF("id", "v", "dt")
+    Staging.overwritePartitionsDynamic(init, store, "p", Seq("dt"))
+    val n = Staging.deleteKeys(spark, Seq(3L).toDF("id"), store, "p",
+      "id", partitionCols = Seq("dt"))
+    assert(n == 2)
+    val rows = Staging.readTable(spark, store, "p")
+      .select("id", "dt").as[(Long, Option[String])].collect().toSet
+    assert(rows == Set((1L, Some("d1")), (4L, None)))
+  }
+
+  test("deleteKeys that empties the table leaves it readable; missing " +
+    "table is a no-op") {
+    // regression: deleting the last row of every partition left a dir
+    // with only _SUCCESS → later reads threw 'Unable to infer schema'
+    val store = Files.createTempDirectory("graft-del-all").toString
+    Staging.overwritePartitionsDynamic(
+      Seq((1L, "a", "d1"), (2L, "b", "d2")).toDF("id", "v", "dt"),
+      store, "p", Seq("dt"))
+    val n = Staging.deleteKeys(spark, Seq(1L, 2L).toDF("id"), store, "p",
+      "id", partitionCols = Seq("dt"))
+    assert(n == 0)
+    val emptied = Staging.readTable(spark, store, "p")
+    assert(emptied.count() == 0)
+    assert(emptied.columns.toSet == Set("id", "v", "dt"))
+    // a table that was never created is "nothing to delete", not an error
+    assert(Staging.deleteKeys(spark, Seq(1L).toDF("id"), store,
+      "never_created", "id") == 0L)
+  }
+
   test("schema-evolving append surfaces new columns as NULL on old rows") {
     val store = Files.createTempDirectory("graft-evolve").toString
     Staging.appendParquetEvolving(
