@@ -27,6 +27,7 @@ object SparkEntry {
     ScalarQueries.defs,
     EventQueries.defs,
     TextQueries.defs,
+    Text2Queries.defs,
     VectorQueries.defs,
     MultimodalQueries.defs,
     Analytic2Queries.defs,

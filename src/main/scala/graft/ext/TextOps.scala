@@ -131,6 +131,74 @@ object TextOps {
     }
   }
 
+  /** Word n-grams as space-joined strings; fewer than `n` tokens →
+    * empty array. A narrow map (plan-side transform over the token
+    * array) — the building block for decontamination and repetition
+    * metrics. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    require(n >= 1, "n >= 1")
+    val t = tokens(text)
+    when(size(t) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(t) - n + 1),
+        i => concat_ws(" ", slice(t, i, lit(n)))))
+  }
+
+  /** PII patterns in both Java-regex and RE2 (DuckDB) common syntax —
+    * no lookarounds, so the same pattern string runs identically in
+    * either engine. Order matters: EMAIL first (its local part may
+    * contain digits/dots the narrower patterns would nibble), then
+    * PHONE, then IP; replacement tokens contain no digits, so later
+    * passes can never match inside an earlier redaction. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\b\\d{3}-\\d{3}-\\d{4}\\b", "<PHONE>"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"))
+
+  /** Redact emails / phone numbers / IPv4 addresses to typed
+    * placeholder tokens — the scrubbing pass a training corpus runs
+    * before anything else sees the text. Pure regexp_replace chain:
+    * codegen'd, narrow, no shuffle. */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (_, re, tok)) =>
+      regexp_replace(c, re, tok)
+    }
+
+  /** Match count of one PII kind ("email" | "phone" | "ip") in the
+    * ORIGINAL text (counts are independent per kind, before any
+    * redaction). */
+  def piiCount(text: Column, kind: String): Column = {
+    val re = piiPatterns.collectFirst { case (`kind`, r, _) => r }
+      .getOrElse(throw new IllegalArgumentException(s"unknown kind $kind"))
+    regexp_count(text, lit(re))
+  }
+
+  /** Fraction of tokens that are repeats (1 - distinct/total) —
+    * 0 for all-unique or empty text. */
+  def dupTokenFrac(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) === 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(t)).cast("double") / size(t))
+  }
+
+  /** Share of the single most frequent word n-gram among all n-grams
+    * (the Gopher-style "top n-gram fraction" repetition signal).
+    * Quadratic in DISTINCT n-grams per doc — a per-row expression
+    * bounded by doc length, still a narrow map over the corpus. */
+  def topNgramFrac(text: Column, n: Int): Column = {
+    val g = wordNgrams(text, n)
+    when(size(g) === 0, lit(0.0)).otherwise(
+      array_max(transform(array_distinct(g),
+        x => size(filter(g, y => y === x)))).cast("double") / size(g))
+  }
+
+  /** Fraction of word n-grams that are duplicates (1 - distinct/total)
+    * — the "duplicated n-gram" repetition signal. */
+  def dupNgramFrac(text: Column, n: Int): Column = {
+    val g = wordNgrams(text, n)
+    when(size(g) === 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(g)).cast("double") / size(g))
+  }
+
   /** Stable document fingerprint: md5 of whitespace-collapsed,
     * lowercased text — identical in any engine with md5. */
   def fingerprint(text: Column): Column =

@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ext.{DecontamOps, TextOps}
+
+/** Second text-surface battery: benchmark decontamination, PII
+  * redaction, and repetition-based quality metrics. Same oracle
+  * parity rules as [[TextQueries]] (shared tokenization, exact int/int
+  * ratios, full ORDER BY). The PII regexes are written in the common
+  * Java-regex ∩ RE2 subset, so the IDENTICAL pattern string runs in
+  * both engines — that parity is itself part of what the oracle
+  * verifies.
+  */
+object Text2Queries {
+
+  private val tokSql =
+    """CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+      |       ELSE regexp_split_to_array(lower(trim(text)), '\s+')
+      |  END""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // Benchmark decontamination: docs with doc_id % 37 = 0 stand in
+    // for the eval set; every other doc is flagged if it shares any
+    // word 4-gram with that set. Eval n-grams broadcast (benchmarks
+    // are tiny vs the corpus); corpus side is explode + broadcast
+    // semi join — zero corpus shuffle at 100 TB. At sf0.01 this
+    // flags 13/486 docs; at sf0.1, 1589/4864 — a real split, not a
+    // constant column.
+    "decontaminate" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val eval = docs.filter(col("doc_id") % 37 === 0)
+        val corpus = docs.filter(col("doc_id") % 37 =!= 0)
+        DecontamOps.flagContaminated(corpus, eval, "doc_id", "text", 4)
+          .select("doc_id", "contaminated")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $tokSql AS tok FROM documents),
+        |g AS (SELECT doc_id,
+        |    CASE WHEN len(tok) < 4 THEN []::VARCHAR[]
+        |         ELSE list_transform(range(1, len(tok) - 2),
+        |                i -> array_to_string(tok[i:i+3], ' '))
+        |    END AS ngs FROM t),
+        |ev AS (SELECT DISTINCT unnest(ngs) AS ng FROM g
+        |       WHERE doc_id % 37 = 0)
+        |SELECT doc_id,
+        |  EXISTS (SELECT 1 FROM ev WHERE list_contains(g.ngs, ev.ng))
+        |    AS contaminated
+        |FROM g WHERE doc_id % 37 <> 0 ORDER BY doc_id""".stripMargin)),
+
+    // PII redaction: the corpus text carries no PII by construction,
+    // so both sides append the same deterministic synthetic contact
+    // block (email / IPv4 / phone, plus a second email on every third
+    // doc), then redact. The md5 of the redacted text makes the check
+    // byte-exact without dumping long strings; the per-kind counts
+    // are measured on the pre-redaction text.
+    "pii_redaction" -> QueryDef(
+      (s, d) => {
+        val pii = concat(col("text"),
+          lit(" reach user"), col("doc_id").cast("string"),
+          lit("@example.com at 10.0."),
+          (col("doc_id") % 256).cast("string"),
+          lit(".1 or call 555-123-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          when(col("doc_id") % 3 === 0, lit(" cc admin@corp.io"))
+            .otherwise(lit("")))
+        Tables.documents(s, d)
+          .select(col("doc_id"), pii.as("t"))
+          .select(col("doc_id"),
+            TextOps.piiCount(col("t"), "email").as("n_email"),
+            TextOps.piiCount(col("t"), "phone").as("n_phone"),
+            TextOps.piiCount(col("t"), "ip").as("n_ip"),
+            md5(TextOps.redactPii(col("t"))).as("redacted_md5"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val Seq(email, phone, ip) = TextOps.piiPatterns.map(_._2)
+        s"""WITH p AS (SELECT doc_id,
+           |  text || ' reach user' || CAST(doc_id AS VARCHAR)
+           |    || '@example.com at 10.0.'
+           |    || CAST(doc_id % 256 AS VARCHAR)
+           |    || '.1 or call 555-123-'
+           |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           |    || CASE WHEN doc_id % 3 = 0 THEN ' cc admin@corp.io'
+           |            ELSE '' END AS t
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(t, '$email')) AS INT) AS n_email,
+           |  CAST(len(regexp_extract_all(t, '$phone')) AS INT) AS n_phone,
+           |  CAST(len(regexp_extract_all(t, '$ip')) AS INT) AS n_ip,
+           |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+           |    '$email', '<EMAIL>', 'g'),
+           |    '$phone', '<PHONE>', 'g'),
+           |    '$ip', '<IP>', 'g')) AS redacted_md5
+           |FROM p ORDER BY doc_id""".stripMargin
+      }),
+
+    // Gopher-style repetition signals per doc: repeated-token
+    // fraction, most-frequent-bigram share, duplicated-trigram
+    // fraction, and the composite gate a curation pipeline filters
+    // on. All narrow per-row expressions (quadratic only in each
+    // doc's DISTINCT bigrams) — no shuffle but the final sort.
+    "repetition_metrics" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          round(TextOps.dupTokenFrac(col("text")), 6)
+            .as("dup_token_frac"),
+          round(TextOps.topNgramFrac(col("text"), 2), 6)
+            .as("top_bigram_frac"),
+          round(TextOps.dupNgramFrac(col("text"), 3), 6)
+            .as("dup_trigram_frac"),
+          (TextOps.dupTokenFrac(col("text")) > 0.6 ||
+            TextOps.topNgramFrac(col("text"), 2) >= 0.1 ||
+            TextOps.dupNgramFrac(col("text"), 3) >= 0.05)
+            .as("repetitive"))
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, $tokSql AS tok FROM documents),
+        |b AS (SELECT doc_id, tok,
+        |    CASE WHEN len(tok) < 2 THEN []::VARCHAR[]
+        |         ELSE list_transform(range(1, len(tok)),
+        |                i -> tok[i] || ' ' || tok[i+1])
+        |    END AS bg,
+        |    CASE WHEN len(tok) < 3 THEN []::VARCHAR[]
+        |         ELSE list_transform(range(1, len(tok) - 1),
+        |                i -> array_to_string(tok[i:i+2], ' '))
+        |    END AS tg FROM t),
+        |m AS (SELECT doc_id,
+        |    CASE WHEN len(tok) = 0 THEN 0.0
+        |         ELSE 1.0 - CAST(len(list_distinct(tok)) AS DOUBLE)
+        |           / len(tok) END AS dup_tok,
+        |    CASE WHEN len(bg) = 0 THEN 0.0
+        |         ELSE CAST(list_max(list_transform(list_distinct(bg),
+        |             x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE)
+        |           / len(bg) END AS top_bg,
+        |    CASE WHEN len(tg) = 0 THEN 0.0
+        |         ELSE 1.0 - CAST(len(list_distinct(tg)) AS DOUBLE)
+        |           / len(tg) END AS dup_tg
+        |  FROM b)
+        |SELECT doc_id,
+        |  round(dup_tok, 6) AS dup_token_frac,
+        |  round(top_bg, 6) AS top_bigram_frac,
+        |  round(dup_tg, 6) AS dup_trigram_frac,
+        |  (dup_tok > 0.6 OR top_bg >= 0.1 OR dup_tg >= 0.05)
+        |    AS repetitive
+        |FROM m ORDER BY doc_id""".stripMargin))
+  )
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.DecontamOps
+
+/** Benchmark decontamination: n-gram overlap flagging/removal and
+  * its broadcast-semi-join plan shape. */
+class DecontamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val evalSet = Seq(
+    (100L, "the quick brown fox jumps over the lazy dog"),
+    (101L, "to be or not to be that is the question"))
+    .toDF("doc_id", "text")
+
+  private val corpus = Seq(
+    // shares the 4-gram "quick brown fox jumps"
+    (1L, "a very quick brown fox jumps high today"),
+    // shares tokens but no 4-gram
+    (2L, "the dog jumps over a brown log quietly"),
+    // verbatim eval sentence embedded
+    (3L, "prefix to be or not to be that is the question suffix"),
+    // nothing shared
+    (4L, "completely unrelated words about spark engines"),
+    // too short for any 4-gram
+    (5L, "quick brown fox")).toDF("doc_id", "text")
+
+  test("contaminatedIds flags exactly the n-gram-overlapping docs") {
+    val bad = DecontamOps.contaminatedIds(corpus, evalSet,
+      "doc_id", "text", 4).as[Long].collect().sorted.toSeq
+    assert(bad == Seq(1L, 3L))
+  }
+
+  test("decontaminate removes flagged docs; flagContaminated keeps " +
+    "all rows with the boolean") {
+    val kept = DecontamOps.decontaminate(corpus, evalSet,
+      "doc_id", "text", 4).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(kept == Seq(2L, 4L, 5L))
+    val flags = DecontamOps.flagContaminated(corpus, evalSet,
+      "doc_id", "text", 4)
+      .select("doc_id", "contaminated")
+      .as[(Long, Boolean)].collect().toMap
+    assert(flags == Map(1L -> true, 2L -> false, 3L -> true,
+      4L -> false, 5L -> false))
+  }
+
+  test("eval n-gram set joins as a broadcast (no corpus shuffle)") {
+    val plan = DecontamOps.contaminatedIds(corpus, evalSet,
+      "doc_id", "text", 4).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast semi join in:\n$plan")
+  }
+}

@@ -81,4 +81,42 @@ class TextSpec extends SparkSpec {
     // doc 3: survives as one empty chunk
     assert(out.filter(_._1 == 3L).toSeq == Seq((3L, 0L, "", 0)))
   }
+
+  test("wordNgrams: sliding windows, short-doc empty array") {
+    val g = spark.range(1)
+      .select(TextOps.wordNgrams(lit("a b c d"), 3).as("g"))
+      .head().getSeq[String](0)
+    assert(g == Seq("a b c", "b c d"))
+    assert(spark.range(1)
+      .select(TextOps.wordNgrams(lit("a b"), 3).as("g"))
+      .head().getSeq[String](0).isEmpty)
+  }
+
+  test("redactPii scrubs emails, phones, IPs; counts match") {
+    val txt = "mail bob.smith+x@sub.example.org or eve@ex.io, " +
+      "call 555-123-4567, host 192.168.0.1 end"
+    val red = one[String](TextOps.redactPii(lit(txt)))
+    assert(red == "mail <EMAIL> or <EMAIL>, call <PHONE>, " +
+      "host <IP> end")
+    assert(one[Int](TextOps.piiCount(lit(txt), "email")) == 2)
+    assert(one[Int](TextOps.piiCount(lit(txt), "phone")) == 1)
+    assert(one[Int](TextOps.piiCount(lit(txt), "ip")) == 1)
+    // non-PII digits survive: dates, versions, plain numbers
+    val clean = "version 1.2 of 2024 shipped 10000 units"
+    assert(one[String](TextOps.redactPii(lit(clean))) == clean)
+  }
+
+  test("repetition metrics: unique text scores 0, loops score high") {
+    val unique = "alpha beta gamma delta epsilon zeta"
+    assert(one[Double](TextOps.dupTokenFrac(lit(unique))) == 0.0)
+    assert(one[Double](TextOps.dupNgramFrac(lit(unique), 3)) == 0.0)
+    // "spam ham " * n: every bigram is one of two values
+    val loop = Seq.fill(10)("spam ham").mkString(" ")
+    assert(one[Double](TextOps.dupTokenFrac(lit(loop))) == 0.9)
+    assert(one[Double](TextOps.topNgramFrac(lit(loop), 2)) > 0.5)
+    assert(one[Double](TextOps.dupNgramFrac(lit(loop), 3)) > 0.8)
+    // empty text: all zero, no division error
+    assert(one[Double](TextOps.dupTokenFrac(lit(""))) == 0.0)
+    assert(one[Double](TextOps.topNgramFrac(lit(""), 2)) == 0.0)
+  }
 }
