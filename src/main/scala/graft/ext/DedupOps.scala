@@ -368,10 +368,53 @@ object DedupOps {
     * `maxDistance` → narrower chunks → more (cheap) false candidates. */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           maxDistance: Int = 3,
-                          maxBucketSize: Int = 200): DataFrame = {
-    val sigd = df.select(col(idCol).as("doc_id"),
+                          maxBucketSize: Int = 200): DataFrame =
+    simhashPairsFromSigs(
+      df.select(col(idCol).as("doc_id"),
         graft.functions.native.simhash64(TextOps.tokens(col(textCol)))
-          .as("__sig"))
+          .as("__sig")),
+      maxDistance, maxBucketSize)
+
+  /** SimHash signatures from a PORTABLE token hash: the first 15 hex
+    * chars of md5(token) parsed as a 60-bit integer. Any engine with
+    * md5 can recompute the identical signature (the DuckDB oracle
+    * does, bit for bit), unlike the xxhash64 production family above —
+    * this is what makes `dedup_simhash_verified` a full-hash oracle
+    * query rather than rows-only. Distinct tokens (set semantics, like
+    * the minhash verified twin); empty-token docs are excluded because
+    * their signature (0) says nothing about content. Signature bits
+    * 60–63 are always 0 on both sides, so Hamming distances agree. */
+  def simhashPortablePairs(df: DataFrame, idCol: String, textCol: String,
+                           maxDistance: Int,
+                           maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val hashed = df.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"),
+        transform(array_distinct(TextOps.tokens(col(textCol))),
+          t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+          .as("__h"))
+      // materialization barrier: simhashFromHashes expands to 64 bit
+      // terms each reading its child — cached `__h` is read 64 times,
+      // an inlined expression would md5 every token 64 times
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = hashed.select(col("doc_id"),
+      simhashFromHashes(col("__h")).as("__sig"))
+    // simhashPairsFromSigs materializes its output before returning,
+    // so releasing the hash cache afterwards is safe
+    val out = simhashPairsFromSigs(sigs, maxDistance, maxBucketSize)
+    hashed.unpersist()
+    out
+  }
+
+  /** Pigeonhole chunk probe over a prepared `(doc_id, __sig)` frame —
+    * the shared engine of [[simhashNearDupPairs]] (native xxhash64
+    * signatures) and [[simhashPortablePairs]] (oracle-recomputable
+    * md5 signatures). With `maxBucketSize = Int.MaxValue` no bucket
+    * is dropped, so by pigeonhole the output is exactly ALL pairs
+    * within `maxDistance` — the exhaustive form the verified oracle
+    * query uses. */
+  def simhashPairsFromSigs(sigFrame: DataFrame, maxDistance: Int,
+                           maxBucketSize: Int): DataFrame = {
+    val sigd = sigFrame
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nChunks = math.min(maxDistance + 1, 64)
     val base = 64 / nChunks

@@ -130,6 +130,36 @@ object VectorOps {
       .select("query_id", "neighbor_id", "cosine_sim")
   }
 
+  /** Exhaustive-probe twin of [[lshTopK]]: the identical pipeline —
+    * per-table SRP signature explode, candidate join, cross-table
+    * dedupe, exact cosine rescore, top-k — but the join key is
+    * relaxed from (table, bucket) to the table id alone, i.e. every
+    * bucket of every table is probed. With no bucket miss possible
+    * the result is exactly brute-force top-k, so the whole LSH
+    * plumbing runs under the same all-pairs SQL oracle as
+    * `ann_cosine_topk`; bucket pruning is the ONLY thing the
+    * production path adds on top of what is verified here (its
+    * recall is asserted against brute force in VectorSpec). */
+  def lshTopKProbeAll(corpus: DataFrame, queries: DataFrame,
+                      idCol: String, vecCol: String, k: Int,
+                      bits: Int = 12, tables: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("__cvec"),
+        explode(srpBuckets(col(vecCol), bits, tables)).as("__bucket"))
+      .withColumn("__table", col("__bucket.table"))
+    val q = queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("__qvec"),
+        explode(srpBuckets(col(vecCol), bits, tables)).as("__bucket"))
+      .withColumn("__table", col("__bucket.table"))
+    val joined = c.join(broadcast(q), Seq("__table"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cosine_sim", cosine(col("__qvec"), col("__cvec")))
+    Relational.topNPerKey(joined, Seq("query_id"),
+        Seq(col("cosine_sim").desc, col("neighbor_id")), k)
+      .select("query_id", "neighbor_id", "cosine_sim")
+  }
+
   // ------------------------------------------------------------------
   // IVF (inverted-file) ANN — the centroid-bucketed scale path
   // ------------------------------------------------------------------

@@ -407,6 +407,52 @@ object TextQueries {
           "doc_id", "text", maxDistance = 8)
         .orderBy(col("hamming_distance"), col("id_a"), col("id_b"))
         .limit(20),
-      None)
+      None),
+
+    // SimHash as an EXACTNESS PROOF under a full DuckDB oracle — the
+    // `dedup_minhash_verified` pattern applied to the Hamming family.
+    // Two substitutions make the oracle possible:
+    //   - portable signatures: token hash = first 15 hex chars of
+    //     md5(token) as a 60-bit int, so DuckDB recomputes the exact
+    //     bit-majority signature the Spark side builds (the xxhash64
+    //     production family in `dedup_simhash` above is not
+    //     SQL-reproducible — that query stays rows-only);
+    //   - exhaustive probe: maxDistance 8 → 9 pigeonhole chunks with
+    //     maxBucketSize = Int.MaxValue, so ANY pair within Hamming 8
+    //     shares an unpruned chunk — the output is provably ALL such
+    //     pairs, and the oracle's all-pairs bit_count(xor) ground
+    //     truth hash-verifies the realized outcome.
+    // The doc_id % 5 subset bounds the oracle's quadratic all-pairs
+    // join while keeping it a genuine ground truth.
+    "dedup_simhash_verified" -> QueryDef(
+      (s, d) => DedupOps.simhashPortablePairs(
+          Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+            .repartition(32), // see minhash note
+          "doc_id", "text", maxDistance = 8)
+        .select(col("id_a"), col("id_b"),
+          col("hamming_distance").cast("long").as("hamming_distance"))
+        .orderBy(col("hamming_distance"), col("id_a"), col("id_b")),
+      Some("""WITH d AS (
+        |  SELECT doc_id,
+        |    list_distinct(regexp_split_to_array(lower(trim(text)),
+        |      '\s+')) AS ts
+        |  FROM documents
+        |  WHERE doc_id % 5 = 0 AND length(trim(text)) > 0),
+        |tok AS (
+        |  SELECT doc_id, ('0x' || substr(md5(t.tok),1,15))::BIGINT AS h
+        |  FROM d, unnest(d.ts) AS t(tok)),
+        |bits AS (
+        |  SELECT doc_id, g.i,
+        |    CASE WHEN 2*sum((h >> g.i) & 1) > count(*)
+        |         THEN (1::BIGINT << g.i) ELSE 0 END AS term
+        |  FROM tok CROSS JOIN (SELECT unnest(range(0,60)) AS i) g
+        |  GROUP BY doc_id, g.i),
+        |sig AS (SELECT doc_id, sum(term)::BIGINT AS sig
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  bit_count(xor(a.sig, b.sig))::BIGINT AS hamming_distance
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 8
+        |ORDER BY hamming_distance, id_a, id_b""".stripMargin))
   )
 }

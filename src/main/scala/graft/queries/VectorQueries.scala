@@ -91,6 +91,38 @@ object VectorQueries {
       },
       None),
 
+    // LSH ANN under the full DuckDB oracle, the `ann_ivf_topk` trick
+    // applied to SRP: run the identical LSH pipeline (per-table
+    // signature explode → candidate join → cross-table dedupe → exact
+    // rescore → top-k) with the probe relaxed to ALL buckets of every
+    // table. No bucket miss is possible, so the result must equal
+    // brute-force top-k — signature computation, join plumbing,
+    // dedupe and rescore are all under the exact all-pairs oracle.
+    // Bucket pruning (the one step relaxed here) is recall-asserted
+    // vs brute force in VectorSpec and carries the in-query
+    // `in_exact_topk` invariant in `ann_lsh_topk` above.
+    "ann_lsh_verified" -> QueryDef(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        VectorOps.lshTopKProbeAll(emb, emb.filter(col("vec_id") < 5),
+            "vec_id", "embedding", 10, bits = 8)
+          .withColumn("cosine_sim", round(col("cosine_sim"), 6))
+          .orderBy(col("query_id"), col("cosine_sim").desc,
+            col("neighbor_id"))
+      },
+      Some("""SELECT query_id, neighbor_id,
+        |  round(cosine_sim, 6) AS cosine_sim
+        |FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |      CAST(c.embedding AS DOUBLE[])) AS cosine_sim,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |        CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rn
+        |  FROM embeddings q JOIN embeddings c
+        |    ON q.vec_id < 5 AND c.vec_id <> q.vec_id)
+        |WHERE rn <= 10
+        |ORDER BY query_id, cosine_sim DESC, neighbor_id""".stripMargin)),
+
     // Embedding-cosine near-duplicate pairs, blocked-exact form:
     // all pairs within a label block (block-size capped), exact
     // cosine, fully oracle-checked against DuckDB's
