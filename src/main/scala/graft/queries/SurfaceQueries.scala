@@ -500,6 +500,49 @@ object SurfaceQueries {
         |FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000
         |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin)),
 
+    // Dynamic partition pruning over a date-partitioned fact — THE
+    // plan shape a 100 TB star schema lives or dies by: lineitem is
+    // written partitioned by ship month (the runFactsPartitioned
+    // layout), the month dimension is derived from orders and
+    // filtered to one year, and the join on the partition column must
+    // prune the fact scan to the dim's months at RUNTIME (a
+    // `dynamicpruning` subquery in the scan's PartitionFilters —
+    // asserted in QueryPlanSpec) instead of reading all ~84 month
+    // partitions. The oracle recomputes the same join from the
+    // unpartitioned base tables, proving the partitioned layout is
+    // semantically invisible.
+    "dpp_partitioned_fact" -> QueryDef(
+      (s, d) => {
+        val dir = clearedScratchDir(s, "dpp", d)
+        graft.io.Staging.overwritePartitionsDynamic(
+          Tables.lineitem(s, d).withColumn("dt",
+            date_format(col("l_shipdate"), "yyyy-MM")),
+          dir, "fact_lineitem", Seq("dt"))
+        graft.io.Staging.overwriteParquet(
+          Tables.orders(s, d)
+            .select(date_format(col("o_orderdate"), "yyyy-MM").as("dt"),
+              year(col("o_orderdate")).as("yr"))
+            .distinct(),
+          dir, "dim_month")
+        val fact = graft.io.Staging.readTable(s, dir, "fact_lineitem")
+        val dim = graft.io.Staging.readTable(s, dir, "dim_month")
+          .filter(col("yr") === 1995)
+        fact.join(dim, Seq("dt"))
+          .groupBy("dt")
+          .agg(count(lit(1)).as("n_items"),
+            QueryDef.dsum(col("l_extendedprice")).as("revenue"))
+          .orderBy("dt")
+      },
+      Some(s"""WITH m AS (SELECT DISTINCT
+        |    strftime(o_orderdate, '%Y-%m') AS dt
+        |  FROM orders WHERE year(o_orderdate) = 1995)
+        |SELECT l.dt, count(*) AS n_items,
+        |  ${QueryDef.dsumSql("l_extendedprice")} AS revenue
+        |FROM (SELECT strftime(l_shipdate, '%Y-%m') AS dt,
+        |    l_extendedprice FROM lineitem) l
+        |JOIN m ON l.dt = m.dt
+        |GROUP BY 1 ORDER BY l.dt""".stripMargin)),
+
     // SCD type-2 dimension history (graft.etl.ScdHistory): each
     // user's event_type stream collapses into chained versions with
     // valid_from/valid_to/is_current — one window per key, no

@@ -32,6 +32,16 @@ class QueryPlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("dpp_partitioned_fact prunes the month-partitioned fact scan " +
+    "at runtime via a dynamicpruning subquery") {
+    val p = plan("dpp_partitioned_fact")
+    // the dim-filtered join on the partition column must reach the
+    // fact scan as a runtime partition filter, not a full scan of all
+    // month partitions
+    assert(p.toLowerCase.contains("dynamicpruning"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("conditional_agg is a partial+final hash aggregate") {
     val p = plan("conditional_agg")
     assert(p.contains("partial_"), p)
