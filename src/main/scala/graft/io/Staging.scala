@@ -16,6 +16,14 @@ import org.apache.spark.sql.types.StructType
   */
 object Staging {
 
+  /** TEST-ONLY failpoint (StoreOpsSpec crash-window drills): when
+    * non-null, a partition-swap rename whose DESTINATION path matches
+    * the predicate behaves as a filesystem rename failure — Hadoop
+    * reports most real ones as `false`, not an exception, which is
+    * exactly the window the swap protocol's result-checking guards.
+    * Production code never sets this. */
+  @volatile private[graft] var renameFailpoint: String => Boolean = null
+
   /** Scheme-agnostic probe: does `prefix` contain any `*.csv`?
     * Resolved through Hadoop's [[org.apache.hadoop.fs.FileSystem]] so
     * the same code answers correctly for `file:`, `hdfs:`, `s3a:`,
@@ -331,11 +339,13 @@ object Staging {
       // failure aborts with store+backup+temp all intact. Untouched
       // partitions' files are never listed, read, or moved.
       def renameChecked(src: org.apache.hadoop.fs.Path,
-                        dst: org.apache.hadoop.fs.Path): Unit =
-        if (!fs.rename(src, dst))
+                        dst: org.apache.hadoop.fs.Path): Unit = {
+        val fp = renameFailpoint
+        if ((fp != null && fp(dst.toString)) || !fs.rename(src, dst))
           throw new java.io.IOException(
             s"rename $src -> $dst failed; merge aborted with data " +
               s"intact (new data in $tmp, displaced partitions in $bak)")
+      }
       def moveToBackup(rel: String): Unit = {
         val dst = new org.apache.hadoop.fs.Path(s"$path/$rel")
         if (fs.exists(dst)) {

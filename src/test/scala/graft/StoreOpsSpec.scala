@@ -242,4 +242,154 @@ class StoreOpsSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet
     assert(after == before)
   }
+
+  // ---------------------------------------------------------------
+  // Crash-window drills: a rename FAILS mid-swap (via the test-only
+  // Staging.renameFailpoint, simulating Hadoop's `false` return) and
+  // the documented invariant must hold — every touched partition's
+  // data sits in exactly one recoverable state (store-new, or
+  // store-old, or bak-old + tmp-new), no partition mixes old and new
+  // rows, untouched partitions are untouched, and moving the backup
+  // partitions back restores the exact pre-operation table.
+  // ---------------------------------------------------------------
+
+  /** (id, v) rows of one partition of store/t, by dt value. */
+  private def partRows(store: String, dt: String): Set[(Long, String)] = {
+    val dir = new java.io.File(s"$store/t/dt=$dt")
+    if (!dir.exists()) Set.empty
+    else spark.read.parquet(dir.toString)
+      .select("id", "v").as[(Long, String)].collect().toSet
+  }
+
+  /** Roll the interrupted swap BACK: restore displaced partitions
+    * from the backup dir, drop the scaffolding. */
+  private def rollBack(store: String): Unit = {
+    val bak = new java.io.File(s"$store/__merge_bak_t")
+    Option(bak.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("dt="))
+      .foreach { p =>
+        val dst = new java.io.File(s"$store/t/${p.getName}")
+        if (dst.exists()) {
+          dst.listFiles().foreach(_.delete()); dst.delete()
+        }
+        assert(p.renameTo(dst), s"rollback of ${p.getName} failed")
+      }
+    def rmr(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmr)
+      f.delete()
+    }
+    rmr(bak); rmr(new java.io.File(s"$store/__merge_tmp_t"))
+  }
+
+  test("mergeUpsert swap interrupted by a failed rename leaves every " +
+    "partition old XOR new and rolls back to the pre-merge table") {
+    val store = Files.createTempDirectory("graft-crash-merge").toString
+    val initial = Set((1L, "a", "d1"), (2L, "b", "d1"), (3L, "c", "d2"),
+      (4L, "d", "d3"), (9L, "z", "d9"))
+    Staging.overwritePartitionsDynamic(
+      initial.toSeq.toDF("id", "v", "dt"), store, "t", Seq("dt"))
+    val d9Before = new java.io.File(s"$store/t/dt=d9").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.lastModified).max
+    val olds = Map(
+      "d1" -> Set(1L -> "a", 2L -> "b"), "d2" -> Set(3L -> "c"),
+      "d3" -> Set(4L -> "d"))
+    val news = Map(
+      "d1" -> Set(1L -> "a", 2L -> "b2"), "d2" -> Set(3L -> "c2"),
+      "d3" -> Set(4L -> "d2"))
+    // fail the store-ward rename of partition d2 (not its backup move)
+    Staging.renameFailpoint =
+      dst => dst.endsWith("/t/dt=d2")
+    try {
+      val e = intercept[java.io.IOException] {
+        Staging.mergeUpsert(spark,
+          Seq((2L, "b2", "d1"), (3L, "c2", "d2"), (4L, "d2", "d3"))
+            .toDF("id", "v", "dt"),
+          store, "t", "id", partitionCols = Seq("dt"))
+      }
+      assert(e.getMessage.contains("merge aborted"))
+    } finally Staging.renameFailpoint = null
+    // the staged new state is complete and durable in the temp dir
+    assert(new java.io.File(s"$store/__merge_tmp_t/_SUCCESS").exists())
+    // every touched partition sits in exactly one recoverable state
+    // (a swapped partition's new dir was MOVED from tmp into the
+    // store, so tmp only holds not-yet-swapped partitions):
+    //   swapped:      store=new, bak=old
+    //   not reached:  store=old, tmp=new
+    //   failed mid:   store gone, bak=old, tmp=new
+    // — and never a mix of old and new rows in one partition
+    Seq("d1", "d2", "d3").foreach { dt =>
+      def rowsAt(dir: String): Set[(Long, String)] = {
+        val f = new java.io.File(dir)
+        if (!f.exists()) Set.empty
+        else spark.read.parquet(dir)
+          .select("id", "v").as[(Long, String)].collect().toSet
+      }
+      val inStore = partRows(store, dt)
+      val inBak = rowsAt(s"$store/__merge_bak_t/dt=$dt")
+      val inTmp = rowsAt(s"$store/__merge_tmp_t/dt=$dt")
+      if (inStore == news(dt))
+        assert(inBak == olds(dt), s"$dt swapped but backup holds $inBak")
+      else if (inStore == olds(dt))
+        assert(inTmp == news(dt), s"$dt unswapped but temp holds $inTmp")
+      else {
+        assert(inStore.isEmpty, s"$dt mixes old and new rows: $inStore")
+        assert(inBak == olds(dt) && inTmp == news(dt),
+          s"$dt lost from store; bak=$inBak tmp=$inTmp")
+      }
+    }
+    // untouched partition: same files, untouched
+    val d9After = new java.io.File(s"$store/t/dt=d9").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.lastModified).max
+    assert(d9After == d9Before)
+    // operator rollback from the backup restores the pre-merge table
+    rollBack(store)
+    val restored = Staging.readTable(spark, store, "t")
+      .select("id", "v", "dt").as[(Long, String, String)].collect().toSet
+    assert(restored == initial)
+  }
+
+  test("deleteKeys swap interrupted by a failed displacement leaves " +
+    "the doomed partition intact and re-runs to completion after " +
+    "rollback") {
+    val store = Files.createTempDirectory("graft-crash-del").toString
+    val initial = Set((1L, "a", "d1"), (2L, "b", "d1"), (3L, "c", "d2"),
+      (4L, "d", "d3"))
+    Staging.overwritePartitionsDynamic(
+      initial.toSeq.toDF("id", "v", "dt"), store, "t", Seq("dt"))
+    // keys 2 (mixed partition d1) and 3 (all of d2): d1 re-emits its
+    // survivor, d2 empties and is DISPLACED to backup — fail that
+    // displacement (dst under the backup dir)
+    Staging.renameFailpoint =
+      dst => dst.contains("__merge_bak_t") && dst.endsWith("dt=d2")
+    try {
+      intercept[java.io.IOException] {
+        Staging.deleteKeys(spark, Seq(2L, 3L).toDF("id"),
+          store, "t", "id", partitionCols = Seq("dt"))
+      }
+    } finally Staging.renameFailpoint = null
+    // d2's displacement failed BEFORE its rename: still whole in store
+    assert(partRows(store, "d2") == Set(3L -> "c"))
+    // d1 was already swapped (new in store, old in backup) — old XOR
+    // new, both recoverable
+    assert(partRows(store, "d1") == Set(1L -> "a"))
+    assert(spark.read.parquet(s"$store/__merge_bak_t/dt=d1")
+      .select("id", "v").as[(Long, String)].collect().toSet ==
+      Set(1L -> "a", 2L -> "b"))
+    // untouched d3 intact
+    assert(partRows(store, "d3") == Set(4L -> "d"))
+    // rollback restores the exact pre-delete table, then the re-run
+    // completes and clears its scaffolding
+    rollBack(store)
+    assert(Staging.readTable(spark, store, "t")
+      .select("id", "v", "dt").as[(Long, String, String)]
+      .collect().toSet == initial)
+    val n = Staging.deleteKeys(spark, Seq(2L, 3L).toDF("id"),
+      store, "t", "id", partitionCols = Seq("dt"))
+    assert(n == 2)
+    assert(Staging.readTable(spark, store, "t")
+      .select("id", "v", "dt").as[(Long, String, String)]
+      .collect().toSet == Set((1L, "a", "d1"), (4L, "d", "d3")))
+    assert(!new java.io.File(s"$store/__merge_bak_t").exists())
+    assert(!new java.io.File(s"$store/__merge_tmp_t").exists())
+  }
 }
