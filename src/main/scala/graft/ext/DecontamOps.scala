@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Benchmark decontamination: remove (or flag) corpus documents that
@@ -14,11 +14,14 @@ import org.apache.spark.sql.functions._
   * hash relation and the corpus side stays a narrow explode + semi
   * join: zero corpus shuffle, no matter the corpus size. Only the
   * matched ids (a tiny fraction) hit the final distinct's exchange.
-  * N-grams join as exact strings: for benchmark-sized eval sets the
-  * broadcast fits comfortably, and exactness keeps the operator
-  * oracle-checkable end to end (a production deployment squeezing
-  * broadcast bytes can hash each n-gram to a long first — same plan,
-  * ~4× smaller build side, with a 2^-64 false-positive rate).
+  * N-grams join as exact strings by default: for benchmark-sized
+  * eval sets the broadcast fits comfortably, and exactness keeps the
+  * operator oracle-checkable end to end. `hashed = true` is the
+  * production squeeze: each n-gram is xxhash64'd to a long on BOTH
+  * sides before the join — same plan shape, ~4× smaller broadcast
+  * build side, with a per-(corpus-ngram, eval-ngram) false-positive
+  * rate of 2^-64 (DecontamSpec asserts the two modes flag identical
+  * documents on the bench corpus).
   */
 object DecontamOps {
 
@@ -26,14 +29,19 @@ object DecontamOps {
     * n-gram with `evalSet`. Documents shorter than `n` tokens have no
     * n-grams and are never flagged. */
   def contaminatedIds(corpus: DataFrame, evalSet: DataFrame,
-                      idCol: String, textCol: String,
-                      n: Int): DataFrame = {
+                      idCol: String, textCol: String, n: Int,
+                      hashed: Boolean = false): DataFrame = {
+    // explode must stay a top-level generator; the hash squeeze is a
+    // follow-up projection (fused by codegen, no extra pass)
+    def key(ng: Column): Column = if (hashed) xxhash64(ng) else ng
     val evalNg = evalSet
-      .select(explode(TextOps.wordNgrams(col(textCol), n)).as("__ng"))
+      .select(explode(TextOps.wordNgrams(col(textCol), n)).as("__ng0"))
+      .select(key(col("__ng0")).as("__ng"))
       .distinct()
     corpus
       .select(col(idCol),
-        explode(TextOps.wordNgrams(col(textCol), n)).as("__ng"))
+        explode(TextOps.wordNgrams(col(textCol), n)).as("__ng0"))
+      .select(col(idCol), key(col("__ng0")).as("__ng"))
       .join(broadcast(evalNg), Seq("__ng"), "left_semi")
       .select(idCol)
       .distinct()
@@ -41,16 +49,18 @@ object DecontamOps {
 
   /** `corpus` with contaminated documents removed. */
   def decontaminate(corpus: DataFrame, evalSet: DataFrame,
-                    idCol: String, textCol: String, n: Int): DataFrame =
-    corpus.join(contaminatedIds(corpus, evalSet, idCol, textCol, n),
+                    idCol: String, textCol: String, n: Int,
+                    hashed: Boolean = false): DataFrame =
+    corpus.join(
+      contaminatedIds(corpus, evalSet, idCol, textCol, n, hashed),
       Seq(idCol), "left_anti")
 
   /** `corpus` plus a `contaminated` boolean — the audit form (keep
     * everything, let downstream decide). */
   def flagContaminated(corpus: DataFrame, evalSet: DataFrame,
-                       idCol: String, textCol: String,
-                       n: Int): DataFrame = {
-    val bad = contaminatedIds(corpus, evalSet, idCol, textCol, n)
+                       idCol: String, textCol: String, n: Int,
+                       hashed: Boolean = false): DataFrame = {
+    val bad = contaminatedIds(corpus, evalSet, idCol, textCol, n, hashed)
       .withColumn("__contam", lit(true))
     corpus.join(bad, Seq(idCol), "left")
       .withColumn("contaminated", coalesce(col("__contam"), lit(false)))

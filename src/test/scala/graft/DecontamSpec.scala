@@ -45,6 +45,33 @@ class DecontamSpec extends SparkSpec {
       4L -> false, 5L -> false))
   }
 
+  test("hashed mode flags the identical documents (crafted corpus " +
+    "and the bench documents table)") {
+    // crafted corpus: exact expected ids
+    val bad = DecontamOps.contaminatedIds(corpus, evalSet,
+      "doc_id", "text", 4, hashed = true)
+      .as[Long].collect().sorted.toSeq
+    assert(bad == Seq(1L, 3L))
+    // bench corpus: hashed and exact modes must agree document for
+    // document (the 2^-64 collision rate is unobservable here)
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val eval = docs.filter(col("doc_id") % 7 === 0)
+    def flags(h: Boolean) = DecontamOps.flagContaminated(
+        docs, eval, "doc_id", "text", 8, hashed = h)
+      .select("doc_id", "contaminated")
+      .as[(Long, Boolean)].collect().toMap
+    assert(flags(true) == flags(false))
+  }
+
+  test("hashed mode broadcasts longs, not strings") {
+    val plan = DecontamOps.contaminatedIds(corpus, evalSet,
+      "doc_id", "text", 4, hashed = true)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("xxhash64"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("eval n-gram set joins as a broadcast (no corpus shuffle)") {
     val plan = DecontamOps.contaminatedIds(corpus, evalSet,
       "doc_id", "text", 4).queryExecution.executedPlan.toString
