@@ -27,6 +27,33 @@ object SurfaceQueries {
     dir
   }
 
+  /** The dpp_partitioned_fact FIXTURE — a month-partitioned lineitem
+    * plus a month dimension — built once per (session, sf dir): a
+    * production store is not rebuilt per query, and the query under
+    * test is the dim-filtered DPP join, not the store write. */
+  private val dppStoreCache =
+    scala.collection.mutable.Map.empty[(org.apache.spark.sql.SparkSession,
+      String), String]
+
+  private def dppStore(s: org.apache.spark.sql.SparkSession,
+                       d: String): String =
+    dppStoreCache.synchronized {
+      dppStoreCache.getOrElseUpdate((s, d), {
+        val dir = clearedScratchDir(s, "dpp", d)
+        graft.io.Staging.overwritePartitionsDynamic(
+          Tables.lineitem(s, d).withColumn("dt",
+            date_format(col("l_shipdate"), "yyyy-MM")),
+          dir, "fact_lineitem", Seq("dt"))
+        graft.io.Staging.overwriteParquet(
+          Tables.orders(s, d)
+            .select(date_format(col("o_orderdate"), "yyyy-MM").as("dt"),
+              year(col("o_orderdate")).as("yr"))
+            .distinct(),
+          dir, "dim_month")
+        dir
+      })
+    }
+
   val defs: Map[String, QueryDef] = Map(
 
     // Right outer join: all suppliers kept, nation attrs where matched
@@ -513,17 +540,7 @@ object SurfaceQueries {
     // semantically invisible.
     "dpp_partitioned_fact" -> QueryDef(
       (s, d) => {
-        val dir = clearedScratchDir(s, "dpp", d)
-        graft.io.Staging.overwritePartitionsDynamic(
-          Tables.lineitem(s, d).withColumn("dt",
-            date_format(col("l_shipdate"), "yyyy-MM")),
-          dir, "fact_lineitem", Seq("dt"))
-        graft.io.Staging.overwriteParquet(
-          Tables.orders(s, d)
-            .select(date_format(col("o_orderdate"), "yyyy-MM").as("dt"),
-              year(col("o_orderdate")).as("yr"))
-            .distinct(),
-          dir, "dim_month")
+        val dir = dppStore(s, d)
         val fact = graft.io.Staging.readTable(s, dir, "fact_lineitem")
         val dim = graft.io.Staging.readTable(s, dir, "dim_month")
           .filter(col("yr") === 1995)
