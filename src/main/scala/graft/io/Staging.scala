@@ -133,6 +133,15 @@ object Staging {
   def appendParquet(df: DataFrame, storeDir: String, table: String): Unit =
     df.write.mode(SaveMode.Append).parquet(s"$storeDir/$table")
 
+  /** Partitioned append: new files land inside the partition dirs,
+    * existing files are never touched (the layout the incremental IVF
+    * postings store uses so probes read only their partitions). */
+  def appendPartitioned(df: DataFrame, storeDir: String, table: String,
+                        partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Append)
+      .partitionBy(partitionCols: _*)
+      .parquet(s"$storeDir/$table")
+
   /** F6 — truncate-load sink (reference BigQuery WRITE_TRUNCATE,
     * transformation_dw.py:154-156). */
   def overwriteParquet(df: DataFrame, storeDir: String,

@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.ext.{VectorIndexOps, VectorOps}
+import graft.io.Staging
+
+/** Persisted incremental IVF index: batch-incremental build ≡
+  * one-shot assignment (frozen centroids), exhaustive probe ≡ brute
+  * force, sub-exhaustive recall floor, and replay idempotence of
+  * search results under at-least-once appends. */
+class VectorIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("3-batch incremental build: every vector indexed exactly once, " +
+    "assignments identical to one-shot under the frozen centroids") {
+    val dir = Files.createTempDirectory("graft-ivfidx").toString
+    val emb = Tables.embeddings(spark, d)
+    (0 until 3).foreach { i =>
+      VectorIndexOps.updateIndex(spark,
+        emb.filter(pmod(col("vec_id"), lit(3)) === i),
+        "vec_id", "embedding", dir, nCentroids = 8)
+    }
+    val postings = Staging.readTable(spark, dir, "postings")
+    assert(postings.count() == emb.count())
+    assert(postings.select("doc_id").distinct().count() == emb.count())
+    // frozen geometry: incremental assignment == one-shot assignment
+    val cents = Staging.readTable(spark, dir, "centroids")
+    val oneShot = VectorOps.assignToCentroids(emb, "vec_id", "embedding",
+        cents)
+      .select(col("vec_id").cast("long"), col("centroid_id").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val incremental = postings
+      .select(col("doc_id").cast("long"), col("centroid_id").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(incremental == oneShot)
+  }
+
+  test("exhaustive probe equals brute force; sub-exhaustive probe " +
+    "keeps a recall floor; replayed batch changes nothing") {
+    val dir = Files.createTempDirectory("graft-ivfidx2").toString
+    val emb = Tables.embeddings(spark, d)
+    (0 until 3).foreach { i =>
+      VectorIndexOps.updateIndex(spark,
+        emb.filter(pmod(col("vec_id"), lit(3)) === i),
+        "vec_id", "embedding", dir, nCentroids = 8)
+    }
+    val queries = emb.filter(col("vec_id") < 5)
+    def results(nProbe: Int): Set[(Long, Long)] =
+      VectorIndexOps.searchIndex(spark, queries, "vec_id", "embedding",
+          dir, 10, nProbe)
+        .select(col("query_id").cast("long"),
+          col("neighbor_id").cast("long"))
+        .as[(Long, Long)].collect().toSet
+    val exact = VectorOps.bruteForceTopK(emb, queries, "vec_id",
+        "embedding", 10)
+      .select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    val exhaustive = results(8)
+    assert(exhaustive == exact)
+    // probing a quarter of the lists keeps most true neighbors
+    val partial = results(2)
+    val recall = partial.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall")
+    // at-least-once replay: re-appending batch 0 duplicates postings
+    // but search results must not change
+    VectorIndexOps.updateIndex(spark,
+      emb.filter(pmod(col("vec_id"), lit(3)) === 0),
+      "vec_id", "embedding", dir, nCentroids = 8)
+    assert(results(8) == exact)
+    assert(results(2) == partial)
+  }
+}
