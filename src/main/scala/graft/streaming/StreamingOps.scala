@@ -172,6 +172,29 @@ object StreamingOps {
         ()
       }
 
+  /** Streaming decontamination twin: each micro-batch of arriving
+    * corpus documents is cleaned against the static eval/benchmark
+    * set with the BATCH operator ([[graft.ext.DecontamOps]]) — the
+    * flag is a pure function of the document and the eval set (no
+    * cross-batch state, no watermark), so streaming and batch
+    * classify identically by construction (StreamingSpec asserts it)
+    * and replay merely re-appends the same clean rows. `hashed`
+    * defaults to the production broadcast squeeze; the eval n-gram
+    * broadcast is rebuilt per micro-batch — benchmark-sized by
+    * contract (SCALING.md, decontamination). */
+  def decontaminateStream(stream: DataFrame, evalSet: DataFrame,
+                          idCol: String, textCol: String, n: Int,
+                          outDir: String, hashed: Boolean = true)
+      : DataStreamWriter[Row] =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val kept = graft.ext.DecontamOps.decontaminate(
+          batch, evalSet, idCol, textCol, n, hashed)
+        graft.io.Staging.appendParquet(kept, outDir, "clean")
+        ()
+      }
+
   /** Streaming form of the staging scan (F1): a file-source stream
     * over the CSV prefix — each newly landed `*.csv` becomes a
     * micro-batch, read exactly once (the source tracks seen files in

@@ -95,6 +95,39 @@ class StreamingSpec extends SparkSpec {
     assert(kept == Seq(1L, 3L))
   }
 
+  test("decontaminateStream drops the same docs the batch operator " +
+    "drops, across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val root = Files.createTempDirectory("graft-decontam-stream")
+    val evalSet = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "to be or not to be that is the question"))
+      .toDF("doc_id", "text")
+    val rows = Seq(
+      (1L, "a very quick brown fox jumps high today"),       // 4-gram hit
+      (2L, "the dog jumps over a brown log quietly"),        // clean
+      (3L, "prefix to be or not to be that is the question suffix"),
+      (4L, "completely unrelated words about spark engines"),
+      (5L, "quick brown fox"))                               // too short
+    val docs = MemoryStream[(Long, String)]
+    def drain(): Unit = {
+      val q = StreamingOps.decontaminateStream(
+        docs.toDF().toDF("doc_id", "text"), evalSet,
+        "doc_id", "text", 4, root.toString)
+        .option("checkpointLocation",
+          root.resolve("ckpt").toString).start()
+      q.awaitTermination()
+    }
+    docs.addData(rows.take(2): _*); drain()
+    docs.addData(rows.drop(2): _*); drain()
+    val kept = graft.io.Staging.readTable(spark, root.toString, "clean")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val batchKept = graft.ext.DecontamOps.decontaminate(
+        rows.toDF("doc_id", "text"), evalSet, "doc_id", "text", 4)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == batchKept && kept == Seq(2L, 4L, 5L))
+  }
+
   test("train/test split and deterministic sampling apply to streams " +
     "unchanged (stateless narrow maps)") {
     implicit val ctx = spark.sqlContext
