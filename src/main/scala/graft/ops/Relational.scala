@@ -136,4 +136,41 @@ object Relational {
       .filter(col("__rn") <= n)
       .drop("__rn")
   }
+
+  /** Contiguous global row ids 0..n-1 in `order` — WITHOUT the 100 TB
+    * trap: a bare `row_number() OVER (ORDER BY …)` has an empty
+    * partition spec, so Spark moves the ENTIRE dataset to one
+    * partition (the WindowExec warning) and one task materializes the
+    * corpus. Here the global rank is composed from parallel pieces:
+    * range-repartition on the order key (disjoint, ordered ranges),
+    * rank within each physical partition (a window PARTITIONED BY the
+    * partition id — runs per-partition, in parallel), plus that
+    * partition's broadcast start offset (per-partition counts cumsum'd
+    * — a partitions-count-sized frame, the only single-partition step).
+    *
+    * The result depends only on the global `order` (which must be a
+    * TOTAL order — pass a unique key last), not on where the range
+    * boundaries fall. The two reads of the range exchange (offsets and
+    * ranks) see identical boundaries: RangePartitioner's sampling is
+    * seeded from the partition index (deterministic over the same
+    * input), and the exchange is reused within the plan. */
+  def contiguousRowIds(df: DataFrame, order: Seq[Column],
+                       idName: String = "row_id"): DataFrame = {
+    val ranged = df.repartitionByRange(order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__pid", spark_partition_id())
+    val offsets = ranged.groupBy("__pid")
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__offset",
+        coalesce(sum(col("__cnt")).over(
+          Window.orderBy("__pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__pid", "__offset")
+    val w = Window.partitionBy("__pid").orderBy(order: _*)
+    ranged
+      .join(broadcast(offsets), Seq("__pid"))
+      .withColumn(idName,
+        col("__offset") + row_number().over(w) - lit(1))
+      .drop("__pid", "__offset")
+  }
 }

@@ -153,6 +153,21 @@ object RelationalQueries {
         |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey"""
         .stripMargin)),
 
+    // Contiguous global row ids without the single-partition global
+    // window (Relational.contiguousRowIds: range exchange + parallel
+    // per-partition ranks + broadcast offsets — QueryPlanSpec asserts
+    // the data path never collapses to SinglePartition). The oracle
+    // computes the same ids with a bare global row_number, which
+    // DuckDB can afford at oracle scale.
+    "global_row_ids" -> QueryDef(
+      (s, d) => Relational.contiguousRowIds(
+          Tables.orders(s, d).select("o_orderkey", "o_orderstatus"),
+          Seq(col("o_orderkey")))
+        .orderBy("row_id"),
+      Some("""SELECT o_orderkey, o_orderstatus,
+        |  row_number() OVER (ORDER BY o_orderkey) - 1 AS row_id
+        |FROM orders ORDER BY row_id""".stripMargin)),
+
     // R1+R2+R15 — projection with existence guard + rename.
     "select_rename" -> QueryDef(
       (s, d) => Relational.renameAll(

@@ -42,6 +42,15 @@ class QueryPlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("global_row_ids ranks inside range partitions — the corpus " +
+    "never collapses to a single-partition global window") {
+    val p = plan("global_row_ids")
+    assert(p.toLowerCase.contains("rangepartitioning"), p)
+    // the corpus-side window is partitioned by the physical partition
+    // id; only the partitions-count-sized offset cumsum may be global
+    assert(p.contains("__pid"), p)
+  }
+
   test("conditional_agg is a partial+final hash aggregate") {
     val p = plan("conditional_agg")
     assert(p.contains("partial_"), p)

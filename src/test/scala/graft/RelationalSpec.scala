@@ -81,4 +81,18 @@ class RelationalSpec extends SparkSpec {
     assert(out.filter($"k" === "k1").select("v").as[Int]
       .collect().toSet == Set(1, 2))
   }
+
+  test("contiguousRowIds assigns 0..n-1 in order, independent of the " +
+    "input's partition layout") {
+    val rows = scala.util.Random.shuffle((0 until 1000).toList)
+      .map(i => (i.toLong, s"v$i"))
+    val expected = (0 until 1000)
+      .map(i => (i.toLong, i.toLong)).toSet // (key, id): id == key here
+    Seq(1, 7, 32).foreach { parts =>
+      val df = rows.toDF("k", "v").repartition(parts)
+      val got = contiguousRowIds(df, Seq(col("k")))
+        .select($"k", $"row_id").as[(Long, Long)].collect().toSet
+      assert(got == expected, s"layout $parts")
+    }
+  }
 }
