@@ -26,8 +26,10 @@ object SparkEntry {
     RelationalQueries.defs,
     ScalarQueries.defs,
     EventQueries.defs,
+    Event2Queries.defs,
     TextQueries.defs,
     Text2Queries.defs,
+    SearchQueries.defs,
     VectorQueries.defs,
     MultimodalQueries.defs,
     Analytic2Queries.defs,

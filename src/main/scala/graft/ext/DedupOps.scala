@@ -507,6 +507,50 @@ object DedupOps {
         col("jaccard")): _*)
   }
 
+  /** Exact token-set CONTAINMENT for all (a < b) pairs within a
+    * blocking key: `containment_a = |A∩B| / |A|` (the fraction of A's
+    * distinct tokens that also appear in B) and symmetrically
+    * `containment_b`. Containment is the doc-IN-doc measure Jaccard
+    * misses: a short document wholly quoted inside a long one scores
+    * containment 1.0 but Jaccard ≈ |A|/|B| ≈ 0 — exactly the
+    * boilerplate-inclusion / quote-plagiarism case a training-corpus
+    * curation pass must catch (broder97 resemblance-vs-containment
+    * distinction).
+    *
+    * Same block-cap policy and hashed-token intersect as
+    * [[ngramJaccardPairs]] (this is the small-block verification
+    * measure; corpus-scale candidate generation stays LSH's job —
+    * min-wise containment sketches would slot in exactly like the
+    * minhash path). Pairs below `minContainment` in BOTH directions
+    * are dropped map-side, before the result shuffle. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       blockCols: Seq[String], minContainment: Double,
+                       maxBlockSize: Int = 10000): DataFrame = {
+    val base = df.select((col(idCol).as("doc_id") +:
+      transform(array_distinct(TextOps.tokens(col(textCol))),
+        t => xxhash64(t)).as("__tok") +:
+      blockCols.map(col)): _*)
+    val smallBlocks = df.groupBy(blockCols.map(col): _*)
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") <= maxBlockSize && col("__bsz") > 1)
+      .select(blockCols.map(col): _*)
+    val a = base.toDF(("id_a" +: "__ta" +: blockCols): _*)
+      .join(smallBlocks, blockCols)
+    val b = base.toDF(("id_b" +: "__tb" +: blockCols): _*)
+    a.join(b, blockCols)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("__i",
+        size(array_intersect(col("__ta"), col("__tb"))))
+      .withColumn("containment_a",
+        round(col("__i").cast("double") / size(col("__ta")), 6))
+      .withColumn("containment_b",
+        round(col("__i").cast("double") / size(col("__tb")), 6))
+      .filter(col("containment_a") >= minContainment ||
+        col("containment_b") >= minContainment)
+      .select((blockCols.map(col) :+ col("id_a") :+ col("id_b") :+
+        col("containment_a") :+ col("containment_b")): _*)
+  }
+
   // ------------------------------------------------------------------
   // Incremental cross-batch dedup (continuous corpus curation)
   // ------------------------------------------------------------------

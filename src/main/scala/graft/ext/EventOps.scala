@@ -175,4 +175,61 @@ object EventOps {
   def dedupFirstSeen(events: DataFrame, keys: Seq[String],
                      order: Seq[Column]): DataFrame =
     graft.ops.Relational.dedupeByKeyOrdered(events, keys, order)
+
+  /** Strict ordered funnel: per entity, the earliest time each step
+    * was reached AFTER the previous step's reach time (step k counts
+    * only if an event of step k's type occurs at-or-after the step
+    * k-1 time; ties allowed, matching product-analytics "same
+    * timestamp still converts" convention).
+    *
+    * Returns one row per entity with columns `t1..tn` (nullable
+    * timestamps) — the caller aggregates reach counts.
+    *
+    * Scale shape: ONE hash shuffle on the entity key; the chained
+    * conditional `min() OVER (PARTITION BY key)` windows all reuse
+    * that single exchange (no per-step join against an ever-smaller
+    * survivor set, which would be n-1 extra shuffles). Per-partition
+    * state is one group's events — the same per-key-fits-an-executor
+    * assumption as every other window op here (hot entities:
+    * time-bucket first, as in [[asofJoinBucketed]]). */
+  def funnelStages(events: DataFrame, keyCol: String, typeCol: String,
+                   tsCol: String, steps: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keyCol)
+    val staged = steps.zipWithIndex.foldLeft(events) {
+      case (df, (step, i)) =>
+        val cond =
+          if (i == 0) col(typeCol) === step
+          else col(typeCol) === step && col(tsCol) >= col(s"t$i")
+        df.withColumn(s"t${i + 1}",
+          min(when(cond, col(tsCol))).over(w))
+    }
+    // t1..tn are constant within a key's partition; min() collapses to
+    // one row per entity without a second exchange (the groupBy reuses
+    // the window's hash partitioning).
+    val aggs = steps.indices.map(i => min(col(s"t${i + 1}")).as(s"t${i + 1}"))
+    staged.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Day-grain retention cohorts: cohort = the entity's first-seen
+    * day; one output row per (cohort_day, day_offset) with the count
+    * of entities active that many days after their cohort day
+    * (offset 0 = the cohort size itself).
+    *
+    * Scale shape: one shuffle on the entity key (window min for the
+    * cohort day), a map-side distinct to (entity, offset) grain, then
+    * a cohort-grain aggregate — cardinality falls at every step, and
+    * nothing is ever driver-side. */
+  def retentionCohorts(events: DataFrame, keyCol: String,
+                       tsCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol)
+    events
+      .withColumn("cohort_day",
+        min(date_trunc("day", col(tsCol))).over(w))
+      .select(col(keyCol), col("cohort_day"),
+        datediff(date_trunc("day", col(tsCol)), col("cohort_day"))
+          .as("day_offset"))
+      .distinct()
+      .groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("n_active"))
+  }
 }

@@ -1,0 +1,82 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Full-text retrieval operators over a document corpus: BM25 scoring
+  * and inverted-index construction — the query side of a curated
+  * corpus (the dedup/quality side lives in [[DedupOps]]/[[TextOps]]).
+  *
+  * Scale shape (both ops): tokens are exploded map-side and FILTERED
+  * map-side before any shuffle, so shuffle width is proportional to
+  * *matching* postings, not corpus tokens. Corpus-level statistics
+  * (N, avg doc length, per-term df) are tiny aggregates broadcast back
+  * — never a driver-side collect. Top-k is `orderBy().limit()` →
+  * TakeOrderedAndProject (per-partition heaps + driver merge of k
+  * rows, not a global sort).
+  */
+object SearchOps {
+
+  /** BM25 (Robertson k1/b) document ranking for a fixed term set.
+    *
+    * Determinism discipline (SURVEY §7.4): per-(doc, term) scores are
+    * combined in the FIXED left-to-right order of `terms` (via pivot
+    * columns, not an order-dependent SUM) and rounded to 6 dp, so the
+    * only cross-engine risk is the `ln` ULP — the same rounded-
+    * transcendental treatment as the `math_funcs` battery.
+    */
+  def bm25Rank(docs: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+               topK: Int = 20): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(TextOps.tokens(col(textCol))).as("token"))
+    // full doc length (ALL tokens), before the term filter
+    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dlen"))
+    val tf = toks.filter(col("token").isin(terms: _*))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum("dlen").cast("double") / count(lit(1))).as("avgdl"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfPart = col("tf") * lit(k1 + 1) /
+      (col("tf") + lit(k1) *
+        (lit(1.0) - lit(b) + lit(b) * col("dlen") / col("avgdl")))
+    val scored = tf
+      .join(broadcast(df), "token")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), col("token"), (idf * tfPart).as("s"))
+    val pivoted = scored.groupBy(col(idCol))
+      .pivot("token", terms)
+      .agg(min("s"))
+      .na.fill(0.0, terms)
+    val score = round(terms.map(t => col(s"`$t`")).reduce(_ + _), 6)
+    pivoted.select(col(idCol), score.as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(topK)
+  }
+
+  /** Inverted index at (token → document-frequency, total term
+    * frequency, bounded sorted posting sample) grain, restricted to
+    * tokens with `df >= minDf` (rare-token long tail pruned map-side
+    * by the aggregate itself — the filter is on the AGGREGATED row,
+    * so the shuffle still carries one partial row per (partition,
+    * token), which partial aggregation keeps bounded).
+    *
+    * The posting sample is the first `sampleK` doc ids in ascending
+    * order — deterministic, and the shape a real index shard stores
+    * (full posting lists live partitioned by token range; the sample
+    * is the catalog/statistics row). */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+                    minDf: Long, sampleK: Int = 10): DataFrame =
+    docs.select(col(idCol),
+        explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy("token")
+      .agg(countDistinct(col(idCol)).as("df"),
+        count(lit(1)).as("total_tf"),
+        array_join(slice(sort_array(collect_set(col(idCol))), 1, sampleK)
+          .cast("array<string>"), ",").as("posting_sample"))
+      .filter(col("df") >= minDf)
+}

@@ -43,6 +43,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       Bridge.functionInfo("token_set_jaccard",
         "token_set_jaccard(a, b) - set-semantics Jaccard of two string arrays"),
       (exprs: Seq[Expression]) => TokenSetJaccard(exprs(0), exprs(1))))
+    e.injectFunction((Bridge.functionId("cms_estimate"),
+      Bridge.functionInfo("cms_estimate",
+        "cms_estimate(sketch, item) - count estimate for a bigint item from a count_min_sketch binary"),
+      (exprs: Seq[Expression]) => CmsEstimate(exprs(0), exprs(1))))
   }
 }
 
@@ -73,5 +77,7 @@ object GraftExtensions {
       exprs => SrpBuckets(exprs(0),
         intLiteral(exprs(1), "srp_buckets", "bits"),
         intLiteral(exprs(2), "srp_buckets", "tables")))
+    Bridge.registerFunction(spark, "cms_estimate",
+      exprs => CmsEstimate(exprs(0), exprs(1)))
   }
 }

@@ -378,8 +378,58 @@ case class TokenSetJaccard(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Point query against a serialized count-min sketch (the binary
+  * produced by Spark's built-in `count_min_sketch` aggregate,
+  * `org.apache.spark.util.sketch.CountMinSketch` wire format):
+  * `cms_estimate(sketch, item)` returns the sketch's count estimate
+  * for a LONG item — the read side Spark ships no function for.
+  *
+  * The deserialized sketch is memoized per byte-buffer reference:
+  * the intended shape is a broadcast one-row sketch cross-joined to a
+  * small candidate-key set (heavy-hitter verification), where every
+  * row carries the SAME buffer, so deserialization happens once per
+  * task, not once per row. CodegenFallback is deliberate — this sits
+  * on candidate sets (10s–1000s of rows), never on the corpus hot
+  * path. */
+case class CmsEstimate(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def nullIntolerant: Boolean = true
+  override def inputTypes = Seq(BinaryType, LongType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cms_estimate"
+
+  @transient private var cachedBytes: Array[Byte] = _
+  @transient private var cachedSketch:
+    org.apache.spark.util.sketch.CountMinSketch = _
+
+  override def nullSafeEval(sketchBytes: Any, item: Any): Any = {
+    val bytes = sketchBytes.asInstanceOf[Array[Byte]]
+    // reference equality is the fast path (one broadcast buffer);
+    // content equality catches re-materialized copies
+    if (!(bytes eq cachedBytes) &&
+        !java.util.Arrays.equals(bytes, cachedBytes)) {
+      cachedSketch = org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(bytes))
+      cachedBytes = bytes
+    }
+    cachedSketch.estimateCount(java.lang.Long.valueOf(
+      item.asInstanceOf[Long]))
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CmsEstimate =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level entry points. */
 object native {
+  def cms_estimate(sketch: Column, item: Column): Column =
+    Bridge.column(CmsEstimate(
+      Bridge.expression(sketch),
+      Bridge.expression(item.cast("bigint"))))
+
   def token_set_jaccard(a: Column, b: Column): Column =
     Bridge.column(TokenSetJaccard(
       Bridge.expression(a.cast("array<string>")),

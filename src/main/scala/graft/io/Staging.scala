@@ -1,7 +1,8 @@
 package graft.io
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col, floor, greatest,
+  least, lit, max, min, shiftleft, shiftright}
 import org.apache.spark.sql.types.StructType
 
 /** Sources and sinks F1-F6 (SURVEY.md §2.1).
@@ -200,6 +201,53 @@ object Staging {
     df.repartitionByRange(files, clusterCols.map(col): _*)
       .sortWithinPartitions(clusterCols.map(col): _*)
       .write.mode(SaveMode.Overwrite).parquet(s"$storeDir/$table")
+
+  /** Z-order (Morton-curve) clustered write over TWO numeric
+    * dimensions: each row's dimensions are bucketed to `2^bits` cells
+    * and the cell ids bit-interleaved into one z-value; range
+    * partitioning + in-partition sort on z makes every file cover a
+    * compact RECTANGLE of the 2-D key space, so footer min/max stats
+    * prune files on predicates over EITHER dimension (or both) — the
+    * property single-key clustering ([[writeClusteredBy]]) only gives
+    * the leading key. Asserted from actual footers in ClusteringSpec.
+    *
+    * Bucketing is linear over each dimension's observed [min, max]
+    * (one tiny agg, broadcast back — no driver-side pass over data).
+    * Heavily skewed dimensions would want quantile boundaries instead
+    * (same z-map, different bucket function); linear keeps the map a
+    * pure codegen'd expression. The interleave itself unrolls to
+    * `2*bits` constant shift/or terms inside whole-stage codegen. */
+  def writeZOrdered(df: DataFrame, storeDir: String, table: String,
+                    colA: String, colB: String, files: Int,
+                    bits: Int = 12): Unit = {
+    val stats = df.agg(
+      min(col(colA)).cast("double").as("__alo"),
+      max(col(colA)).cast("double").as("__ahi"),
+      min(col(colB)).cast("double").as("__blo"),
+      max(col(colB)).cast("double").as("__bhi"))
+    val cells = (1L << bits) - 1
+    def bucket(c: String, lo: Column, hi: Column): Column =
+      least(lit(cells), greatest(lit(0L),
+        floor((col(c).cast("double") - lo) /
+          ((hi - lo) / lit(cells.toDouble) + lit(Double.MinPositiveValue)))
+          .cast("bigint")))
+    def interleave(a: Column, b: Column): Column =
+      (0 until bits).foldLeft(lit(0L)) { (z, i) =>
+        z.bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)),
+            2 * i + 1))
+          .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)),
+            2 * i))
+      }
+    df.crossJoin(broadcast(stats))
+      .withColumn("__z", interleave(
+        bucket(colA, col("__alo"), col("__ahi")),
+        bucket(colB, col("__blo"), col("__bhi"))))
+      .drop("__alo", "__ahi", "__blo", "__bhi")
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(s"$storeDir/$table")
+  }
 
   /** Schema-evolving append: like [[appendParquet]], but a read
     * through [[readTableEvolved]] merges the schemas of every file,

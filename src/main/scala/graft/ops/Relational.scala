@@ -137,6 +137,32 @@ object Relational {
       .drop("__rn")
   }
 
+  /** Rank-based tier assignment: tier k (0..tiers-1) holds the rows
+    * whose rank under `order` falls in the k-th equal slice of the
+    * key's row count — `tier = ((rank-1) * tiers) div count`, pure
+    * integer arithmetic, so the assignment is exact and
+    * engine-portable (no interpolated-percentile boundary ULP to
+    * disagree over). One shuffle on the keys; rank and count reuse
+    * the same window partitioning. The per-key window carries the
+    * usual per-key-fits-an-executor assumption; an unkeyed call
+    * would be the single-partition global-window trap
+    * ([[globalRowIds]] note) — require at least one key. */
+  def rankTiers(df: DataFrame, keys: Seq[String], order: Seq[Column],
+                tiers: Int, outCol: String = "tier"): DataFrame = {
+    require(keys.nonEmpty,
+      "rankTiers needs >=1 key column (unkeyed = single-partition window)")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    val wc = Window.partitionBy(keys.map(col): _*)
+    // ⌊((rank-1)·tiers)/count⌋ — computed as floor of a double
+    // division, which is exactly integer division here (operands are
+    // integers < 2^53, and a non-divisible quotient is ≥ 1/count
+    // below the next integer — far beyond one ulp)
+    df.withColumn(outCol,
+      floor(((row_number().over(w).cast("long") - lit(1L)) *
+        lit(tiers.toLong)).cast("double") /
+        count(lit(1)).over(wc).cast("double")).cast("long"))
+  }
+
   /** Contiguous global row ids 0..n-1 in `order` — WITHOUT the 100 TB
     * trap: a bare `row_number() OVER (ORDER BY …)` has an empty
     * partition spec, so Spark moves the ENTIRE dataset to one

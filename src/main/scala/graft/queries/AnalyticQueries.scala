@@ -164,6 +164,21 @@ object AnalyticQueries {
         |  count(DISTINCT l_partkey) AS exact_parts,
         |  TRUE AS hll_within_5pct
         |FROM lineitem GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin))
+        |ORDER BY l_returnflag""".stripMargin)),
+
+    // Count-min-sketch heavy hitters, same verified-sketch discipline
+    // as approx_distinct: exact top-10 users by event count, each
+    // checked against the CMS point estimate — lower_ok is the
+    // never-underestimates guarantee, upper_ok the ±eps·N bound
+    // (graft.ext.SketchOps scaladoc). The oracle asserts the exact
+    // counts and TRUE/TRUE, so a drifting sketch fails the hash gate.
+    "heavy_hitters_cms" -> QueryDef(
+      (s, d) => graft.ext.SketchOps.heavyHittersVerified(
+          Tables.events(s, d), "user_id", topK = 10)
+        .orderBy(col("n_exact").desc, col("user_id")),
+      Some("""SELECT user_id, count(*) AS n_exact,
+        |  TRUE AS lower_ok, TRUE AS upper_ok
+        |FROM events GROUP BY user_id
+        |ORDER BY n_exact DESC, user_id LIMIT 10""".stripMargin))
   )
 }

@@ -140,6 +140,78 @@ object CurationQueries {
         |  strftime(max(o_orderdate), '%Y-%m-%d') AS max_date,
         |  CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
         |    AS BIGINT) AS nonpositive_price
-        |FROM orders""".stripMargin))
+        |FROM orders""".stripMargin)),
+
+    // Rank-based quality deciles per language (curriculum/tier
+    // assignment): pure integer arithmetic, so the tier boundaries
+    // are exact in any engine — no interpolated-percentile ULP
+    // (Relational.rankTiers scaladoc).
+    "quality_deciles" -> QueryDef(
+      (s, d) => {
+        val scored = Tables.documents(s, d).select(col("doc_id"),
+          col("lang"),
+          graft.ext.TextOps.qualityScore(col("text")).as("quality"))
+        graft.ops.Relational.rankTiers(scored, Seq("lang"),
+            Seq(col("quality"), col("doc_id")), tiers = 10,
+            outCol = "decile")
+          .groupBy("lang", "decile")
+          .agg(count(lit(1)).as("n"),
+            min("quality").as("min_q"), max("quality").as("max_q"))
+          .orderBy("lang", "decile")
+      },
+      Some {
+        val stop = graft.ext.TextOps.englishStopwords.map(w => s"'$w'")
+          .mkString("[", ", ", "]")
+        s"""WITH t AS (SELECT doc_id, lang, text,
+           |  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+           |       ELSE regexp_split_to_array(lower(trim(text)), '\\s+')
+           |  END AS tok FROM documents),
+           |m AS (SELECT doc_id, lang,
+           |  CASE WHEN len(tok) BETWEEN 10 AND 100000 THEN 1.0
+           |       ELSE 0.0 END AS length_ok,
+           |  least(CASE WHEN len(tok) = 0 THEN 0.0
+           |    ELSE CAST(len(list_filter(tok, x -> list_contains($stop, x)))
+           |      AS DOUBLE) / len(tok) END * 5.0, 1.0) AS stop_sc,
+           |  1.0 - least(CASE WHEN length(text) = 0 THEN 0.0
+           |    ELSE CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+           |      AS DOUBLE) / length(text) END * 4.0, 1.0) AS punct_sc
+           |  FROM t),
+           |q AS (SELECT doc_id, lang,
+           |  round(length_ok * 0.4 + stop_sc * 0.3 + punct_sc * 0.3, 6)
+           |    AS quality FROM m),
+           |r AS (SELECT lang, quality,
+           |  row_number() OVER (PARTITION BY lang
+           |    ORDER BY quality, doc_id) AS rn,
+           |  count(*) OVER (PARTITION BY lang) AS cnt FROM q)
+           |SELECT lang, ((rn - 1) * 10) // cnt AS decile,
+           |  count(*) AS n, min(quality) AS min_q, max(quality) AS max_q
+           |FROM r GROUP BY 1, 2 ORDER BY lang, decile""".stripMargin
+      }),
+
+    // Deterministic export manifest: content-keyed shard assignment
+    // (the same md5-bucket reproducibility contract as the sampling
+    // ops) with per-shard doc/token counts and an order-independent
+    // XOR content checksum — the receipt a training run records to
+    // prove WHICH corpus it consumed. Any engine (or a later re-run
+    // over re-partitioned data) recomputes the identical manifest.
+    "export_manifest" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .withColumn("shard", SamplingOps.md5Bucket(col("text"), 16))
+        .withColumn("__h",
+          conv(substring(md5(col("text").cast("binary")), 1, 15), 16, 10)
+            .cast("long"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(graft.ext.TextOps.tokenCount(col("text")).cast("long"))
+            .as("n_tokens"),
+          expr("bit_xor(__h)").as("checksum"))
+        .orderBy("shard"),
+      Some(s"""SELECT ${bucketSql("text", 16)} AS shard,
+        |  count(*) AS n_docs,
+        |  CAST(sum(len(regexp_split_to_array(lower(trim(text)), '\\s+')))
+        |    AS BIGINT) AS n_tokens,
+        |  bit_xor(CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT))
+        |    AS checksum
+        |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin))
   )
 }

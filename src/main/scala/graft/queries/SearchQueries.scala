@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ext.SearchOps
+
+/** Full-text retrieval battery: BM25 ranking and inverted-index
+  * construction over the documents corpus ([[graft.ext.SearchOps]]
+  * for the scale shapes). Both fully DuckDB-oracle-checked — the
+  * oracle recomputes the identical tokenization, statistics, and
+  * score arithmetic (same operation order, so every non-transcendental
+  * step is bit-identical IEEE; the one `ln` is under the same
+  * round-to-6dp discipline as the math_funcs battery).
+  */
+object SearchQueries {
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // BM25 top-20 for the fixed query {hash, join, vector}.
+    "bm25_rank" -> QueryDef(
+      (s, d) => SearchOps.bm25Rank(Tables.documents(s, d),
+        "doc_id", "text", Seq("hash", "join", "vector")),
+      Some("""WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)),
+        |    '\s+')) AS token
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dlen FROM toks GROUP BY 1),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+        |       WHERE token IN ('hash', 'join', 'vector') GROUP BY 1, 2),
+        |idf AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs,
+        |            CAST(sum(dlen) AS DOUBLE) / count(*) AS avgdl
+        |          FROM dl),
+        |s AS (SELECT tf.doc_id, tf.token,
+        |        ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+        |        (tf * (1.2 + 1) / (tf + 1.2 *
+        |          (1.0 - 0.75 + 0.75 * dlen / avgdl))) AS s
+        |      FROM tf JOIN idf USING (token) JOIN dl USING (doc_id)
+        |      CROSS JOIN stats),
+        |p AS (SELECT doc_id,
+        |        coalesce(min(CASE WHEN token = 'hash' THEN s END), 0.0)
+        |          AS s1,
+        |        coalesce(min(CASE WHEN token = 'join' THEN s END), 0.0)
+        |          AS s2,
+        |        coalesce(min(CASE WHEN token = 'vector' THEN s END), 0.0)
+        |          AS s3
+        |      FROM s GROUP BY 1)
+        |SELECT doc_id, round(s1 + s2 + s3, 6) AS score
+        |FROM p ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // Inverted index rows for tokens appearing in >= 100 docs:
+    // df, total tf, and the first-10 sorted posting sample.
+    "inverted_index" -> QueryDef(
+      (s, d) => SearchOps.invertedIndex(Tables.documents(s, d),
+          "doc_id", "text", minDf = 100)
+        .orderBy("token"),
+      Some("""WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)),
+        |    '\s+')) AS token
+        |  FROM documents)
+        |SELECT token, count(DISTINCT doc_id) AS df, count(*) AS total_tf,
+        |  array_to_string(list_sort(list(DISTINCT doc_id))[1:10], ',')
+        |    AS posting_sample
+        |FROM toks GROUP BY token
+        |HAVING count(DISTINCT doc_id) >= 100
+        |ORDER BY token""".stripMargin)),
+
+    // Doc-in-doc detection: blocked exact token-set containment, both
+    // directions, pairs >= 0.9 in either (the boilerplate-inclusion
+    // case Jaccard misses — DedupOps.containmentPairs scaladoc).
+    "containment_dedup" -> QueryDef(
+      (s, d) => graft.ext.DedupOps.containmentPairs(
+          Tables.documents(s, d), "doc_id", "text",
+          Seq("lang", "source"), minContainment = 0.9)
+        .select("lang", "id_a", "id_b", "containment_a", "containment_b")
+        .orderBy("lang", "id_a", "id_b"),
+      Some("""WITH t AS (SELECT doc_id, lang, source,
+        |  list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))
+        |    AS tok FROM documents),
+        |p AS (SELECT a.lang, a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
+        |    len(a.tok), 6) AS containment_a,
+        |  round(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
+        |    len(b.tok), 6) AS containment_b
+        |  FROM t a JOIN t b
+        |    ON a.lang = b.lang AND a.source = b.source
+        |   AND a.doc_id < b.doc_id)
+        |SELECT lang, id_a, id_b, containment_a, containment_b
+        |FROM p WHERE containment_a >= 0.9 OR containment_b >= 0.9
+        |ORDER BY lang, id_a, id_b""".stripMargin))
+  )
+}

@@ -527,6 +527,30 @@ object SurfaceQueries {
         |FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000
         |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin)),
 
+    // Z-order (Morton) clustered store + 2-D predicate scan: files
+    // tile the (custkey, orderkey) plane, so footer stats prune on
+    // BOTH dimensions (ClusteringSpec asserts the tiling from actual
+    // footers); the oracle proves the layout is semantically
+    // invisible — same answer as the unclustered base table.
+    "zorder_scan" -> QueryDef(
+      (s, d) => {
+        val dir = clearedScratchDir(s, "zorder", d)
+        graft.io.Staging.writeZOrdered(Tables.orders(s, d), dir,
+          "orders_z", "o_custkey", "o_orderkey", files = 8)
+        graft.io.Staging.readTable(s, dir, "orders_z")
+          .filter(col("o_custkey").between(100, 400) &&
+            col("o_orderkey").between(1000, 20000))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            QueryDef.dsum(col("o_totalprice")).as("total"))
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""SELECT o_orderstatus, count(*) AS n,
+        |  ${QueryDef.dsumSql("o_totalprice")} AS total
+        |FROM orders WHERE o_custkey BETWEEN 100 AND 400
+        |  AND o_orderkey BETWEEN 1000 AND 20000
+        |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin)),
+
     // Dynamic partition pruning over a date-partitioned fact — THE
     // plan shape a 100 TB star schema lives or dies by: lineitem is
     // written partitioned by ship month (the runFactsPartitioned

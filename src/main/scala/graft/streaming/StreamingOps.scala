@@ -9,6 +9,9 @@ final case class UserEvent(ts: java.sql.Timestamp, user_id: Long,
                            event_type: String, value: Double)
 final case class UserProfile(user_id: Long, n_events: Long,
                              total_value: Double, last_seen_ms: Long)
+/** Per-entity funnel reach times (epoch ms), None = step not reached. */
+final case class FunnelProgress(user_id: Long, t1: Option[Long],
+                                t2: Option[Long], t3: Option[Long])
 
 /** Structured Streaming twins of the batch operators (SURVEY §2.4
   * streaming row). Each takes an unbounded DataFrame (`readStream`
@@ -109,6 +112,49 @@ object StreamingOps {
             idleTimeout.foreach(state.setTimeoutDuration)
             next
           }
+      }
+  }
+
+  /** Streaming twin of [[graft.ext.EventOps.funnelStages]] for a
+    * 3-step funnel: per-entity reach times maintained across
+    * micro-batches with mapGroupsWithState. Each batch's events are
+    * processed in event-time order and a step is reached by the first
+    * qualifying event at-or-after the previous step's reach time —
+    * identical to the batch chained-window semantics WHEN events
+    * arrive in event-time order across batches (the usual
+    * watermark-ordered ingestion assumption; a late-arriving earlier
+    * `view` cannot retroactively re-qualify a `click` that already
+    * streamed past — the batch query is the replayable ground truth,
+    * this is the low-latency approximation, equal under in-order
+    * delivery; StreamingSpec asserts the equality). State is 3
+    * optional longs per entity — O(entities), independent of event
+    * volume. */
+  def funnelStream(events: org.apache.spark.sql.Dataset[UserEvent],
+                   steps: (String, String, String))
+      : org.apache.spark.sql.Dataset[FunnelProgress] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[UserEvent],
+         state: GroupState[FunnelProgress]) =>
+          val prev = state.getOption
+            .getOrElse(FunnelProgress(userId, None, None, None))
+          val next = batch.toSeq.sortBy(_.ts.getTime).foldLeft(prev) {
+            (p, e) =>
+              val ts = e.ts.getTime
+              if (p.t1.isEmpty && e.event_type == steps._1)
+                p.copy(t1 = Some(ts))
+              else if (p.t1.nonEmpty && p.t2.isEmpty &&
+                e.event_type == steps._2 && ts >= p.t1.get)
+                p.copy(t2 = Some(ts))
+              else if (p.t2.nonEmpty && p.t3.isEmpty &&
+                e.event_type == steps._3 && ts >= p.t2.get)
+                p.copy(t3 = Some(ts))
+              else p
+          }
+          state.update(next)
+          next
       }
   }
 

@@ -63,4 +63,47 @@ class ClusteringSpec extends SparkSpec {
     // and the data round-trips identically
     assert(Staging.readTable(spark, dir, "clustered").count() == n)
   }
+
+  test("writeZOrdered files tile BOTH dimensions; single-key " +
+    "clustering leaves the trailing dimension full-width") {
+    val dir = Files.createTempDirectory("graft-zorder").toString
+    // full 256x256 grid, written in scrambled order
+    val n = 65536L
+    val df = spark.range(n).toDF("id")
+      .withColumn("k1", expr("id % 256"))
+      .withColumn("k2", expr("id div 256"))
+      .orderBy(xxhash64(col("id")))
+    Staging.writeClusteredBy(df, dir, "bykey1", Seq("k1"), files = 16)
+    Staging.writeZOrdered(df, dir, "zordered", "k1", "k2",
+      files = 16, bits = 8)
+
+    // single-key clustering: k1 ranges narrow, but every file spans
+    // ~the whole k2 domain — a k2 predicate prunes nothing
+    val byKey1K2 = fileRanges(s"$dir/bykey1", "k2")
+    assert(byKey1K2.forall { case (lo, hi) => hi - lo > 256 * 8 / 10 })
+
+    // z-order: files are compact rectangles of the plane. Sampled
+    // range boundaries that straddle a MAJOR Morton quadrant
+    // boundary legitimately widen ONE dimension for that file (~3-4
+    // of 15 boundaries are major), so the tiling property is: the
+    // typical file is narrow in BOTH dims, and a point predicate on
+    // EITHER dim prunes most files — vs single-key clustering where
+    // every k2 probe hits every file
+    val zK1 = fileRanges(s"$dir/zordered", "k1")
+    val zK2 = fileRanges(s"$dir/zordered", "k2")
+    assert(zK1.size == 16 && zK2.size == 16)
+    assert(zK1.count { case (lo, hi) => hi - lo <= 256 * 5 / 8 } >= 12,
+      zK1.toString)
+    assert(zK2.count { case (lo, hi) => hi - lo <= 256 * 5 / 8 } >= 12,
+      zK2.toString)
+    // pruning evidence on BOTH dimensions: a point predicate
+    // overlaps only a minority of z-ordered files
+    val probe = 40L
+    assert(zK1.count { case (lo, hi) => lo <= probe && probe <= hi }
+      <= 8, zK1.toString)
+    assert(zK2.count { case (lo, hi) => lo <= probe && probe <= hi }
+      <= 8, zK2.toString)
+    // and the data round-trips identically
+    assert(Staging.readTable(spark, dir, "zordered").count() == n)
+  }
 }

@@ -99,4 +99,52 @@ class EventOpsSpec extends SparkSpec {
     val out = EventOps.asofJoin(left, right, "key", "ts", Seq("rval"))
     assert(out.select("rval").as[String].head() == "T")
   }
+
+  test("funnelStages enforces step ORDER: a click before the first " +
+    "view never converts; a same-timestamp step does") {
+    val e = Seq(
+      // u1: clean view → click → purchase
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "click", "2024-01-01 10:05:00"),
+      (1L, "purchase", "2024-01-01 10:10:00"),
+      // u2: click BEFORE the only view → stops at view
+      (2L, "click", "2024-01-01 09:00:00"),
+      (2L, "view", "2024-01-01 09:30:00"),
+      // u3: view then purchase but NO click → purchase can't count
+      (3L, "view", "2024-01-01 08:00:00"),
+      (3L, "purchase", "2024-01-01 08:30:00"),
+      // u4: view and click at the SAME timestamp → tie converts
+      (4L, "view", "2024-01-01 07:00:00"),
+      (4L, "click", "2024-01-01 07:00:00"),
+      // u5: never viewed → reaches nothing
+      (5L, "purchase", "2024-01-01 06:00:00"))
+      .toDF("user_id", "event_type", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = EventOps.funnelStages(e, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) ->
+        (r.isNullAt(1), r.isNullAt(2), r.isNullAt(3))).toMap
+    assert(out(1L) == (false, false, false))
+    assert(out(2L) == (false, true, true))
+    assert(out(3L) == (false, true, true))
+    assert(out(4L) == (false, false, true))
+    assert(out(5L) == (true, true, true))
+  }
+
+  test("retentionCohorts counts an entity once per active day, " +
+    "offset from its first-seen day") {
+    val e = Seq(
+      (1L, "2024-01-01 10:00:00"), // u1 cohort day 0
+      (1L, "2024-01-01 23:00:00"), // same day — not double counted
+      (1L, "2024-01-03 01:00:00"), // offset 2
+      (2L, "2024-01-02 12:00:00")) // u2 cohort Jan 2, offset 0 only
+      .toDF("user_id", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = EventOps.retentionCohorts(e, "user_id", "ts")
+      .collect().map(r => (r.getTimestamp(0).toString.take(10),
+        r.getInt(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      ("2024-01-01", 0) -> 1L, ("2024-01-01", 2) -> 1L,
+      ("2024-01-02", 0) -> 1L))
+  }
 }

@@ -84,4 +84,42 @@ class QueryPlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema"), p)
     assert(!p.contains("n_chars"), p)
   }
+
+  test("runtime bloom filter from a selective dim filter reaches the " +
+    "fact side of a shuffle join — and never changes the answer") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, d)
+    val dim = Tables.orders(spark, d)
+      .filter(col("o_totalprice") > 400000)
+      .select("o_orderkey", "o_orderstatus")
+    def joined = li.join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+    // ground truth under default planning (broadcast join, no bloom)
+    val expected = joined.collect().toSeq
+
+    // at bench/test SF the fact side is far below the 10 GB
+    // application-side threshold and the dim side broadcasts; lower
+    // both so the plan is the 100 TB shape — a shuffle join whose
+    // fact scan Spark guards with a bloom filter built from the
+    // filtered dim keys (the runtime row-level twin of DPP's
+    // partition-level pruning)
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.toLowerCase.contains("might_contain"), p)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        p)
+      // semantics-preserving: bloom false positives only ever let
+      // extra rows THROUGH to the exact join, never drop matches
+      assert(joined.collect().toSeq == expected)
+    } finally saved.foreach { case (k, vOpt) =>
+      vOpt.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
 }

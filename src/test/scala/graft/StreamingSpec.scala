@@ -233,6 +233,56 @@ class StreamingSpec extends SparkSpec {
     assert(last.getAs[Double]("total_value") == 10.0)
   }
 
+  test("funnelStream equals batch funnelStages under event-time-" +
+    "ordered delivery across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.UserEvent
+    val evs = Seq(
+      // u1 converts fully, split across the two batches
+      UserEvent(t(0), 1, "view", 0.0), UserEvent(t(1), 1, "click", 0.0),
+      UserEvent(t(5), 1, "purchase", 0.0),
+      // u2: click precedes its only view → stalls at view
+      UserEvent(t(0), 2, "click", 0.0), UserEvent(t(2), 2, "view", 0.0),
+      // u3: same-timestamp view+click tie converts, no purchase
+      UserEvent(t(3), 3, "view", 0.0), UserEvent(t(3), 3, "click", 0.0))
+    val (batch1, batch2) = evs.sortBy(_.ts.getTime).splitAt(4)
+
+    val ms = MemoryStream[UserEvent]
+    val q = graft.streaming.StreamingOps.funnelStream(ms.toDS(),
+        ("view", "click", "purchase"))
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("update").start()
+    ms.addData(batch1: _*); q.processAllAvailable()
+    ms.addData(batch2: _*); q.processAllAvailable()
+    q.stop()
+    // final state per user: reach times are monotone (set once, never
+    // changed), so max over the per-batch update rows = last state
+    val streamed = spark.table("funnel_out")
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.max("t1").as("t1"),
+        org.apache.spark.sql.functions.max("t2").as("t2"),
+        org.apache.spark.sql.functions.max("t3").as("t3"))
+      .collect()
+      .map(r => r.getLong(0) -> (
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+
+    val batch = graft.ext.EventOps.funnelStages(
+        evs.toDF(), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .collect()
+      .map(r => r.getLong(0) -> (
+        if (r.isNullAt(1)) None else Some(r.getTimestamp(1).getTime),
+        if (r.isNullAt(2)) None else Some(r.getTimestamp(2).getTime),
+        if (r.isNullAt(3)) None else Some(r.getTimestamp(3).getTime)))
+      .toMap
+    assert(streamed == batch)            // same times, step for step
+    assert(batch(1L)._3.nonEmpty)        // u1 converted fully
+    assert(batch(2L)._2.isEmpty)         // u2 stalled at view
+    assert(batch(3L)._2.nonEmpty && batch(3L)._3.isEmpty)
+  }
+
   test("incrementalLoadStream is the streaming form of load-if-new") {
     implicit val ctx = spark.sqlContext
     val store = Files.createTempDirectory("graft-stream-store").toString
