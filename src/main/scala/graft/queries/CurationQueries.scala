@@ -212,6 +212,45 @@ object CurationQueries {
         |    AS BIGINT) AS n_tokens,
         |  bit_xor(CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT))
         |    AS checksum
-        |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin))
+        |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin)),
+
+    // Temperature-scaled language mixture weights (the multilingual
+    // upsampling recipe: w_l ∝ p_l^α with α < 1 flattening the head):
+    // per-lang sampling weights and an expected-docs allocation for a
+    // fixed budget. Determinism: pow is rounded to a 1e-9 grid, the
+    // normalization denominator is an EXACT decimal sum of the
+    // rounded values (an unordered double sum would be
+    // partition-order dependent), and the final weight rounds to
+    // 6 dp — every step bit-reproducible in both engines.
+    "mixture_temperature" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        val total = docs.agg(count(lit(1)).as("__t"))
+        val raw = counts.crossJoin(broadcast(total))
+          .withColumn("__pr",
+            round(pow(col("n_docs").cast("double") / col("__t"), 0.7), 9))
+        val denom = raw.agg(
+          sum(col("__pr").cast("decimal(25,9)")).cast("double")
+            .as("__den"))
+        raw.crossJoin(broadcast(denom))
+          .withColumn("weight", round(col("__pr") / col("__den"), 6))
+          .withColumn("expected_docs",
+            round(col("weight") * lit(100000.0), 0).cast("long"))
+          .select("lang", "n_docs", "weight", "expected_docs")
+          .orderBy("lang")
+      },
+      Some("""WITH c AS (SELECT lang, count(*) AS n_docs
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT count(*) AS tot FROM documents),
+        |r AS (SELECT lang, n_docs,
+        |  round(pow(CAST(n_docs AS DOUBLE) / tot, 0.7), 9) AS pr
+        |  FROM c CROSS JOIN t),
+        |dn AS (SELECT CAST(sum(CAST(pr AS DECIMAL(25,9))) AS DOUBLE)
+        |  AS den FROM r)
+        |SELECT lang, n_docs, round(pr / den, 6) AS weight,
+        |  CAST(round(round(pr / den, 6) * 100000.0, 0) AS BIGINT)
+        |    AS expected_docs
+        |FROM r CROSS JOIN dn ORDER BY lang""".stripMargin))
   )
 }

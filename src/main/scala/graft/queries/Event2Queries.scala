@@ -93,6 +93,54 @@ object Event2Queries {
         |  round(CAST(count(*) AS DOUBLE) /
         |    (SELECT count(*) FROM events), 6) AS share
         |FROM events GROUP BY user_id
-        |ORDER BY n DESC, user_id LIMIT 10""".stripMargin))
+        |ORDER BY n DESC, user_id LIMIT 10""".stripMargin)),
+
+    // Trailing-window anomaly detection: each hourly (type, count) is
+    // z-scored against the PRECEDING 24 hours for the same type
+    // (never the current value — no self-masking). Stream-shaped
+    // analytics in batch form: one type-key shuffle, sequential
+    // 24-row frames; z rounded to 6 dp (the windowed stddev is the
+    // rounded-transcendental class) and the anomaly flag derived
+    // from the ROUNDED z on both sides so the boolean can't straddle
+    // an ULP.
+    "events_anomaly" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val hourly = Tables.events(s, d)
+          .groupBy(date_trunc("hour", col("ts")).as("hour"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("event_type").orderBy("hour")
+          .rowsBetween(-24, -1)
+        hourly
+          .withColumn("cnt_w", count(lit(1)).over(w))
+          .withColumn("mean_w",
+            sum("n").over(w).cast("double") / col("cnt_w"))
+          .withColumn("sd_w", stddev_samp(col("n").cast("double")).over(w))
+          .filter(col("cnt_w") === 24 && col("sd_w") > 0)
+          .withColumn("z",
+            round((col("n") - col("mean_w")) / col("sd_w"), 6))
+          .withColumn("is_anomaly", abs(col("z")) > 2)
+          .select(date_format(col("hour"), "yyyy-MM-dd HH:mm").as("hour"),
+            col("event_type"), col("n"), col("z"), col("is_anomaly"))
+          .orderBy("hour", "event_type")
+      },
+      Some("""WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT *, count(*) OVER win AS cnt_w,
+        |    CAST(sum(n) OVER win AS DOUBLE) / count(*) OVER win
+        |      AS mean_w,
+        |    stddev_samp(CAST(n AS DOUBLE)) OVER win AS sd_w
+        |  FROM hourly
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY hour
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT strftime(hour, '%Y-%m-%d %H:%M') AS hour, event_type, n,
+        |  round((n - mean_w) / sd_w, 6) AS z,
+        |  abs(round((n - mean_w) / sd_w, 6)) > 2 AS is_anomaly
+        |FROM w WHERE cnt_w = 24 AND sd_w > 0
+        |ORDER BY hour, event_type""".stripMargin))
   )
 }

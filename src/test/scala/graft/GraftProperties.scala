@@ -209,4 +209,81 @@ object GraftProperties extends Properties("graft") {
           .as[(String, Long, String, String)].collect().sorted.toList
         plain == bucketed
     }
+
+  property("rankTiers partitions each key into near-equal, " +
+    "order-monotone tiers covering 0..tiers-1") =
+    forAll(tableGen, Gen.oneOf(2, 3, 5)) { (rows, tiers) =>
+      val df = rows.zipWithIndex
+        .map { case ((k, v), i) => (k, v, i.toLong) }
+        .toDF("id", "v", "ord")
+      val got = Relational.rankTiers(df, Seq("id"),
+          Seq(col("ord")), tiers)
+        .select("id", "ord", "tier").as[(Int, Long, Long)]
+        .collect().toList
+      got.groupBy(_._1).forall { case (_, grp) =>
+        val n = grp.size
+        val byTier = grp.groupBy(_._3).view.mapValues(_.size).toMap
+        // sizes differ by at most 1 (the ceil/floor split of n/tiers)
+        val sizesOk = byTier.values.forall(s =>
+          s == n / tiers || s == n / tiers + 1)
+        // tier ids live in [0, tiers) and tiers are monotone in ord
+        val rangeOk = byTier.keySet.forall(t => t >= 0 && t < tiers)
+        val sorted = grp.sortBy(_._2).map(_._3)
+        val monotoneOk = sorted.zip(sorted.drop(1)).forall {
+          case (a, b) => a <= b }
+        sizesOk && rangeOk && monotoneOk
+      }
+    }
+
+  private val docGen: Gen[List[(Long, String)]] = for {
+    n <- Gen.choose(2, 12)
+    rows <- Gen.listOfN(n, for {
+      toks <- Gen.listOf(Gen.oneOf("a", "b", "c", "d", "e", "f"))
+    } yield toks.mkString(" "))
+  } yield rows.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  property("containmentPairs matches the model's set containment " +
+    "in both directions") =
+    forAll(docGen, Gen.oneOf(0.3, 0.6, 0.9)) { (rows, thr) =>
+      val nonEmpty = rows.filter(_._2.trim.nonEmpty)
+      val df = nonEmpty.map { case (id, t) => (id, t, "x", "y") }
+        .toDF("doc_id", "text", "lang", "source")
+      val got = graft.ext.DedupOps.containmentPairs(df, "doc_id",
+          "text", Seq("lang", "source"), thr)
+        .select("id_a", "id_b", "containment_a", "containment_b")
+        .as[(Long, Long, Double, Double)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+      val sets = nonEmpty.map { case (id, t) =>
+        id -> t.trim.toLowerCase.split("\\s+").toSet }.toMap
+      def rnd(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val want = (for {
+        (a, sa) <- sets; (b, sb) <- sets if a < b
+        i = (sa intersect sb).size.toDouble
+        ca = rnd(i / sa.size); cb = rnd(i / sb.size)
+        if ca >= thr || cb >= thr
+      } yield (a, b) -> (ca, cb)).toMap
+      got == want
+    }
+
+  property("funnelStages reach times are chained-monotone " +
+    "(t1 <= t2 <= t3, and a later step implies every earlier one)") =
+    forAll(eventGen) { rows =>
+      val stepNames = Map("a" -> "s1", "b" -> "s2", "hot" -> "s3")
+      val df = rows.map { case (k, ts, v) =>
+        (1L + math.abs(v.hashCode % 3), stepNames(k), ts) }
+        .toDF("user_id", "event_type", "ts")
+      graft.ext.EventOps.funnelStages(df, "user_id", "event_type",
+          "ts", Seq("s1", "s2", "s3"))
+        .select("t1", "t2", "t3")
+        .as[(Option[Long], Option[Long], Option[Long])]
+        .collect().forall { case (t1, t2, t3) =>
+          val implied = (t3.isEmpty || t2.nonEmpty) &&
+            (t2.isEmpty || t1.nonEmpty)
+          val ordered = (for { a <- t1; b <- t2 } yield a <= b)
+            .getOrElse(true) &&
+            (for { b <- t2; c <- t3 } yield b <= c).getOrElse(true)
+          implied && ordered
+        }
+    }
 }

@@ -85,6 +85,31 @@ class QueryPlanSpec extends SparkSpec {
     assert(!p.contains("n_chars"), p)
   }
 
+  test("bm25_rank plans its top-k as TakeOrderedAndProject, never a " +
+    "global sort") {
+    val p = plan("bm25_rank")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("skew_histogram is partial+final agg with a top-k, and the " +
+    "total is a broadcast scalar (no driver-side histogram)") {
+    val p = plan("skew_histogram")
+    assert(p.contains("partial_"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+  }
+
+  test("sql_q5 broadcast-chains the dimension hops of the 6-table " +
+    "star traversal") {
+    val p = plan("sql_q5")
+    // region/nation/supplier (and customer at this SF) broadcast;
+    // only the orders⋈lineitem spine may shuffle
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    // the region filter reaches the region scan
+    assert(p.contains("EqualTo(r_name,ASIA)"), p)
+  }
+
   test("runtime bloom filter from a selective dim filter reaches the " +
     "fact side of a shuffle join — and never changes the answer") {
     import org.apache.spark.sql.functions._
