@@ -60,23 +60,38 @@ object SearchOps {
 
   /** Inverted index at (token → document-frequency, total term
     * frequency, bounded sorted posting sample) grain, restricted to
-    * tokens with `df >= minDf` (rare-token long tail pruned map-side
-    * by the aggregate itself — the filter is on the AGGREGATED row,
-    * so the shuffle still carries one partial row per (partition,
-    * token), which partial aggregation keeps bounded).
+    * tokens with `df >= minDf`.
     *
-    * The posting sample is the first `sampleK` doc ids in ascending
-    * order — deterministic, and the shape a real index shard stores
-    * (full posting lists live partitioned by token range; the sample
-    * is the catalog/statistics row). */
+    * BOUNDED at every stage: the first aggregate collapses to
+    * (token, doc) grain (per-doc tf — partial agg keeps the shuffle
+    * at one partial row per partition×group), df/total_tf are then
+    * plain counts/sums over that grain, and the posting sample ranks
+    * doc ids per token with a window and keeps only `sampleK` BEFORE
+    * any list is materialized — no aggregation buffer ever holds a
+    * hot token's full posting set (a stopword's postings are
+    * corpus-sized; a collect-then-slice would OOM the buffer at
+    * scale). The sample is the first `sampleK` ids ascending —
+    * deterministic, and the shape a real index shard stores (full
+    * posting lists live partitioned by token range; the sample is
+    * the catalog/statistics row). */
   def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
-                    minDf: Long, sampleK: Int = 10): DataFrame =
-    docs.select(col(idCol),
+                    minDf: Long, sampleK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perDoc = docs.select(col(idCol),
         explode(TextOps.tokens(col(textCol))).as("token"))
-      .groupBy("token")
-      .agg(countDistinct(col(idCol)).as("df"),
-        count(lit(1)).as("total_tf"),
-        array_join(slice(sort_array(collect_set(col(idCol))), 1, sampleK)
-          .cast("array<string>"), ",").as("posting_sample"))
+      .groupBy(col("token"), col(idCol))
+      .agg(count(lit(1)).as("__tf"))
+    val stats = perDoc.groupBy("token")
+      .agg(count(lit(1)).as("df"), sum("__tf").as("total_tf"))
       .filter(col("df") >= minDf)
+    val sample = perDoc
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("token").orderBy(col(idCol))))
+      .filter(col("__rn") <= sampleK)
+      .groupBy("token")
+      .agg(array_join(sort_array(collect_list(col(idCol)))
+        .cast("array<string>"), ",").as("posting_sample"))
+    stats.join(sample, "token")
+      .select("token", "df", "total_tf", "posting_sample")
+  }
 }

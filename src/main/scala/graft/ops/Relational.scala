@@ -143,7 +143,12 @@ object Relational {
     * integer arithmetic, so the assignment is exact and
     * engine-portable (no interpolated-percentile boundary ULP to
     * disagree over). One shuffle on the keys; rank and count reuse
-    * the same window partitioning. The per-key window carries the
+    * the same window partitioning.
+    *
+    * `order` MUST be a total order within each key (append a unique
+    * id as the final tiebreak): ranking uses row_number, so ties
+    * under a partial order would land in tiers nondeterministically
+    * across runs and partitionings. The per-key window carries the
     * usual per-key-fits-an-executor assumption; an unkeyed call
     * would be the single-partition global-window trap
     * ([[globalRowIds]] note) — require at least one key. */

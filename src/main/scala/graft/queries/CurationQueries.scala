@@ -208,7 +208,9 @@ object CurationQueries {
         .orderBy("shard"),
       Some(s"""SELECT ${bucketSql("text", 16)} AS shard,
         |  count(*) AS n_docs,
-        |  CAST(sum(len(regexp_split_to_array(lower(trim(text)), '\\s+')))
+        |  CAST(sum(len(CASE WHEN length(trim(text)) = 0
+        |    THEN []::VARCHAR[]
+        |    ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END))
         |    AS BIGINT) AS n_tokens,
         |  bit_xor(CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT))
         |    AS checksum

@@ -96,10 +96,16 @@ object Event2Queries {
         |ORDER BY n DESC, user_id LIMIT 10""".stripMargin)),
 
     // Trailing-window anomaly detection: each hourly (type, count) is
-    // z-scored against the PRECEDING 24 hours for the same type
-    // (never the current value — no self-masking). Stream-shaped
-    // analytics in batch form: one type-key shuffle, sequential
-    // 24-row frames; z rounded to 6 dp (the windowed stddev is the
+    // z-scored against the 24 PRECEDING OBSERVED hourly buckets for
+    // the same type (never the current value — no self-masking).
+    // ROWS-frame semantics deliberately: hours with zero events for a
+    // type are absent from the hourly grid, so on a sparse type the
+    // 24-row baseline reaches further back than 24 wall-clock hours;
+    // the production alternative is gap-filling the grid (sequence()
+    // explode) and a RANGE frame — at this corpus's density every
+    // hour is populated, so the two coincide. Stream-shaped analytics
+    // in batch form: one type-key shuffle, sequential 24-row frames;
+    // z rounded to 6 dp (the windowed stddev is the
     // rounded-transcendental class) and the anomaly flag derived
     // from the ROUNDED z on both sides so the boolean can't straddle
     // an ULP.

@@ -21,8 +21,10 @@ object SearchQueries {
       (s, d) => SearchOps.bm25Rank(Tables.documents(s, d),
         "doc_id", "text", Seq("hash", "join", "vector")),
       Some("""WITH toks AS (
-        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)),
-        |    '\s+')) AS token
+        |  SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0
+        |    THEN []::VARCHAR[]
+        |    ELSE regexp_split_to_array(lower(trim(text)), '\s+') END)
+        |    AS token
         |  FROM documents),
         |dl AS (SELECT doc_id, count(*) AS dlen FROM toks GROUP BY 1),
         |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
@@ -55,8 +57,10 @@ object SearchQueries {
           "doc_id", "text", minDf = 100)
         .orderBy("token"),
       Some("""WITH toks AS (
-        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)),
-        |    '\s+')) AS token
+        |  SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0
+        |    THEN []::VARCHAR[]
+        |    ELSE regexp_split_to_array(lower(trim(text)), '\s+') END)
+        |    AS token
         |  FROM documents)
         |SELECT token, count(DISTINCT doc_id) AS df, count(*) AS total_tf,
         |  array_to_string(list_sort(list(DISTINCT doc_id))[1:10], ',')
@@ -75,7 +79,9 @@ object SearchQueries {
         .select("lang", "id_a", "id_b", "containment_a", "containment_b")
         .orderBy("lang", "id_a", "id_b"),
       Some("""WITH t AS (SELECT doc_id, lang, source,
-        |  list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))
+        |  list_distinct(CASE WHEN length(trim(text)) = 0
+        |    THEN []::VARCHAR[]
+        |    ELSE regexp_split_to_array(lower(trim(text)), '\s+') END)
         |    AS tok FROM documents),
         |p AS (SELECT a.lang, a.doc_id AS id_a, b.doc_id AS id_b,
         |  round(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /

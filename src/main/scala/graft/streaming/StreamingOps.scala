@@ -140,7 +140,16 @@ object StreamingOps {
          state: GroupState[FunnelProgress]) =>
           val prev = state.getOption
             .getOrElse(FunnelProgress(userId, None, None, None))
-          val next = batch.toSeq.sortBy(_.ts.getTime).foldLeft(prev) {
+          // secondary sort by step rank: at equal timestamps the
+          // EARLIER step must be applied first, or a same-ts
+          // view+click pair arriving click-first would discard the
+          // click before the view sets t1 — diverging from the batch
+          // chained-window semantics this is a twin of
+          val stepRank = Map(steps._1 -> 0, steps._2 -> 1, steps._3 -> 2)
+          val next = batch.toSeq
+            .sortBy(e => (e.ts.getTime,
+              stepRank.getOrElse(e.event_type, 3)))
+            .foldLeft(prev) {
             (p, e) =>
               val ts = e.ts.getTime
               if (p.t1.isEmpty && e.event_type == steps._1)

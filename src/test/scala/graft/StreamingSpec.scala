@@ -243,8 +243,10 @@ class StreamingSpec extends SparkSpec {
       UserEvent(t(5), 1, "purchase", 0.0),
       // u2: click precedes its only view → stalls at view
       UserEvent(t(0), 2, "click", 0.0), UserEvent(t(2), 2, "view", 0.0),
-      // u3: same-timestamp view+click tie converts, no purchase
-      UserEvent(t(3), 3, "view", 0.0), UserEvent(t(3), 3, "click", 0.0))
+      // u3: same-timestamp view+click tie converts, no purchase —
+      // listed CLICK-FIRST to pin the within-timestamp step-rank
+      // secondary sort (arrival order must not decide a tie)
+      UserEvent(t(3), 3, "click", 0.0), UserEvent(t(3), 3, "view", 0.0))
     val (batch1, batch2) = evs.sortBy(_.ts.getTime).splitAt(4)
 
     val ms = MemoryStream[UserEvent]
