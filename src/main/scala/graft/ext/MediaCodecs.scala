@@ -189,6 +189,44 @@ object MediaCodecs {
       if (totalSamples == 0) None else Some(sum.toDouble / totalSamples))
   }
 
+  /** Raw PCM extraction for the audio feature ops: the same hardened
+    * chunk walk as [[decodeWav]], but returning the sample values
+    * (mono PCM-16 only — the synthesis/feature path's format).
+    * None on anything malformed, never a throw. */
+  def decodeWavPcm(bytes: Array[Byte]): Option[(Int, Array[Short])] = {
+    if (bytes.length < 44) return None
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    def tag(off: Int) = new String(bytes, off, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12L
+    var sampleRate = 0; var channels = 0; var bits = 0; var fmt = 0
+    var dataOff = -1; var dataLen = 0
+    while (off + 8 <= bytes.length) {
+      val id = tag(off.toInt)
+      val len = buf.getInt(off.toInt + 4).toLong
+      if (len < 0 || off + 8 + len > bytes.length) return None
+      id match {
+        case "fmt " if len >= 16 =>
+          fmt = buf.getShort(off.toInt + 8).toInt
+          channels = buf.getShort(off.toInt + 10).toInt
+          sampleRate = buf.getInt(off.toInt + 12)
+          bits = buf.getShort(off.toInt + 22).toInt
+        case "data" =>
+          dataOff = off.toInt + 8
+          dataLen = len.toInt
+        case _ => ()
+      }
+      off += 8 + len + (len & 1)
+    }
+    if (fmt != 1 || bits != 16 || channels != 1 || sampleRate <= 0 ||
+      dataOff < 0) return None
+    val n = dataLen / 2
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) { out(i) = buf.getShort(dataOff + i * 2); i += 1 }
+    Some((sampleRate, out))
+  }
+
   // ------------------------------------------------------------------
   // PNG / JPEG via the JDK's javax.imageio (headless-safe, no deps)
   // ------------------------------------------------------------------

@@ -124,6 +124,64 @@ object MultimodalOps {
       .select(col("_1").as("asset_id"), col("_2").as("payload"))
   }
 
+  /** Ramp-signal WAV synthesis (every id): n = id%100+1 mono PCM-16
+    * samples at 8 kHz with s_i = (id + i) % 2000 - 1000 — a varying
+    * signal, so windowed energy features are non-trivial, while every
+    * sample stays a pure arithmetic function of (id, i) and the
+    * oracle can recompute the expected per-window RMS without
+    * touching bytes (same contract as [[synthesizeMedia]]). */
+  def synthesizeRampWav(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType)).as[Long]
+      .mapPartitions(_.map { id =>
+        val n = (id % 100).toInt + 1
+        val samples = Array.tabulate(n)(i =>
+          ((id + i) % 2000 - 1000).toShort)
+        (id, MediaCodecs.encodeWavPcm16(8000, samples))
+      })
+      .select(col("_1").as("asset_id"), col("_2").as("payload"))
+  }
+
+  /** Windowed audio energy features: decode each asset's PCM
+    * (REAL byte parse via [[MediaCodecs.decodeWavPcm]]), split into
+    * fixed `windowSamples`-sample segments, emit per-segment count
+    * and RMS — the segment-level representation an audio curation
+    * pipeline filters on (silence/clipping gates). A pure narrow
+    * flatMap: each asset's segments derive from its own payload, no
+    * shuffle, payload never leaves the partition; undecodable
+    * payloads yield zero rows rather than failing the job. RMS is
+    * exact-integer arithmetic under sqrt (PCM values; sum of squares
+    * < 2^53) so the value is engine-portable at 6 dp. */
+  def audioSegmentFeatures(assets: DataFrame,
+                           windowSamples: Int,
+                           idCol: String = "asset_id",
+                           payloadCol: String = "payload"): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col(idCol).cast(LongType), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        MediaCodecs.decodeWavPcm(bytes).toSeq.flatMap {
+          case (_, samples) =>
+            samples.grouped(windowSamples).zipWithIndex.map {
+              case (win, wi) =>
+                var sumSq = 0.0
+                var i = 0
+                while (i < win.length) {
+                  val v = win(i).toDouble; sumSq += v * v; i += 1
+                }
+                val rms = BigDecimal(math.sqrt(sumSq / win.length))
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+                  .toDouble
+                (id, wi.toLong, win.length.toLong, rms)
+            }
+        }
+      })
+      .select(col("_1").as("asset_id"), col("_2").as("win_id"),
+        col("_3").as("n"), col("_4").as("rms"))
+  }
+
   /** Feature extraction over assets: narrow map, payload never
     * shuffled. */
   def extractFeatures(assets: DataFrame): DataFrame =

@@ -42,6 +42,23 @@ object SamplingOps {
                           pct: Int): DataFrame =
     df.filter(md5Bucket(col(keyCol), 100) < pct)
 
+  /** Efraimidis–Spirakis weighted-sampling key: `u^(1/w)` with
+    * u ∈ (0,1) derived content-deterministically from the key (52
+    * md5 bits, `(h + 0.5) / 2^52` — a power-of-two divisor, so u is
+    * bit-exact in any engine). Taking the top-k rows by this key is
+    * exactly weighted random sampling without replacement with
+    * inclusion ∝ weight (A-ES, Efraimidis & Spirakis 2006), but with
+    * the same reproducibility contract as [[md5Bucket]]: re-runs,
+    * engines, and partitionings all draw the SAME sample. Rounded to
+    * a 1e-9 grid (the `pow` is the rounded-transcendental class);
+    * break remaining ties with the row id. Weights must be > 0. */
+  def aesKey(key: Column, weight: Column): Column =
+    round(pow(
+      (conv(substring(md5(key.cast("binary")), 1, 13), 16, 10)
+        .cast("long").cast("double") + lit(0.5)) /
+        lit(4503599627370496.0),
+      lit(1.0) / weight), 9)
+
   /** Permanent train/test assignment (~testPct% test) as a `split`
     * column. A doc's split never changes as the corpus grows — the
     * property that prevents slow test-set leakage across pipeline

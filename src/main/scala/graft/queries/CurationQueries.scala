@@ -253,6 +253,51 @@ object CurationQueries {
         |SELECT lang, n_docs, round(pr / den, 6) AS weight,
         |  CAST(round(round(pr / den, 6) * 100000.0, 0) AS BIGINT)
         |    AS expected_docs
-        |FROM r CROSS JOIN dn ORDER BY lang""".stripMargin))
+        |FROM r CROSS JOIN dn ORDER BY lang""".stripMargin)),
+
+    // Quality-weighted sampling without replacement (A-ES key, see
+    // SamplingOps.aesKey): top-50 docs by u^(1/(quality+0.01)) —
+    // higher-quality docs proportionally likelier, yet the draw is a
+    // pure function of content (same sample on every run, engine,
+    // partitioning). The oracle recomputes key and quality
+    // independently.
+    "weighted_sample" -> QueryDef(
+      (s, d) => {
+        val scored = Tables.documents(s, d).select(col("doc_id"),
+          col("text"),
+          graft.ext.TextOps.qualityScore(col("text")).as("quality"))
+        scored
+          .withColumn("skey",
+            SamplingOps.aesKey(col("text"), col("quality") + lit(0.01)))
+          .select("doc_id", "quality", "skey")
+          .orderBy(col("skey").desc, col("doc_id"))
+          .limit(50)
+      },
+      Some {
+        val stop = graft.ext.TextOps.englishStopwords.map(w => s"'$w'")
+          .mkString("[", ", ", "]")
+        s"""WITH t AS (SELECT doc_id, text,
+           |  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+           |       ELSE regexp_split_to_array(lower(trim(text)), '\\s+')
+           |  END AS tok FROM documents),
+           |m AS (SELECT doc_id, text,
+           |  CASE WHEN len(tok) BETWEEN 10 AND 100000 THEN 1.0
+           |       ELSE 0.0 END AS length_ok,
+           |  least(CASE WHEN len(tok) = 0 THEN 0.0
+           |    ELSE CAST(len(list_filter(tok, x -> list_contains($stop, x)))
+           |      AS DOUBLE) / len(tok) END * 5.0, 1.0) AS stop_sc,
+           |  1.0 - least(CASE WHEN length(text) = 0 THEN 0.0
+           |    ELSE CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+           |      AS DOUBLE) / length(text) END * 4.0, 1.0) AS punct_sc
+           |  FROM t),
+           |q AS (SELECT doc_id, text,
+           |  round(length_ok * 0.4 + stop_sc * 0.3 + punct_sc * 0.3, 6)
+           |    AS quality FROM m)
+           |SELECT doc_id, quality,
+           |  round(pow((CAST(CAST(('0x' || substring(md5(text), 1, 13))
+           |      AS BIGINT) AS DOUBLE) + 0.5) / 4503599627370496.0,
+           |    1.0 / (quality + 0.01)), 9) AS skey
+           |FROM q ORDER BY skey DESC, doc_id LIMIT 50""".stripMargin
+      })
   )
 }

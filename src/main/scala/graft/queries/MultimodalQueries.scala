@@ -80,6 +80,29 @@ object MultimodalQueries {
       Some("""SELECT doc_id AS asset_id,
         |  ((doc_id % 600) * 100 + 500 - 1) // 1000 + 1 AS n_frames,
         |  (((doc_id % 600) * 100 + 500 - 1) // 1000) * 1000 AS last_frame_ts_ms
-        |FROM documents ORDER BY asset_id""".stripMargin))
+        |FROM documents ORDER BY asset_id""".stripMargin)),
+
+    // Windowed audio energy over REAL bytes: ramp-signal WAVs are
+    // encoded, then the per-16-sample RMS is computed from the PARSED
+    // PCM (MediaCodecs.decodeWavPcm) — while the oracle recomputes
+    // the expected RMS purely arithmetically from (id, i), the same
+    // encode-vs-expectation contract as multimodal_decode. Sum of
+    // squares is exact-integer-in-double, so the rounded RMS is
+    // engine-portable.
+    "audio_segments" -> QueryDef(
+      (s, d) => MultimodalOps.audioSegmentFeatures(
+          MultimodalOps.synthesizeRampWav(Tables.documents(s, d),
+            "doc_id"), windowSamples = 16)
+        .orderBy("asset_id", "win_id"),
+      Some("""WITH s AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(0, CAST(doc_id % 100 AS BIGINT)))
+        |      AS i
+        |  FROM documents),
+        |w AS (SELECT doc_id, i // 16 AS win_id,
+        |  CAST((doc_id + i) % 2000 - 1000 AS DOUBLE) AS v FROM s)
+        |SELECT doc_id AS asset_id, win_id, count(*) AS n,
+        |  round(sqrt(sum(v * v) / count(*)), 6) AS rms
+        |FROM w GROUP BY 1, 2 ORDER BY asset_id, win_id""".stripMargin))
   )
 }

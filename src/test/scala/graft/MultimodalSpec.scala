@@ -205,4 +205,22 @@ class MultimodalSpec extends SparkSpec {
       assert(counts(id) == (dur + 999) / 1000)
     }
   }
+
+  test("decodeWavPcm round-trips exact samples; audioSegmentFeatures " +
+    "windows them with hand-computed RMS") {
+    import graft.ext.{MediaCodecs, MultimodalOps}
+    val samples = Array[Short](3, -4, 0, 12, 5)
+    val bytes = MediaCodecs.encodeWavPcm16(8000, samples)
+    val Some((rate, decoded)) = MediaCodecs.decodeWavPcm(bytes)
+    assert(rate == 8000 && decoded.toSeq == samples.toSeq)
+    assert(MediaCodecs.decodeWavPcm(Array[Byte](1, 2, 3)).isEmpty)
+
+    import spark.implicits._
+    val assets = Seq((7L, bytes)).toDF("asset_id", "payload")
+    val out = MultimodalOps.audioSegmentFeatures(assets,
+        windowSamples = 4)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._2).toList
+    // windows: [3,-4,0,12] → sqrt(169/4) = 6.5; [5] → 5.0
+    assert(out == List((7L, 0L, 4L, 6.5), (7L, 1L, 1L, 5.0)))
+  }
 }

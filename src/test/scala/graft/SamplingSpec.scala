@@ -88,4 +88,24 @@ class SamplingSpec extends SparkSpec {
       .collect().toSet
     assert(spans == Set((0L, 0L), (0L, 1L)))
   }
+
+  test("aesKey is deterministic, in (0,1), and monotone in the " +
+    "weight for fixed content") {
+    val d = Seq(("alpha doc", 1.0), ("alpha doc", 2.0),
+      ("alpha doc", 8.0), ("other doc", 2.0))
+      .toDF("text", "w")
+    val keys = d.select(col("text"), col("w"),
+        SamplingOps.aesKey(col("text"), col("w")).as("k"))
+      .as[(String, Double, Double)].collect()
+    assert(keys.forall { case (_, _, k) => k > 0.0 && k < 1.0 })
+    val alpha = keys.filter(_._1 == "alpha doc").sortBy(_._2).map(_._3)
+    // u^(1/w) grows with w for u in (0,1): heavier rows rank higher
+    assert(alpha.zip(alpha.drop(1)).forall { case (a, b) => a < b })
+    // same (content, weight) on a different row → identical key
+    val k2 = keys.find(r => r._1 == "alpha doc" && r._2 == 2.0).get._3
+    val k2b = d.filter(col("w") === 2.0 && col("text") === "alpha doc")
+      .select(SamplingOps.aesKey(col("text"), col("w")))
+      .as[Double].head()
+    assert(k2 == k2b)
+  }
 }
