@@ -106,4 +106,34 @@ object RollupMaintain {
         (col("psum").cast("double") / col("pcnt")).as("mean"))
       .drop("psum")
       .withColumnRenamed("pcnt", "n_rows")
+
+  /** FREQUENCY sketch maintained incrementally: a single persisted
+    * count-min sketch (plus the total row count) folded batch-by-
+    * batch via [[graft.functions.CmsUnion]]. Unlike the HLL path,
+    * CMS union is EXACT counter addition — the maintained sketch's
+    * estimates are bit-identical to a one-shot sketch over all data
+    * (asserted in RollupSpec) — so per-key frequency questions over
+    * an unbounded key space cost KBs of state at any cardinality.
+    * Same stage-and-swap discipline as the other stores. */
+  def updateCms(spark: SparkSession, storeDir: String, table: String,
+                batch: DataFrame, keyCol: String,
+                eps: Double = 0.001, confidence: Double = 0.99,
+                seed: Int = 42): Long = {
+    val bp = batch.agg(
+      count_min_sketch(col(keyCol), lit(eps), lit(confidence),
+        lit(seed)).as("sketch"),
+      count(lit(1)).as("n_total"))
+    val merged =
+      if (!Staging.tableExists(spark, storeDir, table)) bp
+      else Staging.readTable(spark, storeDir, table)
+        .unionByName(bp)
+        .agg(graft.functions.CmsUnion.column(col("sketch")).as("sketch"),
+          sum(col("n_total")).as("n_total"))
+    Staging.stageAndSwap(spark, merged, storeDir, table, "cms")
+  }
+
+  /** The persisted sketch row (sketch binary + total count). */
+  def readCms(spark: SparkSession, storeDir: String,
+              table: String): DataFrame =
+    Staging.readTable(spark, storeDir, table)
 }

@@ -76,3 +76,50 @@ object VectorAvg extends Aggregator[Seq[Float], (Array[Double], Array[Long]), Se
   def column(vec: Column): Column =
     udaf(this, ExpressionEncoder[Seq[Float]]()).apply(vec)
 }
+
+/** Mergeable union of serialized count-min sketches (the binaries
+  * Spark's built-in `count_min_sketch` aggregate produces): CMS
+  * merge is element-wise counter addition, so the union is exact,
+  * associative, and commutative — the maintained sketch's counters
+  * (and therefore every [[CmsEstimate]] read) are IDENTICAL to a
+  * one-shot sketch over all data, regardless of batch/partition
+  * order. This is the cross-batch maintenance path for frequency
+  * sketches, the CMS analog of `hll_union_agg`
+  * ([[graft.etl.RollupMaintain.updateDistinctRollup]]); sketches
+  * must share (eps, confidence, seed) — CountMinSketch.mergeInPlace
+  * rejects incompatible dimensions. Null inputs are ignored; an
+  * all-null group yields null. */
+object CmsUnion extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+  private def read(bytes: Array[Byte]) =
+    org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(bytes))
+  private def write(
+      s: org.apache.spark.util.sketch.CountMinSketch): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    s.writeTo(out)
+    out.toByteArray
+  }
+
+  override def zero: Array[Byte] = null
+
+  override def reduce(b: Array[Byte], a: Array[Byte]): Array[Byte] =
+    merge(b, a)
+
+  override def merge(x: Array[Byte], y: Array[Byte]): Array[Byte] =
+    if (x == null) y
+    else if (y == null) x
+    else {
+      val s = read(x)
+      s.mergeInPlace(read(y))
+      write(s)
+    }
+
+  override def finish(b: Array[Byte]): Array[Byte] = b
+
+  override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+
+  /** Column form for untyped DataFrame aggregation. */
+  def column(sketch: Column): Column =
+    udaf(this, Encoders.BINARY).apply(sketch)
+}

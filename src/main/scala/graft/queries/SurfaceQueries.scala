@@ -566,6 +566,45 @@ object SurfaceQueries {
         |  TRUE AS within_5pct
         |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin)),
 
+    // Incrementally-maintained FREQUENCY sketch: a persisted CMS
+    // folded over 3 event batches (CmsUnion — exact counter
+    // addition, so the maintained sketch ≡ a one-shot sketch), plus
+    // the exact per-user rollup maintained alongside; top-10 users
+    // by the MAINTAINED exact counts, each verified against the
+    // MAINTAINED sketch's point estimate (never-underestimates +
+    // eps·N bound, both hash-gated booleans). The sketch-store
+    // analog of incremental_distinct_hll for frequency questions.
+    "incremental_topk_cms" -> QueryDef(
+      (s, d) => {
+        val dir = clearedScratchDir(s, "cms", d)
+        val events = Tables.events(s, d)
+        (0 until 3).foreach { i =>
+          val b = events.filter(pmod(col("event_id"), lit(3)) === i)
+          graft.etl.RollupMaintain.updateCms(s, dir, "user_cms",
+            b, "user_id")
+          graft.etl.RollupMaintain.updateRollup(s, dir, "user_counts",
+            b, Seq("user_id"), "value")
+        }
+        val top = graft.etl.RollupMaintain.readFinal(s, dir,
+            "user_counts")
+          .select(col("user_id"), col("n_rows").as("n_exact"))
+          .orderBy(col("n_exact").desc, col("user_id"))
+          .limit(10)
+        val sketch = graft.etl.RollupMaintain.readCms(s, dir, "user_cms")
+        top.crossJoin(broadcast(sketch))
+          .withColumn("__est", graft.functions.native.cms_estimate(
+            col("sketch"), col("user_id")))
+          .select(col("user_id"), col("n_exact"),
+            (col("__est") >= col("n_exact")).as("lower_ok"),
+            (col("__est") <= col("n_exact") +
+              ceil(lit(0.001) * col("n_total"))).as("upper_ok"))
+          .orderBy(col("n_exact").desc, col("user_id"))
+      },
+      Some("""SELECT user_id, count(*) AS n_exact,
+        |  TRUE AS lower_ok, TRUE AS upper_ok
+        |FROM events GROUP BY user_id
+        |ORDER BY n_exact DESC, user_id LIMIT 10""".stripMargin)),
+
     // Clustered write + pruned read round-trip: orders rewritten with
     // writeClusteredBy(o_orderkey) — near-disjoint per-file key ranges
     // (physical property asserted from real footers in ClusteringSpec)

@@ -107,4 +107,31 @@ class RollupSpec extends SparkSpec {
     assert(RollupMaintain.readFinal(spark, store, "t")
       .head().getAs[Double]("total") == 3.0)
   }
+
+  test("maintained CMS sketch is bit-identical to a one-shot sketch " +
+    "over all batches (union = exact counter addition)") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("graft-cms").toString
+    val all = (1L to 300L).map(i => i % 17)
+    val batches = all.grouped(100).toSeq
+    batches.foreach { b =>
+      RollupMaintain.updateCms(spark, store, "cms",
+        b.toDF("k"), "k")
+    }
+    val maintained = RollupMaintain.readCms(spark, store, "cms")
+      .select("sketch", "n_total").as[(Array[Byte], Long)].head()
+    val oneShot = all.toDF("k")
+      .agg(count_min_sketch(col("k"), lit(0.001), lit(0.99), lit(42)))
+      .as[Array[Byte]].head()
+    assert(maintained._2 == 300L)
+    assert(java.util.Arrays.equals(maintained._1, oneShot))
+    // and the estimate read path sees the exact count on this small
+    // keyspace (CMS never underestimates; width >> 17 keys → exact)
+    val est = Seq(3L).toDF("probe")
+      .crossJoin(RollupMaintain.readCms(spark, store, "cms"))
+      .select(graft.functions.native.cms_estimate(col("sketch"),
+        col("probe")))
+      .as[Long].head()
+    assert(est == all.count(_ == 3L))
+  }
 }
