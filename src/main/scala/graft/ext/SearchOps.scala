@@ -35,6 +35,48 @@ object SearchOps {
     val tf = toks.filter(col("token").isin(terms: _*))
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
+    scoreBm25(tf, dl, idCol, terms, k1, b, topK)
+  }
+
+  /** Postings + doc-length tables for [[bm25FromIndex]]: the
+    * materialized inverted-index form — `postings(token, doc_id,
+    * tf)` and `doclens(doc_id, dlen)`. Built with ONE tokenization
+    * pass (the corpus-linear cost is paid once per snapshot, not per
+    * query); persist `postings` clustered by token
+    * ([[graft.io.Staging.writeClusteredBy]]) so a query's term
+    * filter prunes files via footer stats — the parquet-native
+    * posting-list lookup. */
+  def buildPostings(docs: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, DataFrame) = {
+    val toks = docs.select(col(idCol),
+      explode(TextOps.tokens(col(textCol))).as("token"))
+    val postings = toks.groupBy(col("token"), col(idCol))
+      .agg(count(lit(1)).as("tf"))
+    val doclens = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dlen"))
+    (postings, doclens)
+  }
+
+  /** Index-backed BM25: identical scores to [[bm25Rank]] (the scoring
+    * stage is literally shared), but tf/df/length statistics come
+    * from prebuilt postings tables — query-time cost is proportional
+    * to the MATCHING postings read (token-pruned scan), with no
+    * corpus tokenization at all. This is the amortized form a search
+    * service runs: build once per corpus snapshot
+    * ([[buildPostings]]), serve every query from the index. */
+  def bm25FromIndex(postings: DataFrame, doclens: DataFrame,
+                    idCol: String, terms: Seq[String],
+                    k1: Double = 1.2, b: Double = 0.75,
+                    topK: Int = 20): DataFrame = {
+    val tf = postings.filter(col("token").isin(terms: _*))
+    scoreBm25(tf, doclens, idCol, terms, k1, b, topK)
+  }
+
+  /** Shared BM25 scoring stage over `(idCol, token, tf)` term
+    * frequencies and `(idCol, dlen)` doc lengths — one code path, so
+    * the inline and index-backed forms cannot drift. */
+  private def scoreBm25(tf: DataFrame, dl: DataFrame, idCol: String,
+                        terms: Seq[String], k1: Double, b: Double,
+                        topK: Int): DataFrame = {
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       (sum("dlen").cast("double") / count(lit(1))).as("avgdl"))

@@ -266,6 +266,27 @@ object GraftProperties extends Properties("graft") {
       got == want
     }
 
+  property("audioSegmentFeatures covers every PCM sample exactly " +
+    "once with model-exact per-window RMS") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.choose(Short.MinValue.toInt,
+        Short.MaxValue.toInt).map(_.toShort)).map(_.take(200)),
+      Gen.oneOf(1, 4, 16)) { (samples, w) =>
+      val bytes = graft.ext.MediaCodecs.encodeWavPcm16(8000,
+        samples.toArray)
+      val out = graft.ext.MultimodalOps.audioSegmentFeatures(
+          Seq((1L, bytes)).toDF("asset_id", "payload"), w)
+        .as[(Long, Long, Long, Double)].collect().sortBy(_._2).toList
+      val model = samples.grouped(w).zipWithIndex.map {
+        case (win, wi) =>
+          val rms = BigDecimal(math.sqrt(
+            win.map(v => v.toDouble * v.toDouble).sum / win.length))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (1L, wi.toLong, win.length.toLong, rms)
+      }.toList
+      out.map(_._3).sum == samples.length && out == model
+    }
+
   property("funnelStages reach times are chained-monotone " +
     "(t1 <= t2 <= t3, and a later step implies every earlier one)") =
     forAll(eventGen) { rows =>

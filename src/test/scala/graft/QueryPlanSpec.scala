@@ -85,9 +85,34 @@ class QueryPlanSpec extends SparkSpec {
     assert(!p.contains("n_chars"), p)
   }
 
+  test("funnel_conversion shuffles the events ONCE on the entity key " +
+    "— chained step windows and the per-entity collapse reuse it") {
+    val p = plan("funnel_conversion")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      p)
+    // three chained conditional-min windows over the same partitioning
+    assert("Window \\[min".r.findAllIn(p).size == 3, p)
+    // the only other exchange is the 3-counter global rollup
+    assert(p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("retention_cohorts shuffles entities once; the distinct " +
+    "collapses on the entity partitioning before the cohort-grain agg") {
+    val p = plan("retention_cohorts")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      p)
+  }
+
   test("bm25_rank plans its top-k as TakeOrderedAndProject, never a " +
     "global sort") {
     val p = plan("bm25_rank")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("bm25_indexed pushes the term filter into the postings scan " +
+    "— query cost is the matching postings, not the corpus") {
+    val p = plan("bm25_indexed")
+    assert(p.contains("PushedFilters") && p.contains("In(token"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
