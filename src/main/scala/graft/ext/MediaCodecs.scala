@@ -141,59 +141,17 @@ object MediaCodecs {
 
   /** Decode a PCM-16 WAV by walking RIFF chunks: sample rate, sample
     * count, duration, exact mean sample value. */
-  def decodeWav(bytes: Array[Byte]): Decoded = {
-    if (bytes.length < 44) return Unknown
-    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-    def tag(off: Int) = new String(bytes, off, 4, "US-ASCII")
-    if (tag(0) != "RIFF" || tag(8) != "WAVE") return Unknown
-    // the chunk walk runs in Long: a crafted length near Int.MaxValue
-    // would wrap `off + 8 + len` negative in Int arithmetic, pass the
-    // bound check, and index out of bounds on the next iteration
-    var off = 12L
-    var sampleRate = 0
-    var channels = 0
-    var bits = 0
-    var fmt = 0
-    var dataOff = -1
-    var dataLen = 0
-    while (off + 8 <= bytes.length) {
-      val id = tag(off.toInt)
-      val len = buf.getInt(off.toInt + 4).toLong
-      if (len < 0 || off + 8 + len > bytes.length) return Unknown
-      id match {
-        case "fmt " if len >= 16 =>
-          fmt = buf.getShort(off.toInt + 8).toInt
-          channels = buf.getShort(off.toInt + 10).toInt
-          sampleRate = buf.getInt(off.toInt + 12)
-          bits = buf.getShort(off.toInt + 22).toInt
-        case "data" =>
-          dataOff = off.toInt + 8
-          dataLen = len.toInt
-        case _ => ()
-      }
-      off += 8 + len + (len & 1) // chunks are word-aligned
-    }
-    if (fmt != 1 || bits != 16 || channels < 1 || sampleRate <= 0 ||
-      dataOff < 0) return Unknown
-    val nFrames = dataLen / (2 * channels)
-    var sum = 0L
-    var i = 0
-    while (i < nFrames * channels) {
-      sum += buf.getShort(dataOff + i * 2)
-      i += 1
-    }
-    val totalSamples = nFrames.toLong * channels
-    Decoded("wav", None, None, None, None, None,
-      Some(sampleRate), Some(totalSamples),
-      Some(nFrames.toLong * 1000L / sampleRate),
-      if (totalSamples == 0) None else Some(sum.toDouble / totalSamples))
-  }
+  /** Parsed RIFF/WAVE layout (offsets into the original buffer). */
+  private final case class RiffInfo(fmt: Int, channels: Int, bits: Int,
+                                    sampleRate: Int, dataOff: Int,
+                                    dataLen: Int)
 
-  /** Raw PCM extraction for the audio feature ops: the same hardened
-    * chunk walk as [[decodeWav]], but returning the sample values
-    * (mono PCM-16 only — the synthesis/feature path's format).
-    * None on anything malformed, never a throw. */
-  def decodeWavPcm(bytes: Array[Byte]): Option[(Int, Array[Short])] = {
+  /** Hardened RIFF chunk walk shared by [[decodeWav]] and
+    * [[decodeWavPcm]]. The walk runs in Long: a crafted length near
+    * Int.MaxValue would wrap `off + 8 + len` negative in Int
+    * arithmetic, pass the bound check, and index out of bounds on the
+    * next iteration. None on anything malformed, never a throw. */
+  private def parseRiff(bytes: Array[Byte]): Option[RiffInfo] = {
     if (bytes.length < 44) return None
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     def tag(off: Int) = new String(bytes, off, 4, "US-ASCII")
@@ -216,16 +174,48 @@ object MediaCodecs {
           dataLen = len.toInt
         case _ => ()
       }
-      off += 8 + len + (len & 1)
+      off += 8 + len + (len & 1) // chunks are word-aligned
     }
-    if (fmt != 1 || bits != 16 || channels != 1 || sampleRate <= 0 ||
-      dataOff < 0) return None
-    val n = dataLen / 2
-    val out = new Array[Short](n)
-    var i = 0
-    while (i < n) { out(i) = buf.getShort(dataOff + i * 2); i += 1 }
-    Some((sampleRate, out))
+    if (sampleRate <= 0 || dataOff < 0) None
+    else Some(RiffInfo(fmt, channels, bits, sampleRate, dataOff, dataLen))
   }
+
+  def decodeWav(bytes: Array[Byte]): Decoded =
+    parseRiff(bytes) match {
+      case Some(r)
+        if r.fmt == 1 && r.bits == 16 && r.channels >= 1 =>
+        val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+        val nFrames = r.dataLen / (2 * r.channels)
+        var sum = 0L
+        var i = 0
+        while (i < nFrames * r.channels) {
+          sum += buf.getShort(r.dataOff + i * 2)
+          i += 1
+        }
+        val totalSamples = nFrames.toLong * r.channels
+        Decoded("wav", None, None, None, None, None,
+          Some(r.sampleRate), Some(totalSamples),
+          Some(nFrames.toLong * 1000L / r.sampleRate),
+          if (totalSamples == 0) None
+          else Some(sum.toDouble / totalSamples))
+      case _ => Unknown
+    }
+
+  /** Raw PCM extraction for the audio feature ops (mono PCM-16 only
+    * — the synthesis/feature path's format); shares [[parseRiff]]'s
+    * hardened walk. None on anything malformed, never a throw. */
+  def decodeWavPcm(bytes: Array[Byte]): Option[(Int, Array[Short])] =
+    parseRiff(bytes) match {
+      case Some(r)
+        if r.fmt == 1 && r.bits == 16 && r.channels == 1 =>
+        val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+        val n = r.dataLen / 2
+        val out = new Array[Short](n)
+        var i = 0
+        while (i < n) { out(i) = buf.getShort(r.dataOff + i * 2); i += 1 }
+        Some((r.sampleRate, out))
+      case _ => None
+    }
 
   // ------------------------------------------------------------------
   // PNG / JPEG via the JDK's javax.imageio (headless-safe, no deps)

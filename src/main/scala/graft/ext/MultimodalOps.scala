@@ -157,6 +157,9 @@ object MultimodalOps {
                            windowSamples: Int,
                            idCol: String = "asset_id",
                            payloadCol: String = "payload"): DataFrame = {
+    // fail at plan time, not as a cryptic per-task grouped() error
+    require(windowSamples > 0,
+      s"windowSamples must be positive, got $windowSamples")
     val spark = assets.sparkSession
     import spark.implicits._
     assets.select(col(idCol).cast(LongType), col(payloadCol))

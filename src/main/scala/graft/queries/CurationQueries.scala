@@ -159,34 +159,14 @@ object CurationQueries {
             min("quality").as("min_q"), max("quality").as("max_q"))
           .orderBy("lang", "decile")
       },
-      Some {
-        val stop = graft.ext.TextOps.englishStopwords.map(w => s"'$w'")
-          .mkString("[", ", ", "]")
-        s"""WITH t AS (SELECT doc_id, lang, text,
-           |  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-           |       ELSE regexp_split_to_array(lower(trim(text)), '\\s+')
-           |  END AS tok FROM documents),
-           |m AS (SELECT doc_id, lang,
-           |  CASE WHEN len(tok) BETWEEN 10 AND 100000 THEN 1.0
-           |       ELSE 0.0 END AS length_ok,
-           |  least(CASE WHEN len(tok) = 0 THEN 0.0
-           |    ELSE CAST(len(list_filter(tok, x -> list_contains($stop, x)))
-           |      AS DOUBLE) / len(tok) END * 5.0, 1.0) AS stop_sc,
-           |  1.0 - least(CASE WHEN length(text) = 0 THEN 0.0
-           |    ELSE CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
-           |      AS DOUBLE) / length(text) END * 4.0, 1.0) AS punct_sc
-           |  FROM t),
-           |q AS (SELECT doc_id, lang,
-           |  round(length_ok * 0.4 + stop_sc * 0.3 + punct_sc * 0.3, 6)
-           |    AS quality FROM m),
-           |r AS (SELECT lang, quality,
-           |  row_number() OVER (PARTITION BY lang
-           |    ORDER BY quality, doc_id) AS rn,
-           |  count(*) OVER (PARTITION BY lang) AS cnt FROM q)
-           |SELECT lang, ((rn - 1) * 10) // cnt AS decile,
-           |  count(*) AS n, min(quality) AS min_q, max(quality) AS max_q
-           |FROM r GROUP BY 1, 2 ORDER BY lang, decile""".stripMargin
-      }),
+      Some(s"""WITH ${QueryDef.qualityCtesSql("quality")},
+        |r AS (SELECT lang, quality,
+        |  row_number() OVER (PARTITION BY lang
+        |    ORDER BY quality, doc_id) AS rn,
+        |  count(*) OVER (PARTITION BY lang) AS cnt FROM q)
+        |SELECT lang, ((rn - 1) * 10) // cnt AS decile,
+        |  count(*) AS n, min(quality) AS min_q, max(quality) AS max_q
+        |FROM r GROUP BY 1, 2 ORDER BY lang, decile""".stripMargin)),
 
     // Deterministic export manifest: content-keyed shard assignment
     // (the same md5-bucket reproducibility contract as the sampling
@@ -273,31 +253,11 @@ object CurationQueries {
           .orderBy(col("skey").desc, col("doc_id"))
           .limit(50)
       },
-      Some {
-        val stop = graft.ext.TextOps.englishStopwords.map(w => s"'$w'")
-          .mkString("[", ", ", "]")
-        s"""WITH t AS (SELECT doc_id, text,
-           |  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-           |       ELSE regexp_split_to_array(lower(trim(text)), '\\s+')
-           |  END AS tok FROM documents),
-           |m AS (SELECT doc_id, text,
-           |  CASE WHEN len(tok) BETWEEN 10 AND 100000 THEN 1.0
-           |       ELSE 0.0 END AS length_ok,
-           |  least(CASE WHEN len(tok) = 0 THEN 0.0
-           |    ELSE CAST(len(list_filter(tok, x -> list_contains($stop, x)))
-           |      AS DOUBLE) / len(tok) END * 5.0, 1.0) AS stop_sc,
-           |  1.0 - least(CASE WHEN length(text) = 0 THEN 0.0
-           |    ELSE CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
-           |      AS DOUBLE) / length(text) END * 4.0, 1.0) AS punct_sc
-           |  FROM t),
-           |q AS (SELECT doc_id, text,
-           |  round(length_ok * 0.4 + stop_sc * 0.3 + punct_sc * 0.3, 6)
-           |    AS quality FROM m)
-           |SELECT doc_id, quality,
-           |  round(pow((CAST(CAST(('0x' || substring(md5(text), 1, 13))
-           |      AS BIGINT) AS DOUBLE) + 0.5) / 4503599627370496.0,
-           |    1.0 / (quality + 0.01)), 9) AS skey
-           |FROM q ORDER BY skey DESC, doc_id LIMIT 50""".stripMargin
-      })
+      Some(s"""WITH ${QueryDef.qualityCtesSql("quality")}
+        |SELECT doc_id, quality,
+        |  round(pow((CAST(CAST(('0x' || substring(md5(text), 1, 13))
+        |      AS BIGINT) AS DOUBLE) + 0.5) / 4503599627370496.0,
+        |    1.0 / (quality + 0.01)), 9) AS skey
+        |FROM q ORDER BY skey DESC, doc_id LIMIT 50""".stripMargin))
   )
 }

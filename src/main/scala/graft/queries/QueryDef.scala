@@ -19,4 +19,33 @@ object QueryDef {
   /** Oracle-side SQL for [[dsum]]. */
   def dsumSql(expr: String): String =
     s"CAST(sum(CAST($expr AS DECIMAL(25,6))) AS DOUBLE)"
+
+  /** Oracle-side DuckDB CTE chain recomputing
+    * [[graft.ext.TextOps.qualityScore]] over `documents` — ONE
+    * definition for every quality-consuming oracle (deciles, gates,
+    * weighted sampling), so a change to the score formula is a
+    * two-site edit (Scala op + this SQL), not an n-site hunt. Yields
+    * CTEs `t`/`m`/`q`; `q` exposes (doc_id, lang, text, `alias`) —
+    * consumers project what they need. Paste after `WITH `. */
+  def qualityCtesSql(alias: String): String = {
+    val stop = graft.ext.TextOps.englishStopwords.map(w => s"'$w'")
+      .mkString("[", ", ", "]")
+    s"""t AS (SELECT doc_id, lang, text,
+       |  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       |       ELSE regexp_split_to_array(lower(trim(text)), '\\s+')
+       |  END AS tok FROM documents),
+       |m AS (SELECT doc_id, lang, text,
+       |  CASE WHEN len(tok) BETWEEN 10 AND 100000 THEN 1.0
+       |       ELSE 0.0 END AS length_ok,
+       |  least(CASE WHEN len(tok) = 0 THEN 0.0
+       |    ELSE CAST(len(list_filter(tok, x -> list_contains($stop, x)))
+       |      AS DOUBLE) / len(tok) END * 5.0, 1.0) AS stop_sc,
+       |  1.0 - least(CASE WHEN length(text) = 0 THEN 0.0
+       |    ELSE CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+       |      AS DOUBLE) / length(text) END * 4.0, 1.0) AS punct_sc
+       |  FROM t),
+       |q AS (SELECT doc_id, lang, text,
+       |  round(length_ok * 0.4 + stop_sc * 0.3 + punct_sc * 0.3, 6)
+       |    AS $alias FROM m)""".stripMargin
+  }
 }

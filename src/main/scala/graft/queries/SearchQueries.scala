@@ -14,31 +14,19 @@ import graft.ext.SearchOps
   */
 object SearchQueries {
 
-  /** Build-once postings store (the dppStore fixture pattern): a
+  /** Build-once postings store ([[FixtureStore.buildOnce]]): a
     * search index is built per corpus snapshot and serves every
     * query, so the fixture write is not the query under test. The
     * postings table is CLUSTERED BY token — a term filter prunes
     * files via footer stats, the parquet-native posting lookup. */
-  private val postingsCache =
-    scala.collection.mutable.Map.empty[(org.apache.spark.sql.SparkSession,
-      String), String]
-
   private def postingsStore(s: org.apache.spark.sql.SparkSession,
                             d: String): String =
-    postingsCache.synchronized {
-      postingsCache.getOrElseUpdate((s, d), {
-        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q_postings_" +
-          java.lang.Integer.toHexString(d.hashCode)
-        val dp = new org.apache.hadoop.fs.Path(dir)
-        dp.getFileSystem(s.sparkContext.hadoopConfiguration)
-          .delete(dp, true)
-        val (postings, doclens) = graft.ext.SearchOps.buildPostings(
-          Tables.documents(s, d), "doc_id", "text")
-        graft.io.Staging.writeClusteredBy(postings, dir, "postings",
-          Seq("token"), files = 8)
-        graft.io.Staging.overwriteParquet(doclens, dir, "doclens")
-        dir
-      })
+    FixtureStore.buildOnce(s, "postings", d) { dir =>
+      val (postings, doclens) = graft.ext.SearchOps.buildPostings(
+        Tables.documents(s, d), "doc_id", "text")
+      graft.io.Staging.writeClusteredBy(postings, dir, "postings",
+        Seq("token"), files = 8)
+      graft.io.Staging.overwriteParquet(doclens, dir, "doclens")
     }
 
   // shared oracle: the inline and index-backed forms must return the

@@ -12,63 +12,38 @@ import graft.Tables
   */
 object SurfaceQueries {
 
-  /** Fixed per-(query, data-dir) scratch path for queries that
-    * exercise store-maintenance operators, CLEARED up front: a fresh
-    * createTempDirectory per invocation would leak a store copy every
-    * bench pass, and a leftover incremental store would double-fold
-    * its batches. One helper so the naming/cleanup scheme cannot
-    * drift between the queries that need it. */
+  // scratch-dir + build-once plumbing shared via FixtureStore (one
+  // scheme for every store-writing query; see its scaladoc)
   private def clearedScratchDir(s: org.apache.spark.sql.SparkSession,
-                                name: String, d: String): String = {
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q_${name}_" +
-      java.lang.Integer.toHexString(d.hashCode)
-    val dp = new org.apache.hadoop.fs.Path(dir)
-    dp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(dp, true)
-    dir
-  }
+                                name: String, d: String): String =
+    FixtureStore.clearedScratchDir(s, name, d)
 
   /** The dpp_partitioned_fact FIXTURE — a month-partitioned lineitem
     * plus a month dimension — built once per (session, sf dir): a
     * production store is not rebuilt per query, and the query under
     * test is the dim-filtered DPP join, not the store write. */
-  private val dppStoreCache =
-    scala.collection.mutable.Map.empty[(org.apache.spark.sql.SparkSession,
-      String), String]
-
   private def dppStore(s: org.apache.spark.sql.SparkSession,
                        d: String): String =
-    dppStoreCache.synchronized {
-      dppStoreCache.getOrElseUpdate((s, d), {
-        val dir = clearedScratchDir(s, "dpp", d)
-        graft.io.Staging.overwritePartitionsDynamic(
-          Tables.lineitem(s, d).withColumn("dt",
-            date_format(col("l_shipdate"), "yyyy-MM")),
-          dir, "fact_lineitem", Seq("dt"))
-        graft.io.Staging.overwriteParquet(
-          Tables.orders(s, d)
-            .select(date_format(col("o_orderdate"), "yyyy-MM").as("dt"),
-              year(col("o_orderdate")).as("yr"))
-            .distinct(),
-          dir, "dim_month")
-        dir
-      })
+    FixtureStore.buildOnce(s, "dpp", d) { dir =>
+      graft.io.Staging.overwritePartitionsDynamic(
+        Tables.lineitem(s, d).withColumn("dt",
+          date_format(col("l_shipdate"), "yyyy-MM")),
+        dir, "fact_lineitem", Seq("dt"))
+      graft.io.Staging.overwriteParquet(
+        Tables.orders(s, d)
+          .select(date_format(col("o_orderdate"), "yyyy-MM").as("dt"),
+            year(col("o_orderdate")).as("yr"))
+          .distinct(),
+        dir, "dim_month")
     }
 
   /** Build-once z-ordered orders store (same rationale as
     * [[dppStore]]: the fixture write is not the query under test). */
-  private val zorderStoreCache =
-    scala.collection.mutable.Map.empty[(org.apache.spark.sql.SparkSession,
-      String), String]
-
   private def zorderStore(s: org.apache.spark.sql.SparkSession,
                           d: String): String =
-    zorderStoreCache.synchronized {
-      zorderStoreCache.getOrElseUpdate((s, d), {
-        val dir = clearedScratchDir(s, "zorder", d)
-        graft.io.Staging.writeZOrdered(Tables.orders(s, d), dir,
-          "orders_z", "o_custkey", "o_orderkey", files = 8)
-        dir
-      })
+    FixtureStore.buildOnce(s, "zorder", d) { dir =>
+      graft.io.Staging.writeZOrdered(Tables.orders(s, d), dir,
+        "orders_z", "o_custkey", "o_orderkey", files = 8)
     }
 
   val defs: Map[String, QueryDef] = Map(

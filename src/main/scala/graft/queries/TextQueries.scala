@@ -127,28 +127,8 @@ object TextQueries {
         .select(col("doc_id"),
           TextOps.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id"),
-      Some {
-        val stop = TextOps.englishStopwords.map(w => s"'$w'")
-          .mkString("[", ", ", "]")
-        s"""WITH t AS (SELECT doc_id, text,
-           |  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-           |       ELSE regexp_split_to_array(lower(trim(text)), '\\s+')
-           |  END AS tok FROM documents),
-           |m AS (SELECT doc_id,
-           |  CASE WHEN len(tok) BETWEEN 10 AND 100000 THEN 1.0
-           |       ELSE 0.0 END AS length_ok,
-           |  least(CASE WHEN len(tok) = 0 THEN 0.0
-           |    ELSE CAST(len(list_filter(tok, x -> list_contains($stop, x)))
-           |      AS DOUBLE) / len(tok) END * 5.0, 1.0) AS stop_sc,
-           |  1.0 - least(CASE WHEN length(text) = 0 THEN 0.0
-           |    ELSE CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
-           |      AS DOUBLE) / length(text) END * 4.0, 1.0) AS punct_sc
-           |  FROM t)
-           |SELECT doc_id,
-           |  round(length_ok * 0.4 + stop_sc * 0.3 + punct_sc * 0.3, 6)
-           |    AS quality
-           |FROM m ORDER BY doc_id""".stripMargin
-      }),
+      Some(s"""WITH ${QueryDef.qualityCtesSql("quality")}
+        |SELECT doc_id, quality FROM q ORDER BY doc_id""".stripMargin)),
 
     // md5 fingerprint of normalized text (identical in any engine).
     "doc_fingerprint" -> QueryDef(
@@ -236,36 +216,16 @@ object TextQueries {
           .select(col("doc_id"), col("lang"), round(col("q"), 6).as("q"))
           .orderBy("doc_id")
       },
-      Some {
-        // same score expression as the text_quality oracle, plus the
-        // per-lang quantile window; the >= boundary is robust because
-        // q values are rounded to 1e-6 grid while an interpolated q25
-        // is either exactly a data value or ≥ 1e-6 away from all
-        val stop = TextOps.englishStopwords.map(w => s"'$w'")
-          .mkString("[", ", ", "]")
-        s"""WITH t AS (SELECT doc_id, lang, text,
-           |  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-           |       ELSE regexp_split_to_array(lower(trim(text)), '\\s+')
-           |  END AS tok FROM documents),
-           |m AS (SELECT doc_id, lang,
-           |  CASE WHEN len(tok) BETWEEN 10 AND 100000 THEN 1.0
-           |       ELSE 0.0 END AS length_ok,
-           |  least(CASE WHEN len(tok) = 0 THEN 0.0
-           |    ELSE CAST(len(list_filter(tok, x -> list_contains($stop, x)))
-           |      AS DOUBLE) / len(tok) END * 5.0, 1.0) AS stop_sc,
-           |  1.0 - least(CASE WHEN length(text) = 0 THEN 0.0
-           |    ELSE CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
-           |      AS DOUBLE) / length(text) END * 4.0, 1.0) AS punct_sc
-           |  FROM t),
-           |q AS (SELECT doc_id, lang,
-           |  round(length_ok * 0.4 + stop_sc * 0.3 + punct_sc * 0.3, 6) AS q
-           |  FROM m),
-           |g AS (SELECT doc_id, lang, q,
-           |  quantile_cont(q, 0.25) OVER (PARTITION BY lang) AS q25
-           |  FROM q)
-           |SELECT doc_id, lang, round(q, 6) AS q FROM g WHERE q >= q25
-           |ORDER BY doc_id""".stripMargin
-      }),
+      // shared score CTEs (QueryDef.qualityCtesSql) + the per-lang
+      // quantile window; the >= boundary is robust because q values
+      // are rounded to 1e-6 grid while an interpolated q25 is either
+      // exactly a data value or ≥ 1e-6 away from all
+      Some(s"""WITH ${QueryDef.qualityCtesSql("q")},
+        |g AS (SELECT doc_id, lang, q,
+        |  quantile_cont(q, 0.25) OVER (PARTITION BY lang) AS q25
+        |  FROM q)
+        |SELECT doc_id, lang, round(q, 6) AS q FROM g WHERE q >= q25
+        |ORDER BY doc_id""".stripMargin)),
 
     // Token-bounded chunking with overlap (context-window prep):
     // 32-token chunks, 8-token overlap, plan-side explode.

@@ -18,10 +18,18 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
-      df.count() // finalize adaptive plan
+      // collect() executes THIS Dataset so AQE finalizes ITS plan —
+      // count() would build a separate aggregate Dataset and leave
+      // df's adaptive plan unfinalized (the SkewSpec-documented trap)
+      df.collect()
       val plan = df.queryExecution.executedPlan.toString
-      val exchanges = "Exchange ".r.findAllIn(plan).size
-      println(s"=== $name (Exchange count: $exchanges) ===")
+      // a finalized AdaptiveSparkPlan prints BOTH the final plan and
+      // an "== Initial Plan ==" section — count the final one only
+      val finalSection = plan.split("== Initial Plan ==").head
+      // shuffles only: skip BroadcastExchange and ReusedExchange
+      val exchanges = "(?<!Reused)Exchange (hash|range|Single)".r
+        .findAllIn(finalSection).size
+      println(s"=== $name (shuffle Exchange count: $exchanges) ===")
       println(plan)
     }
     spark.stop()
