@@ -555,10 +555,19 @@ object SurfaceQueries {
         val events = Tables.events(s, d)
         (0 until 3).foreach { i =>
           val b = events.filter(pmod(col("event_id"), lit(3)) === i)
-          graft.etl.RollupMaintain.updateCms(s, dir, "user_cms",
-            b, "user_id")
-          graft.etl.RollupMaintain.updateRollup(s, dir, "user_counts",
-            b, Seq("user_id"), "value")
+          // the two stores are independent — fold them CONCURRENTLY
+          // (two Spark jobs on the shared scheduler), exactly as a
+          // production maintenance pass runs independent stores; each
+          // store's own read-fold-swap stays strictly sequential
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.ExecutionContext.Implicits.global
+          import scala.concurrent.duration._
+          Await.result(Future.sequence(Seq(
+            Future(graft.etl.RollupMaintain.updateCms(s, dir,
+              "user_cms", b, "user_id")),
+            Future(graft.etl.RollupMaintain.updateRollup(s, dir,
+              "user_counts", b, Seq("user_id"), "value")))),
+            10.minutes)
         }
         val top = graft.etl.RollupMaintain.readFinal(s, dir,
             "user_counts")
