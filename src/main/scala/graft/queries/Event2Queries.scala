@@ -95,6 +95,44 @@ object Event2Queries {
         |FROM events GROUP BY user_id
         |ORDER BY n DESC, user_id LIMIT 10""".stripMargin)),
 
+    // Time-BOUND conversion: a click counts only within 5 minutes of
+    // the user's first view (the attribution-window variant of the
+    // funnel — unbounded funnels overcount casual returns). Same
+    // single entity-key-shuffle chained-window shape as
+    // funnel_conversion.
+    "timed_conversion" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id")
+        val e = Tables.events(s, d)
+        e.withColumn("v",
+            min(when(col("event_type") === "view", col("ts"))).over(w))
+          .withColumn("c",
+            min(when(col("event_type") === "click" &&
+              col("ts") >= col("v") &&
+              col("ts") <= col("v") + expr("INTERVAL 5 MINUTES"),
+              col("ts"))).over(w))
+          .groupBy("user_id").agg(min("v").as("v"), min("c").as("c"))
+          .agg(count(col("v")).as("n_viewers"),
+            count(col("c")).as("n_converted_5min"))
+      },
+      Some("""WITH s1 AS (
+        |  SELECT user_id, event_type, ts,
+        |    min(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS v
+        |  FROM events),
+        |s2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts >= v
+        |                     AND ts <= v + INTERVAL 5 MINUTE
+        |                     THEN ts END)
+        |      OVER (PARTITION BY user_id) AS c
+        |  FROM s1),
+        |per_user AS (
+        |  SELECT user_id, min(v) AS v, min(c) AS c
+        |  FROM s2 GROUP BY user_id)
+        |SELECT count(v) AS n_viewers, count(c) AS n_converted_5min
+        |FROM per_user""".stripMargin)),
+
     // Trailing-window anomaly detection: each hourly (type, count) is
     // z-scored against the 24 PRECEDING OBSERVED hourly buckets for
     // the same type (never the current value — no self-masking).

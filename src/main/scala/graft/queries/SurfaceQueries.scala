@@ -408,6 +408,52 @@ object SurfaceQueries {
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin)),
 
+    // TPC-H Q10 shape: returned-item revenue per customer, top 20 —
+    // fact restricted map-side (returnflag filter BEFORE the join),
+    // dims broadcast, top-k as TakeOrderedAndProject.
+    "sql_q10" -> QueryDef(
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("v_customer")
+        Tables.orders(s, d).createOrReplaceTempView("v_orders")
+        Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+        Tables.nation(s, d).createOrReplaceTempView("v_nation")
+        s.sql("""SELECT c_custkey, c_name, n_name,
+          |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+          |    AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+          |FROM v_customer
+          |JOIN v_orders ON o_custkey = c_custkey
+          |JOIN v_lineitem ON l_orderkey = o_orderkey
+          |JOIN v_nation ON n_nationkey = c_nationkey
+          |WHERE l_returnflag = 'R'
+          |GROUP BY c_custkey, c_name, n_name
+          |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)
+      },
+      Some("""SELECT c_custkey, c_name, n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON n_nationkey = c_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
+
+    // Fixed-width histogram over a measure: bucket ids from pure
+    // integer-free arithmetic both engines compute identically
+    // (floor of an exact-rounded division), bounded to 20 buckets.
+    "price_histogram" -> QueryDef(
+      (s, d) => Tables.orders(s, d)
+        .select((floor(col("o_totalprice") / lit(25000.0))
+          .cast("long")).as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket"),
+      Some("""SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT)
+        |    AS bucket,
+        |  count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
     // SQL over CATALOG TABLES (not temp views): the D1/D2 DDL surface
     // exercised end-to-end — CREATE DATABASE / CREATE EXTERNAL TABLE
     // ... USING parquet LOCATION through graft.schema.CatalogDDL, then
