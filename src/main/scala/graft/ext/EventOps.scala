@@ -180,7 +180,10 @@ object EventOps {
     * was reached AFTER the previous step's reach time (step k counts
     * only if an event of step k's type occurs at-or-after the step
     * k-1 time; ties allowed, matching product-analytics "same
-    * timestamp still converts" convention).
+    * timestamp still converts" convention). With `maxStepDelay`
+    * (e.g. `"5 MINUTES"`), step k additionally must occur within
+    * that interval of step k-1 — the ATTRIBUTION-WINDOW funnel
+    * (unbounded funnels overcount casual returns).
     *
     * Returns one row per entity with columns `t1..tn` (nullable
     * timestamps) — the caller aggregates reach counts.
@@ -193,13 +196,19 @@ object EventOps {
     * assumption as every other window op here (hot entities:
     * time-bucket first, as in [[asofJoinBucketed]]). */
   def funnelStages(events: DataFrame, keyCol: String, typeCol: String,
-                   tsCol: String, steps: Seq[String]): DataFrame = {
+                   tsCol: String, steps: Seq[String],
+                   maxStepDelay: Option[String] = None): DataFrame = {
     val w = Window.partitionBy(keyCol)
     val staged = steps.zipWithIndex.foldLeft(events) {
       case (df, (step, i)) =>
         val cond =
           if (i == 0) col(typeCol) === step
-          else col(typeCol) === step && col(tsCol) >= col(s"t$i")
+          else {
+            val ordered =
+              col(typeCol) === step && col(tsCol) >= col(s"t$i")
+            maxStepDelay.fold(ordered)(delay => ordered &&
+              col(tsCol) <= col(s"t$i") + expr(s"INTERVAL $delay"))
+          }
         df.withColumn(s"t${i + 1}",
           min(when(cond, col(tsCol))).over(w))
     }

@@ -96,26 +96,15 @@ object Event2Queries {
         |ORDER BY n DESC, user_id LIMIT 10""".stripMargin)),
 
     // Time-BOUND conversion: a click counts only within 5 minutes of
-    // the user's first view (the attribution-window variant of the
-    // funnel — unbounded funnels overcount casual returns). Same
-    // single entity-key-shuffle chained-window shape as
-    // funnel_conversion.
+    // the user's first view — funnelStages' attribution-window form
+    // (same single entity-key-shuffle chained-window plan as
+    // funnel_conversion; maxStepDelay is the only delta).
     "timed_conversion" -> QueryDef(
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy("user_id")
-        val e = Tables.events(s, d)
-        e.withColumn("v",
-            min(when(col("event_type") === "view", col("ts"))).over(w))
-          .withColumn("c",
-            min(when(col("event_type") === "click" &&
-              col("ts") >= col("v") &&
-              col("ts") <= col("v") + expr("INTERVAL 5 MINUTES"),
-              col("ts"))).over(w))
-          .groupBy("user_id").agg(min("v").as("v"), min("c").as("c"))
-          .agg(count(col("v")).as("n_viewers"),
-            count(col("c")).as("n_converted_5min"))
-      },
+      (s, d) => EventOps.funnelStages(Tables.events(s, d),
+          "user_id", "event_type", "ts", Seq("view", "click"),
+          maxStepDelay = Some("5 MINUTES"))
+        .agg(count(col("t1")).as("n_viewers"),
+          count(col("t2")).as("n_converted_5min")),
       Some("""WITH s1 AS (
         |  SELECT user_id, event_type, ts,
         |    min(CASE WHEN event_type = 'view' THEN ts END)

@@ -439,16 +439,18 @@ object SurfaceQueries {
         |GROUP BY c_custkey, c_name, n_name
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
 
-    // Fixed-width histogram over a measure: bucket ids from pure
-    // integer-free arithmetic both engines compute identically
-    // (floor of an exact-rounded division), bounded to 20 buckets.
+    // Fixed-width histogram over a measure: bucket ids from
+    // arithmetic both engines compute identically (floor of an
+    // exact-rounded division); bucket count is data-dependent
+    // (max/width — ~20 on this data). nulls-last ordering pins the
+    // latent NULL-bucket row order to DuckDB's default.
     "price_histogram" -> QueryDef(
       (s, d) => Tables.orders(s, d)
         .select((floor(col("o_totalprice") / lit(25000.0))
           .cast("long")).as("bucket"))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n"))
-        .orderBy("bucket"),
+        .orderBy(col("bucket").asc_nulls_last),
       Some("""SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT)
         |    AS bucket,
         |  count(*) AS n
@@ -604,16 +606,24 @@ object SurfaceQueries {
           // the two stores are independent — fold them CONCURRENTLY
           // (two Spark jobs on the shared scheduler), exactly as a
           // production maintenance pass runs independent stores; each
-          // store's own read-fold-swap stays strictly sequential
+          // store's own read-fold-swap stays strictly sequential.
+          // JOIN BOTH futures even when one fails (Try per future,
+          // not a fail-fast sequence): an unjoined sibling would keep
+          // writing after this query returns — racing the next run's
+          // scratch-dir clear and leaking jobs into later bench
+          // passes. (Under Bench's warmup cancellation, cancelAllJobs
+          // fails the in-flight action and the join completes fast.)
           import scala.concurrent.{Await, Future}
           import scala.concurrent.ExecutionContext.Implicits.global
           import scala.concurrent.duration._
-          Await.result(Future.sequence(Seq(
+          val folds = Seq(
             Future(graft.etl.RollupMaintain.updateCms(s, dir,
               "user_cms", b, "user_id")),
             Future(graft.etl.RollupMaintain.updateRollup(s, dir,
-              "user_counts", b, Seq("user_id"), "value")))),
-            10.minutes)
+              "user_counts", b, Seq("user_id"), "value")))
+          val joined = folds.map(f =>
+            scala.util.Try(Await.result(f, 10.minutes)))
+          joined.collectFirst { case scala.util.Failure(e) => throw e }
         }
         val top = graft.etl.RollupMaintain.readFinal(s, dir,
             "user_counts")

@@ -131,6 +131,26 @@ class EventOpsSpec extends SparkSpec {
     assert(out(5L) == (true, true, true))
   }
 
+  test("funnelStages maxStepDelay bounds each step to the " +
+    "attribution window") {
+    val e = Seq(
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "click", "2024-01-01 10:03:00"),  // within 5 min → counts
+      (2L, "view", "2024-01-01 10:00:00"),
+      (2L, "click", "2024-01-01 10:10:00"))  // outside → dropped
+      .toDF("user_id", "event_type", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = EventOps.funnelStages(e, "user_id", "event_type", "ts",
+        Seq("view", "click"), maxStepDelay = Some("5 MINUTES"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(2)).toMap
+    assert(out == Map(1L -> false, 2L -> true))
+    // and without the bound, both convert
+    val unbounded = EventOps.funnelStages(e, "user_id", "event_type",
+        "ts", Seq("view", "click"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(2)).toMap
+    assert(unbounded == Map(1L -> false, 2L -> false))
+  }
+
   test("retentionCohorts counts an entity once per active day, " +
     "offset from its first-seen day") {
     val e = Seq(
