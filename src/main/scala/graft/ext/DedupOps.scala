@@ -365,14 +365,22 @@ object DedupOps {
     * `maxDistance + 1` chunks, so by pigeonhole any pair within
     * Hamming distance `maxDistance` agrees on ≥1 chunk — candidates
     * are chunk-mates, verified by full Hamming distance. Larger
-    * `maxDistance` → narrower chunks → more (cheap) false candidates. */
+    * `maxDistance` → narrower chunks → more (cheap) false candidates.
+    *
+    * Signatures are bit-majority over the DISTINCT token hashes (set
+    * semantics, same discipline as the minhash family and the
+    * portable twin): two docs with equal token sets get identical
+    * signatures regardless of token counts/order, which gives the
+    * family its checkable invariant — every identical-token-set pair
+    * MUST surface at Hamming 0 (the `dedup_simhash` oracle gates
+    * exactly that against a DuckDB-recomputed ground truth). */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           maxDistance: Int = 3,
                           maxBucketSize: Int = 200): DataFrame =
     simhashPairsFromSigs(
       df.select(col(idCol).as("doc_id"),
-        graft.functions.native.simhash64(TextOps.tokens(col(textCol)))
-          .as("__sig")),
+        graft.functions.native.simhash64(
+          array_distinct(TextOps.tokens(col(textCol)))).as("__sig")),
       maxDistance, maxBucketSize)
 
   /** SimHash signatures from a PORTABLE token hash: the first 15 hex

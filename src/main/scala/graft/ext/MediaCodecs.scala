@@ -139,8 +139,6 @@ object MediaCodecs {
     buf.array()
   }
 
-  /** Decode a PCM-16 WAV by walking RIFF chunks: sample rate, sample
-    * count, duration, exact mean sample value. */
   /** Parsed RIFF/WAVE layout (offsets into the original buffer). */
   private final case class RiffInfo(fmt: Int, channels: Int, bits: Int,
                                     sampleRate: Int, dataOff: Int,
@@ -180,6 +178,8 @@ object MediaCodecs {
     else Some(RiffInfo(fmt, channels, bits, sampleRate, dataOff, dataLen))
   }
 
+  /** Decode a PCM-16 WAV via [[parseRiff]]: sample rate, sample
+    * count, duration, exact mean sample value. */
   def decodeWav(bytes: Array[Byte]): Decoded =
     parseRiff(bytes) match {
       case Some(r)

@@ -407,11 +407,14 @@ case class CmsEstimate(left: Expression, right: Expression)
   override def nullSafeEval(sketchBytes: Any, item: Any): Any = {
     val bytes = sketchBytes.asInstanceOf[Array[Byte]]
     // reference equality is the fast path (one broadcast buffer);
-    // content equality catches re-materialized copies
-    if (!(bytes eq cachedBytes) &&
-        !java.util.Arrays.equals(bytes, cachedBytes)) {
-      cachedSketch = org.apache.spark.util.sketch.CountMinSketch
-        .readFrom(new java.io.ByteArrayInputStream(bytes))
+    // content equality catches re-materialized copies — and must also
+    // re-point cachedBytes at the new reference, or every later row
+    // carrying it would re-pay the Arrays.equals scan of the sketch
+    if (!(bytes eq cachedBytes)) {
+      if (!java.util.Arrays.equals(bytes, cachedBytes)) {
+        cachedSketch = org.apache.spark.util.sketch.CountMinSketch
+          .readFrom(new java.io.ByteArrayInputStream(bytes))
+      }
       cachedBytes = bytes
     }
     cachedSketch.estimateCount(java.lang.Long.valueOf(

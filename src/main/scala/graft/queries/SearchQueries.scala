@@ -114,11 +114,18 @@ object SearchQueries {
           Seq("lang", "source"), minContainment = 0.9)
         .select("lang", "id_a", "id_b", "containment_a", "containment_b")
         .orderBy("lang", "id_a", "id_b"),
+      // the blk CTE mirrors containmentPairs' smallBlocks filter
+      // (maxBlockSize = 10000, the call-site default): without it a
+      // (lang, source) block growing past the cap would be silently
+      // dropped by the Scala side but kept by the oracle — benign at
+      // sf0.1 (max block 112 docs) but a confusing future hash gate
       Some("""WITH t AS (SELECT doc_id, lang, source,
         |  list_distinct(CASE WHEN length(trim(text)) = 0
         |    THEN []::VARCHAR[]
         |    ELSE regexp_split_to_array(lower(trim(text)), '\s+') END)
         |    AS tok FROM documents),
+        |blk AS (SELECT lang, source FROM documents
+        |  GROUP BY 1, 2 HAVING count(*) <= 10000),
         |p AS (SELECT a.lang, a.doc_id AS id_a, b.doc_id AS id_b,
         |  round(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
         |    len(a.tok), 6) AS containment_a,
@@ -126,7 +133,8 @@ object SearchQueries {
         |    len(b.tok), 6) AS containment_b
         |  FROM t a JOIN t b
         |    ON a.lang = b.lang AND a.source = b.source
-        |   AND a.doc_id < b.doc_id)
+        |   AND a.doc_id < b.doc_id
+        |  JOIN blk ON a.lang = blk.lang AND a.source = blk.source)
         |SELECT lang, id_a, id_b, containment_a, containment_b
         |FROM p WHERE containment_a >= 0.9 OR containment_b >= 0.9
         |ORDER BY lang, id_a, id_b""".stripMargin))

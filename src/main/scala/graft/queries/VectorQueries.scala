@@ -95,28 +95,62 @@ object VectorQueries {
         |ORDER BY query_id, cosine_sim DESC, neighbor_id""".stripMargin)),
 
     // Scale path: LSH-bucketed ANN (sign-random-projection buckets).
-    // Engine-specific hashing → no SQL oracle for the row set, but the
-    // in-query `in_exact_topk` column is a checkable recall-vs-brute-
-    // force invariant: each emitted neighbor is flagged against the
-    // exact top-k, and VectorSpec asserts the recall floor.
+    // The bucketed candidate set is hash-family-specific, so the query
+    // emits the checkable INVARIANTS of the production run instead of
+    // the raw row set (the approx_distinct pattern — full hash gate,
+    // no rows-only adjudication): per query,
+    //   - kth_exact_sim: the exact 10th-best cosine, which DuckDB
+    //     recomputes from the embeddings (real cross-engine value);
+    //   - recall_ge_30pct: >= 3 of the LSH top-10 are in the exact
+    //     top-10. Deterministic (hash-seeded planes, fixed data);
+    //     realized 4-6 of 10 at the gate SF. This corpus is the HARD
+    //     regime for SRP — top-1 cosines are only 0.32-0.40 (no
+    //     near-dup structure), so bucket agreement needs wide probing:
+    //     measured recall at (bits=8, tables=4) is ~0/10, and the
+    //     production tuning here is (bits=6, tables=12) — fewer bits
+    //     per table = coarser buckets, more tables = more chances —
+    //     the standard LSH response to a low-similarity workload;
+    //   - no_phantom: PROVABLE, not just measured — every returned
+    //     neighbor scoring strictly above kth_exact_sim (on the
+    //     rounded values; rounding is monotone) must BE in the exact
+    //     top-10, because LSH prunes candidates but rescoring is
+    //     exact cosine: bucket pruning can only MISS, never fabricate.
     "ann_lsh_topk" -> QueryDef(
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         val queries = emb.filter(col("vec_id") < 5)
         val exact = VectorOps.bruteForceTopK(emb, queries,
-            "vec_id", "embedding", 10)
-          .select(col("query_id"), col("neighbor_id"),
-            lit(true).as("in_exact_topk"))
+          "vec_id", "embedding", 10)
+        val kth = exact.groupBy("query_id")
+          .agg(round(min(col("cosine_sim")), 6).as("kth_exact_sim"))
         VectorOps.lshTopK(emb, queries, "vec_id", "embedding", 10,
-            bits = 8)
-          .join(exact, Seq("query_id", "neighbor_id"), "left")
-          .withColumn("in_exact_topk",
-            coalesce(col("in_exact_topk"), lit(false)))
-          .withColumn("cosine_sim", round(col("cosine_sim"), 6))
-          .orderBy(col("query_id"), col("cosine_sim").desc,
-            col("neighbor_id"))
+            bits = 6, tables = 12)
+          .join(exact.select(col("query_id"), col("neighbor_id"),
+            lit(true).as("__hit")), Seq("query_id", "neighbor_id"), "left")
+          .join(kth, Seq("query_id"))
+          .groupBy("query_id", "kth_exact_sim")
+          .agg(
+            (sum(when(col("__hit"), 1).otherwise(0)) >= 3)
+              .as("recall_ge_30pct"),
+            (sum(when(col("__hit").isNull &&
+              round(col("cosine_sim"), 6) > col("kth_exact_sim"), 1)
+              .otherwise(0)) === 0).as("no_phantom"))
+          .select("query_id", "kth_exact_sim", "recall_ge_30pct",
+            "no_phantom")
+          .orderBy("query_id")
       },
-      None),
+      Some("""SELECT query_id, round(cosine_sim, 6) AS kth_exact_sim,
+        |  TRUE AS recall_ge_30pct, TRUE AS no_phantom
+        |FROM (SELECT q.vec_id AS query_id,
+        |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |      CAST(c.embedding AS DOUBLE[])) AS cosine_sim,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |        CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rn
+        |  FROM embeddings q JOIN embeddings c
+        |    ON q.vec_id < 5 AND c.vec_id <> q.vec_id)
+        |WHERE rn = 10
+        |ORDER BY query_id""".stripMargin)),
 
     // LSH ANN under the full DuckDB oracle, the `ann_ivf_topk` trick
     // applied to SRP: run the identical LSH pipeline (per-table

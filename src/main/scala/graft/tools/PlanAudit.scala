@@ -26,9 +26,14 @@ object PlanAudit {
       // a finalized AdaptiveSparkPlan prints BOTH the final plan and
       // an "== Initial Plan ==" section — count the final one only
       val finalSection = plan.split("== Initial Plan ==").head
-      // shuffles only: skip BroadcastExchange and ReusedExchange
-      val exchanges = "(?<!Reused)Exchange (hash|range|Single)".r
-        .findAllIn(finalSection).size
+      // shuffles only: skip BroadcastExchange and ReusedExchange.
+      // ReusedExchangeExec's argString embeds the referenced child's
+      // own "Exchange hashpartitioning(...)" text, so a lookbehind
+      // alone overcounts — drop ReusedExchange lines entirely first.
+      val exchanges = finalSection.linesIterator
+        .filterNot(_.contains("ReusedExchange"))
+        .flatMap("Exchange (hash|range|Single)".r.findAllIn(_))
+        .size
       println(s"=== $name (shuffle Exchange count: $exchanges) ===")
       println(plan)
     }

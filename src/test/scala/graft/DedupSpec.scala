@@ -164,8 +164,10 @@ class DedupSpec extends SparkSpec {
   }
 
   test("simhash: near-dups within small hamming distance, unrelated far") {
+    // distinct tokens: the pipeline's set semantics (simhashNearDupPairs)
     val sigs = docs.select($"doc_id",
-      DedupOps.simhash(graft.ext.TextOps.tokens($"text")).as("sig"))
+      DedupOps.simhash(org.apache.spark.sql.functions.array_distinct(
+        graft.ext.TextOps.tokens($"text"))).as("sig"))
       .as[(Long, Long)].collect().toMap
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(ham(sigs(1L), sigs(4L)) == 0) // identical text
