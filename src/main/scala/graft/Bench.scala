@@ -126,9 +126,27 @@ object Bench {
       case e: Throwable =>
         System.err.println(s"[bench] could not write $outPath: $e")
     }
-    // the metric JSON is also the sole, final stdout line
+    // stdout channel, ordered for a byte-bounded TAIL capture (the
+    // r5 driver kept only the end of stdout, beheading the single
+    // long line mid-query_stats): the full JSON goes out first, and
+    // the FINAL line is a compact totals-only variant (~300 bytes, no
+    // per-query maps) whose "metric":"total" head survives any
+    // plausible tail window. Parsers that take the last line get the
+    // compact object; the per-query detail rides in the file and the
+    // earlier full line.
     Console.out.flush()
     println(json)
+    val errCompact =
+      if (errors.size <= 5) errJson
+      else errors.take(5).map { case (k, v) => s"\"${esc(k)}\":\"${esc(v)}\"" }
+        .mkString("{", ",", "}")
+    val compact =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","timing":"steady_state_median_of_${nRuns}_runs_after_warmup","warmup_wall_sec":${f(warmupSec)},"warmup_incomplete":$warmupIncomplete,"wall_total_sec":${f(wallTotal)},"runs":$nRuns,"n_queries":${names.size},"n_errors":${errors.size},"errors":$errCompact,"detail":"$outPath","sf":"${esc(sfDir)}"}"""
+    println(compact)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(outPath + ".compact"),
+      (compact + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -439,6 +439,119 @@ object SurfaceQueries {
         |GROUP BY c_custkey, c_name, n_name
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
 
+    // TPC-H Q17 shape: correlated scalar subquery WITH AGGREGATE —
+    // small-quantity orders for one brand, where "small" is 20% of
+    // that part's own average quantity. Catalyst must DECORRELATE the
+    // per-part average into an aggregate + join
+    // (RewriteCorrelatedScalarSubquery); a per-row subquery execution
+    // would be O(rows × corpus) — QueryPlanSpec asserts the executed
+    // plan has no in-subquery and carries the decorrelated aggregate.
+    // Determinism discipline: the threshold comparison is
+    // `l_quantity * 5.0 < sum/cnt` where the sum is an exact decimal
+    // cast to double — both engines then run the IDENTICAL IEEE
+    // divide and compare, so the row set cannot drift on summation
+    // order (the 0.2*avg(double) form would).
+    "sql_q17" -> QueryDef(
+      (s, d) => {
+        Tables.part(s, d).createOrReplaceTempView("v_part")
+        Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+        s.sql("""SELECT round(CAST(sum(CAST(l_extendedprice
+          |    AS DECIMAL(25,6))) AS DOUBLE) / 7.0, 6) AS avg_yearly
+          |FROM v_lineitem JOIN v_part ON p_partkey = l_partkey
+          |WHERE p_brand = 'Brand#12'
+          |  AND l_quantity * 5.0 <
+          |    (SELECT CAST(sum(CAST(l2.l_quantity AS DECIMAL(25,6)))
+          |       AS DOUBLE) / count(*)
+          |     FROM v_lineitem l2 WHERE l2.l_partkey = p_partkey)"""
+          .stripMargin)
+      },
+      Some("""SELECT round(CAST(sum(CAST(l_extendedprice
+        |    AS DECIMAL(25,6))) AS DOUBLE) / 7.0, 6) AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#12'
+        |  AND l_quantity * 5.0 <
+        |    (SELECT CAST(sum(CAST(l2.l_quantity AS DECIMAL(25,6)))
+        |       AS DOUBLE) / count(*)
+        |     FROM lineitem l2 WHERE l2.l_partkey = p_partkey)"""
+        .stripMargin)),
+
+    // TPC-H Q18 shape: HAVING-in-subquery over a LARGE group count —
+    // the inner aggregate groups every order (~15k groups at the gate
+    // SF, 874 survivors at threshold 200), and the outer 3-way join
+    // keeps only those orders. The IN must plan as a semi-join against
+    // the aggregated subquery (no per-row probe); quantities sum under
+    // the exact-decimal discipline on both sides.
+    "sql_q18" -> QueryDef(
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("v_customer")
+        Tables.orders(s, d).createOrReplaceTempView("v_orders")
+        Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+        s.sql("""SELECT c_name, c_custkey, o_orderkey,
+          |  date_format(o_orderdate, 'yyyy-MM-dd') AS order_date,
+          |  o_totalprice,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)
+          |    AS total_qty
+          |FROM v_customer
+          |JOIN v_orders ON o_custkey = c_custkey
+          |JOIN v_lineitem ON l_orderkey = o_orderkey
+          |WHERE o_orderkey IN (
+          |  SELECT l_orderkey FROM v_lineitem
+          |  GROUP BY l_orderkey
+          |  HAVING sum(CAST(l_quantity AS DECIMAL(25,6))) > 200)
+          |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate,
+          |  o_totalprice
+          |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""
+          .stripMargin)
+      },
+      Some("""SELECT c_name, c_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |  o_totalprice,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)
+        |    AS total_qty
+        |FROM customer
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(25,6))) > 200)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate,
+        |  o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""
+        .stripMargin)),
+
+    // TPC-H Q20 shape: NESTED IN-subqueries (suppliers of name-matched
+    // parts with above-threshold shipped volume — partsupp is not in
+    // this schema, so lineitem is the part↔supplier bridge). Both INs
+    // must decorrelate to semi-joins and the name LIKE must reach the
+    // part scan as a pushed StringStartsWith; threshold 2000 splits
+    // the supplier population near its median red-part volume.
+    "sql_q20" -> QueryDef(
+      (s, d) => {
+        Tables.supplier(s, d).createOrReplaceTempView("v_supplier")
+        Tables.nation(s, d).createOrReplaceTempView("v_nation")
+        Tables.part(s, d).createOrReplaceTempView("v_part")
+        Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+        s.sql("""SELECT s_suppkey, s_name, n_name
+          |FROM v_supplier JOIN v_nation ON s_nationkey = n_nationkey
+          |WHERE s_suppkey IN (
+          |  SELECT l_suppkey FROM v_lineitem
+          |  WHERE l_partkey IN
+          |    (SELECT p_partkey FROM v_part WHERE p_name LIKE 'red%')
+          |  GROUP BY l_suppkey
+          |  HAVING sum(CAST(l_quantity AS DECIMAL(25,6))) > 2000)
+          |ORDER BY s_name, s_suppkey""".stripMargin)
+      },
+      Some("""SELECT s_suppkey, s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  WHERE l_partkey IN
+        |    (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        |  GROUP BY l_suppkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(25,6))) > 2000)
+        |ORDER BY s_name, s_suppkey""".stripMargin)),
+
     // Fixed-width histogram over a measure: bucket ids from
     // arithmetic both engines compute identically (floor of an
     // exact-rounded division); bucket count is data-dependent

@@ -172,4 +172,35 @@ class QueryPlanSpec extends SparkSpec {
       vOpt.fold(spark.conf.unset(k))(spark.conf.set(k, _))
     }
   }
+
+  test("sql_q17 decorrelates the per-part average into an aggregate + " +
+    "join — no per-row subquery execution") {
+    val p = plan("sql_q17")
+    // the correlated scalar subquery must be gone from the physical
+    // plan: its per-part aggregate runs ONCE as a grouped HashAggregate
+    // joined back on l_partkey
+    assert(!p.contains("InSubquery"), p)
+    assert(p.contains("HashAggregate(keys=[l_partkey"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    // the brand predicate reaches the part scan
+    assert(p.contains("EqualTo(p_brand,Brand#12)"), p)
+  }
+
+  test("sql_q18 plans the HAVING-in-subquery as a semi-join against " +
+    "the aggregated orders, with top-k as TakeOrderedAndProject") {
+    val p = plan("sql_q18")
+    assert(!p.contains("InSubquery"), p)
+    assert(p.contains("LeftSemi"), p)
+    // the inner aggregate over every order is partial+final
+    assert(p.contains("partial_sum"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("sql_q20 decorrelates both nested INs to semi-joins and pushes " +
+    "the name prefix into the part scan") {
+    val p = plan("sql_q20")
+    assert(!p.contains("InSubquery"), p)
+    assert("LeftSemi".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("StringStartsWith(p_name,red)"), p)
+  }
 }

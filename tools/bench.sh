@@ -29,7 +29,7 @@ export SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}"
 export SPARK_GRAFT_BENCH_OUT="${SPARK_GRAFT_BENCH_OUT:-BENCH_METRIC.json}"
 
 # Stale metric from a previous run must not be mistaken for this run's.
-rm -f "$SPARK_GRAFT_BENCH_OUT"
+rm -f "$SPARK_GRAFT_BENCH_OUT" "$SPARK_GRAFT_BENCH_OUT.compact"
 
 # Everything sbt prints — including the bench's own stdout copy of the
 # JSON and sbt's [success]/[error] trailer — goes to stderr.
@@ -37,8 +37,13 @@ sbt "runMain graft.Bench" 1>&2
 rc=$?
 
 if [ -f "$SPARK_GRAFT_BENCH_OUT" ]; then
-  # The metric JSON: the one and only stdout line, genuinely final.
+  # Line 1: the full metric JSON (per-query medians + stats).
+  # Line 2 (final): the compact totals-only variant — ~300 bytes, so a
+  # parser that keeps only a byte-bounded TAIL of stdout still gets a
+  # complete {"metric":"total",…} object even when the full line would
+  # be beheaded mid-way (the BENCH_r05 failure mode).
   cat "$SPARK_GRAFT_BENCH_OUT"
+  [ -f "$SPARK_GRAFT_BENCH_OUT.compact" ] && cat "$SPARK_GRAFT_BENCH_OUT.compact"
 else
   echo "bench.sh: no metric file at $SPARK_GRAFT_BENCH_OUT (sbt rc=$rc)" 1>&2
   exit 1
