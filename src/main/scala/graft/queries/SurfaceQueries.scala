@@ -664,6 +664,50 @@ object SurfaceQueries {
         |FROM orders WHERE o_custkey % 7 <> 0
         |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin)),
 
+    // The object-store-atomic store protocol (io.VersionedStore)
+    // end-to-end under the oracle: a table built as three batches —
+    // initial commit, keyed upsert, keyed delete — then batch 2
+    // REPLAYED (the at-least-once crash-retry case): the batchId
+    // dedup must acknowledge it without re-folding. The oracle
+    // computes the same final state directly from orders; the
+    // replay_idempotent boolean is hash-gated TRUE. Crash windows and
+    // copy+delete-rename (object-store) semantics are drilled in
+    // StoreOpsSpec.
+    "versioned_store" -> QueryDef(
+      (s, d) => {
+        val dir = clearedScratchDir(s, "vstore", d)
+        val orders = Tables.orders(s, d)
+        graft.io.VersionedStore.commit(s,
+          orders.filter(pmod(col("o_orderkey"), lit(3)) === 0),
+          dir, "o", Some("b1"))
+        val n2 = graft.io.VersionedStore.mergeUpsert(s,
+          orders.filter(pmod(col("o_orderkey"), lit(3)) === 1),
+          dir, "o", "o_orderkey", Some("b2"))
+        graft.io.VersionedStore.deleteKeys(s,
+          orders.filter(pmod(col("o_custkey"), lit(7)) === 0)
+            .select("o_custkey"),
+          dir, "o", "o_custkey", Some("b3"))
+        val nFinal = graft.io.VersionedStore
+          .readTable(s, dir, "o").count()
+        // crash-retry replay of batch 2: must be an ack, not a re-fold
+        // (a re-fold would resurrect the rows batch 3 deleted)
+        val nReplay = graft.io.VersionedStore.mergeUpsert(s,
+          orders.filter(pmod(col("o_orderkey"), lit(3)) === 1),
+          dir, "o", "o_orderkey", Some("b2"))
+        graft.io.VersionedStore.readTable(s, dir, "o")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            QueryDef.dsum(col("o_totalprice")).as("total"))
+          .withColumn("replay_idempotent", lit(nReplay == nFinal))
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""SELECT o_orderstatus, count(*) AS n,
+        |  ${QueryDef.dsumSql("o_totalprice")} AS total,
+        |  TRUE AS replay_idempotent
+        |FROM orders
+        |WHERE o_orderkey % 3 IN (0, 1) AND o_custkey % 7 <> 0
+        |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin)),
+
     // Count-distinct maintained incrementally via mergeable HLL
     // sketches (the sketch path for holistic aggregates that
     // incremental_rollup's sum/count partials cannot maintain).

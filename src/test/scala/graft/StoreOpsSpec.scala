@@ -392,4 +392,125 @@ class StoreOpsSpec extends SparkSpec {
     assert(!new java.io.File(s"$store/__merge_bak_t").exists())
     assert(!new java.io.File(s"$store/__merge_tmp_t").exists())
   }
+
+  // ---------------------------------------------------------------
+  // VersionedStore: the object-store-atomic commit protocol
+  // ---------------------------------------------------------------
+  import graft.io.VersionedStore
+
+  private def committedVersions(store: String, table: String): Seq[String] =
+    new java.io.File(s"$store/$table").listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("_v_") &&
+        new java.io.File(f, "_COMMIT").exists())
+      .map(_.getName).sorted
+
+  test("versioned store: commit/upsert/delete roundtrip, pruned to the " +
+    "keep window") {
+    val store = Files.createTempDirectory("graft-vs").toString
+    VersionedStore.commit(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), store, "t", Some("b1"))
+    assert(VersionedStore.readTable(spark, store, "t")
+      .as[(Long, String)].collect().toMap == Map(1L -> "a", 2L -> "b"))
+    val n2 = VersionedStore.mergeUpsert(spark,
+      Seq((2L, "b2"), (3L, "c")).toDF("id", "v"), store, "t", "id",
+      Some("b2"))
+    assert(n2 == 3)
+    val n3 = VersionedStore.deleteKeys(spark, Seq(1L).toDF("id"),
+      store, "t", "id", Some("b3"))
+    assert(n3 == 2)
+    assert(VersionedStore.readTable(spark, store, "t")
+      .as[(Long, String)].collect().toMap ==
+      Map(2L -> "b2", 3L -> "c"))
+    // keepVersions = 2: current + previous survive, older pruned
+    assert(committedVersions(store, "t") ==
+      Seq("_v_0000002", "_v_0000003"))
+  }
+
+  test("versioned store: a replayed batch is acknowledged without a " +
+    "new version (exactly-once across crash-and-retry)") {
+    val store = Files.createTempDirectory("graft-vs-replay").toString
+    VersionedStore.commit(spark, Seq((1L, 10L)).toDF("id", "x"),
+      store, "t", Some("b1"))
+    VersionedStore.mergeUpsert(spark, Seq((1L, 11L)).toDF("id", "x"),
+      store, "t", "id", Some("b2"))
+    val before = committedVersions(store, "t")
+    // an at-least-once driver re-delivers batch b2 after a crash: the
+    // upsert must be a no-op ack, not a re-fold
+    val n = VersionedStore.mergeUpsert(spark,
+      Seq((1L, 11L)).toDF("id", "x"), store, "t", "id", Some("b2"))
+    assert(n == 1)
+    assert(committedVersions(store, "t") == before)
+    assert(VersionedStore.readTable(spark, store, "t")
+      .as[(Long, Long)].collect().toSeq == Seq(1L -> 11L))
+    assert(VersionedStore.lastBatchId(spark, store, "t") == Some("b2"))
+  }
+
+  test("versioned store: a writer that died mid-write is invisible to " +
+    "readers and cleared by the next commit") {
+    val store = Files.createTempDirectory("graft-vs-crash").toString
+    VersionedStore.commit(spark, Seq((1L, "a")).toDF("id", "v"),
+      store, "t", Some("b1"))
+    // simulate a crash during a later version's data write: the dir
+    // exists, holds partial garbage, and has NO _COMMIT marker
+    val dead = new java.io.File(s"$store/t/_v_0000009/data")
+    dead.mkdirs()
+    java.nio.file.Files.write(dead.toPath.resolve("part-garbage"),
+      "not parquet".getBytes)
+    // readers resolve the last COMMITTED version, never the corpse
+    assert(VersionedStore.readTable(spark, store, "t")
+      .as[(Long, String)].collect().toSeq == Seq(1L -> "a"))
+    // the next commit clears the corpse and numbers itself above it
+    VersionedStore.commit(spark, Seq((2L, "b")).toDF("id", "v"),
+      store, "t", Some("b2"))
+    assert(!new java.io.File(s"$store/t/_v_0000009").exists())
+    assert(committedVersions(store, "t").last == "_v_0000010")
+    assert(VersionedStore.readTable(spark, store, "t")
+      .as[(Long, String)].collect().toSeq == Seq(2L -> "b"))
+  }
+
+  test("versioned store: death after the marker, before manifest/prune, " +
+    "is a durable commit") {
+    val store = Files.createTempDirectory("graft-vs-marker").toString
+    VersionedStore.commit(spark, Seq((1L, "a")).toDF("id", "v"),
+      store, "t", Some("b1"))
+    VersionedStore.commit(spark, Seq((2L, "b")).toDF("id", "v"),
+      store, "t", Some("b2"))
+    // simulate the post-marker crash: advisory manifest is gone
+    assert(new java.io.File(s"$store/t/_MANIFEST").delete())
+    // resolution lists markers, so the commit is still visible
+    assert(VersionedStore.readTable(spark, store, "t")
+      .as[(Long, String)].collect().toSeq == Seq(2L -> "b"))
+    assert(VersionedStore.lastBatchId(spark, store, "t") == Some("b2"))
+    // the next commit restores the advisory pointer
+    VersionedStore.commit(spark, Seq((3L, "c")).toDF("id", "v"),
+      store, "t", Some("b3"))
+    assert(new java.io.File(s"$store/t/_MANIFEST").exists())
+  }
+
+  test("versioned store: full protocol on a filesystem whose rename is " +
+    "copy+delete (object-store simulation)") {
+    spark.sparkContext.hadoopConfiguration.set("fs.objsim.impl",
+      classOf[ObjectStoreSimFs].getName)
+    val local = Files.createTempDirectory("graft-vs-objsim").toString
+    val store = s"objsim://$local"
+    ObjectStoreSimFs.renames.set(0)
+    VersionedStore.commit(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), store, "t", Some("b1"))
+    VersionedStore.mergeUpsert(spark,
+      Seq((2L, "b2"), (3L, "c")).toDF("id", "v"), store, "t", "id",
+      Some("b2"))
+    VersionedStore.deleteKeys(spark, Seq(1L).toDF("id"), store, "t",
+      "id", Some("b3"))
+    // replay the delete after a simulated crash-and-retry
+    val n = VersionedStore.deleteKeys(spark, Seq(1L).toDF("id"), store,
+      "t", "id", Some("b3"))
+    assert(n == 2)
+    assert(VersionedStore.readTable(spark, store, "t")
+      .as[(Long, String)].collect().toMap ==
+      Map(2L -> "b2", 3L -> "c"))
+    // the committer internals really did route through copy+delete —
+    // the protocol was exercised on non-atomic rename, not around it
+    assert(ObjectStoreSimFs.renames.get() > 0,
+      "no renames observed — the objsim scheme was not actually used")
+  }
 }
