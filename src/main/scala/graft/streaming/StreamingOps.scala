@@ -211,21 +211,32 @@ object StreamingOps {
     stream.writeStream
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val fresh =
-          if (graft.io.Staging.tableExists(spark, corpusDir, "corpus")) {
-            val accepted = graft.io.Staging
-              .readTable(spark, corpusDir, "corpus")
-            graft.ops.Relational.antiJoinNewKeys(batch, accepted, idCol)
-              .localCheckpoint(true) // freeze before the appends below
-          } else batch
-        if (!fresh.isEmpty) {
-          val kept = graft.ext.DedupOps.incrementalMinhashDedup(
-            fresh, idCol, textCol, indexDir, threshold = threshold)
-          graft.io.Staging.appendParquet(kept, corpusDir, "corpus")
-        }
-        ()
+        curateBatch(batch, idCol, textCol, indexDir, corpusDir, threshold)
       }
+
+  /** One micro-batch of the curation sink — package-visible so
+    * StreamingSpec's kill-mid-batch drill can run the IDENTICAL
+    * mutation and then die before the epoch commits, proving the
+    * replayed epoch is absorbed idempotently on restart. */
+  private[graft] def curateBatch(batch: DataFrame, idCol: String,
+                                 textCol: String, indexDir: String,
+                                 corpusDir: String,
+                                 threshold: Double): Unit = {
+    val spark = batch.sparkSession
+    val fresh =
+      if (graft.io.Staging.tableExists(spark, corpusDir, "corpus")) {
+        val accepted = graft.io.Staging
+          .readTable(spark, corpusDir, "corpus")
+        graft.ops.Relational.antiJoinNewKeys(batch, accepted, idCol)
+          .localCheckpoint(true) // freeze before the appends below
+      } else batch
+    if (!fresh.isEmpty) {
+      val kept = graft.ext.DedupOps.incrementalMinhashDedup(
+        fresh, idCol, textCol, indexDir, threshold = threshold)
+      graft.io.Staging.appendParquet(kept, corpusDir, "corpus")
+    }
+    ()
+  }
 
   /** Streaming decontamination twin: each micro-batch of arriving
     * corpus documents is cleaned against the static eval/benchmark

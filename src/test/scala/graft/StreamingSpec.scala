@@ -95,6 +95,63 @@ class StreamingSpec extends SparkSpec {
     assert(kept == Seq(1L, 3L))
   }
 
+  test("curatedCorpusStream absorbs a DUPLICATED EPOCH: killed after " +
+    "the store append, before the checkpoint commit, then restarted") {
+    implicit val ctx = spark.sqlContext
+    val root = Files.createTempDirectory("graft-corpus-kill")
+    val (index, corpus) = (root.resolve("idx").toString,
+      root.resolve("corpus").toString)
+    val ckpt = root.resolve("ckpt").toString
+    val docs = MemoryStream[(Long, String)]
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight"
+    def drain(): Unit = {
+      val q = StreamingOps.curatedCorpusStream(
+        docs.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        index, corpus, threshold = 0.7)
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+    }
+    docs.addData((1L, base))
+    drain()
+    // epoch 2 arrives: a near-dup of doc 1 plus a fresh doc. The sink
+    // runs the PRODUCTION mutation (index append + corpus append) and
+    // then the process dies BEFORE the epoch commit is written — the
+    // exact at-least-once window foreachBatch exposes.
+    docs.addData((2L, base),
+      (3L, "fresh unrelated text describing mountains rivers valleys " +
+        "and the long winding hiking trails between them all summer"))
+    @volatile var killed = false
+    val crash = docs.toDF().toDF("doc_id", "text").writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        StreamingOps.curateBatch(b, "doc_id", "text", index, corpus, 0.7)
+        killed = true
+        throw new RuntimeException("killed after append, before commit")
+      }
+      .option("checkpointLocation", ckpt).start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      crash.awaitTermination()
+    }
+    assert(killed)
+    // the mutation DID land before the kill (at-least-once delivered)
+    assert(graft.io.Staging.readTable(spark, corpus, "corpus")
+      .select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    // restart from the same checkpoint with the production sink: the
+    // uncommitted epoch replays and must be absorbed — no duplicate
+    // corpus rows, no resurrected near-dup
+    drain()
+    assert(graft.io.Staging.readTable(spark, corpus, "corpus")
+      .select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    // and the pipeline still accepts genuinely new docs afterwards
+    docs.addData((4L, "yet another completely different document " +
+      "about compilers optimizers and the joy of query planning"))
+    drain()
+    assert(graft.io.Staging.readTable(spark, corpus, "corpus")
+      .select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L, 4L))
+  }
+
   test("decontaminateStream drops the same docs the batch operator " +
     "drops, across micro-batches") {
     implicit val ctx = spark.sqlContext
