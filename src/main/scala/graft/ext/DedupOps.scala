@@ -612,9 +612,22 @@ object DedupOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val haveIndex = graft.io.Staging.tableExists(spark, indexDir, "band_index")
+    // KEY scale shape (measured in IndexScaleStress): only index rows
+    // whose band THE BATCH TOUCHES can ever produce a candidate, so
+    // the historical side is semi-filtered by the batch's band set —
+    // broadcast-sized (16 bands × batch docs) — BEFORE the sizing
+    // aggregate and the candidate join. Without this the cross-batch
+    // stage shuffles the WHOLE band index every batch (O(corpus
+    // indexed so far), measured growing linearly with the index);
+    // with it the shuffle is O(batch + matching index rows), which is
+    // what makes day-N maintenance cost the same as day-1. Dropping
+    // untouched bands changes nothing semantically: they can appear
+    // in neither candidate set.
+    val batchBands = newBands.select("band").distinct()
     val bandIndex =
       if (haveIndex)
         graft.io.Staging.readTable(spark, indexDir, "band_index")
+          .join(broadcast(batchBands), Seq("band"))
       else newBands.limit(0)
     // hot-band cap over the UNION of batch and historical bands.
     // DISTINCT doc_id per band: the index appends are at-least-once
@@ -653,8 +666,8 @@ object DedupOps {
       else {
         val sigStore = graft.io.Staging.readTable(spark, indexDir,
           "sig_store")
-        // no pre-prune of the historical side needed: the equi-join
-        // with the already-pruned new side restricts it to small bands
+        // the band equi-join runs over the batch-band-filtered index
+        // side (see bandIndex above)
         val pairs = prunedNew.select(col("doc_id").as("new_id"),
             col("band"))
           .join(bandIndex.select(col("doc_id").as("other_id"),
@@ -663,8 +676,20 @@ object DedupOps {
           // re-evaluation after this batch's own append (see below)
           .filter(col("new_id") =!= col("other_id"))
           .select("new_id", "other_id").distinct()
-        verified(pairs, sigStore.select(col("doc_id").as("other_id"),
-          col("__tokset").as("__to")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // payload pre-prune, same reasoning as the band filter: only
+        // candidates' token sets are needed for verification, so the
+        // (index-sized, wide) sig_store is semi-filtered by the
+        // candidate id set — cap-bounded, broadcastable — instead of
+        // shuffling whole for the verify join
+        val otherIds = pairs.select(col("other_id")).distinct()
+        val out = verified(pairs,
+          sigStore.select(col("doc_id").as("other_id"),
+              col("__tokset").as("__to"))
+            .join(broadcast(otherIds), Seq("other_id")))
+          .localCheckpoint(true)
+        pairs.unpersist()
+        out
       }
 
     // within-batch (min-id survivor policy): candidates from the SAME
