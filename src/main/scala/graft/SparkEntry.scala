@@ -35,6 +35,7 @@ object SparkEntry {
     Analytic2Queries.defs,
     Analytic3Queries.defs,
     SurfaceQueries.defs,
+    Surface2Queries.defs,
     FunctionQueries.defs,
     CurationQueries.defs)
 

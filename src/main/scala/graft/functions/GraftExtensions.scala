@@ -47,6 +47,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       Bridge.functionInfo("cms_estimate",
         "cms_estimate(sketch, item) - count estimate for a bigint item from a count_min_sketch binary"),
       (exprs: Seq[Expression]) => CmsEstimate(exprs(0), exprs(1))))
+    e.injectFunction((Bridge.functionId("bloom_might_contain"),
+      Bridge.functionInfo("bloom_might_contain",
+        "bloom_might_contain(filter, item) - membership probe for a bigint item against a serialized bloom filter"),
+      (exprs: Seq[Expression]) => BloomMightContain(exprs(0), exprs(1))))
   }
 }
 
@@ -79,5 +83,7 @@ object GraftExtensions {
         intLiteral(exprs(2), "srp_buckets", "tables")))
     Bridge.registerFunction(spark, "cms_estimate",
       exprs => CmsEstimate(exprs(0), exprs(1)))
+    Bridge.registerFunction(spark, "bloom_might_contain",
+      exprs => BloomMightContain(exprs(0), exprs(1)))
   }
 }

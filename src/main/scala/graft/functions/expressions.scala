@@ -426,11 +426,60 @@ case class CmsEstimate(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Membership probe against a serialized bloom filter
+  * (`org.apache.spark.util.sketch.BloomFilter` wire format, the
+  * sketch `DataFrameStatFunctions.bloomFilter` builds):
+  * `bloom_might_contain(filter, item)` for a LONG item. FALSE is
+  * definitive (no false negatives); TRUE means "probe the store".
+  *
+  * Same memoization discipline as [[CmsEstimate]]: the filter arrives
+  * as one broadcast literal buffer carried by every row, so
+  * deserialization happens once per task (reference-equality fast
+  * path, content-equality catch for re-materialized copies).
+  * CodegenFallback is acceptable here because the probe's job is to
+  * REPLACE a shuffle with a narrow map — ~100 ns/row interpreted vs
+  * shipping the row through an exchange is not a contest. */
+case class BloomMightContain(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def nullIntolerant: Boolean = true
+  override def inputTypes = Seq(BinaryType, LongType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain"
+
+  @transient private var cachedBytes: Array[Byte] = _
+  @transient private var cachedFilter:
+    org.apache.spark.util.sketch.BloomFilter = _
+
+  override def nullSafeEval(filterBytes: Any, item: Any): Any = {
+    val bytes = filterBytes.asInstanceOf[Array[Byte]]
+    if (!(bytes eq cachedBytes)) {
+      if (!java.util.Arrays.equals(bytes, cachedBytes)) {
+        cachedFilter = org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(bytes))
+      }
+      cachedBytes = bytes
+    }
+    java.lang.Boolean.valueOf(
+      cachedFilter.mightContainLong(item.asInstanceOf[Long]))
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomMightContain =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level entry points. */
 object native {
   def cms_estimate(sketch: Column, item: Column): Column =
     Bridge.column(CmsEstimate(
       Bridge.expression(sketch),
+      Bridge.expression(item.cast("bigint"))))
+
+  def bloom_might_contain(filter: Column, item: Column): Column =
+    Bridge.column(BloomMightContain(
+      Bridge.expression(filter),
       Bridge.expression(item.cast("bigint"))))
 
   def token_set_jaccard(a: Column, b: Column): Column =

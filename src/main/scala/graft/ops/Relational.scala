@@ -69,6 +69,42 @@ object Relational {
                       key: String): DataFrame =
     df.join(existing.select(key), Seq(key), "left_anti")
 
+  /** R5 at 100 TB — bloom-pruned "load if new". The plain anti-join
+    * ships EVERY batch row through the join (shuffle or broadcast-
+    * probe) even though in steady state most rows are genuinely new.
+    * This variant first probes a bloom filter built over the store's
+    * keys ([[org.apache.spark.sql.DataFrameStatFunctions.bloomFilter]]
+    * — a distributed aggregate whose result is one ~`1.2 MB / 1M keys
+    * at 1 % fpp` sketch, the same driver-held-sketch posture as the
+    * CMS/HLL stores):
+    *
+    *   - `might_contain = false` rows are PROVABLY new (bloom filters
+    *     have no false negatives) — they bypass the join entirely as
+    *     a narrow map-side filter;
+    *   - `might_contain = true` rows (true hits + fpp-rate phantoms)
+    *     go through the exact anti-join, which now carries only
+    *     ~|store∩batch| + fpp·|batch| rows instead of |batch|.
+    *
+    * Result is row-identical to [[antiJoinNewKeys]] for ANY fpp (the
+    * bloom only routes rows between the two provably-equivalent
+    * paths); the exactness is spec-asserted and the query twin shares
+    * the plain form's NOT EXISTS oracle. Key must be integral (the
+    * sketch hashes longs). */
+  def antiJoinNewKeysBloom(df: DataFrame, existing: DataFrame,
+                           key: String, expectedKeys: Long,
+                           fpp: Double = 0.01): DataFrame = {
+    val bf = existing.select(col(key).cast("bigint").as(key))
+      .stat.bloomFilter(key, expectedKeys, fpp)
+    val out = new java.io.ByteArrayOutputStream()
+    bf.writeTo(out)
+    val probe = graft.functions.native.bloom_might_contain(
+      lit(out.toByteArray), col(key))
+    val definitelyNew = df.filter(!probe)
+    val candidates = df.filter(probe)
+      .join(existing.select(key), Seq(key), "left_anti")
+    definitelyNew.unionByName(candidates)
+  }
+
   /** R6 — left outer equi-join enrichment (reference
     * transformation_dw.py:266-271). Right side pruned to join key +
     * payload columns so Catalyst can broadcast it. */

@@ -1,0 +1,222 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Relational
+
+/** Round-6 surface battery: the two remaining classic decorrelation
+  * shapes (TPC-H Q21/Q22), blocked fuzzy record linkage, time-series
+  * gap-fill, and the bloom-pruned incremental anti-join — each an
+  * operator family a 100 TB curation engine is expected to carry
+  * beyond the reference's own inventory (SURVEY §2.4 extensions).
+  */
+object Surface2Queries {
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // TPC-H Q21 shape: EXISTS + NOT EXISTS correlated on the SAME
+    // fact table — suppliers who were the ONLY supplier with a
+    // returned line on a finished multi-supplier order. Catalyst must
+    // decorrelate BOTH subqueries (RewritePredicateSubquery →
+    // LeftSemi + LeftAnti against lineitem re-scans, no per-row
+    // probes); QueryPlanSpec asserts the executed plan carries one
+    // semi and one anti join and zero InSubquery/Exists nodes.
+    // Deterministic: counts + full (numwait DESC, s_name) tiebreak —
+    // s_name is unique, so the LIMIT boundary cannot straddle a tie.
+    "sql_q21" -> QueryDef(
+      (s, d) => {
+        Tables.supplier(s, d).createOrReplaceTempView("v_supplier")
+        Tables.orders(s, d).createOrReplaceTempView("v_orders")
+        Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+        s.sql("""SELECT s_name, count(*) AS numwait
+          |FROM v_supplier
+          |JOIN v_lineitem l1 ON s_suppkey = l1.l_suppkey
+          |JOIN v_orders ON o_orderkey = l1.l_orderkey
+          |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          |  AND EXISTS (SELECT 1 FROM v_lineitem l2
+          |    WHERE l2.l_orderkey = l1.l_orderkey
+          |      AND l2.l_suppkey <> l1.l_suppkey)
+          |  AND NOT EXISTS (SELECT 1 FROM v_lineitem l3
+          |    WHERE l3.l_orderkey = l1.l_orderkey
+          |      AND l3.l_suppkey <> l1.l_suppkey
+          |      AND l3.l_returnflag = 'R')
+          |GROUP BY s_name
+          |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin)
+      },
+      Some("""SELECT s_name, count(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin)),
+
+    // TPC-H Q22 shape: uncorrelated scalar aggregate subquery (the
+    // global positive-balance mean — planned once, broadcast as a
+    // literal) + correlated NOT EXISTS (dormant since 2000-06-01 →
+    // LeftAnti on a date-filtered orders scan). The segment IN-list
+    // plays Q22's phone-prefix role. Threshold discipline: the mean
+    // is an exact-decimal sum / count with the IDENTICAL IEEE divide
+    // on both engines, so the c_acctbal > mean row set cannot drift
+    // on summation order.
+    "sql_q22" -> QueryDef(
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("v_customer")
+        Tables.orders(s, d).createOrReplaceTempView("v_orders")
+        s.sql("""SELECT c_mktsegment AS segment, count(*) AS numcust,
+          |  CAST(sum(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE)
+          |    AS totacctbal
+          |FROM v_customer c
+          |WHERE c_mktsegment IN ('AUTOMOBILE','BUILDING','MACHINERY')
+          |  AND c_acctbal > (
+          |    SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(25,6)))
+          |        AS DOUBLE) / count(*)
+          |    FROM v_customer c2 WHERE c2.c_acctbal > 0.0
+          |      AND c2.c_mktsegment IN
+          |        ('AUTOMOBILE','BUILDING','MACHINERY'))
+          |  AND NOT EXISTS (SELECT 1 FROM v_orders o
+          |    WHERE o.o_custkey = c.c_custkey
+          |      AND o.o_orderdate >= DATE '2000-06-01')
+          |GROUP BY c_mktsegment
+          |ORDER BY c_mktsegment""".stripMargin)
+      },
+      Some("""SELECT c_mktsegment AS segment, count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE)
+        |    AS totacctbal
+        |FROM customer c
+        |WHERE c_mktsegment IN ('AUTOMOBILE','BUILDING','MACHINERY')
+        |  AND c_acctbal > (
+        |    SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(25,6)))
+        |        AS DOUBLE) / count(*)
+        |    FROM customer c2 WHERE c2.c_acctbal > 0.0
+        |      AND c2.c_mktsegment IN
+        |        ('AUTOMOBILE','BUILDING','MACHINERY'))
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderdate >= DATE '2000-06-01')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin)),
+
+    // Blocked fuzzy record linkage (dedupe-then-link): collapse the
+    // corpus to its distinct-name vocabulary FIRST (linear aggregate,
+    // carrying multiplicities), then run the quadratic edit-distance
+    // stage on |vocab|² within blocks — the canonical scale posture
+    // for linkage (at 100 TB the vocabulary of a name-like column is
+    // orders of magnitude smaller than the corpus; the block key —
+    // here the noun token — bounds each comparison set like
+    // ngramJaccardPairs' blocks, and a maxBlockSize cap + HAVING
+    // mirror is the documented escape hatch if a vocabulary ever
+    // explodes). levenshtein is codegen'd on both engines;
+    // pair_mult = cnt_a · cnt_b is the number of corpus-row pairs the
+    // vocab pair represents — the quadratic work the dedupe avoided.
+    "fuzzy_link_blocked" -> QueryDef(
+      (s, d) => {
+        val names = Tables.part(s, d)
+          .groupBy(col("p_name")).agg(count(lit(1)).as("cnt"))
+          .withColumn("blk", split(col("p_name"), " ").getItem(1))
+        val a = names.select(col("blk"), col("p_name").as("name_a"),
+          col("cnt").as("cnt_a"))
+        val b = names.select(col("blk"), col("p_name").as("name_b"),
+          col("cnt").as("cnt_b"))
+        a.join(b, Seq("blk")).filter(col("name_a") < col("name_b"))
+          .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+          .filter(col("dist").between(1, 2))
+          .select(col("blk"), col("name_a"), col("name_b"), col("dist"),
+            (col("cnt_a") * col("cnt_b")).as("pair_mult"))
+          .orderBy("blk", "name_a", "name_b")
+      },
+      Some("""WITH names AS (SELECT p_name, count(*) AS cnt,
+        |    split_part(p_name, ' ', 2) AS blk FROM part GROUP BY p_name)
+        |SELECT a.blk AS blk, a.p_name AS name_a, b.p_name AS name_b,
+        |  levenshtein(a.p_name, b.p_name) AS dist,
+        |  a.cnt * b.cnt AS pair_mult
+        |FROM names a JOIN names b
+        |  ON a.blk = b.blk AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2
+        |ORDER BY blk, name_a, name_b""".stripMargin)),
+
+    // Time-series gap-fill: explode each type's [min, max] hour span
+    // into a complete grid (sequence() — rows appear for hours with
+    // ZERO events, which no plain GROUP BY can produce), left-join the
+    // observed hourly counts, and zero-fill. The trailing mean then
+    // runs on the GRID, so a 24-ROWS frame IS 24 wall-clock hours —
+    // gap-filling converts ROWS-frame semantics into RANGE semantics
+    // (the events_anomaly scaladoc's documented production
+    // alternative, realized). Shuffle shape: one type-key aggregate +
+    // one type-key window; the grid explode is a narrow map off a
+    // per-type 2-row bound aggregate. Determinism: integer counts,
+    // one IEEE divide, round 6dp; hour emitted as a string.
+    "gapfill_resample" -> QueryDef(
+      (s, d) => {
+        val hourly = Tables.events(s, d)
+          .groupBy(col("event_type"),
+            date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("n"))
+        val grid = hourly.groupBy("event_type")
+          .agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
+          .select(col("event_type"), explode(
+            sequence(col("mn"), col("mx"),
+              expr("interval 1 hour"))).as("h"))
+        val w = Window.partitionBy("event_type").orderBy("h")
+          .rowsBetween(-23, 0)
+        grid.join(hourly, Seq("event_type", "h"), "left")
+          .select(col("event_type"), col("h"),
+            coalesce(col("n"), lit(0L)).as("n"),
+            col("n").isNull.as("is_gap"))
+          .withColumn("trail24",
+            round(sum(col("n")).over(w).cast("double") /
+              count(col("n")).over(w), 6))
+          .select(col("event_type"),
+            date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
+            col("n"), col("is_gap"), col("trail24"))
+          .orderBy("event_type", "hour_ts")
+      },
+      Some("""WITH hourly AS (SELECT event_type,
+        |    date_trunc('hour', ts) AS h, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, min(h) AS mn, max(h) AS mx
+        |  FROM hourly GROUP BY 1),
+        |grid AS (SELECT event_type,
+        |    unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+        |  FROM b),
+        |f AS (SELECT g.event_type, g.h, coalesce(hourly.n, 0) AS n,
+        |    (hourly.n IS NULL) AS is_gap
+        |  FROM grid g LEFT JOIN hourly
+        |    ON g.event_type = hourly.event_type AND g.h = hourly.h)
+        |SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+        |  n, is_gap,
+        |  round(CAST(sum(n) OVER w AS DOUBLE) / count(n) OVER w, 6)
+        |    AS trail24
+        |FROM f WINDOW w AS (PARTITION BY event_type ORDER BY h
+        |  ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, hour_ts""".stripMargin)),
+
+    // Bloom-pruned incremental anti-join — the steady-state 100 TB
+    // form of R5's "load if new" (see antiJoinNewKeysBloom scaladoc:
+    // provably-new rows bypass the join via a narrow bloom probe; only
+    // might-contain rows pay the exact anti-join). Row-identical to
+    // the plain anti-join for any fpp, so it shares the NOT EXISTS
+    // oracle; RelationalSpec asserts exact equality AND that the
+    // probe actually prunes (the join input is a strict subset).
+    "anti_join_bloom" -> QueryDef(
+      (s, d) => Relational.antiJoinNewKeysBloom(
+          Tables.customer(s, d),
+          Tables.orders(s, d).filter(col("o_totalprice") > 300000)
+            .select(col("o_custkey").as("c_custkey")),
+          "c_custkey", expectedKeys = 100000L)
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin)))
+}

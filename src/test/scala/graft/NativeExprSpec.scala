@@ -32,6 +32,25 @@ class NativeExprSpec extends SparkSpec {
     assert(diffs == 0)
   }
 
+  test("native bloom_might_contain has no false negatives and rejects " +
+    "most non-members at the configured fpp") {
+    val keys = (0L until 5000L by 5).toDF("k")
+    val bf = keys.stat.bloomFilter("k", 1000L, 0.03)
+    val out = new java.io.ByteArrayOutputStream()
+    bf.writeTo(out)
+    val probed = (0L until 5000L).toDF("k")
+      .select(col("k"), native.bloom_might_contain(
+        lit(out.toByteArray), col("k")).as("hit"))
+      .as[(Long, Boolean)].collect()
+    // every true member must probe TRUE — a false negative breaks the
+    // anti-join-bloom equivalence proof
+    assert(probed.forall { case (k, hit) => k % 5 != 0 || hit })
+    // and the 4000 non-members mostly probe FALSE (fpp 3% → ~120
+    // phantoms expected; 10x slack keeps the assertion unflaky)
+    val phantoms = probed.count { case (k, hit) => k % 5 != 0 && hit }
+    assert(phantoms < 1200, s"phantom rate implausible: $phantoms/4000")
+  }
+
   test("expressions are SQL-callable after runtime registration") {
     GraftExtensions.register(spark)
     val r = spark.sql(

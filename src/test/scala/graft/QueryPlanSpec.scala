@@ -203,4 +203,41 @@ class QueryPlanSpec extends SparkSpec {
     assert("LeftSemi".r.findAllIn(p).size >= 2, p)
     assert(p.contains("StringStartsWith(p_name,red)"), p)
   }
+
+  test("sql_q21 decorrelates EXISTS to a semi-join and NOT EXISTS to " +
+    "an anti-join — no per-row subquery probes") {
+    val p = plan("sql_q21")
+    assert(!p.contains("InSubquery"), p)
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    // the returnflag predicate reaches the l1 lineitem scan
+    assert(p.contains("EqualTo(l_returnflag,R)"), p)
+  }
+
+  test("sql_q22 plans the scalar mean once (no per-row subquery) and " +
+    "the dormancy NOT EXISTS as an anti-join on a date-filtered scan") {
+    val p = plan("sql_q22")
+    assert(!p.contains("InSubquery"), p)
+    assert(p.contains("LeftAnti"), p)
+    // the uncorrelated mean is a one-shot scalar subquery, not a join
+    assert(p.contains("Subquery subquery") ||
+      p.contains("scalar-subquery"), p)
+    // the dormancy date predicate reaches the orders scan
+    assert(p.contains("o_orderdate"), p)
+  }
+
+  test("anti_join_bloom routes rows through a narrow bloom probe — " +
+    "the filter sits before the anti-join on the candidate branch") {
+    val p = plan("anti_join_bloom")
+    assert(p.contains("bloom_might_contain"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("gapfill_resample aggregates hourly counts partial+final and " +
+    "windows on the type key — one exchange family, no cartesian") {
+    val p = plan("gapfill_resample")
+    assert(p.contains("partial_count") || p.contains("partial_"), p)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

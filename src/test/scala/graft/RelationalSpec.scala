@@ -42,6 +42,25 @@ class RelationalSpec extends SparkSpec {
     assert(antiJoinNewKeys(fresh, existing, "id").count() == 1)
   }
 
+  test("antiJoinNewKeysBloom is row-identical to the plain anti-join " +
+    "and the bloom probe actually prunes the join input (R5-bloom)") {
+    val fresh = (1L to 2000L).map(i => (i, s"v$i")).toDF("id", "v")
+    val existing = (1L to 2000L by 4).map(i => (i, "old")).toDF("id", "w")
+    val plain = antiJoinNewKeys(fresh, existing, "id")
+      .select("id").as[Long].collect().toSet
+    val bloomed = antiJoinNewKeysBloom(fresh, existing, "id",
+        expectedKeys = 1000L, fpp = 0.05)
+      .select("id").as[Long].collect().toSet
+    assert(bloomed == plain)
+    // pruning: rows the bloom rejects never reach the join — the
+    // candidate side is |hits| + fpp·|batch|, strictly below |batch|
+    val bf = existing.stat.bloomFilter("id", 1000L, 0.05)
+    val candidates = fresh.as[(Long, String)].collect()
+      .count { case (id, _) => bf.mightContainLong(id) }
+    assert(candidates < 2000, s"bloom rejected nothing ($candidates)")
+    assert(candidates >= 500, "bloom dropped true store keys")
+  }
+
   test("leftEnrich attaches payload, keeps unmatched lefts (R6)") {
     val tweets = Seq(("t1", "p1"), ("t2", "p9")).toDF("id_tweet", "pid")
     val places = Seq(("p1", "Beach")).toDF("place_id", "name")
