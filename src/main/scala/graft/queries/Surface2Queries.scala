@@ -199,6 +199,97 @@ object Surface2Queries {
         |  ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
         |ORDER BY event_type, hour_ts""".stripMargin)),
 
+    // TPC-H Q15 shape: aggregate CTE consumed TWICE — once as the
+    // join input, once inside the uncorrelated MAX scalar subquery
+    // that selects the top-revenue supplier(s). The revenue doubles
+    // are exact-decimal sums, so the `total_revenue = max(...)`
+    // EQUALITY on doubles is safe cross-engine (bit-identical values
+    // on both sides of the comparison).
+    "sql_q15" -> QueryDef(
+      (s, d) => {
+        Tables.supplier(s, d).createOrReplaceTempView("v_supplier")
+        Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+        s.sql("""WITH revenue AS (
+          |  SELECT l_suppkey AS supplier_no,
+          |    CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+          |      AS DECIMAL(25,6))) AS DOUBLE) AS total_revenue
+          |  FROM v_lineitem
+          |  WHERE l_shipdate >= DATE '1996-01-01'
+          |    AND l_shipdate < DATE '1996-04-01'
+          |  GROUP BY l_suppkey)
+          |SELECT s_suppkey, s_name, total_revenue
+          |FROM v_supplier JOIN revenue ON s_suppkey = supplier_no
+          |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+          |ORDER BY s_suppkey""".stripMargin)
+      },
+      Some("""WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |      AS DECIMAL(25,6))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= DATE '1996-01-01'
+        |    AND l_shipdate < DATE '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin)),
+
+    // Numerically-portable correlation/covariance per group — feature
+    // diagnostics for a training-data pipeline WITHOUT trusting either
+    // engine's streaming-moment implementation (Spark and DuckDB both
+    // use Welford-style updates whose accumulation order is partition-
+    // dependent): compute the five raw moments as ONE-PASS exact-
+    // decimal sums (order-independent by construction), then apply the
+    // IDENTICAL closed-form IEEE expression on both sides —
+    //   corr = (n·Σxy − Σx·Σy) / (√(n·Σxx − Σx²) · √(n·Σyy − Σy²)),
+    //   covar_pop = (n·Σxy − Σx·Σy) / n²
+    // — so the only non-exact steps are the same sqrt/divide in the
+    // same order (rounded-transcendental class, 6 dp). One partial+
+    // final aggregate, map-side products; FeatureStatsSpec cross-
+    // checks the closed form against Spark's built-in corr/covar_pop.
+    "feature_corr" -> QueryDef(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val xy = col("l_quantity") * col("l_extendedprice")
+        val agg = li.groupBy(col("l_returnflag")).agg(
+          count(lit(1)).cast("double").as("n"),
+          QueryDef.dsum(col("l_quantity")).as("sx"),
+          QueryDef.dsum(col("l_extendedprice")).as("sy"),
+          QueryDef.dsum(xy).as("sxy"),
+          QueryDef.dsum(col("l_quantity") * col("l_quantity")).as("sxx"),
+          QueryDef.dsum(col("l_extendedprice") * col("l_extendedprice"))
+            .as("syy"))
+        agg.select(col("l_returnflag"),
+            col("n").cast("bigint").as("n_rows"),
+            round((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+               sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
+              .as("corr_qty_price"),
+            round((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("n")), 6).as("covar_pop_qty_price"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH m AS (SELECT l_returnflag,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE)
+        |      AS sy,
+        |    CAST(sum(CAST(l_quantity * l_extendedprice
+        |      AS DECIMAL(25,6))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(l_quantity * l_quantity
+        |      AS DECIMAL(25,6))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(l_extendedprice * l_extendedprice
+        |      AS DECIMAL(25,6))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+        |  round((n * sxy - sx * sy) /
+        |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+        |    AS corr_qty_price,
+        |  round((n * sxy - sx * sy) / (n * n), 6)
+        |    AS covar_pop_qty_price
+        |FROM m ORDER BY l_returnflag""".stripMargin)),
+
     // Bloom-pruned incremental anti-join — the steady-state 100 TB
     // form of R5's "load if new" (see antiJoinNewKeysBloom scaladoc:
     // provably-new rows bypass the join via a narrow bloom probe; only
