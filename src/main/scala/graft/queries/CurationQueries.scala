@@ -50,6 +50,63 @@ object CurationQueries {
         |  count(*) AS n_docs
         |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin)),
 
+    // Leakage-safe train/test split: a near-duplicate of a training
+    // doc in the TEST set silently inflates eval scores — the split
+    // key must therefore be the duplicate-CLUSTER representative, not
+    // the document. Assignment = md5-bucket of the rep id, so every
+    // member of a cluster lands on the same side BY CONSTRUCTION (the
+    // assignment is a function of the rep — straddling is impossible,
+    // not merely checked), and singletons key on themselves. Reuses
+    // the session-memoized verified pair set + the dedup_clusters
+    // label-propagation (the oracle independently rebuilds the same
+    // components with its recursive CTE and must agree on every
+    // per-doc assignment). Scale shape: clusters join is
+    // pair-set-sized (tiny vs corpus); the split itself is a narrow
+    // map — same cost class as train_test_split.
+    "leakage_safe_split" -> QueryDef(
+      (s, d) => {
+        val subset = Tables.documents(s, d)
+          .filter(col("doc_id") % 10 === 0).select("doc_id")
+        val reps = graft.ext.DedupOps.duplicateClusters(
+            TextQueries.verifiedPairs(s, d)
+              .filter(col("id_a") % 10 === 0 && col("id_b") % 10 === 0))
+          .select(col("id").as("doc_id"), col("cluster_rep"))
+        subset.join(reps, Seq("doc_id"), "left")
+          .withColumn("rep",
+            coalesce(col("cluster_rep"), col("doc_id")))
+          .select(col("doc_id"), col("rep"),
+            when(SamplingOps.md5Bucket(col("rep").cast("string"), 100)
+              < 10, "test").otherwise("train").as("split"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE t AS (SELECT doc_id,
+        |    list_distinct(CASE WHEN length(trim(text)) = 0
+        |         THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(lower(trim(text)), '\s+')
+        |    END) AS ts
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |  WHERE round(len(list_intersect(a.ts, b.ts))::DOUBLE /
+        |    (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))),
+        |    6) >= 0.9),
+        |e AS (SELECT id_a AS s, id_b AS d FROM p
+        |  UNION ALL SELECT id_b, id_a FROM p),
+        |reach(id, r) AS (
+        |  SELECT s, s FROM e GROUP BY s
+        |  UNION
+        |  SELECT e.s, reach.r FROM e JOIN reach ON e.d = reach.id),
+        |reps AS (SELECT id AS doc_id, min(r) AS cluster_rep
+        |  FROM reach GROUP BY id)
+        |SELECT d.doc_id, coalesce(reps.cluster_rep, d.doc_id) AS rep,
+        |  CASE WHEN CAST(('0x' || substring(
+        |      md5(CAST(coalesce(reps.cluster_rep, d.doc_id) AS VARCHAR)),
+        |      1, 8)) AS BIGINT) % 100 < 10
+        |    THEN 'test' ELSE 'train' END AS split
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+        |LEFT JOIN reps ON d.doc_id = reps.doc_id
+        |ORDER BY d.doc_id""".stripMargin)),
+
     // Per-stratum rates: downsample the dominant language, keep the
     // rest — the language-rebalancing step of corpus assembly.
     "stratified_sample" -> QueryDef(

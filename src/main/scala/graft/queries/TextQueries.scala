@@ -32,7 +32,7 @@ object TextQueries {
     scala.collection.mutable.Map.empty[(org.apache.spark.sql.SparkSession,
       String), org.apache.spark.sql.DataFrame]
 
-  private def verifiedPairs(s: org.apache.spark.sql.SparkSession,
+  private[queries] def verifiedPairs(s: org.apache.spark.sql.SparkSession,
                             d: String): org.apache.spark.sql.DataFrame =
     verifiedPairCache.synchronized {
       verifiedPairCache.getOrElseUpdate((s, d),
