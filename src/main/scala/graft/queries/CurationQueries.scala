@@ -67,9 +67,7 @@ object CurationQueries {
       (s, d) => {
         val subset = Tables.documents(s, d)
           .filter(col("doc_id") % 10 === 0).select("doc_id")
-        val reps = graft.ext.DedupOps.duplicateClusters(
-            TextQueries.verifiedPairs(s, d)
-              .filter(col("id_a") % 10 === 0 && col("id_b") % 10 === 0))
+        val reps = TextQueries.verifiedClusters(s, d)
           .select(col("id").as("doc_id"), col("cluster_rep"))
         subset.join(reps, Seq("doc_id"), "left")
           .withColumn("rep",
