@@ -199,6 +199,66 @@ object Surface2Queries {
         |  ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
         |ORDER BY event_type, hour_ts""".stripMargin)),
 
+    // TPC-H Q4 shape: EXISTS semi-join under a date-window group-count
+    // (orders in 1996Q1 with ≥1 returned line, by priority; the
+    // returnflag condition plays commitdate<receiptdate's role). The
+    // EXISTS must plan as ONE LeftSemi against lineitem — never a
+    // per-order probe — and the date window must reach the orders
+    // scan as pushed range filters.
+    "sql_q4" -> QueryDef(
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("v_orders")
+        Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+        s.sql("""SELECT o_orderpriority, count(*) AS order_count
+          |FROM v_orders
+          |WHERE o_orderdate >= DATE '1996-01-01'
+          |  AND o_orderdate < DATE '1996-04-01'
+          |  AND EXISTS (SELECT 1 FROM v_lineitem
+          |    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+          |GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= DATE '1996-01-01'
+        |  AND o_orderdate < DATE '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)),
+
+    // TPC-H Q19 shape: disjunctive OR-of-ANDs spanning BOTH join
+    // sides — the optimizer stress is predicate DECOMPOSITION:
+    // Catalyst must derive the part-only disjunction
+    // (brand ∧ size-range per branch) and push it into the part scan,
+    // and the lineitem-only quantity bounds likewise, leaving only
+    // the cross-side residual on the join — a plan property
+    // QueryPlanSpec asserts (Or(...) inside the part scan's
+    // PushedFilters). One broadcast join, exact-decimal revenue.
+    "sql_q19" -> QueryDef(
+      (s, d) => {
+        Tables.part(s, d).createOrReplaceTempView("v_part")
+        Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+        s.sql("""SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+          |    AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+          |FROM v_lineitem JOIN v_part ON p_partkey = l_partkey
+          |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+          |       AND l_quantity BETWEEN 1 AND 11)
+          |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+          |       AND l_quantity BETWEEN 10 AND 20)
+          |   OR (p_brand = 'Brand#5' AND p_size BETWEEN 1 AND 35
+          |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin)
+      },
+      Some("""SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#5' AND p_size BETWEEN 1 AND 35
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin)),
+
     // TPC-H Q15 shape: aggregate CTE consumed TWICE — once as the
     // join input, once inside the uncorrelated MAX scalar subquery
     // that selects the top-revenue supplier(s). The revenue doubles

@@ -226,6 +226,30 @@ class QueryPlanSpec extends SparkSpec {
     assert(p.contains("o_orderdate"), p)
   }
 
+  test("sql_q4 plans EXISTS as one semi-join and pushes the date " +
+    "window into the orders scan") {
+    val p = plan("sql_q4")
+    assert(!p.contains("InSubquery"), p)
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+  }
+
+  test("sql_q19 decomposes the OR-of-ANDs: the part-side disjunction " +
+    "is pushed into the part scan, not evaluated post-join") {
+    val p = plan("sql_q19")
+    // the derived single-side predicates must reach BOTH scans as
+    // pushed disjunctions: brand∧size branches on part, quantity
+    // ranges on lineitem (nested Or(Or(And(... in PushedFilters)
+    // (plan .toString truncates long filter lists — assert the
+    // untruncated prefix of the pushed disjunction plus the full
+    // branch predicate visible in the Filter node)
+    assert(p.contains("Or(Or(And(EqualTo(p_brand"), p)
+    assert(p.contains("Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)"), p)
+    assert(p.contains("= Brand#12)"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("anti_join_bloom routes rows through a narrow bloom probe — " +
     "the filter sits before the anti-join on the candidate branch") {
     val p = plan("anti_join_bloom")
