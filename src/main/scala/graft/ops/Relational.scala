@@ -99,8 +99,12 @@ object Relational {
     bf.writeTo(out)
     val probe = graft.functions.native.bloom_might_contain(
       lit(out.toByteArray), col(key))
-    val definitelyNew = df.filter(!probe)
-    val candidates = df.filter(probe)
+    // NULL keys: a left-anti join KEEPS null-key rows (null never
+    // equals a store key), so they must route to the provably-new
+    // branch — the probe alone would return null and silently drop
+    // them from BOTH branches.
+    val definitelyNew = df.filter(col(key).isNull || !probe)
+    val candidates = df.filter(col(key).isNotNull && probe)
       .join(existing.select(key), Seq(key), "left_anti")
     definitelyNew.unionByName(candidates)
   }

@@ -61,6 +61,19 @@ class RelationalSpec extends SparkSpec {
     assert(candidates >= 500, "bloom dropped true store keys")
   }
 
+  test("antiJoinNewKeysBloom keeps null-key rows, like the plain " +
+    "anti-join (null never equals a store key)") {
+    val fresh = Seq((Some(1L), "a"), (None, "nullkey"), (Some(2L), "b"))
+      .toDF("id", "v")
+    val existing = Seq((1L, "old")).toDF("id", "w")
+    val plain = antiJoinNewKeys(fresh, existing, "id")
+      .select("v").as[String].collect().toSet
+    val bloomed = antiJoinNewKeysBloom(fresh, existing, "id", 100L)
+      .select("v").as[String].collect().toSet
+    assert(plain == Set("nullkey", "b"))
+    assert(bloomed == plain)
+  }
+
   test("leftEnrich attaches payload, keeps unmatched lefts (R6)") {
     val tweets = Seq(("t1", "p1"), ("t2", "p9")).toDF("id_tweet", "pid")
     val places = Seq(("p1", "Beach")).toDF("place_id", "name")
