@@ -119,9 +119,15 @@ object Surface2Queries {
     // vocab pair represents — the quadratic work the dedupe avoided.
     "fuzzy_link_blocked" -> QueryDef(
       (s, d) => {
+        // totality guard: a single-token name has no noun block —
+        // Spark's getItem(1) yields NULL there while DuckDB's
+        // split_part yields '' — so both sides exclude it explicitly
+        // (none exist in this corpus; the guard keeps the oracle
+        // equivalence independent of that data property)
         val names = Tables.part(s, d)
           .groupBy(col("p_name")).agg(count(lit(1)).as("cnt"))
           .withColumn("blk", split(col("p_name"), " ").getItem(1))
+          .filter(col("blk").isNotNull && col("blk") =!= "")
         val a = names.select(col("blk"), col("p_name").as("name_a"),
           col("cnt").as("cnt_a"))
         val b = names.select(col("blk"), col("p_name").as("name_b"),
@@ -134,7 +140,8 @@ object Surface2Queries {
           .orderBy("blk", "name_a", "name_b")
       },
       Some("""WITH names AS (SELECT p_name, count(*) AS cnt,
-        |    split_part(p_name, ' ', 2) AS blk FROM part GROUP BY p_name)
+        |    split_part(p_name, ' ', 2) AS blk FROM part GROUP BY p_name
+        |  HAVING split_part(p_name, ' ', 2) <> '')
         |SELECT a.blk AS blk, a.p_name AS name_a, b.p_name AS name_b,
         |  levenshtein(a.p_name, b.p_name) AS dist,
         |  a.cnt * b.cnt AS pair_mult
@@ -320,11 +327,17 @@ object Surface2Queries {
           QueryDef.dsum(col("l_quantity") * col("l_quantity")).as("sxx"),
           QueryDef.dsum(col("l_extendedprice") * col("l_extendedprice"))
             .as("syy"))
+        // zero-variance guard: Spark's double x/0.0 yields NULL while
+        // DuckDB yields ±inf — a degenerate group (all-equal x or y)
+        // must therefore short-circuit to NULL on BOTH engines before
+        // the divide, not rely on either engine's convention
+        val varX = col("n") * col("sxx") - col("sx") * col("sx")
+        val varY = col("n") * col("syy") - col("sy") * col("sy")
         agg.select(col("l_returnflag"),
             col("n").cast("bigint").as("n_rows"),
-            round((col("n") * col("sxy") - col("sx") * col("sy")) /
-              (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
-               sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
+            when(varX > 0 && varY > 0,
+              round((col("n") * col("sxy") - col("sx") * col("sy")) /
+                (sqrt(varX) * sqrt(varY)), 6))
               .as("corr_qty_price"),
             round((col("n") * col("sxy") - col("sx") * col("sy")) /
               (col("n") * col("n")), 6).as("covar_pop_qty_price"))
@@ -343,9 +356,10 @@ object Surface2Queries {
         |      AS DECIMAL(25,6))) AS DOUBLE) AS syy
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
-        |  round((n * sxy - sx * sy) /
-        |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
-        |    AS corr_qty_price,
+        |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |    THEN round((n * sxy - sx * sy) /
+        |      (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+        |  END AS corr_qty_price,
         |  round((n * sxy - sx * sy) / (n * n), 6)
         |    AS covar_pop_qty_price
         |FROM m ORDER BY l_returnflag""".stripMargin)),
