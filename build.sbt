@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify mains emit a machine-parsed JSON line as their final
+// stdout output. Route the forked JVM's stdout straight through (no
+// "[info] " logger prefix) and drop the "[success] Total time" banner so
+// that line stays the last line under a plain `sbt runMain` invocation.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+showSuccess := false
+// Both keys above ARE consumed (verified: forked runMain stdout is raw
+// and no "[success]" banner prints) — sbt's unused-key lint just can't
+// see through command-level consumption.
+Global / excludeLintKeys ++= Set(run / outputStrategy, showSuccess)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -623,11 +623,23 @@ object DedupOps {
     // what makes day-N maintenance cost the same as day-1. Dropping
     // untouched bands changes nothing semantically: they can appear
     // in neither candidate set.
+    // The semi-filter frames below (batch band set, candidate id set)
+    // scale with BATCH size, not index size — but "batch" can mean a
+    // multi-million-doc daily drop, past Spark's 8 GB broadcast limit.
+    // Gate the broadcast hint on the measured batch size (sigs is
+    // persisted; the count materializes the cache it needs anyway)
+    // instead of force-hinting: over the threshold the joins fall back
+    // to shuffle and AQE still converts them at runtime if the
+    // measured build side turns out small.
+    val batchDocs = sigs.count()
+    val hintBroadcast = batchDocs * bands <= 2000000L
+    def semiSide(df: DataFrame): DataFrame =
+      if (hintBroadcast) broadcast(df) else df
     val batchBands = newBands.select("band").distinct()
     val bandIndex =
       if (haveIndex)
         graft.io.Staging.readTable(spark, indexDir, "band_index")
-          .join(broadcast(batchBands), Seq("band"))
+          .join(semiSide(batchBands), Seq("band"))
       else newBands.limit(0)
     // hot-band cap over the UNION of batch and historical bands.
     // DISTINCT doc_id per band: the index appends are at-least-once
@@ -686,7 +698,7 @@ object DedupOps {
         val out = verified(pairs,
           sigStore.select(col("doc_id").as("other_id"),
               col("__tokset").as("__to"))
-            .join(broadcast(otherIds), Seq("other_id")))
+            .join(semiSide(otherIds), Seq("other_id")))
           .localCheckpoint(true)
         pairs.unpersist()
         out

@@ -13,11 +13,15 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * (immutable once committed) + `_v_<N>/_COMMIT` (a one-line JSON
   * marker) + an advisory `<table>/_MANIFEST` pointer.
   *
-  * THE COMMIT POINT is the creation of `_COMMIT` — a single small
-  * object PUT, atomic on every real store (S3 PUT, HDFS create,
-  * POSIX write+close). Readers resolve the current version by listing
-  * version dirs and taking the highest WITH a `_COMMIT` marker; a
-  * version directory without its marker is invisible, whatever
+  * THE COMMIT POINT is the completed write of `_COMMIT` — a single
+  * small object. On S3 that write is one atomic PUT; on HDFS/POSIX
+  * `create()` exposes an empty file before its bytes land, so readers
+  * treat a marker that is empty or unparsable as NOT committed (see
+  * [[markerCommitted]]) — the commit point is then the close() that
+  * makes the bytes durable, and a crash mid-write reads as
+  * uncommitted on every store. Readers resolve the current version by
+  * listing version dirs and taking the highest with a VALID `_COMMIT`
+  * marker; a version directory without one is invisible, whatever
   * half-written state its `data/` holds. The Spark committer's own
   * internal task-file renames all happen INSIDE the uncommitted
   * `data/` dir, so their non-atomicity on an object store costs
@@ -55,6 +59,26 @@ object VersionedStore {
     new org.apache.hadoop.fs.Path(p)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** A version counts as committed only if its marker EXISTS, is
+    * non-empty, AND parses. On S3 a PUT is all-or-nothing, but on
+    * HDFS/POSIX `create()` makes an empty file visible before its
+    * bytes land — a crash inside that window must read as "not
+    * committed" (the dead dir is cleared by the next commit's corpse
+    * sweep and the retried batch then commits cleanly), never as a
+    * committed version whose batch_id is unrecoverable, which would
+    * punch a hole in [[appliedBatchIds]]'s replay-dedup window. */
+  private def markerCommitted(fs: org.apache.hadoop.fs.FileSystem,
+                              vdir: org.apache.hadoop.fs.Path): Boolean = {
+    val m = new org.apache.hadoop.fs.Path(vdir, Marker)
+    try {
+      if (fs.getFileStatus(m).getLen == 0L) return false
+      val in = fs.open(m)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                finally in.close()
+      "\"version\":\\d+".r.findFirstIn(txt).nonEmpty
+    } catch { case _: java.io.IOException => false }
+  }
+
   /** (version, path, committed) for every version dir present. */
   private def versions(spark: SparkSession, storeDir: String,
                        table: String)
@@ -67,8 +91,7 @@ object VersionedStore {
       .flatMap { s =>
         val n = s.getPath.getName.stripPrefix(VerPrefix)
         n.toLongOption.map { v =>
-          (v, s.getPath,
-            fs.exists(new org.apache.hadoop.fs.Path(s.getPath, Marker)))
+          (v, s.getPath, markerCommitted(fs, s.getPath))
         }
       }
       .sortBy(_._1)

@@ -93,6 +93,24 @@ object Relational {
   def antiJoinNewKeysBloom(df: DataFrame, existing: DataFrame,
                            key: String, expectedKeys: Long,
                            fpp: Double = 0.01): DataFrame = {
+    // Enforce the documented integral-key constraint: a non-integral
+    // key (e.g. a string) casts to NULL bigint, the probe evaluates
+    // NULL, and the row would fail BOTH branch filters below —
+    // vanishing silently where antiJoinNewKeys keeps it. Misuse must
+    // be an error at plan time, not data loss at run time.
+    Seq(df, existing).foreach { side =>
+      val dt = side.schema(key).dataType
+      val integral = dt match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => true
+        case _ => false
+      }
+      require(integral,
+        s"antiJoinNewKeysBloom requires an integral key column; '$key' " +
+          s"is $dt — use antiJoinNewKeys for non-integral keys")
+    }
     val bf = existing.select(col(key).cast("bigint").as(key))
       .stat.bloomFilter(key, expectedKeys, fpp)
     val out = new java.io.ByteArrayOutputStream()

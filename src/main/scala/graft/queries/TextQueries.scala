@@ -348,12 +348,19 @@ object TextQueries {
           .select(col("id_a"), col("id_b"), lit(true).as("__t"))
         truth.join(found, Seq("id_a", "id_b"), "full_outer")
           .agg(
-            sum(when(col("__t"), 1).otherwise(0)).cast("long")
-              .as("n_truth_pairs"),
-            (sum(when(col("__t") && col("__f"), 1).otherwise(0)) ===
-              sum(when(col("__t"), 1).otherwise(0)))
+            // coalesce(…, 0): a corpus with zero truth pairs makes the
+            // full-outer join empty and un-coalesced sums NULL — the
+            // invariants must degenerate to (0, TRUE, TRUE) exactly as
+            // the oracle's count(*)/TRUE columns do, not to NULLs that
+            // read as a spurious hash-gate failure on benign data
+            coalesce(sum(when(col("__t"), 1).otherwise(0)), lit(0))
+              .cast("long").as("n_truth_pairs"),
+            (coalesce(sum(when(col("__t") && col("__f"), 1).otherwise(0)),
+              lit(0)) ===
+              coalesce(sum(when(col("__t"), 1).otherwise(0)), lit(0)))
               .as("recall_complete"),
-            (sum(when(col("__t").isNull, 1).otherwise(0)) === 0)
+            (coalesce(sum(when(col("__t").isNull, 1).otherwise(0)),
+              lit(0)) === 0)
               .as("subset_precision_exact"))
       },
       Some("""WITH t AS (SELECT doc_id,
@@ -489,8 +496,12 @@ object TextQueries {
             Seq("id_a", "id_b"), "left")
           .agg(
             count(lit(1)).cast("long").as("n_identical_pairs"),
-            (sum(when(col("__f") && col("hamming_distance") === 0, 1)
-              .otherwise(0)) === count(lit(1))).as("all_found_h0"))
+            // coalesce(…, 0): zero identical pairs → empty agg input →
+            // NULL sum; must read 0 === 0 = TRUE like the oracle's
+            // constant TRUE, not NULL (see minhash invariant above)
+            (coalesce(sum(when(col("__f") &&
+              col("hamming_distance") === 0, 1).otherwise(0)), lit(0)) ===
+              count(lit(1))).as("all_found_h0"))
           .crossJoin(bound)
           .select("n_identical_pairs", "all_found_h0", "bound_ok")
       },
