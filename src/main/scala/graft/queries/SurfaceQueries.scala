@@ -708,6 +708,53 @@ object SurfaceQueries {
         |WHERE o_orderkey % 3 IN (0, 1) AND o_custkey % 7 <> 0
         |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin)),
 
+    // Partition-granular versioned commits (the VersionedStore
+    // `*Partitioned` surface): the same three-batch protocol as
+    // versioned_store but partitioned by o_orderstatus, each version
+    // writing ONLY touched partitions and carrying the rest forward
+    // by `_PARTS` manifest reference. Batch order puts the small
+    // targeted upsert LAST (confined to status 'F'), so the final
+    // manifest must reference ≥2 owner versions — carried_forward
+    // hash-gates that untouched partitions really were carried by
+    // reference, not rewritten. The b3 replay must be an ack. Crash
+    // windows, owner-aware pruning, and byte-identity of carried
+    // files are drilled in StoreOpsSpec.
+    "versioned_store_partitioned" -> QueryDef(
+      (s, d) => {
+        val dir = clearedScratchDir(s, "vstorep", d)
+        val orders = Tables.orders(s, d)
+        graft.io.VersionedStore.commitPartitioned(s,
+          orders.filter(pmod(col("o_orderkey"), lit(3)) === 0),
+          dir, "o", "o_orderstatus", Some("b1"))
+        graft.io.VersionedStore.deleteKeysPartitioned(s,
+          orders.filter(pmod(col("o_custkey"), lit(7)) === 0)
+            .select("o_custkey"),
+          dir, "o", "o_custkey", Some("b2"))
+        val upd = orders.filter(pmod(col("o_orderkey"), lit(3)) === 1 &&
+          col("o_orderstatus") === "F")
+        val nFinal = graft.io.VersionedStore.mergeUpsertPartitioned(s,
+          upd, dir, "o", "o_orderkey", "o_orderstatus", Some("b3"))
+        // crash-retry replay of batch 3: must be an ack, not a re-fold
+        val nReplay = graft.io.VersionedStore.mergeUpsertPartitioned(s,
+          upd, dir, "o", "o_orderkey", "o_orderstatus", Some("b3"))
+        val carried =
+          graft.io.VersionedStore.ownerVersionCount(s, dir, "o") >= 2
+        graft.io.VersionedStore.readTable(s, dir, "o")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            QueryDef.dsum(col("o_totalprice")).as("total"))
+          .withColumn("replay_idempotent", lit(nReplay == nFinal))
+          .withColumn("carried_forward", lit(carried))
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""SELECT o_orderstatus, count(*) AS n,
+        |  ${QueryDef.dsumSql("o_totalprice")} AS total,
+        |  TRUE AS replay_idempotent, TRUE AS carried_forward
+        |FROM orders
+        |WHERE (o_orderkey % 3 = 0 AND o_custkey % 7 <> 0)
+        |   OR (o_orderkey % 3 = 1 AND o_orderstatus = 'F')
+        |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin)),
+
     // Count-distinct maintained incrementally via mergeable HLL
     // sketches (the sketch path for holistic aggregates that
     // incremental_rollup's sum/count partials cannot maintain).

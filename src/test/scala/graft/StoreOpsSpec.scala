@@ -487,6 +487,193 @@ class StoreOpsSpec extends SparkSpec {
     assert(new java.io.File(s"$store/t/_MANIFEST").exists())
   }
 
+  // ---------------------------------------------------------------
+  // Partition-granular versions: _PARTS manifests, carry-forward by
+  // reference, owner-aware pruning, compaction
+  // ---------------------------------------------------------------
+
+  /** (name, length, mtime) of one partition's parquet files inside one
+    * version dir — byte-identity proxy for "never rewritten". */
+  private def vPartFiles(store: String, table: String, v: String,
+                         part: String): Set[(String, Long, Long)] = {
+    val dir = new java.io.File(s"$store/$table/$v/data/$part")
+    if (!dir.exists()) Set.empty
+    else dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.length, f.lastModified)).toSet
+  }
+
+  test("partitioned versioned store: upsert writes only touched " +
+    "partitions — untouched partition files carry forward byte-identical") {
+    val store = Files.createTempDirectory("graft-vsp").toString
+    VersionedStore.commitPartitioned(spark,
+      Seq((1L, "a", "d1"), (2L, "b", "d1"), (3L, "c", "d2"),
+        (9L, "z", "d9")).toDF("id", "v", "dt"),
+      store, "t", "dt", Some("b1"))
+    val d2Before = vPartFiles(store, "t", "_v_0000001", "dt=d2")
+    val d9Before = vPartFiles(store, "t", "_v_0000001", "dt=d9")
+    assert(d2Before.nonEmpty && d9Before.nonEmpty)
+    // update key 2 (partition d1) + new key 4 in brand-new d3
+    val n = VersionedStore.mergeUpsertPartitioned(spark,
+      Seq((2L, "b2", "d1"), (4L, "d", "d3")).toDF("id", "v", "dt"),
+      store, "t", "id", "dt", Some("b2"))
+    assert(n == 5)
+    assert(VersionedStore.readTable(spark, store, "t")
+      .select("id", "v").as[(Long, String)].collect().toMap ==
+      Map(1L -> "a", 2L -> "b2", 3L -> "c", 4L -> "d", 9L -> "z"))
+    // the new version's data dir holds ONLY the touched partitions
+    val v2parts = new java.io.File(s"$store/t/_v_0000002/data")
+      .listFiles().filter(_.getName.contains("=")).map(_.getName).toSet
+    assert(v2parts == Set("dt=d1", "dt=d3"))
+    // untouched partitions: the exact same files, in the OLD owner dir
+    assert(vPartFiles(store, "t", "_v_0000001", "dt=d2") == d2Before,
+      "untouched partition d2 was rewritten")
+    assert(vPartFiles(store, "t", "_v_0000001", "dt=d9") == d9Before,
+      "untouched partition d9 was rewritten")
+  }
+
+  test("partitioned versioned store: delete rewrites only partitions " +
+    "holding a doomed key; an emptied partition drops from the " +
+    "manifest; replay is an ack") {
+    val store = Files.createTempDirectory("graft-vsp-del").toString
+    VersionedStore.commitPartitioned(spark,
+      Seq((1L, "a", "d1"), (2L, "b", "d1"), (3L, "c", "d2"),
+        (4L, "d", "d3")).toDF("id", "v", "dt"),
+      store, "t", "dt", Some("b1"))
+    val d3Before = vPartFiles(store, "t", "_v_0000001", "dt=d3")
+    // key 2 (mixed d1) and key 3 (all of d2)
+    val n = VersionedStore.deleteKeysPartitioned(spark,
+      Seq(2L, 3L).toDF("id"), store, "t", "id", Some("b2"))
+    assert(n == 2)
+    assert(VersionedStore.readTable(spark, store, "t")
+      .select("id", "v", "dt").as[(Long, String, String)]
+      .collect().toSet == Set((1L, "a", "d1"), (4L, "d", "d3")))
+    // only d1 was rewritten; d3 carried forward in place
+    val v2parts = new java.io.File(s"$store/t/_v_0000002/data")
+      .listFiles().filter(_.getName.contains("=")).map(_.getName).toSet
+    assert(v2parts == Set("dt=d1"))
+    assert(vPartFiles(store, "t", "_v_0000001", "dt=d3") == d3Before)
+    // crash-retry replay of the delete batch: ack, no new version
+    val before = committedVersions(store, "t")
+    val nReplay = VersionedStore.deleteKeysPartitioned(spark,
+      Seq(2L, 3L).toDF("id"), store, "t", "id", Some("b2"))
+    assert(nReplay == 2 && committedVersions(store, "t") == before)
+  }
+
+  test("partitioned versioned store: pruning never deletes a version " +
+    "dir still owning live partitions; compaction rebases and frees it") {
+    val store = Files.createTempDirectory("graft-vsp-prune").toString
+    VersionedStore.commitPartitioned(spark,
+      Seq((1L, "a", "d1"), (3L, "c", "d2")).toDF("id", "v", "dt"),
+      store, "t", "dt", Some("b1"))
+    // two more versions touching ONLY d1: v1 ages past keepVersions=2
+    // but still owns live d2 — it must survive the prune
+    VersionedStore.mergeUpsertPartitioned(spark,
+      Seq((1L, "a2", "d1")).toDF("id", "v", "dt"),
+      store, "t", "id", "dt", Some("b2"))
+    VersionedStore.mergeUpsertPartitioned(spark,
+      Seq((1L, "a3", "d1")).toDF("id", "v", "dt"),
+      store, "t", "id", "dt", Some("b3"))
+    assert(committedVersions(store, "t")
+      .contains("_v_0000001"), "live partition owner was pruned")
+    assert(VersionedStore.readTable(spark, store, "t")
+      .select("id", "v").as[(Long, String)].collect().toMap ==
+      Map(1L -> "a3", 3L -> "c"))
+    // compaction rebases every partition onto a fresh snapshot (v4);
+    // after one more commit the v3 manifest ages out and v1 unprunes
+    VersionedStore.compactPartitioned(spark, store, "t", Some("b4"))
+    VersionedStore.mergeUpsertPartitioned(spark,
+      Seq((1L, "a4", "d1")).toDF("id", "v", "dt"),
+      store, "t", "id", "dt", Some("b5"))
+    assert(!committedVersions(store, "t").contains("_v_0000001"),
+      "compaction should have freed the aged owner dir")
+    assert(VersionedStore.readTable(spark, store, "t")
+      .select("id", "v").as[(Long, String)].collect().toMap ==
+      Map(1L -> "a4", 3L -> "c"))
+  }
+
+  test("partitioned versioned store: NULL partition rows survive " +
+    "partition-scoped operations (manifest dir-name rendering)") {
+    val store = Files.createTempDirectory("graft-vsp-null").toString
+    VersionedStore.commitPartitioned(spark,
+      Seq((1L, "a", Some("d1")), (3L, "c", None), (4L, "d", None))
+        .toDF("id", "v", "dt"),
+      store, "t", "dt", Some("b1"))
+    // delete a key living in the NULL partition: its survivor must be
+    // re-emitted, the d1 partition carried forward untouched
+    val n = VersionedStore.deleteKeysPartitioned(spark,
+      Seq(3L).toDF("id"), store, "t", "id", Some("b2"))
+    assert(n == 2)
+    assert(VersionedStore.readTable(spark, store, "t")
+      .select("id", "dt").as[(Long, Option[String])].collect().toSet ==
+      Set((1L, Some("d1")), (4L, None)))
+    val v2parts = new java.io.File(s"$store/t/_v_0000002/data")
+      .listFiles().filter(_.getName.contains("=")).map(_.getName).toSet
+    assert(v2parts == Set("dt=__HIVE_DEFAULT_PARTITION__"))
+  }
+
+  test("partitioned versioned store: a writer that died after data+" +
+    "manifest but before the marker is invisible and swept; the " +
+    "emptied-table edge keeps a readable schema") {
+    val store = Files.createTempDirectory("graft-vsp-crash").toString
+    VersionedStore.commitPartitioned(spark,
+      Seq((1L, "a", "d1")).toDF("id", "v", "dt"),
+      store, "t", "dt", Some("b1"))
+    // corpse: data AND _PARTS landed, _COMMIT did not — the version
+    // must be invisible (commit point not reached) and swept later
+    val dead = new java.io.File(s"$store/t/_v_0000005/data/dt=d9")
+    dead.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(dead.getParentFile.getParentFile, "_PARTS")
+        .toPath, "#partcol=dt\tstring\n5\tdt=d9\n".getBytes)
+    assert(VersionedStore.readTable(spark, store, "t")
+      .select("id").as[Long].collect().toSeq == Seq(1L))
+    // deleting every key empties the table: schema must survive
+    val n = VersionedStore.deleteKeysPartitioned(spark,
+      Seq(1L).toDF("id"), store, "t", "id", Some("b2"))
+    assert(n == 0)
+    assert(!new java.io.File(s"$store/t/_v_0000005").exists(),
+      "uncommitted corpse not swept")
+    val emptied = VersionedStore.readTable(spark, store, "t")
+    assert(emptied.count() == 0)
+    assert(emptied.columns.toSet == Set("id", "v", "dt"))
+    // repopulating an emptied (plain) table re-snapshots partitioned
+    VersionedStore.mergeUpsertPartitioned(spark,
+      Seq((5L, "e", "d2")).toDF("id", "v", "dt"),
+      store, "t", "id", "dt", Some("b3"))
+    assert(VersionedStore.readTable(spark, store, "t")
+      .select("id", "v", "dt").as[(Long, String, String)]
+      .collect().toSeq == Seq((5L, "e", "d2")))
+  }
+
+  test("partitioned versioned store: full protocol on the copy+delete-" +
+    "rename object-store simulation") {
+    spark.sparkContext.hadoopConfiguration.set("fs.objsim.impl",
+      classOf[ObjectStoreSimFs].getName)
+    val local = Files.createTempDirectory("graft-vsp-objsim").toString
+    val store = s"objsim://$local"
+    ObjectStoreSimFs.renames.set(0)
+    VersionedStore.commitPartitioned(spark,
+      Seq((1L, "a", "d1"), (2L, "b", "d1"), (3L, "c", "d2"))
+        .toDF("id", "v", "dt"),
+      store, "t", "dt", Some("b1"))
+    VersionedStore.mergeUpsertPartitioned(spark,
+      Seq((2L, "b2", "d1")).toDF("id", "v", "dt"),
+      store, "t", "id", "dt", Some("b2"))
+    VersionedStore.deleteKeysPartitioned(spark, Seq(1L).toDF("id"),
+      store, "t", "id", Some("b3"))
+    // replay after a simulated crash-and-retry
+    val n = VersionedStore.deleteKeysPartitioned(spark,
+      Seq(1L).toDF("id"), store, "t", "id", Some("b3"))
+    assert(n == 2)
+    assert(VersionedStore.readTable(spark, store, "t")
+      .select("id", "v").as[(Long, String)].collect().toMap ==
+      Map(2L -> "b2", 3L -> "c"))
+    // untouched d2 still owned by (and physically inside) version 1
+    assert(vPartFiles(local, "t", "_v_0000001", "dt=d2").nonEmpty)
+    assert(ObjectStoreSimFs.renames.get() > 0,
+      "no renames observed — the objsim scheme was not actually used")
+  }
+
   test("versioned store: full protocol on a filesystem whose rename is " +
     "copy+delete (object-store simulation)") {
     spark.sparkContext.hadoopConfiguration.set("fs.objsim.impl",
