@@ -196,10 +196,30 @@ object MartBuild {
     * counts. */
   def run(spark: SparkSession, storeDir: String,
           martDir: String): Map[String, Long] = {
+    builds(spark, storeDir).map { case (name, df) =>
+      Staging.overwriteParquet(df, martDir, name)
+      name -> Staging.readTable(spark, martDir, name).count()
+    }.toMap
+  }
+
+  /** Atomic form of [[run]]: build all 11 tables, publish them as ONE
+    * mart commit ([[graft.io.MartStore.publishAll]]) — a reader
+    * resolving a snapshot never observes a mix of pre- and
+    * post-rebuild tables, the property the reference's 11 sequential
+    * WRITE_TRUNCATEs (`transformation_dw.py:122-334`) cannot give.
+    * Replay-idempotent on `batchId`. */
+  def runVersioned(spark: SparkSession, storeDir: String,
+                   martDir: String, batchId: Option[String] = None)
+      : graft.io.MartStore.Snapshot =
+    graft.io.MartStore.publishAll(spark, builds(spark, storeDir),
+      martDir, batchId)
+
+  private def builds(spark: SparkSession,
+                     storeDir: String): Seq[(String, DataFrame)] = {
     def t(name: String) = Staging.readTable(spark, storeDir, name)
     val (places, reviews, tweets) = (t("places"), t("reviews"), t("tweets"))
     val (pemasukan, pengeluaran) = (t("pemasukan"), t("pengeluaran"))
-    val builds: Seq[(String, DataFrame)] = Seq(
+    Seq(
       "dim_waktu" -> dimWaktu(reviews, tweets, pemasukan, pengeluaran),
       "dim_place" -> dimPlace(places),
       "dim_user" -> dimUser(tweets),
@@ -211,9 +231,5 @@ object MartBuild {
       "fact_twitter" -> factTwitter(tweets, places),
       "fact_pengeluaran" -> factPengeluaran(pengeluaran),
       "fact_pemasukan" -> factPemasukan(pemasukan))
-    builds.map { case (name, df) =>
-      Staging.overwriteParquet(df, martDir, name)
-      name -> Staging.readTable(spark, martDir, name).count()
-    }.toMap
   }
 }

@@ -755,6 +755,56 @@ object SurfaceQueries {
         |   OR (o_orderkey % 3 = 1 AND o_orderstatus = 'F')
         |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin)),
 
+    // Cross-table ATOMIC publish (io.MartStore): two derived tables
+    // committed under ONE marker, then a subset re-publish (only
+    // orders_lite rebuilds; status_counts carries forward at its v1
+    // build), then the second batch REPLAYED. The snapshot joins the
+    // two tables — the carried table still reflects its b1 build, so
+    // the join's carried_n column is only right if carry-forward and
+    // all-or-nothing resolution both work; replay_idempotent and
+    // carried_forward hash-gate the commit count and per-table
+    // versions. Mixed-read impossibility and crash windows are
+    // drilled in MartStoreSpec.
+    "mart_publish_atomic" -> QueryDef(
+      (s, d) => {
+        val dir = clearedScratchDir(s, "martpub", d)
+        val orders = Tables.orders(s, d)
+        val sub = orders.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+        graft.io.MartStore.publishAll(s, Seq(
+          "orders_lite" -> sub.select("o_orderkey", "o_custkey",
+            "o_orderstatus", "o_totalprice"),
+          "status_counts" -> sub.groupBy("o_orderstatus")
+            .agg(count(lit(1)).as("carried_n"))), dir, Some("p1"))
+        val full = orders.filter(pmod(col("o_custkey"), lit(7)) =!= 0)
+          .select("o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice")
+        graft.io.MartStore.publishAll(s,
+          Seq("orders_lite" -> full), dir, Some("p2"))
+        // crash-retry replay of publish 2: ack, no third commit
+        val snap = graft.io.MartStore.publishAll(s,
+          Seq("orders_lite" -> full), dir, Some("p2"))
+        val carried = snap.tables == Map("orders_lite" -> 2L,
+          "status_counts" -> 1L)
+        snap.readTable(s, "orders_lite")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            QueryDef.dsum(col("o_totalprice")).as("total"))
+          .join(snap.readTable(s, "status_counts"), Seq("o_orderstatus"))
+          .withColumn("replay_idempotent", lit(snap.version == 2L))
+          .withColumn("carried_forward", lit(carried))
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""SELECT o.o_orderstatus, count(*) AS n,
+        |  ${QueryDef.dsumSql("o_totalprice")} AS total, c.carried_n,
+        |  TRUE AS replay_idempotent, TRUE AS carried_forward
+        |FROM orders o
+        |JOIN (SELECT o_orderstatus, count(*) AS carried_n FROM orders
+        |      WHERE o_orderkey % 3 = 0 GROUP BY 1) c
+        |  USING (o_orderstatus)
+        |WHERE o.o_custkey % 7 <> 0
+        |GROUP BY o.o_orderstatus, c.carried_n
+        |ORDER BY o.o_orderstatus""".stripMargin)),
+
     // Count-distinct maintained incrementally via mergeable HLL
     // sketches (the sketch path for holistic aggregates that
     // incremental_rollup's sum/count partials cannot maintain).

@@ -1,0 +1,152 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.io.{MartStore, Staging}
+import graft.schema.Schemas
+
+/** Cross-table atomic publish: a reader must never observe a mix of
+  * pre- and post-rebuild tables, whatever point the publisher crashed
+  * at — the multi-table property the reference's 11 sequential
+  * truncate-loads lack. */
+class MartStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("publishAll commits every table at once; a snapshot never " +
+    "mixes commits; an old snapshot stays consistent (time-travel)") {
+    val store = Files.createTempDirectory("graft-mart-atomic").toString
+    MartStore.publishAll(spark, Seq(
+      "a" -> Seq((1L, "a1")).toDF("id", "v"),
+      "b" -> Seq((1L, "b1")).toDF("id", "v")), store, Some("p1"))
+    val s1 = MartStore.snapshot(spark, store).get
+    assert(s1.tables == Map("a" -> 1L, "b" -> 1L))
+    MartStore.publishAll(spark, Seq(
+      "a" -> Seq((1L, "a2")).toDF("id", "v"),
+      "b" -> Seq((1L, "b2")).toDF("id", "v")), store, Some("p2"))
+    val s2 = MartStore.snapshot(spark, store).get
+    // the new snapshot reads the new PAIR, the old handle the old PAIR
+    // — both internally consistent, never (a2, b1) or (a1, b2)
+    assert(s2.readTable(spark, "a").as[(Long, String)].head()._2 == "a2")
+    assert(s2.readTable(spark, "b").as[(Long, String)].head()._2 == "b2")
+    assert(s1.readTable(spark, "a").as[(Long, String)].head()._2 == "a1")
+    assert(s1.readTable(spark, "b").as[(Long, String)].head()._2 == "b1")
+  }
+
+  test("a publisher that died between table writes is invisible; the " +
+    "next publish sweeps its orphans and commits cleanly") {
+    val store = Files.createTempDirectory("graft-mart-crash").toString
+    MartStore.publishAll(spark, Seq(
+      "a" -> Seq((1L, "a1")).toDF("id", "v"),
+      "b" -> Seq((1L, "b1")).toDF("id", "v")), store, Some("p1"))
+    // simulate the crash window: table a's NEXT version dir was
+    // written, table b's was not, the marker never landed
+    Seq((1L, "a2-dead")).toDF("id", "v")
+      .write.parquet(s"$store/a/_v_0000002/data")
+    // readers: still the committed pair, no mixing
+    val s = MartStore.snapshot(spark, store).get
+    assert(s.tables == Map("a" -> 1L, "b" -> 1L))
+    assert(s.readTable(spark, "a").as[(Long, String)].head()._2 == "a1")
+    // an unparsable half-written marker is equally invisible
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$store/_commits/_c_0000002"),
+      Array.emptyByteArray)
+    assert(MartStore.snapshot(spark, store).get.version == 1L)
+    // the retried publish sweeps both corpses and commits above them
+    val s2 = MartStore.publishAll(spark, Seq(
+      "a" -> Seq((1L, "a2")).toDF("id", "v"),
+      "b" -> Seq((1L, "b2")).toDF("id", "v")), store, Some("p2"))
+    assert(s2.version == 2L)
+    assert(s2.readTable(spark, "a").as[(Long, String)].head()._2 == "a2")
+    assert(s2.readTable(spark, "b").as[(Long, String)].head()._2 == "b2")
+  }
+
+  test("a replayed publish batch is acknowledged without a new commit; " +
+    "a subset publish carries unlisted tables forward") {
+    val store = Files.createTempDirectory("graft-mart-replay").toString
+    MartStore.publishAll(spark, Seq(
+      "a" -> Seq((1L, "a1")).toDF("id", "v"),
+      "b" -> Seq((1L, "b1")).toDF("id", "v")), store, Some("p1"))
+    // subset: only a rebuilds; b carries forward at version 1
+    val s2 = MartStore.publishAll(spark, Seq(
+      "a" -> Seq((1L, "a2")).toDF("id", "v")), store, Some("p2"))
+    assert(s2.tables == Map("a" -> 2L, "b" -> 1L))
+    assert(s2.readTable(spark, "b").as[(Long, String)].head()._2 == "b1")
+    // crash-retry replay of p2: ack, same commit, no new versions
+    val s3 = MartStore.publishAll(spark, Seq(
+      "a" -> Seq((1L, "a2")).toDF("id", "v")), store, Some("p2"))
+    assert(s3.version == 2L && s3.tables == s2.tables)
+  }
+
+  test("commits prune to the keep window and unreferenced version " +
+    "dirs prune with them; carried-forward versions survive") {
+    val store = Files.createTempDirectory("graft-mart-prune").toString
+    MartStore.publishAll(spark, Seq(
+      "a" -> Seq((1L, "a1")).toDF("id", "v"),
+      "b" -> Seq((1L, "b1")).toDF("id", "v")), store, Some("p1"))
+    // three more publishes touching ONLY a: commit 1 ages out of
+    // keepCommits=2 but b's version-1 dir is still referenced by the
+    // retained commits' carry-forward — it must survive
+    (2 to 4).foreach { i =>
+      MartStore.publishAll(spark, Seq(
+        "a" -> Seq((1L, s"a$i")).toDF("id", "v")), store, Some(s"p$i"))
+    }
+    def verDirs(t: String) = Option(
+      new java.io.File(s"$store/$t").listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("_v_")).map(_.getName).sorted.toSeq
+    assert(verDirs("a") == Seq("_v_0000003", "_v_0000004"))
+    assert(verDirs("b") == Seq("_v_0000001"))
+    val markers = new java.io.File(s"$store/_commits").listFiles()
+      .map(_.getName).filter(_.startsWith("_c_")).sorted.toSeq
+    assert(markers == Seq("_c_0000003", "_c_0000004"))
+    val s = MartStore.snapshot(spark, store).get
+    assert(s.readTable(spark, "a").as[(Long, String)].head()._2 == "a4")
+    assert(s.readTable(spark, "b").as[(Long, String)].head()._2 == "b1")
+  }
+
+  test("full protocol on the copy+delete-rename object-store " +
+    "simulation") {
+    spark.sparkContext.hadoopConfiguration.set("fs.objsim.impl",
+      classOf[ObjectStoreSimFs].getName)
+    val local = Files.createTempDirectory("graft-mart-objsim").toString
+    val store = s"objsim://$local"
+    ObjectStoreSimFs.renames.set(0)
+    MartStore.publishAll(spark, Seq(
+      "a" -> Seq((1L, "a1")).toDF("id", "v"),
+      "b" -> Seq((1L, "b1")).toDF("id", "v")), store, Some("p1"))
+    MartStore.publishAll(spark, Seq(
+      "a" -> Seq((1L, "a2")).toDF("id", "v")), store, Some("p2"))
+    val s = MartStore.publishAll(spark, Seq(
+      "a" -> Seq((1L, "a2")).toDF("id", "v")), store, Some("p2"))
+    assert(s.version == 2L)
+    assert(s.readTable(spark, "a").as[(Long, String)].head()._2 == "a2")
+    assert(s.readTable(spark, "b").as[(Long, String)].head()._2 == "b1")
+    assert(ObjectStoreSimFs.renames.get() > 0)
+  }
+
+  test("MartBuild.runVersioned publishes all 11 mart tables as one " +
+    "commit") {
+    val root = Files.createTempDirectory("graft-mart-run")
+    val store = root.resolve("store").toString
+    Schemas.operational.foreach { case (t, s) =>
+      Staging.ensureTable(spark, store, t, s)
+    }
+    val reviews = Seq(
+      ("r1", "2024-03-01 10:00:00", "p1", "http://a", "good", 5.0))
+      .toDF("id_review", "ts", "place_id", "author_url", "review_text",
+        "rating")
+      .withColumn("timestamp_review", org.apache.spark.sql.functions
+        .to_timestamp($"ts", "yyyy-MM-dd HH:mm:ss"))
+      .drop("ts")
+    Staging.overwriteParquet(reviews, store, "reviews")
+    val mart = root.resolve("mart").toString
+    val snap = graft.etl.MartBuild.runVersioned(spark, store, mart,
+      Some("rebuild-1"))
+    assert(snap.tables.keySet.size == 11)
+    assert(snap.readTable(spark, "fact_maps").count() == 1)
+    assert(snap.readTable(spark, "dim_user").count() == 0)
+    // replayed rebuild: acknowledged, same commit
+    val again = graft.etl.MartBuild.runVersioned(spark, store, mart,
+      Some("rebuild-1"))
+    assert(again.version == snap.version)
+  }
+}
