@@ -36,6 +36,7 @@ object SparkEntry {
     Analytic3Queries.defs,
     SurfaceQueries.defs,
     Surface2Queries.defs,
+    Surface3Queries.defs,
     FunctionQueries.defs,
     CurationQueries.defs)
 

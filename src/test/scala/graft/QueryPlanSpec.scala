@@ -250,6 +250,65 @@ class QueryPlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("sql_q2 decorrelates the scalar min into a grouped aggregate + " +
+    "join — no per-row subquery; the region filter reaches both " +
+    "region scans") {
+    val p = plan("sql_q2")
+    assert(!p.contains("InSubquery"), p)
+    // the correlated min runs ONCE as a per-part HashAggregate
+    assert(p.contains("HashAggregate(keys=[l_partkey"), p)
+    assert("EqualTo\\(r_name,EUROPE\\)".r.findAllIn(p).size >= 2, p)
+    // the size predicate reaches the part scan
+    assert(p.contains("EqualTo(p_size,15)"), p)
+  }
+
+  test("sql_q7 keeps both nation joins broadcast and the shipdate " +
+    "window pushed into the lineitem scan") {
+    val p = plan("sql_q7")
+    // nation (twice), supplier, customer are all broadcast-sized: the
+    // only shuffles belong to the lineitem-orders spine and the agg
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("sql_q8 broadcast-chains the 8-table traversal; the region and " +
+    "type filters reach their scans; the share is partial+final") {
+    val p = plan("sql_q8")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p)
+    assert(p.contains("EqualTo(r_name,ASIA)"), p)
+    assert(p.contains("EqualTo(p_type,ECONOMY)"), p)
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("sql_q13 keeps the priority filter inside the LEFT join (not " +
+    "pushed to a WHERE that would drop order-less customers) and " +
+    "aggregates partial+final") {
+    val p = plan("sql_q13")
+    // the ON-clause filter sits on the orders BUILD side as a scan
+    // predicate — correct and scale-right; customers survive unmatched
+    assert(p.contains("Not(EqualTo(o_orderpriority,1-URGENT))"), p)
+    assert(p.toLowerCase.contains("leftouter"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("sql_q16 plans NOT IN as an anti-join (no per-row probe) and " +
+    "count-distinct as the two-phase distinct aggregate") {
+    val p = plan("sql_q16")
+    assert(!p.contains("InSubquery"), p)
+    assert(p.contains("LeftAnti"), p)
+    // distinct-agg: keys include l_suppkey in the partial phase
+    assert(p.contains("partial_count(distinct") ||
+      p.contains("l_suppkey#"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the size IN-list reaches the part side before the join (the
+    // PushedFilters rendering truncates; the Filter node shows it)
+    assert(p.contains("p_size#") && p.contains("IN (1,4,9,14,23,36,45,49)"),
+      p)
+  }
+
   test("anti_join_bloom routes rows through a narrow bloom probe — " +
     "the filter sits before the anti-join on the candidate branch") {
     val p = plan("anti_join_bloom")
