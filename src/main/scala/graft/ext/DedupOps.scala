@@ -361,11 +361,15 @@ object DedupOps {
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: the signature is split into
-    * `maxDistance + 1` chunks, so by pigeonhole any pair within
-    * Hamming distance `maxDistance` agrees on ≥1 chunk — candidates
-    * are chunk-mates, verified by full Hamming distance. Larger
-    * `maxDistance` → narrower chunks → more (cheap) false candidates.
+  /** SimHash near-dup pairs: the signature is split into blocks and
+    * candidates are keyed on block COMBINATIONS (see
+    * [[simhashPairsFromSigs]]), verified by full Hamming distance.
+    * With the default `numBlocks = 0` the block count is auto-sized
+    * from the corpus's doc count so candidate-key width grows with
+    * the corpus — the fix for the round-6 measured recall sag, where
+    * fixed `maxDistance + 1` chunks (16-bit keys at d=3) made bucket
+    * occupancy ∝ N and the hot-bucket cap started dropping real
+    * pairs at 16×–32× corpus growth.
     *
     * Signatures are bit-majority over the DISTINCT token hashes (set
     * semantics, same discipline as the minhash family and the
@@ -376,12 +380,13 @@ object DedupOps {
     * exactly that against a DuckDB-recomputed ground truth). */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           maxDistance: Int = 3,
-                          maxBucketSize: Int = 200): DataFrame =
+                          maxBucketSize: Int = 200,
+                          numBlocks: Int = 0): DataFrame =
     simhashPairsFromSigs(
       df.select(col(idCol).as("doc_id"),
         graft.functions.native.simhash64(
           array_distinct(TextOps.tokens(col(textCol)))).as("__sig")),
-      maxDistance, maxBucketSize)
+      maxDistance, maxBucketSize, numBlocks)
 
   /** SimHash signatures from a PORTABLE token hash: the first 15 hex
     * chars of md5(token) parsed as a 60-bit integer. Any engine with
@@ -394,7 +399,8 @@ object DedupOps {
     * 60–63 are always 0 on both sides, so Hamming distances agree. */
   def simhashPortablePairs(df: DataFrame, idCol: String, textCol: String,
                            maxDistance: Int,
-                           maxBucketSize: Int = Int.MaxValue): DataFrame = {
+                           maxBucketSize: Int = Int.MaxValue,
+                           numBlocks: Int = 0): DataFrame = {
     val hashed = df.filter(length(trim(col(textCol))) > 0)
       .select(col(idCol).as("doc_id"),
         transform(array_distinct(TextOps.tokens(col(textCol))),
@@ -408,34 +414,107 @@ object DedupOps {
       simhashFromHashes(col("__h")).as("__sig"))
     // simhashPairsFromSigs materializes its output before returning,
     // so releasing the hash cache afterwards is safe
-    val out = simhashPairsFromSigs(sigs, maxDistance, maxBucketSize)
+    val out = simhashPairsFromSigs(sigs, maxDistance, maxBucketSize,
+      numBlocks)
     hashed.unpersist()
     out
   }
 
-  /** Pigeonhole chunk probe over a prepared `(doc_id, __sig)` frame —
-    * the shared engine of [[simhashNearDupPairs]] (native xxhash64
-    * signatures) and [[simhashPortablePairs]] (oracle-recomputable
-    * md5 signatures). With `maxBucketSize = Int.MaxValue` no bucket
-    * is dropped, so by pigeonhole the output is exactly ALL pairs
-    * within `maxDistance` — the exhaustive form the verified oracle
-    * query uses. */
+  /** Number of candidate tables C(numBlocks, numBlocks - maxDistance)
+    * the combination scheme generates — the explode factor per doc.
+    * Auto-sizing stays within [[maxComboTables]]. */
+  private def comboCount(c: Int, d: Int): Long = {
+    val k = math.min(c - d, d)
+    (1 to k).foldLeft(1L)((acc, i) => acc * (c - k + i) / i)
+  }
+
+  private val maxComboTables = 64
+
+  /** Bit widths of the `c` signature blocks (64 bits split as evenly
+    * as integer division allows; earlier blocks take the remainder). */
+  private def blockWidths(c: Int): Seq[Int] = {
+    val base = 64 / c
+    val extra = 64 % c
+    (0 until c).map(i => base + (if (i < extra) 1 else 0))
+  }
+
+  /** Width in bits of the NARROWEST candidate key the combination
+    * scheme produces: the sum of the `c - d` smallest block widths.
+    * Bucket occupancy for unrelated docs is ~N / 2^width, so this is
+    * the knob that must grow with the corpus. */
+  private def minComboWidth(c: Int, d: Int): Int =
+    blockWidths(c).sorted.take(c - d).sum
+
+  /** Corpus-size-derived block count: the smallest `c ≥ d + 1` whose
+    * narrowest combination key gives expected unrelated-bucket
+    * occupancy ≤ 1/8 (2^width ≥ 8·n), subject to the combo-table
+    * budget. If no `c` within budget reaches the target (huge corpus
+    * or large `d`), the widest-key `c` within budget is used — best
+    * effort, with the hot-bucket cap as the remaining safety. This is
+    * the Manku-et-al. simhash dedup trade: more tables (compute) buy
+    * collision-free keys (recall) as the corpus grows. */
+  private[ext] def chooseBlocks(n: Long, d: Int): Int = {
+    val target = math.log(8.0 * math.max(n, 1L)) / math.log(2.0)
+    val candidates = Iterator.from(d + 1)
+      .takeWhile(c => c <= 64 && comboCount(c, d) <= maxComboTables)
+      .toSeq
+    candidates.find(c => minComboWidth(c, d) >= target)
+      .getOrElse(candidates.maxBy(c => minComboWidth(c, d)))
+  }
+
+  /** Pigeonhole block-combination probe over a prepared
+    * `(doc_id, __sig)` frame — the shared engine of
+    * [[simhashNearDupPairs]] (native xxhash64 signatures) and
+    * [[simhashPortablePairs]] (oracle-recomputable md5 signatures).
+    *
+    * The signature is split into `numBlocks = c` blocks and each doc
+    * is keyed under every combination of `c - maxDistance` blocks
+    * (the packed block values + a combo id). A pair within Hamming
+    * distance `d` differs in ≤ d blocks, so it agrees on ≥ c - d
+    * blocks and therefore shares at least one FULL combination key —
+    * pigeonhole exactness holds for every `c ≥ d + 1`. `c = d + 1`
+    * degenerates to the classic one-chunk-per-key scheme; larger `c`
+    * buys wider keys (≈ 64·(c-d)/c bits vs 64/(d+1)), so unrelated
+    * docs stop colliding and bucket occupancy stays O(1) as the
+    * corpus grows, at the cost of C(c, c-d) candidate tables. With
+    * `numBlocks = 0` (default) the count is [[chooseBlocks]]-derived
+    * from the frame's row count — one cheap count() on a frame this
+    * operator persists anyway.
+    *
+    * With `maxBucketSize = Int.MaxValue` no bucket is dropped, so the
+    * output is exactly ALL pairs within `maxDistance` — the
+    * exhaustive form the verified oracle query uses (any valid `c`
+    * yields the same exact output; `c` only shifts the
+    * candidate-generation cost). */
   def simhashPairsFromSigs(sigFrame: DataFrame, maxDistance: Int,
-                           maxBucketSize: Int): DataFrame = {
+                           maxBucketSize: Int,
+                           numBlocks: Int = 0): DataFrame = {
     val sigd = sigFrame
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nChunks = math.min(maxDistance + 1, 64)
-    val base = 64 / nChunks
-    val extra = 64 % nChunks
-    val chunkStructs = (0 until nChunks).map { i =>
-      val off = i * base + math.min(i, extra)
-      val w = base + (if (i < extra) 1 else 0)
-      val mask = if (w >= 64) -1L else (1L << w) - 1
-      struct(lit(i).as("chunk"),
-        shiftright(col("__sig"), off).bitwiseAND(mask).as("chunk_val"))
+    val d = math.min(maxDistance, 63)
+    val c =
+      if (numBlocks > 0) {
+        require(numBlocks >= d + 1 && numBlocks <= 64,
+          s"numBlocks=$numBlocks must be in [maxDistance+1=${d + 1}, 64]")
+        numBlocks
+      } else chooseBlocks(sigd.count(), d)
+    val widths = blockWidths(c)
+    val offsets = widths.scanLeft(0)(_ + _)
+    def blockVal(b: Int): Column = {
+      val mask = if (widths(b) >= 64) -1L else (1L << widths(b)) - 1
+      shiftright(col("__sig"), offsets(b)).bitwiseAND(mask)
     }
+    // one struct per (c-d)-combination: combo id + block values packed
+    // into a single long (total width of any block subset ≤ 64 bits)
+    val keyStructs = (0 until c).combinations(c - d).toSeq.zipWithIndex
+      .map { case (blocks, ci) =>
+        val packed = blocks.tail.foldLeft(blockVal(blocks.head)) {
+          (acc, b) => shiftleft(acc, widths(b)).bitwiseOR(blockVal(b))
+        }
+        struct(lit(ci).as("combo"), packed.as("combo_val"))
+      }
     val chunked = sigd.select(col("doc_id"), col("__sig"),
-      explode(array(chunkStructs: _*)).as("__c"))
+      explode(array(keyStructs: _*)).as("__c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // drop hot chunk-buckets: B docs in a bucket → B²/2 pairs; a hot
     // bucket carries no near-dup signal (see minhashCandidates note)

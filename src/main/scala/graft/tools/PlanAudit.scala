@@ -2,41 +2,159 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Builder-side plan audit: print the EXECUTED plan of registry
-  * queries (after AQE finalization) for shuffle/exchange review —
-  * the .explain loop behind the SCALING.md claims.
+/** Builder-side plan audit: the EXECUTED plan of registry queries
+  * (after AQE finalization) reviewed for shuffle/exchange count — the
+  * .explain loop behind the SCALING.md claims, promoted to a gated
+  * artifact.
   *
-  * Usage: sbt "runMain graft.tools.PlanAudit <sfDir> <query> [query…]"
+  * Two modes:
+  *   - `runMain graft.tools.PlanAudit <sfDir> <query> [query…]` —
+  *     verbose: print each query's full executed plan + exchange
+  *     count (the interactive .explain loop).
+  *   - `runMain graft.tools.PlanAudit --all <sfDir> [outJson]` —
+  *     audit: run EVERY registry query, count shuffle exchanges in
+  *     the finalized plan, compare against the per-family budget
+  *     below, and write `PLANAUDIT.json` (default) with one row per
+  *     query. Exits non-zero if any query exceeds its family budget —
+  *     a plan-shape regression gate covering the whole surface, not
+  *     just the ~20 queries QueryPlanSpec pins structurally.
+  *
+  * Budgets are per FAMILY, not per query: an exchange count is a
+  * property of the plan shape (scan→shuffle→agg…), and queries in a
+  * family share a shape class. The budget is the family's measured
+  * ceiling with no headroom beyond the observed maximum — a new
+  * shuffle anywhere in a family (a lost broadcast, a dropped
+  * partial-agg, a new unnecessary repartition) pushes a query over
+  * and fails the gate. Counts are AQE-final and exclude broadcast and
+  * reused exchanges (broadcasts are the cheap alternative we WANT;
+  * reuse means the shuffle is paid once).
   */
 object PlanAudit {
+
+  /** Family of a registry query, by name. Keep in sync with the
+    * budget table below. */
+  def family(name: String): String = name match {
+    case n if n.startsWith("sql_q")                        => "tpch"
+    case n if n.startsWith("dedup_") ||
+      n == "containment_dedup" || n == "chunk_dedup" ||
+      n == "ngram_jaccard_topk" || n == "fuzzy_link_blocked" ||
+      n == "leakage_safe_split" || n == "decontaminate"     => "neardup"
+    case n if n.startsWith("ann_") || n.startsWith("vector_") => "vector"
+    case n if n.startsWith("incremental_") ||
+      n == "versioned_store" || n == "delete_keys" ||
+      n == "scd2_history" || n == "sql_catalog_mart" ||
+      n == "export_manifest" || n == "heavy_hitters_cms"    => "store"
+    case n if n.startsWith("events_") ||
+      n == "funnel_conversion" || n == "retention_cohorts" ||
+      n == "timed_conversion" || n == "gapfill_resample"    => "events"
+    case n if n.startsWith("multimodal_") ||
+      n == "audio_segments"                                 => "multimodal"
+    case n if n.startsWith("corpus_") || n.startsWith("dataset_") ||
+      n == "mixture_temperature" || n == "doc_packing" ||
+      n == "train_test_split" || n == "weighted_sample" ||
+      n == "stratified_sample" || n == "deterministic_sample" => "corpus"
+    case n if n.startsWith("text_") || n.startsWith("doc_") ||
+      n == "lang_id" || n == "token_count_by_lang" ||
+      n == "top_tokens" || n == "repetition_metrics" ||
+      n == "pii_redaction" || n == "quality_deciles" ||
+      n == "quality_percentile_gate" || n == "regex_extract_all" ||
+      n == "bm25_rank" || n == "bm25_indexed" ||
+      n == "inverted_index"                                 => "text"
+    case _                                                  => "core"
+  }
+
+  /** Per-family shuffle-exchange budget (AQE-final, broadcast/reused
+    * excluded). Values are the measured family ceilings at sf0.01 —
+    * regression pins, not aspirations; see PLANAUDIT.json for the
+    * per-query measured counts they pin. */
+  val budgets: Map[String, Int] = Map(
+    "core"       -> 6, // ceiling: global_row_ids (count-pass + window)
+    "text"       -> 7, // ceiling: bm25_rank (df/tf/avgdl aggs + rank)
+    "corpus"     -> 4, // sample/split/pack: agg + window + join
+    "tpch"       -> 3, // AQE broadcasts the dims; agg + order remain
+    "events"     -> 3, // ONE entity shuffle + window/agg finishers
+    "multimodal" -> 2, // mapPartitions decode + one agg
+    "vector"     -> 4, // k-means rounds run in side jobs, not the plan
+    "neardup"    -> 3, // pair/cluster fixpoints materialize in side
+                       // jobs against persisted frames; the returned
+                       // plan reads those caches
+    "store"      -> 3  // commit sequences run in side jobs; the
+                       // returned plan is the final store read
+  )
+
+  def countExchanges(plan: String): Int = {
+    // a finalized AdaptiveSparkPlan prints BOTH the final plan and
+    // an "== Initial Plan ==" section — count the final one only.
+    // ReusedExchangeExec's argString embeds the referenced child's
+    // own "Exchange hashpartitioning(...)" text, so drop
+    // ReusedExchange lines before matching.
+    val finalSection = plan.split("== Initial Plan ==").head
+    finalSection.linesIterator
+      .filterNot(_.contains("ReusedExchange"))
+      .flatMap("Exchange (hash|range|Single)".r.findAllIn(_))
+      .size
+  }
+
   def main(args: Array[String]): Unit = {
-    val sfDir = args.head
-    val names = args.drop(1)
-    val spark = SparkSession.builder().master("local[4]")
+    val auditAll = args.headOption.contains("--all")
+    val sfDir = if (auditAll) args(1) else args.head
+    val spark = SparkSession.builder()
+      .master(if (auditAll) "local[32]" else "local[4]")
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    names.foreach { name =>
+
+    def executedPlan(name: String): String = {
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       // collect() executes THIS Dataset so AQE finalizes ITS plan —
       // count() would build a separate aggregate Dataset and leave
       // df's adaptive plan unfinalized (the SkewSpec-documented trap)
       df.collect()
-      val plan = df.queryExecution.executedPlan.toString
-      // a finalized AdaptiveSparkPlan prints BOTH the final plan and
-      // an "== Initial Plan ==" section — count the final one only
-      val finalSection = plan.split("== Initial Plan ==").head
-      // shuffles only: skip BroadcastExchange and ReusedExchange.
-      // ReusedExchangeExec's argString embeds the referenced child's
-      // own "Exchange hashpartitioning(...)" text, so a lookbehind
-      // alone overcounts — drop ReusedExchange lines entirely first.
-      val exchanges = finalSection.linesIterator
-        .filterNot(_.contains("ReusedExchange"))
-        .flatMap("Exchange (hash|range|Single)".r.findAllIn(_))
-        .size
-      println(s"=== $name (shuffle Exchange count: $exchanges) ===")
-      println(plan)
+      df.queryExecution.executedPlan.toString
     }
-    spark.stop()
+
+    if (auditAll) {
+      val outPath = if (args.length > 2) args(2) else "PLANAUDIT.json"
+      val names = graft.SparkEntry.queries.keys.toSeq.sorted
+      val rows = names.map { name =>
+        val (exchanges, err) =
+          try (countExchanges(executedPlan(name)), None)
+          catch { case e: Throwable =>
+            (-1, Some(Option(e.getMessage).getOrElse(e.getClass.getName)
+              .linesIterator.next().take(160))) }
+        val fam = family(name)
+        val budget = budgets(fam)
+        val over = err.nonEmpty || exchanges > budget
+        System.err.println(
+          f"[planaudit] $name%-28s $fam%-10s ex=$exchanges%3d/" +
+            f"$budget%-3d ${if (over) "OVER" else "ok"}%s" +
+            err.map(e => s" ERR: $e").getOrElse(""))
+        (name, fam, exchanges, budget, over, err)
+      }
+      val overRows = rows.filter(_._5)
+      def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      val rowJson = rows.map { case (n, fam, ex, b, over, err) =>
+        s"""\"${esc(n)}\":{"family":"$fam","exchanges":$ex,"budget":$b,"over_budget":$over""" +
+          err.map(e => s""","error":"${esc(e)}"""").getOrElse("") + "}"
+      }.mkString("{", ",", "}")
+      val json =
+        s"""{"n_queries":${rows.size},"n_over_budget":${overRows.size},""" +
+          s""""over_budget":[${overRows.map(r => s"\"${esc(r._1)}\"").mkString(",")}],""" +
+          s""""note":"shuffle Exchange count per query, AQE-final plan, broadcast/reused excluded; budget is the family ceiling","sf":"${esc(sfDir)}","queries":$rowJson}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (json + "\n").getBytes("UTF-8"))
+      println(s"PLANAUDIT: ${rows.size} queries, " +
+        s"${overRows.size} over budget -> $outPath")
+      spark.stop()
+      if (overRows.nonEmpty) sys.exit(1)
+    } else {
+      args.drop(1).foreach { name =>
+        val plan = executedPlan(name)
+        println(s"=== $name (shuffle Exchange count: " +
+          s"${countExchanges(plan)}) ===")
+        println(plan)
+      }
+      spark.stop()
+    }
   }
 }
