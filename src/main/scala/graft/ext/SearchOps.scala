@@ -30,13 +30,54 @@ object SearchOps {
                topK: Int = 20): DataFrame = {
     val toks = docs.select(col(idCol),
       explode(TextOps.tokens(col(textCol))).as("token"))
-    // full doc length (ALL tokens), before the term filter
-    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dlen"))
-    val tf = toks.filter(col("token").isin(terms: _*))
-      .groupBy(col(idCol), col("token"))
-      .agg(count(lit(1)).as("tf"))
-    scoreBm25(tf, dl, idCol, terms, k1, b, topK)
+    // ONE-STATS-FRAME shape: the query's term set is a fixed small
+    // list, so per-doc term frequencies are conditional sums in the
+    // SAME aggregation that counts the full doc length — one hash
+    // shuffle on the doc id total (vs separate dlen/tf aggs + a
+    // re-shuffling join + pivot). Corpus statistics (n_docs, avgdl,
+    // per-term df) then collapse in ONE tiny global aggregate over
+    // the per-doc frame — the second read of that frame is the same
+    // subtree, so its exchange is reused, never re-shuffled.
+    def tfCol(t: String) = s"__tf_${terms.indexOf(t)}"
+    val perDoc = toks.groupBy(col(idCol)).agg(
+      count(lit(1)).as("dlen"),
+      terms.map(t =>
+        sum(when(col("token") === t, 1L).otherwise(0L)).as(tfCol(t))): _*)
+    val statsCols = count(lit(1)).as("n_docs") +:
+      (sum("dlen").cast("double") / count(lit(1))).as("avgdl") +:
+      terms.map(t => sum(when(col(tfCol(t)) > 0, 1L).otherwise(0L))
+        .as(s"__df_${terms.indexOf(t)}"))
+    val stats = perDoc.agg(statsCols.head, statsCols.tail: _*)
+    // docs with >= 1 matching term — the same doc set the long-form
+    // tf table holds (and the oracle's tf CTE joins on)
+    val matched = perDoc
+      .filter(terms.map(t => col(tfCol(t))).reduce(_ + _) > 0)
+      .crossJoin(broadcast(stats))
+    val score = round(terms.map { t =>
+      val df = col(s"__df_${terms.indexOf(t)}")
+      val tf = col(tfCol(t))
+      when(tf > 0, bm25Idf(df) * bm25TfPart(tf, col("dlen"), k1, b))
+        .otherwise(lit(0.0))
+    }.reduce(_ + _), 6)
+    matched.select(col(idCol), score.as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(topK)
   }
+
+  /** BM25 idf term — ONE definition shared by the inline
+    * ([[bm25Rank]]) and index-backed ([[scoreBm25]]) forms so the
+    * score arithmetic cannot drift between them. Expects `n_docs`
+    * in scope (cross-joined stats row). */
+  private def bm25Idf(df: Column): Column =
+    log(lit(1.0) + (col("n_docs") - df + lit(0.5)) / (df + lit(0.5)))
+
+  /** BM25 tf saturation term — shared like [[bm25Idf]]; expects
+    * `avgdl` in scope. */
+  private def bm25TfPart(tf: Column, dlen: Column,
+                         k1: Double, b: Double): Column =
+    tf * lit(k1 + 1) /
+      (tf + lit(k1) *
+        (lit(1.0) - lit(b) + lit(b) * dlen / col("avgdl")))
 
   /** Postings + doc-length tables for [[bm25FromIndex]]: the
     * materialized inverted-index form — `postings(token, doc_id,
@@ -71,25 +112,24 @@ object SearchOps {
     scoreBm25(tf, doclens, idCol, terms, k1, b, topK)
   }
 
-  /** Shared BM25 scoring stage over `(idCol, token, tf)` term
-    * frequencies and `(idCol, dlen)` doc lengths — one code path, so
-    * the inline and index-backed forms cannot drift. */
+  /** BM25 scoring stage over long-form `(idCol, token, tf)` term
+    * frequencies and `(idCol, dlen)` doc lengths — the index-backed
+    * path's shape (postings arrive as separate tables). The score
+    * arithmetic itself is [[bm25Idf]]/[[bm25TfPart]], shared with the
+    * inline [[bm25Rank]] form so the two cannot drift. */
   private def scoreBm25(tf: DataFrame, dl: DataFrame, idCol: String,
                         terms: Seq[String], k1: Double, b: Double,
                         topK: Int): DataFrame = {
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       (sum("dlen").cast("double") / count(lit(1))).as("avgdl"))
-    val idf = log(lit(1.0) +
-      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    val tfPart = col("tf") * lit(k1 + 1) /
-      (col("tf") + lit(k1) *
-        (lit(1.0) - lit(b) + lit(b) * col("dlen") / col("avgdl")))
     val scored = tf
       .join(broadcast(df), "token")
       .join(dl, idCol)
       .crossJoin(broadcast(stats))
-      .select(col(idCol), col("token"), (idf * tfPart).as("s"))
+      .select(col(idCol), col("token"),
+        (bm25Idf(col("df")) *
+          bm25TfPart(col("tf"), col("dlen"), k1, b)).as("s"))
     val pivoted = scored.groupBy(col(idCol))
       .pivot("token", terms)
       .agg(min("s"))

@@ -239,27 +239,43 @@ object Relational {
     *
     * The result depends only on the global `order` (which must be a
     * TOTAL order — pass a unique key last), not on where the range
-    * boundaries fall. The two reads of the range exchange (offsets and
-    * ranks) see identical boundaries: RangePartitioner's sampling is
-    * seeded from the partition index (deterministic over the same
-    * input), and the exchange is reused within the plan. */
+    * boundaries fall. The offsets branch re-derives the same layout
+    * from its own (column-pruned) pass: RangePartitioner's sampling
+    * is seeded from the partition index, so identical input produces
+    * identical boundaries, and Catalyst prunes that pass down to the
+    * order columns alone — the count pass shuffles a NARROW key
+    * stream, not the full rows (the wide data crosses the wire
+    * exactly once).
+    *
+    * The within-partition rank is NOT a `Window.partitionBy(__pid)`
+    * row_number: that window needs HashPartitioning(__pid), which the
+    * range exchange doesn't satisfy, so Spark would re-shuffle the
+    * ENTIRE dataset a second time just to rank rows that are already
+    * collocated and sorted. Instead the local index is
+    * `monotonically_increasing_id()` minus the partition's minimum id
+    * (carried on the same broadcast offsets row): mono ids are
+    * `(pid << 33) + rowIndexInPartition`, i.e. base + 0,1,2,… in the
+    * post-sort row order, so the subtraction IS the local rank —
+    * computed in the projection, zero extra shuffle. Contiguity is
+    * double-checked: the DuckDB oracle hash-compares against a bare
+    * global row_number, and RelationalSpec asserts ids = 0..n-1. */
   def contiguousRowIds(df: DataFrame, order: Seq[Column],
                        idName: String = "row_id"): DataFrame = {
     val ranged = df.repartitionByRange(order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("__pid", spark_partition_id())
+      .withColumn("__mono", monotonically_increasing_id())
     val offsets = ranged.groupBy("__pid")
-      .agg(count(lit(1)).as("__cnt"))
+      .agg(count(lit(1)).as("__cnt"), min("__mono").as("__base"))
       .withColumn("__offset",
         coalesce(sum(col("__cnt")).over(
           Window.orderBy("__pid")
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("__pid", "__offset")
-    val w = Window.partitionBy("__pid").orderBy(order: _*)
+      .select("__pid", "__offset", "__base")
     ranged
       .join(broadcast(offsets), Seq("__pid"))
       .withColumn(idName,
-        col("__offset") + row_number().over(w) - lit(1))
-      .drop("__pid", "__offset")
+        col("__offset") + (col("__mono") - col("__base")))
+      .drop("__pid", "__offset", "__mono", "__base")
   }
 }

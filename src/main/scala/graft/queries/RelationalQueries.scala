@@ -163,7 +163,11 @@ object RelationalQueries {
       (s, d) => Relational.contiguousRowIds(
           Tables.orders(s, d).select("o_orderkey", "o_orderstatus"),
           Seq(col("o_orderkey")))
-        .orderBy("row_id"),
+        // row_id is monotone in o_orderkey (it IS the o_orderkey rank),
+        // so ordering by the key is the same row order — and the plan
+        // keeps the range partitioning + sort the id pass already
+        // established instead of a fresh range exchange on row_id
+        .orderBy("o_orderkey"),
       Some("""SELECT o_orderkey, o_orderstatus,
         |  row_number() OVER (ORDER BY o_orderkey) - 1 AS row_id
         |FROM orders ORDER BY row_id""".stripMargin)),

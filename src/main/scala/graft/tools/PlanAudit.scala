@@ -41,7 +41,8 @@ object PlanAudit {
       n == "leakage_safe_split" || n == "decontaminate"     => "neardup"
     case n if n.startsWith("ann_") || n.startsWith("vector_") => "vector"
     case n if n.startsWith("incremental_") ||
-      n == "versioned_store" || n == "delete_keys" ||
+      n == "versioned_store" || n == "versioned_store_partitioned" ||
+      n == "mart_publish_atomic" || n == "delete_keys" ||
       n == "scd2_history" || n == "sql_catalog_mart" ||
       n == "export_manifest" || n == "heavy_hitters_cms"    => "store"
     case n if n.startsWith("events_") ||
@@ -68,8 +69,10 @@ object PlanAudit {
     * regression pins, not aspirations; see PLANAUDIT.json for the
     * per-query measured counts they pin. */
   val budgets: Map[String, Int] = Map(
-    "core"       -> 6, // ceiling: global_row_ids (count-pass + window)
-    "text"       -> 7, // ceiling: bm25_rank (df/tf/avgdl aggs + rank)
+    "core"       -> 4, // ceiling: global_row_ids (range exchange +
+                       // tiny offsets agg/cumsum + surface orderBy)
+    "text"       -> 5, // ceiling: inverted_index (per-doc tf agg,
+                       // df/total_tf agg, sample window, stats join)
     "corpus"     -> 4, // sample/split/pack: agg + window + join
     "tpch"       -> 3, // AQE broadcasts the dims; agg + order remain
     "events"     -> 3, // ONE entity shuffle + window/agg finishers
@@ -80,6 +83,24 @@ object PlanAudit {
                        // plan reads those caches
     "store"      -> 3  // commit sequences run in side jobs; the
                        // returned plan is the final store read
+  )
+
+  /** Per-QUERY budget overrides for the few queries whose correct
+    * 100 TB shape legitimately exceeds their family ceiling — each
+    * entry documents why the extra exchanges are the scale-right
+    * trade, not a regression:
+    *
+    *  - `asof_join_bucketed` (5 vs core 4): the hot-key hardening
+    *    ADDS a bucket-summary seed path — per-(key,bucket) max_by
+    *    agg, left-bucket distinct, and a bucket-grain carry window.
+    *    All three extra exchanges move rows ≈ #(key,bucket) pairs
+    *    (thousands), not events (billions); only the union window
+    *    and the surface orderBy touch event-grain data — the same 2
+    *    full-data exchanges as the unbucketed `asof_join`. Collapsing
+    *    the seed path would re-serialize hot keys into one task,
+    *    which is the exact failure this variant exists to prevent. */
+  val overrides: Map[String, Int] = Map(
+    "asof_join_bucketed" -> 5
   )
 
   def countExchanges(plan: String): Int = {
@@ -123,7 +144,7 @@ object PlanAudit {
             (-1, Some(Option(e.getMessage).getOrElse(e.getClass.getName)
               .linesIterator.next().take(160))) }
         val fam = family(name)
-        val budget = budgets(fam)
+        val budget = overrides.getOrElse(name, budgets(fam))
         val over = err.nonEmpty || exchanges > budget
         System.err.println(
           f"[planaudit] $name%-28s $fam%-10s ex=$exchanges%3d/" +
@@ -132,7 +153,11 @@ object PlanAudit {
         (name, fam, exchanges, budget, over, err)
       }
       val overRows = rows.filter(_._5)
+      // strip control chars (< 0x20) so an exception message with an
+      // embedded tab/CR/newline can't produce invalid JSON in the
+      // error path where the artifact is most needed.
       def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .filter(_ >= ' ')
       val rowJson = rows.map { case (n, fam, ex, b, over, err) =>
         s"""\"${esc(n)}\":{"family":"$fam","exchanges":$ex,"budget":$b,"over_budget":$over""" +
           err.map(e => s""","error":"${esc(e)}"""").getOrElse("") + "}"

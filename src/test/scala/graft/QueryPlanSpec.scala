@@ -46,9 +46,16 @@ class QueryPlanSpec extends SparkSpec {
     "never collapses to a single-partition global window") {
     val p = plan("global_row_ids")
     assert(p.toLowerCase.contains("rangepartitioning"), p)
-    // the corpus-side window is partitioned by the physical partition
-    // id; only the partitions-count-sized offset cumsum may be global
+    // the corpus-side rank is mono-id arithmetic in the projection;
+    // only the partitions-count-sized offset cumsum may be a window
     assert(p.contains("__pid"), p)
+    assert(!p.contains("row_number"), p)
+    // the wide data is never hash-re-shuffled: the only
+    // hashpartitioning exchange is the partial-agged offsets count
+    assert("Exchange hashpartitioning\\(__pid".r.findAllIn(p).size <= 1, p)
+    // the surface orderBy rides the id pass's range partitioning —
+    // no second full-data range exchange on row_id
+    assert(!p.contains("rangepartitioning(row_id"), p)
   }
 
   test("conditional_agg is a partial+final hash aggregate") {
@@ -104,9 +111,15 @@ class QueryPlanSpec extends SparkSpec {
   }
 
   test("bm25_rank plans its top-k as TakeOrderedAndProject, never a " +
-    "global sort") {
+    "global sort — and the one-stats-frame shape holds: no join of " +
+    "separately-shuffled tf/dlen/df tables") {
     val p = plan("bm25_rank")
     assert(p.contains("TakeOrderedAndProject"), p)
+    // per-doc tf+dlen come from ONE aggregation; df/avgdl from a tiny
+    // broadcast stats row — a SortMergeJoin would mean the old
+    // three-agg + re-shuffling-join shape regressed
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
   test("bm25_indexed pushes the term filter into the postings scan " +
