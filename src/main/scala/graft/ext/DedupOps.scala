@@ -190,8 +190,39 @@ object DedupOps {
     // at 100 TB this is the table you'd checkpoint to storage).
     val sigs = signatureTable(df, idCol, textCol, shingleSize, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val candAll =
-      minhashCandidates(sigs, bands, numHashes / bands, maxBucketSize)
+    // fromSigs materializes its (small) output before returning, so
+    // releasing the corpus-scale signature cache here is safe
+    try minhashNearDupPairsFromSigs(sigs, bands, numHashes / bands,
+      threshold, maxCandidates, maxBucketSize)
+    finally sigs.unpersist()
+  }
+
+  /** The per-doc signature table `(doc_id, __tokset, __sig)` as a
+    * PUBLIC build artifact: per-doc minhash signatures are
+    * corpus-independent, so at 100 TB this table is computed once per
+    * corpus snapshot, checkpointed to storage, and every downstream
+    * consumer (capped production banding, uncapped verification
+    * subsets, incremental re-dedup) reads the snapshot instead of
+    * re-tokenizing the corpus — the same build-once/serve-many split
+    * as [[SearchOps.buildPostings]] → `bm25FromIndex`. Feed it to
+    * [[minhashNearDupPairsFromSigs]]. */
+  def buildSignatureTable(df: DataFrame, idCol: String, textCol: String,
+                          shingleSize: Int = 3,
+                          numHashes: Int = 64): DataFrame =
+    signatureTable(df, idCol, textCol, shingleSize, numHashes)
+
+  /** [[minhashNearDupPairs]] from a prebuilt signature table
+    * ([[buildSignatureTable]], typically read back from its parquet
+    * snapshot): banding, candidate generation, and exact verification
+    * only — query-time cost is candidate-linear, with zero corpus
+    * tokenization. Bit-identical output to the inline form (shared
+    * code path; the signatures are deterministic xxhash64). */
+  def minhashNearDupPairsFromSigs(sigs: DataFrame, bands: Int,
+                                  rowsPerBand: Int,
+                                  threshold: Double,
+                                  maxCandidates: Int = 0,
+                                  maxBucketSize: Int = 50): DataFrame = {
+    val candAll = minhashCandidates(sigs, bands, rowsPerBand, maxBucketSize)
     val cand =
       if (maxCandidates > 0)
         candAll.orderBy(col("n_bands_matching").desc, col("id_a"),
@@ -217,10 +248,10 @@ object DedupOps {
       .select("id_a", "id_b", "est_jaccard", "jaccard")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // materialize the (small, candidate-linear) verified pairs, then
-    // release the corpus-scale signature and candidate caches — they
-    // must not live for the rest of the session
+    // release the corpus-scale candidate cache — cached blocks must
+    // not live for the rest of the session (the inline wrapper
+    // releases its signature cache the same way)
     out.count()
-    sigs.unpersist()
     candAll.unpersist()
     out
   }

@@ -88,6 +88,26 @@ class DedupSpec extends SparkSpec {
     assert(got == exact, s"verified=$got exact=$exact")
   }
 
+  test("minhashNearDupPairsFromSigs on a parquet-round-tripped " +
+    "signature store equals the inline run bit-for-bit") {
+    val inline = DedupOps.minhashNearDupPairs(docs, "doc_id", "text",
+        shingleSize = 2, numHashes = 64, bands = 32, threshold = 0.0)
+      .select("id_a", "id_b", "est_jaccard", "jaccard")
+      .as[(Long, Long, Double, Double)].collect().toSet
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sigstore_spec").toString
+    DedupOps.buildSignatureTable(docs, "doc_id", "text",
+        shingleSize = 2, numHashes = 64)
+      .write.mode("overwrite").parquet(s"$dir/sigs")
+    val stored = DedupOps.minhashNearDupPairsFromSigs(
+        spark.read.parquet(s"$dir/sigs"),
+        bands = 32, rowsPerBand = 2, threshold = 0.0)
+      .select("id_a", "id_b", "est_jaccard", "jaccard")
+      .as[(Long, Long, Double, Double)].collect().toSet
+    assert(stored == inline)
+    assert(inline.nonEmpty)
+  }
+
   test("duplicateClusters finds transitive components with min-id reps") {
     // components: {1,2,3,7} via chain 1-2, 2-3, 3-7; {5,9}; pair list
     // never contains (1,7) etc. — only the closure connects them
