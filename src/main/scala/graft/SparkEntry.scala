@@ -37,6 +37,7 @@ object SparkEntry {
     SurfaceQueries.defs,
     Surface2Queries.defs,
     Surface3Queries.defs,
+    Surface4Queries.defs,
     FunctionQueries.defs,
     CurationQueries.defs)
 

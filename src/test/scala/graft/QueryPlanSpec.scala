@@ -322,6 +322,63 @@ class QueryPlanSpec extends SparkSpec {
       p)
   }
 
+  test("sql_q6 is scan + partial/final aggregate only: every " +
+    "predicate pushed into the lineitem scan, zero hash exchanges") {
+    val p = plan("sql_q6")
+    // the PushedFilters rendering truncates the list — assert its
+    // head plus the full predicates visible in the Filter node
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
+    assert(p.contains(">= 1996-01-01 00:00:00"), p)
+    assert(p.contains("l_discount") && p.contains(">= 0.05"), p)
+    assert(p.contains("l_quantity") && p.contains("< 24.0"), p)
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("sql_q9 pushes the p_name LIKE into the part scan and keeps " +
+    "the part/supplier/nation joins broadcast") {
+    val p = plan("sql_q9")
+    assert(p.contains("StringContains(p_name,bolt)"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("sql_q11 plans the global total as a one-shot scalar subquery " +
+    "feeding the HAVING — not a per-group or per-row recompute") {
+    val p = plan("sql_q11")
+    assert(p.contains("Subquery subquery") ||
+      p.contains("scalar-subquery"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the nation filter reaches the tiny dims, the agg is two-phase
+    assert(p.contains("EqualTo(n_name,NATION_7)"), p)
+    assert(p.contains("partial_sum"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("sql_q12 pushes the returnflag IN into the lineitem scan; the " +
+    "cross-table lateness predicate evaluates post-join") {
+    val p = plan("sql_q12")
+    assert(p.contains("In(l_returnflag"), p)
+    // l_shipdate > o_orderdate + 30d spans the join: it must appear
+    // in a join condition or post-join filter, never a scan filter
+    assert(!p.contains("PushedFilters: [IsNotNull(l_shipdate), " +
+      "GreaterThan(l_shipdate"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("sql_q14 prunes the shipdate month at the scan and computes " +
+    "both conditional sums in ONE aggregate pass over the join") {
+    val p = plan("sql_q14")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // one aggregate carrying two partial sums — not two scans
+    assert("partial_sum".r.findAllIn(p).size >= 2, p)
+    assert("BroadcastHashJoin".r.findAllIn(
+      p.split("== Initial Plan ==").head).size == 1, p)
+  }
+
   test("anti_join_bloom routes rows through a narrow bloom probe — " +
     "the filter sits before the anti-join on the candidate branch") {
     val p = plan("anti_join_bloom")
