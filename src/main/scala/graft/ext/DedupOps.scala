@@ -454,7 +454,7 @@ object DedupOps {
   /** Number of candidate tables C(numBlocks, numBlocks - maxDistance)
     * the combination scheme generates — the explode factor per doc.
     * Auto-sizing stays within [[maxComboTables]]. */
-  private def comboCount(c: Int, d: Int): Long = {
+  private[ext] def comboCount(c: Int, d: Int): Long = {
     val k = math.min(c - d, d)
     (1 to k).foldLeft(1L)((acc, i) => acc * (c - k + i) / i)
   }
@@ -491,6 +491,46 @@ object DedupOps {
       .toSeq
     candidates.find(c => minComboWidth(c, d) >= target)
       .getOrElse(candidates.maxBy(c => minComboWidth(c, d)))
+  }
+
+  /** Corpus-size-derived MinHash/LSH parameters `(numHashes, bands,
+    * rowsPerBand)` — the [[chooseBlocks]] derivation applied to the
+    * banding family. Two constraints pin the shape:
+    *
+    *  - RECALL: a true pair at `threshold` similarity misses every
+    *    band w.p. `(1 - t^r)^b` — bands `b` is the smallest count
+    *    pushing that below `maxMissProb`.
+    *  - PRECISION AT SCALE: an unrelated pair (background similarity
+    *    `bgJaccard`) collides in some band w.p. ≈ `b·bg^r`, so
+    *    expected false candidates are `(n-1)/2 · b · bg^r` PER DOC.
+    *    Rows-per-band `r` is the smallest depth keeping that under
+    *    `fpPerDoc` — `r` grows with log n, which is what keeps the
+    *    candidate stage corpus-LINEAR as the corpus grows (the same
+    *    more-compute-buys-collision-freedom trade as chooseBlocks).
+    *
+    * The returned signature length `r·b` is monotone non-decreasing
+    * in `n` (SimhashBlocksSpec proves bounds + monotonicity). The
+    * hot-bucket cap is deliberately NOT n-derived: a band hash is 64
+    * bits, so unrelated-doc occupancy stays ~0 at any corpus size —
+    * oversized buckets mean a degenerate near-dup cluster, and the
+    * cap is a per-cluster boundedness guard, not a collision knob. */
+  def chooseMinhashParams(n: Long, threshold: Double,
+                          bgJaccard: Double = 0.1,
+                          maxMissProb: Double = 1e-6,
+                          fpPerDoc: Double = 1.0): (Int, Int, Int) = {
+    require(threshold > 0 && threshold < 1, s"threshold=$threshold")
+    def bandsFor(r: Int): Int = {
+      val pBand = math.pow(threshold, r)
+      // miss = (1-p)^b <= maxMiss  =>  b >= ln(maxMiss)/ln(1-p)
+      math.max(1, math.ceil(math.log(maxMissProb) /
+        math.log1p(-pBand)).toInt)
+    }
+    val r = (2 to 32).find { r =>
+      val fp = (math.max(n, 2L) - 1L) / 2.0 * bandsFor(r) *
+        math.pow(bgJaccard, r)
+      fp <= fpPerDoc
+    }.getOrElse(32)
+    (r * bandsFor(r), bandsFor(r), r)
   }
 
   /** Pigeonhole block-combination probe over a prepared

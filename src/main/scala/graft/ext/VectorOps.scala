@@ -164,6 +164,21 @@ object VectorOps {
   // IVF (inverted-file) ANN — the centroid-bucketed scale path
   // ------------------------------------------------------------------
 
+  /** Corpus-size-derived IVF list count: `⌈√n⌉` clamped to
+    * [4, 65536] — the classic inverted-file sizing (per-list
+    * occupancy ≈ √n, so probe cost `nProbe·√n` and centroid-scoring
+    * cost `√n` stay balanced as the corpus grows; a fixed list count
+    * degrades to a linear scan of ever-fatter lists). The 65536
+    * ceiling keeps the centroid table broadcastable (≈ 65k ×
+    * dim × 8 B). Monotone in `n` (VectorIndexSpec). Same
+    * derivation family as [[DedupOps.chooseBlocks]] /
+    * [[DedupOps.chooseMinhashParams]]: compute spent on the index
+    * grows sublinearly to hold per-query cost flat. */
+  def chooseNumCentroids(n: Long): Int =
+    math.min(65536L,
+      math.max(4L, math.ceil(math.sqrt(math.max(n, 0L).toDouble)).toLong))
+      .toInt
+
   /** Deterministic spherical-k-means-lite centroid training: seeds
     * are the `k` corpus vectors with the smallest `xxhash64(id)`
     * (hash-picked, stable across runs/executors), refined by `iters`

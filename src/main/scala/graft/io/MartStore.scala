@@ -38,7 +38,35 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * incremental form — rebuild 2 of 11 tables, commit all 11
   * consistently). Old commits are kept `keepCommits` deep; version
   * dirs referenced by NO retained commit are pruned with them.
-  */
+  *
+  * CONCURRENT PUBLISHERS: the design assumes one publisher per store,
+  * but a second one must fail LOUDLY, never corrupt. Two racing
+  * publishers compute the same next commit number; who wins depends
+  * on the filesystem's `create(path, overwrite = false)`:
+  *   - HDFS/local: atomic create-if-absent — the second create
+  *     throws, and publishAll surfaces it as
+  *     [[ConcurrentPublishException]];
+  *   - object stores: create is a blind PUT with last-writer-wins —
+  *     NOT atomic, both "succeed". publishAll therefore re-reads the
+  *     marker it just wrote and checks the embedded per-publish
+  *     `publisher` nonce; a mismatch means this publish was
+  *     overwritten and it throws [[ConcurrentPublishException]].
+  * Either way exactly one publisher's marker survives as commit N and
+  * the loser's uncommitted version dirs are swept by the next
+  * publish. The loser's caller retries: if its batch carried a
+  * `batchId` and the winner was a replay of the same batch, the retry
+  * dedups and acknowledges; otherwise it lands as commit N+1. The
+  * post-PUT verification closes the race to the PUT-to-read window —
+  * on stores with read-after-write consistency (S3 since 2020) the
+  * overwrite is detected; a store without even that needs an external
+  * lease, which no marker protocol can replace. */
+/** A concurrent publisher won the commit race (MartStore scaladoc,
+  * "CONCURRENT PUBLISHERS"): nothing from this publish is visible;
+  * the store is exactly as the winner left it. Retry the publish —
+  * a same-`batchId` winner dedups the retry into an acknowledge. */
+final class ConcurrentPublishException(message: String)
+  extends RuntimeException(message)
+
 object MartStore {
   private val CommitsDir = "_commits"
   private val CPrefix = "_c_"
@@ -62,6 +90,15 @@ object MartStore {
       spark.read.parquet(s"$storeDir/$table/${vname(v)}/data")
     }
   }
+
+  private def readMarkerText(fs: org.apache.hadoop.fs.FileSystem,
+                             p: org.apache.hadoop.fs.Path)
+      : Option[String] =
+    try {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    } catch { case _: java.io.IOException => None }
 
   private def parseMarker(txt: String)
       : Option[(Long, Option[String], Map[String, Long])] =
@@ -115,6 +152,42 @@ object MartStore {
       .flatMap(s => s.getPath.getName.stripPrefix(VerPrefix).toLongOption
         .map(v => (v, s.getPath)))
 
+  /** PUT the marker with create-if-absent semantics. On an
+    * atomic-create filesystem a collision with a concurrent
+    * publisher's valid marker surfaces here; on a blind-PUT store
+    * both writes "succeed" and the loser is caught by
+    * [[verifyOwnMarker]]. Package-visible so MartStoreSpec can drive
+    * the PUT/PUT/verify/verify interleaving deterministically. */
+  private[graft] def landMarker(fs: org.apache.hadoop.fs.FileSystem,
+                                mpath: org.apache.hadoop.fs.Path,
+                                marker: String): Unit =
+    try {
+      val out = fs.create(mpath, false)
+      try out.write((marker + "\n").getBytes("UTF-8")) finally out.close()
+    } catch {
+      case e: java.io.IOException if fs.exists(mpath) &&
+          readMarkerText(fs, mpath).flatMap(parseMarker).nonEmpty =>
+        // another publisher landed this commit number first and its
+        // marker is valid — lost race on an atomic-create filesystem
+        throw new ConcurrentPublishException(
+          s"commit $mpath was published concurrently " +
+            s"(atomic create refused: ${e.getMessage})")
+    }
+
+  /** Last-writer-wins detection for stores whose create() is a blind
+    * PUT (see scaladoc): the surviving marker must carry OUR nonce,
+    * otherwise this publish was overwritten and did not land. */
+  private[graft] def verifyOwnMarker(fs: org.apache.hadoop.fs.FileSystem,
+                                     mpath: org.apache.hadoop.fs.Path,
+                                     nonce: String): Unit = {
+    val winner = readMarkerText(fs, mpath).getOrElse("")
+    if (!""""publisher":"([^"]*)"""".r.findFirstMatchIn(winner)
+        .map(_.group(1)).contains(nonce))
+      throw new ConcurrentPublishException(
+        s"commit $mpath was overwritten by a concurrent publisher " +
+          "between PUT and verify — this publish did not land")
+  }
+
   /** Publish `tables` as one atomic commit: write each table's next
     * version dir, then land the single marker naming every table's
     * version (published ones advance, the rest carry forward).
@@ -163,12 +236,13 @@ object MartStore {
     // ---- the commit point: ONE small object PUT for ALL tables ----
     val body = all.toSeq.sortBy(_._1)
       .map { case (t, v) => s""""$t":$v""" }.mkString(",")
+    val nonce = java.util.UUID.randomUUID().toString
     val marker = s"""{"mart_version":$nextC,"batch_id":"${
-      batchId.getOrElse("")}","tables":{$body}}"""
+      batchId.getOrElse("")}","publisher":"$nonce","tables":{$body}}"""
     fs.mkdirs(cdir)
-    val out = fs.create(
-      new org.apache.hadoop.fs.Path(cdir, f"$CPrefix$nextC%07d"), false)
-    try out.write((marker + "\n").getBytes("UTF-8")) finally out.close()
+    val mpath = new org.apache.hadoop.fs.Path(cdir, f"$CPrefix$nextC%07d")
+    landMarker(fs, mpath, marker)
+    verifyOwnMarker(fs, mpath, nonce)
     // post-commit housekeeping — crash-safe to skip or die inside:
     // drop commits beyond the keep window, then version dirs no
     // retained commit references

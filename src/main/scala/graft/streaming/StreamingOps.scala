@@ -261,6 +261,51 @@ object StreamingOps {
         ()
       }
 
+  /** Streaming twin of the cross-table atomic mart publish
+    * ([[graft.io.MartStore.publishAll]]): each micro-batch derives a
+    * fresh table set from the arriving rows (`build` — e.g. the 11
+    * mart tables recomputed over staging + the batch) and publishes
+    * them as ONE commit, so downstream readers flip between
+    * consistent table-sets at every epoch, never a mid-rebuild mix.
+    *
+    * Replay safety (foreachBatch is at-least-once): the commit's
+    * `batchId` is `<lineageId>-<epoch>`, so a replayed epoch dedups
+    * against the retained commits into an acknowledge — no duplicate
+    * mart version. Unlike the corpus sink (whose batchId-marker skip
+    * was rejected, see [[curatedCorpusStream]]), the epoch id here is
+    * explicitly SCOPED by the caller's `lineageId`: pass a fresh
+    * lineage id whenever the checkpoint directory is reset, exactly
+    * as you would re-key any external idempotency token. Keep
+    * `keepCommits` ≥ the deepest plausible replay window (a replay
+    * older than the retention can no longer dedup — with
+    * AvailableNow + restart-on-failure that window is 1). */
+  def martPublishStream(stream: DataFrame, storeDir: String,
+                        lineageId: String,
+                        build: DataFrame => Seq[(String, DataFrame)],
+                        keepCommits: Int = 2): DataStreamWriter[Row] =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        publishMartBatch(batch, storeDir, s"$lineageId-$epoch", build,
+          keepCommits)
+      }
+
+  /** One micro-batch of the mart-publish sink — package-visible so
+    * StreamingSpec's kill-mid-batch drill can run the IDENTICAL
+    * mutation and die before the epoch commit, proving the replayed
+    * epoch dedups on restart. */
+  private[graft] def publishMartBatch(
+      batch: DataFrame, storeDir: String, batchId: String,
+      build: DataFrame => Seq[(String, DataFrame)],
+      keepCommits: Int): Unit = {
+    val tables = build(batch)
+    if (tables.nonEmpty) {
+      graft.io.MartStore.publishAll(batch.sparkSession, tables,
+        storeDir, Some(batchId), keepCommits)
+    }
+    ()
+  }
+
   /** Streaming form of the staging scan (F1): a file-source stream
     * over the CSV prefix — each newly landed `*.csv` becomes a
     * micro-batch, read exactly once (the source tracks seen files in

@@ -85,9 +85,14 @@ object CorpusScaleStress {
       val exactMb = (meter.read.get + meter.write.get) / 1e6
 
       meter.reset()
+      // auto-sized banding: rows-per-band grows with log n to hold
+      // false candidates per doc flat (chooseMinhashParams scaladoc)
+      val (mhHashes, mhBands, mhRows) =
+        graft.ext.DedupOps.chooseMinhashParams(n, threshold = 0.8)
       val (nMh, tMh) = timed {
         graft.ext.DedupOps.minhashNearDupPairs(
-          d, "doc_id", "text", shingleSize = 1, threshold = 0.8).count()
+          d, "doc_id", "text", shingleSize = 1, numHashes = mhHashes,
+          bands = mhBands, threshold = 0.8).count()
       }
       val mhMb = (meter.read.get + meter.write.get) / 1e6
 
@@ -99,7 +104,8 @@ object CorpusScaleStress {
       val shMb = (meter.read.get + meter.write.get) / 1e6
 
       println(f"docs x$m%-2d n=$n%7d | exact: $tExact%6.1f s " +
-        f"$exactMb%6.0f MB ($nExact kept) | minhash: $tMh%6.1f s " +
+        f"$exactMb%6.0f MB ($nExact kept) | minhash[r=$mhRows%d " +
+        f"b=$mhBands%d]: $tMh%6.1f s " +
         f"$mhMb%6.0f MB ($nMh pairs) | simhash: $tSh%6.1f s " +
         f"$shMb%6.0f MB ($nSh pairs)")
       d.unpersist()
@@ -111,12 +117,14 @@ object CorpusScaleStress {
       val n = e.count()
       val queries = emb.filter(col("vec_id") < 5)
       meter.reset()
+      // auto-sized inverted file: √n lists (chooseNumCentroids)
+      val nc = graft.ext.VectorOps.chooseNumCentroids(n)
       val (nIvf, tIvf) = timed {
         graft.ext.VectorOps.ivfTopK(e, queries, "vec_id", "embedding",
-          k = 10, nCentroids = 8 * m, nProbe = 2).count()
+          k = 10, nCentroids = nc, nProbe = 2).count()
       }
       println(f"emb  x$m%-2d n=$n%7d | ivf(topk=10, probes=2/" +
-        f"${8 * m}%d): $tIvf%6.1f s " +
+        f"$nc%d): $tIvf%6.1f s " +
         f"${(meter.read.get + meter.write.get) / 1e6}%6.0f MB " +
         f"($nIvf rows)")
       e.unpersist()

@@ -123,6 +123,50 @@ class MartStoreSpec extends SparkSpec {
     assert(ObjectStoreSimFs.renames.get() > 0)
   }
 
+  test("two-publisher race: exactly one marker survives and the " +
+    "loser fails loudly, on both filesystem models") {
+    def markerFor(nonce: String, ver: String) =
+      s"""{"mart_version":1,"batch_id":"pB","publisher":"$nonce",""" +
+        s""""tables":{"a":$ver}}"""
+
+    // atomic-create model (local fs): publisher B computed the same
+    // next commit number before A landed; B's PUT must refuse and
+    // surface as ConcurrentPublishException, leaving A's commit intact
+    val store = Files.createTempDirectory("graft-mart-race").toString
+    MartStore.publishAll(spark,
+      Seq("a" -> Seq((1L, "a1")).toDF("id", "v")), store, Some("pA"))
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mpath =
+      new org.apache.hadoop.fs.Path(s"$store/_commits/_c_0000001")
+    intercept[graft.io.ConcurrentPublishException] {
+      MartStore.landMarker(fs, mpath, markerFor("B-nonce", "9"))
+    }
+    assert(MartStore.snapshot(spark, store).get.tables == Map("a" -> 1L))
+
+    // blind-PUT model (S3 PutObject semantics): both PUTs "succeed";
+    // the PUT/PUT/verify/verify interleaving must make the FIRST
+    // writer detect its overwrite and the second verify as winner
+    spark.sparkContext.hadoopConfiguration.set("fs.objput.impl",
+      classOf[BlindPutSimFs].getName)
+    val local2 = Files.createTempDirectory("graft-mart-race2").toString
+    val cdir = new org.apache.hadoop.fs.Path(s"objput://$local2/_commits")
+    val fs2 = cdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs2.mkdirs(cdir)
+    val m2 = new org.apache.hadoop.fs.Path(cdir, "_c_0000001")
+    MartStore.landMarker(fs2, m2, markerFor("nonce-A", "1"))
+    MartStore.landMarker(fs2, m2, markerFor("nonce-B", "2")) // overwrites
+    intercept[graft.io.ConcurrentPublishException] {
+      MartStore.verifyOwnMarker(fs2, m2, "nonce-A")
+    }
+    MartStore.verifyOwnMarker(fs2, m2, "nonce-B") // the winner
+    // exactly one marker file survives, carrying the winner's content
+    val markers = fs2.listStatus(cdir).map(_.getPath.getName).toSeq
+    assert(markers == Seq("_c_0000001"))
+    assert(MartStore.snapshot(spark, s"objput://$local2").get
+      .tables == Map("a" -> 2L))
+  }
+
   test("MartBuild.runVersioned publishes all 11 mart tables as one " +
     "commit") {
     val root = Files.createTempDirectory("graft-mart-run")

@@ -31,3 +31,27 @@ object ObjectStoreSimFs {
     * internals), not bypassed. */
   val renames = new java.util.concurrent.atomic.AtomicInteger(0)
 }
+
+/** Blind-PUT object store for the concurrent-publisher drills:
+  * `create(path, overwrite = false)` silently overwrites — S3
+  * PutObject semantics, where create-if-absent cannot be expressed
+  * and the last writer wins. MartStore's post-PUT nonce verification
+  * must catch what this filesystem refuses to. */
+class BlindPutSimFs extends RawLocalFileSystem {
+  override def getScheme: String = "objput"
+  override def getUri: URI = URI.create("objput:///")
+
+  override def create(f: Path, overwrite: Boolean, bufferSize: Int,
+      replication: Short, blockSize: Long,
+      progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream =
+    super.create(f, true, bufferSize, replication, blockSize, progress)
+
+  override def create(f: Path,
+      permission: org.apache.hadoop.fs.permission.FsPermission,
+      overwrite: Boolean, bufferSize: Int, replication: Short,
+      blockSize: Long, progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream =
+    super.create(f, permission, true, bufferSize, replication,
+      blockSize, progress)
+}

@@ -152,6 +152,67 @@ class StreamingSpec extends SparkSpec {
       Seq(1L, 3L, 4L))
   }
 
+  test("martPublishStream commits one mart version per epoch and " +
+    "absorbs a DUPLICATED EPOCH: killed after the publish, before " +
+    "the checkpoint commit, then restarted") {
+    implicit val ctx = spark.sqlContext
+    val root = Files.createTempDirectory("graft-mart-stream")
+    val store = root.resolve("store").toString
+    val ckpt = root.resolve("ckpt").toString
+    val rows = MemoryStream[(Long, String)]
+    // each epoch publishes a 2-table mart derived from the batch: the
+    // raw rows plus a per-key count — both must flip together
+    def build(b: org.apache.spark.sql.DataFrame)
+        : Seq[(String, org.apache.spark.sql.DataFrame)] = {
+      val frozen = b.localCheckpoint(true)
+      Seq("rows" -> frozen,
+        "counts" -> frozen.groupBy("v")
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n")))
+    }
+    def drain(): Unit = {
+      val q = StreamingOps.martPublishStream(
+        rows.toDF().toDF("id", "v"), store, "lin1", build)
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+    }
+    rows.addData((1L, "a"))
+    drain()
+    val s1 = graft.io.MartStore.snapshot(spark, store).get
+    assert(s1.version == 1L)
+    assert(s1.readTable(spark, "rows").count() == 1)
+    // epoch 2 arrives; the sink publishes and dies BEFORE the epoch
+    // commit — the at-least-once window
+    rows.addData((2L, "a"), (3L, "b"))
+    @volatile var killed = false
+    val crash = rows.toDF().toDF("id", "v").writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, e: Long) =>
+        StreamingOps.publishMartBatch(b, store, s"lin1-$e", build, 2)
+        killed = true
+        throw new RuntimeException("killed after publish, before commit")
+      }
+      .option("checkpointLocation", ckpt).start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      crash.awaitTermination()
+    }
+    assert(killed)
+    val s2 = graft.io.MartStore.snapshot(spark, store).get
+    assert(s2.version == 2L) // the publish DID land (at-least-once)
+    // restart: the uncommitted epoch replays with the SAME epoch id —
+    // the batchId dedups, no third mart version appears
+    drain()
+    val s3 = graft.io.MartStore.snapshot(spark, store).get
+    assert(s3.version == 2L && s3.tables == s2.tables)
+    // both tables flipped together on the replayed snapshot
+    assert(s3.readTable(spark, "rows").count() == 2)
+    assert(s3.readTable(spark, "counts").count() == 2)
+    // and a genuinely new epoch still commits
+    rows.addData((4L, "c"))
+    drain()
+    assert(graft.io.MartStore.snapshot(spark, store).get.version == 3L)
+  }
+
   test("decontaminateStream drops the same docs the batch operator " +
     "drops, across micro-batches") {
     implicit val ctx = spark.sqlContext

@@ -73,4 +73,18 @@ class VectorIndexSpec extends SparkSpec {
     assert(results(8) == exact)
     assert(results(2) == partial)
   }
+
+  test("chooseNumCentroids follows the √n rule with [4, 65536] " +
+    "clamps and is monotone in the corpus size") {
+    import graft.ext.VectorOps.chooseNumCentroids
+    assert(chooseNumCentroids(0L) == 4)
+    assert(chooseNumCentroids(10L) == 4)
+    assert(chooseNumCentroids(10000L) == 100)
+    assert(chooseNumCentroids(1000000L) == 1000)
+    assert(chooseNumCentroids(Long.MaxValue) == 65536)
+    val ns = Seq(1L, 100L, 10000L, 1000000L, 100000000L,
+      10000000000L, Long.MaxValue)
+    val cs = ns.map(chooseNumCentroids)
+    assert(cs == cs.sorted, s"not monotone: $cs")
+  }
 }
