@@ -152,6 +152,151 @@ class StreamingSpec extends SparkSpec {
       Seq(1L, 3L, 4L))
   }
 
+  test("curatedCorpusStream END-TO-END on a real file source with " +
+    "on-disk checkpoints, including the duplicated-epoch kill drill") {
+    val root = Files.createTempDirectory("graft-corpus-files")
+    val (landing, index, corpus) = (root.resolve("landing"),
+      root.resolve("idx").toString, root.resolve("corpus").toString)
+    Files.createDirectories(landing)
+    val ckpt = root.resolve("ckpt").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def land(name: String, rows: Seq[(Long, String)]): Unit =
+      Files.writeString(landing.resolve(name), rows.map { case (id, t) =>
+        s"""{"doc_id":$id,"text":"$t"}""" }.mkString("", "\n", "\n"))
+    def src = spark.readStream.schema(schema)
+      .json(s"$landing/*.json").toDF("doc_id", "text")
+    def drain(): Unit = {
+      val q = StreamingOps.curatedCorpusStream(src, "doc_id", "text",
+          index, corpus, threshold = 0.7)
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+    }
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight"
+    land("b1.json", Seq((1L, base)))
+    drain()
+    // the next FILE lands: a near-dup of doc 1 plus a fresh doc; the
+    // sink mutates the store and dies before the epoch commit
+    land("b2.json", Seq((2L, base),
+      (3L, "fresh unrelated text describing mountains rivers valleys " +
+        "and the long winding hiking trails between them all summer")))
+    @volatile var killed = false
+    val crash = src.writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        StreamingOps.curateBatch(b, "doc_id", "text", index, corpus, 0.7)
+        killed = true
+        throw new RuntimeException("killed after append, before commit")
+      }
+      .option("checkpointLocation", ckpt).start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      crash.awaitTermination()
+    }
+    assert(killed)
+    // restart from the same on-disk checkpoint: the file source
+    // replays b2.json (it was never committed) and the sink absorbs
+    // the duplicated epoch — no double rows, no resurrected near-dup
+    drain()
+    assert(graft.io.Staging.readTable(spark, corpus, "corpus")
+      .select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    // a later file is new work, not a replay
+    land("b3.json", Seq((4L, "yet another completely different " +
+      "document about compilers optimizers and query planning joy")))
+    drain()
+    assert(graft.io.Staging.readTable(spark, corpus, "corpus")
+      .select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L, 4L))
+  }
+
+  test("decontaminateStream on a file source drops exactly what the " +
+    "batch operator drops") {
+    val root = Files.createTempDirectory("graft-decontam-files")
+    val landing = root.resolve("landing")
+    Files.createDirectories(landing)
+    val out = root.resolve("out").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val evalSet = Seq((100L, "alpha beta gamma delta epsilon zeta " +
+      "eta theta iota kappa lambda mu nu xi")).toDF("doc_id", "text")
+    val clean = "totally original prose with no benchmark overlap " +
+      "whatsoever in any of its many tokens at all"
+    val contaminated = "prefix words then alpha beta gamma delta " +
+      "epsilon zeta eta theta iota kappa lambda mu nu xi and suffix"
+    def land(name: String, rows: Seq[(Long, String)]): Unit =
+      Files.writeString(landing.resolve(name), rows.map { case (id, t) =>
+        s"""{"doc_id":$id,"text":"$t"}""" }.mkString("", "\n", "\n"))
+    land("f1.json", Seq((1L, clean), (2L, contaminated)))
+    land("f2.json", Seq((3L, contaminated), (4L, clean)))
+    val q = StreamingOps.decontaminateStream(
+        spark.readStream.schema(schema).json(s"$landing/*.json"),
+        evalSet, "doc_id", "text", n = 8, out)
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .start()
+    q.awaitTermination()
+    val streamed = graft.io.Staging.readTable(spark, out, "clean")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val batch = graft.ext.DecontamOps.decontaminate(
+        Seq((1L, clean), (2L, contaminated), (3L, contaminated),
+          (4L, clean)).toDF("doc_id", "text"),
+        evalSet, "doc_id", "text", 8, hashed = true)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(streamed == batch)
+    assert(streamed == Seq(1L, 4L))
+  }
+
+  test("funnelStream on a file source equals batch funnelStages with " +
+    "an on-disk checkpoint across progressive file lands") {
+    import graft.streaming.UserEvent
+    val root = Files.createTempDirectory("graft-funnel-files")
+    val landing = root.resolve("landing")
+    Files.createDirectories(landing)
+    val evs = Seq(
+      UserEvent(t(0), 1, "view", 0.0), UserEvent(t(1), 1, "click", 0.0),
+      UserEvent(t(5), 1, "purchase", 0.0),
+      UserEvent(t(0), 2, "click", 0.0), UserEvent(t(2), 2, "view", 0.0))
+    val (b1, b2) = evs.sortBy(_.ts.getTime).splitAt(3)
+    def land(name: String, rows: Seq[UserEvent]): Unit =
+      rows.toDS().write.parquet(landing.resolve(name).toString)
+    land("p1", b1)
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[UserEvent]].schema)
+      .parquet(s"$landing/*")
+      .as[UserEvent]
+    val q = graft.streaming.StreamingOps.funnelStream(stream,
+        ("view", "click", "purchase"))
+      .writeStream.format("memory").queryName("funnel_files_out")
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .outputMode("update").start()
+    q.processAllAvailable()
+    land("p2", b2)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("funnel_files_out")
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.max("t1").as("t1"),
+        org.apache.spark.sql.functions.max("t2").as("t2"),
+        org.apache.spark.sql.functions.max("t3").as("t3"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.isNullAt(1), r.isNullAt(2),
+        r.isNullAt(3))).toMap
+    val batch = graft.ext.EventOps.funnelStages(
+        evs.toDF(), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.isNullAt(1), r.isNullAt(2),
+        r.isNullAt(3))).toMap
+    assert(streamed == batch)
+    assert(streamed(1L) == (false, false, false)) // converted fully
+    assert(streamed(2L) == (false, true, true))   // stalled at view
+  }
+
   test("martPublishStream commits one mart version per epoch and " +
     "absorbs a DUPLICATED EPOCH: killed after the publish, before " +
     "the checkpoint commit, then restarted") {
