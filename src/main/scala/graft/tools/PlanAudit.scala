@@ -98,22 +98,54 @@ object PlanAudit {
     *    and the surface orderBy touch event-grain data — the same 2
     *    full-data exchanges as the unbucketed `asof_join`. Collapsing
     *    the seed path would re-serialize hot keys into one task,
-    *    which is the exact failure this variant exists to prevent. */
+    *    which is the exact failure this variant exists to prevent.
+    *
+    *  - `sql_q15` (4 vs tpch 3): the classic Q15 double-evaluation —
+    *    the revenue CTE feeds both the join and the uncorrelated MAX
+    *    scalar subquery, and Spark plans the subquery's aggregate as
+    *    its own (hash + Single) pair rather than reusing the main
+    *    plan's. Both extra exchanges carry per-supplier PARTIAL sums
+    *    (supplier-count rows, not lineitem rows), so the trade is
+    *    grain-bounded; the 100 TB form materializes the CTE once,
+    *    which Spark SQL text cannot express. The count rose when the
+    *    counter moved to the plan tree and started seeing subquery
+    *    plans at all — the shape itself is unchanged since r6. */
   val overrides: Map[String, Int] = Map(
-    "asof_join_bucketed" -> 5
+    "asof_join_bucketed" -> 5,
+    "sql_q15" -> 4
   )
 
-  def countExchanges(plan: String): Int = {
-    // a finalized AdaptiveSparkPlan prints BOTH the final plan and
-    // an "== Initial Plan ==" section — count the final one only.
-    // ReusedExchangeExec's argString embeds the referenced child's
-    // own "Exchange hashpartitioning(...)" text, so drop
-    // ReusedExchange lines before matching.
-    val finalSection = plan.split("== Initial Plan ==").head
-    finalSection.linesIterator
-      .filterNot(_.contains("ReusedExchange"))
-      .flatMap("Exchange (hash|range|Single)".r.findAllIn(_))
-      .size
+  /** Shuffle-exchange count of the AQE-FINAL plan, walked on the
+    * plan TREE, not the printed string. Tree-walk semantics give the
+    * budget exactly its documented meaning:
+    *   - AdaptiveSparkPlanExec → its current (post-AQE) plan;
+    *   - ReusedExchange → 0 (the shuffle is paid once);
+    *   - broadcast exchanges → 0 (the cheap alternative we WANT),
+    *     but real shuffles on the broadcast build side still count;
+    *   - InMemoryTableScan has NO children, so a persisted frame's
+    *     side-job lineage is excluded naturally — those stages ran
+    *     once at materialization ("the returned plan reads those
+    *     caches"). The previous string-based counter depended on how
+    *     the cached plan happened to PRINT (r8: re-backing the
+    *     signature table from a persisted frame to a parquet store
+    *     made identical side-job exchanges suddenly print expanded,
+    *     moving the gate with zero plan change);
+    *   - scalar/IN subquery plans are counted (they execute too).
+    */
+  def countExchanges(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{
+      ReusedExchangeExec, ShuffleExchangeLike}
+    val subs = p.subqueries.map(countExchanges).sum
+    p match {
+      case a: AdaptiveSparkPlanExec => subs + countExchanges(a.executedPlan)
+      case _: ReusedExchangeExec    => subs
+      case q: QueryStageExec        => subs + countExchanges(q.plan)
+      case e: ShuffleExchangeLike   =>
+        subs + 1 + e.children.map(countExchanges).sum
+      case other => subs + other.children.map(countExchanges).sum
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -125,13 +157,14 @@ object PlanAudit {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def executedPlan(name: String): String = {
+    def executedPlan(name: String)
+        : org.apache.spark.sql.execution.SparkPlan = {
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       // collect() executes THIS Dataset so AQE finalizes ITS plan —
       // count() would build a separate aggregate Dataset and leave
       // df's adaptive plan unfinalized (the SkewSpec-documented trap)
       df.collect()
-      df.queryExecution.executedPlan.toString
+      df.queryExecution.executedPlan
     }
 
     if (auditAll) {
@@ -177,7 +210,7 @@ object PlanAudit {
         val plan = executedPlan(name)
         println(s"=== $name (shuffle Exchange count: " +
           s"${countExchanges(plan)}) ===")
-        println(plan)
+        println(plan.toString)
       }
       spark.stop()
     }
