@@ -618,6 +618,123 @@ object DedupOps {
   }
 
   // ------------------------------------------------------------------
+  // Prefix-filtered exact Jaccard join (AllPairs / PPJoin family)
+  // ------------------------------------------------------------------
+
+  /** EXACT token-set Jaccard pair join at `threshold` with
+    * prefix-filter candidate generation — the deterministic scale
+    * path the blocked all-pairs forms ([[ngramJaccardPairs]],
+    * [[containmentPairs]]) lack, and the exact complement to the
+    * probabilistic LSH family: output is provably ALL pairs with
+    * rounded jaccard ≥ t, no banding miss probability, no bucket-cap
+    * recall trade (default cap is uncapped).
+    *
+    * The published AllPairs/PPJoin bound (Bayardo et al. WWW'07;
+    * Xiao et al. WWW'08): under ANY common total token order, if
+    * `J(A,B) ≥ t` then `|A∩B| ≥ ⌈t·|A|⌉` (since `|B| ≥ |A∩B|`), so
+    * the first `|A| - ⌈t·|A|⌉ + 1` tokens of A — its PREFIX — and
+    * B's prefix must share a token. Candidates are therefore pairs
+    * sharing ≥ 1 prefix token, a tiny fraction of all pairs when the
+    * order puts RARE tokens first (each doc's prefix is its rarest
+    * tokens, whose postings are short by definition).
+    *
+    * Scale shape:
+    *  - token document frequencies: one vocab-grain aggregate;
+    *  - rarity-sorting: one per-doc aggregate (sort is per-row,
+    *    inside the array);
+    *  - the candidate self-join carries (prefix-token, id, set-size)
+    *    ONLY — token arrays never enter the candidate shuffle (the
+    *    minhashCandidates slimness rule);
+    *  - a size filter (`t·max ≤ min`) prunes candidates before the
+    *    pair-dedup shuffle;
+    *  - payload verification joins run only for surviving pairs.
+    * Explode width is Σ(prefix sizes) ≈ (1-t)·corpus tokens — at
+    * t = 0.8, a fifth of the corpus token stream, shrinking as the
+    * threshold rises.
+    *
+    * `maxBucketSize` (default uncapped — this operator's contract is
+    * exactness) optionally drops prefix-token postings longer than
+    * the cap: only meaningful on corpora whose RARE-token postings
+    * are still huge, i.e. mass-duplicated boilerplate, which is the
+    * LSH family's documented territory.
+    *
+    * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded
+    *         to 6 dp and filtered on the rounded value (oracle
+    *         discipline, as [[minhashNearDupPairs]]) */
+  def prefixFilterJaccardPairs(df: DataFrame, idCol: String,
+                               textCol: String, threshold: Double,
+                               maxBucketSize: Int = Int.MaxValue)
+      : DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold=$threshold")
+    // the FINAL filter accepts the 6-dp-ROUNDED jaccard ≥ t, so a
+    // pair at true jaccard t - 5e-7 can legitimately pass — candidate
+    // generation (prefix length, size filter) must therefore run at a
+    // slightly relaxed threshold or those round-up borderline pairs
+    // would be pruned before verification ever sees them
+    val tEff = threshold - 1e-6
+    val sets = df.select(col(idCol).as("doc_id"),
+      transform(array_distinct(TextOps.tokens(col(textCol))),
+        t => xxhash64(t)).as("__tok"))
+      .withColumn("__n", size(col("__tok")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val toks = sets.select(col("doc_id"), explode(col("__tok")).as("__t"))
+    val dfreq = toks.groupBy("__t").agg(count(lit(1)).as("__df"))
+    // rarity order = (df asc, token asc): deterministic global total
+    // order with every doc's rarest tokens first. Sorting happens
+    // per-row inside the rebuilt array, not in a cluster sort.
+    val ranked = toks.join(dfreq, "__t")
+      .groupBy("doc_id")
+      .agg(transform(sort_array(collect_list(
+        struct(col("__df"), col("__t")))), s => s.getField("__t"))
+        .as("__sorted"))
+    // prefix length |A| - ceil(t·|A|) + 1; the 1e-9 slack keeps an
+    // exactly-representable product like 0.8·5 from ceiling UP on
+    // binary-float noise, which would shorten the prefix and
+    // silently break completeness
+    val pref = ranked.withColumn("__n", size(col("__sorted")))
+      .withColumn("__p", (col("__n") -
+        ceil(lit(tEff) * col("__n") - lit(1e-9)) + 1).cast("int"))
+      .select(col("doc_id"), col("__n"),
+        explode(slice(col("__sorted"), lit(1),
+          greatest(col("__p"), lit(0))))
+          .as("__pt"))
+    val posting =
+      if (maxBucketSize == Int.MaxValue) pref
+      else {
+        val small = pref.groupBy("__pt")
+          .agg(count(lit(1)).as("__psz"))
+          .filter(col("__psz") <= maxBucketSize && col("__psz") > 1)
+          .select("__pt")
+        pref.join(small, Seq("__pt"))
+      }
+    val a = posting.select(col("__pt"), col("doc_id").as("id_a"),
+      col("__n").as("__na"))
+    val b = posting.select(col("__pt"), col("doc_id").as("id_b"),
+      col("__n").as("__nb"))
+    val cand = a.join(b, Seq("__pt"))
+      .filter(col("id_a") < col("id_b") &&
+        // J ≥ t forces min(|A|,|B|)/max(|A|,|B|) ≥ t — prune before
+        // the pair-dedup shuffle
+        col("__na") * lit(tEff) <= col("__nb") + lit(1e-9) &&
+        col("__nb") * lit(tEff) <= col("__na") + lit(1e-9))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("__shared_prefix"))
+    val sa = sets.select(col("doc_id").as("id_a"), col("__tok").as("__ta"))
+    val sb = sets.select(col("doc_id").as("id_b"), col("__tok").as("__tb"))
+    val out = cand.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+      .withColumn("__i",
+        size(array_intersect(col("__ta"), col("__tb"))))
+      .withColumn("jaccard", round(col("__i").cast("double") /
+        (size(col("__ta")) + size(col("__tb")) - col("__i")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize, then release the corpus-scale set cache
+    sets.unpersist()
+    out
+  }
+
+  // ------------------------------------------------------------------
   // n-gram Jaccard
   // ------------------------------------------------------------------
 

@@ -21,6 +21,34 @@ object Text2Queries {
 
   val defs: Map[String, QueryDef] = Map(
 
+    // EXACT threshold Jaccard pair join via prefix filtering
+    // (AllPairs/PPJoin — DedupOps.prefixFilterJaccardPairs): the
+    // deterministic scale path for exact similarity joins, candidate
+    // generation bounded by rare-token prefixes instead of blocking
+    // keys or LSH probability. Run on the doc_id % 4 = 1 subset (the
+    // corpus's degenerate mega-cluster makes the FULL exact pair
+    // listing inherently quadratic in output — same subsetting
+    // rationale as dedup_minhash_verified) under a genuine all-pairs
+    // DuckDB ground truth: set equality at the threshold, proving
+    // both the prefix-filter completeness bound and the size filter
+    // drop nothing.
+    "jaccard_pairs_prefix" -> QueryDef(
+      (s, d) => graft.ext.DedupOps.prefixFilterJaccardPairs(
+          Tables.documents(s, d).filter(col("doc_id") % 4 === 1)
+            .repartition(32),
+          "doc_id", "text", threshold = 0.8)
+        .orderBy(col("jaccard").desc, col("id_a"), col("id_b")),
+      Some(s"""WITH t AS (SELECT doc_id,
+        |    list_distinct($tokSql) AS ts
+        |  FROM documents WHERE doc_id % 4 = 1),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    round(len(list_intersect(a.ts, b.ts))::DOUBLE /
+        |      (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))),
+        |      6) AS jaccard
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.8
+        |ORDER BY jaccard DESC, id_a, id_b""".stripMargin)),
+
     // Benchmark decontamination: docs with doc_id % 37 = 0 stand in
     // for the eval set; every other doc is flagged if it shares any
     // word 4-gram with that set. Eval n-grams broadcast (benchmarks

@@ -38,7 +38,8 @@ object PlanAudit {
     case n if n.startsWith("dedup_") ||
       n == "containment_dedup" || n == "chunk_dedup" ||
       n == "ngram_jaccard_topk" || n == "fuzzy_link_blocked" ||
-      n == "leakage_safe_split" || n == "decontaminate"     => "neardup"
+      n == "leakage_safe_split" || n == "decontaminate" ||
+      n == "jaccard_pairs_prefix"                           => "neardup"
     case n if n.startsWith("ann_") || n.startsWith("vector_") => "vector"
     case n if n.startsWith("incremental_") ||
       n == "versioned_store" || n == "versioned_store_partitioned" ||

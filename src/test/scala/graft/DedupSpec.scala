@@ -108,6 +108,52 @@ class DedupSpec extends SparkSpec {
     assert(inline.nonEmpty)
   }
 
+  test("prefixFilterJaccardPairs equals the exhaustive all-pairs " +
+    "exact jaccard — set equality, not just recall") {
+    // mixed corpus: near-dup clusters, exact dups, disjoint docs,
+    // size-mismatched docs (exercises the size filter), and docs
+    // sharing only COMMON tokens (exercises the rare-first prefix)
+    val corpus = (
+      (1 to 6).map(i => (i.toLong,
+        "alpha beta gamma delta epsilon zeta eta theta iota " +
+          (if (i % 2 == 0) "kappa" else "lambda"))) ++
+      Seq(
+        (20L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+        (21L, "alpha beta"), // subset, size-filtered at high t
+        (30L, "totally different words about query planning fun"),
+        (31L, "totally different words about query planning fun"),
+        (40L, "the and of to in a is it")) // all-common tokens
+    ).toDF("doc_id", "text")
+    for (t <- Seq(0.5, 0.8)) {
+      val ts = corpus.select($"doc_id",
+        array_distinct(graft.ext.TextOps.tokens($"text")).as("ts"))
+      val exact = ts.as("a").join(ts.as("b"),
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          round(size(array_intersect($"a.ts", $"b.ts")).cast("double") /
+            (size($"a.ts") + size($"b.ts") -
+              size(array_intersect($"a.ts", $"b.ts"))), 6).as("j"))
+        .filter($"j" >= t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val got = DedupOps.prefixFilterJaccardPairs(
+          corpus, "doc_id", "text", threshold = t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got == exact,
+        s"t=$t: got=${got.size} exact=${exact.size}; " +
+          s"missing=${(exact -- got).take(5)} extra=${(got -- exact).take(5)}")
+      assert(exact.nonEmpty, s"t=$t ground truth empty — weak corpus")
+    }
+    // borderline exactness: 4-of-5 overlap = jaccard 4/6 ≈ 0.666667
+    // rounds UP to the 0.666667 threshold — the relaxed candidate
+    // threshold must let verification see it
+    val edge = Seq(
+      (1L, "a b c d e"), (2L, "a b c d f")).toDF("doc_id", "text")
+    val hit = DedupOps.prefixFilterJaccardPairs(
+        edge, "doc_id", "text", threshold = 0.666667)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(hit == Set((1L, 2L)))
+  }
+
   test("duplicateClusters finds transitive components with min-id reps") {
     // components: {1,2,3,7} via chain 1-2, 2-3, 3-7; {5,9}; pair list
     // never contains (1,7) etc. — only the closure connects them
