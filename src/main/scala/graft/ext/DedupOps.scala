@@ -509,15 +509,24 @@ object DedupOps {
     *    more-compute-buys-collision-freedom trade as chooseBlocks).
     *
     * The returned signature length `r·b` is monotone non-decreasing
-    * in `n` (SimhashBlocksSpec proves bounds + monotonicity). The
-    * hot-bucket cap is deliberately NOT n-derived: a band hash is 64
-    * bits, so unrelated-doc occupancy stays ~0 at any corpus size —
-    * oversized buckets mean a degenerate near-dup cluster, and the
-    * cap is a per-cluster boundedness guard, not a collision knob. */
+    * in `n` (SimhashBlocksSpec proves bounds + monotonicity) and
+    * CAPPED at `maxSigHashes` (default 512 longs/doc): the recall
+    * constraint makes bands grow like `1/t^r`, so an uncapped search
+    * at a moderate threshold and web-scale `n` would return
+    * megabyte-scale signatures (t = 0.5, n = 1e9 → ~6.8M hashes).
+    * When no depth within the budget meets the false-positive target
+    * the deepest in-budget `r` is used — best effort, exactly the
+    * [[chooseBlocks]] fallback posture, with the hot-bucket cap as
+    * the remaining safety. The hot-bucket cap itself is deliberately
+    * NOT n-derived: a band hash is 64 bits, so unrelated-doc
+    * occupancy stays ~0 at any corpus size — oversized buckets mean
+    * a degenerate near-dup cluster, and the cap is a per-cluster
+    * boundedness guard, not a collision knob. */
   def chooseMinhashParams(n: Long, threshold: Double,
                           bgJaccard: Double = 0.1,
                           maxMissProb: Double = 1e-6,
-                          fpPerDoc: Double = 1.0): (Int, Int, Int) = {
+                          fpPerDoc: Double = 1.0,
+                          maxSigHashes: Int = 512): (Int, Int, Int) = {
     require(threshold > 0 && threshold < 1, s"threshold=$threshold")
     def bandsFor(r: Int): Int = {
       val pBand = math.pow(threshold, r)
@@ -525,11 +534,16 @@ object DedupOps {
       math.max(1, math.ceil(math.log(maxMissProb) /
         math.log1p(-pBand)).toInt)
     }
-    val r = (2 to 32).find { r =>
+    val inBudget = (2 to 32)
+      .takeWhile(r => r.toLong * bandsFor(r) <= maxSigHashes)
+    require(inBudget.nonEmpty,
+      s"maxSigHashes=$maxSigHashes cannot satisfy recall " +
+        s"$maxMissProb at threshold=$threshold even at r=2")
+    val r = inBudget.find { r =>
       val fp = (math.max(n, 2L) - 1L) / 2.0 * bandsFor(r) *
         math.pow(bgJaccard, r)
       fp <= fpPerDoc
-    }.getOrElse(32)
+    }.getOrElse(inBudget.last)
     (r * bandsFor(r), bandsFor(r), r)
   }
 

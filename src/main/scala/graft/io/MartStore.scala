@@ -8,28 +8,36 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * (`transformation_dw.py:122-334`) — a reader querying mid-rebuild
   * sees some tables new and some old. Here a publish writes every
   * table's next version dir UNCOMMITTED, then lands ONE small commit
-  * marker naming all (table → version) pairs:
+  * marker naming all (table → version-dir) pairs:
   *
-  * Layout: `<storeDir>/<table>/_v_<N>/data/` (immutable data, no
-  * per-table marker — visibility is gated solely by the mart commit)
-  * + `<storeDir>/_commits/_c_<M>` (one-line JSON
-  * `{"mart_version":M,"batch_id":"…","tables":{"t1":3,"t2":7}}`).
+  * Layout: `<storeDir>/<table>/_v_<N>_<nonce>/data/` (immutable data,
+  * no per-table marker — visibility is gated solely by the mart
+  * commit; the per-publish nonce in the dir name makes version dirs
+  * PUBLISHER-UNIQUE, so racing publishers can never write or sweep
+  * each other's paths) + `<storeDir>/_commits/_c_<M>` (one-line JSON
+  * `{"mart_version":M,"batch_id":"…","publisher":"…",
+  * "tables":{"t1":"_v_0000003_ab12cd34",…}}`).
   *
   * THE COMMIT POINT is the completed write of `_c_<M>` — a single
   * small object PUT covering ALL tables at once. A reader resolves a
   * [[Snapshot]] from the highest valid marker ONCE and reads every
   * table through it, so it observes one consistent table-set by
   * construction: there is no interleaving in which it can see table A
-  * from commit M and table B from commit M-1. A marker that is empty
-  * or unparsable reads as not-committed (same crash-window reasoning
-  * as [[VersionedStore]]'s `markerCommitted`).
+  * from commit M and table B from commit M-1. A marker is VALID only
+  * if it parses completely (trailing brace, tables block present) —
+  * a truncated half-written marker reads as not-committed.
   *
   * Crash windows (single publisher per store):
   *   - dies after writing some tables' version dirs, before the
   *     marker → readers unaffected (old marker still current); the
-  *     orphaned dirs are swept by the next publish;
+  *     orphaned dirs are swept by the next SUCCESSFUL publish's
+  *     post-commit housekeeping;
   *   - dies after the marker, before prune → the commit IS durable;
   *     stale markers/versions prune on the next publish;
+  *   - dies mid-marker-write → the truncated file is invalid (never
+  *     a commit); the next publish allocates the NEXT commit number
+  *     (numbers with any existing file are never reused) and removes
+  *     the corpse after committing;
   *   - the publish batch is REPLAYED → `batchId` dedup against every
   *     retained commit: acknowledged, no new versions.
   *
@@ -40,26 +48,33 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * dirs referenced by NO retained commit are pruned with them.
   *
   * CONCURRENT PUBLISHERS: the design assumes one publisher per store,
-  * but a second one must fail LOUDLY, never corrupt. Two racing
-  * publishers compute the same next commit number; who wins depends
-  * on the filesystem's `create(path, overwrite = false)`:
+  * but a second one must fail LOUDLY, never corrupt. Nonce-unique
+  * version dirs mean the data paths can never collide, and ALL
+  * sweeping happens post-commit (only a publisher whose marker just
+  * landed sweeps — a loser throws before any delete), restricted to
+  * unreferenced dirs whose version number is ≤ the table's committed
+  * maximum (a younger publisher's in-flight dirs carry a HIGHER
+  * number and are untouchable). The marker race itself resolves by
+  * filesystem model:
   *   - HDFS/local: atomic create-if-absent — the second create
-  *     throws, and publishAll surfaces it as
-  *     [[ConcurrentPublishException]];
+  *     throws, surfaced as [[ConcurrentPublishException]];
   *   - object stores: create is a blind PUT with last-writer-wins —
-  *     NOT atomic, both "succeed". publishAll therefore re-reads the
-  *     marker it just wrote and checks the embedded per-publish
-  *     `publisher` nonce; a mismatch means this publish was
-  *     overwritten and it throws [[ConcurrentPublishException]].
-  * Either way exactly one publisher's marker survives as commit N and
-  * the loser's uncommitted version dirs are swept by the next
-  * publish. The loser's caller retries: if its batch carried a
-  * `batchId` and the winner was a replay of the same batch, the retry
-  * dedups and acknowledges; otherwise it lands as commit N+1. The
-  * post-PUT verification closes the race to the PUT-to-read window —
-  * on stores with read-after-write consistency (S3 since 2020) the
-  * overwrite is detected; a store without even that needs an external
-  * lease, which no marker protocol can replace. */
+  *     both "succeed". publishAll therefore re-reads the marker it
+  *     just wrote and checks the embedded per-publish `publisher`
+  *     nonce; a mismatch means this publish was overwritten and it
+  *     throws [[ConcurrentPublishException]]. A read-back that FAILS
+  *     outright is NOT treated as a lost race — it surfaces as the
+  *     I/O error it is (the commit may well have landed; the caller
+  *     must re-inspect, not blindly retry).
+  * Either way exactly one publisher's marker survives as commit N,
+  * the loser's uncommitted version dirs are swept by a later
+  * publish, and a loser's retry dedups on `batchId` if the winner
+  * was a replay of the same batch. The post-PUT verification closes
+  * the race to the PUT-to-read window — on stores with
+  * read-after-write consistency (S3 since 2020) the overwrite is
+  * detected; a store without even that needs an external lease,
+  * which no marker protocol can replace. */
+
 /** A concurrent publisher won the commit race (MartStore scaladoc,
   * "CONCURRENT PUBLISHERS"): nothing from this publish is visible;
   * the store is exactly as the winner left it. Retry the publish —
@@ -71,8 +86,17 @@ object MartStore {
   private val CommitsDir = "_commits"
   private val CPrefix = "_c_"
   private val VerPrefix = "_v_"
+  private val VerName = """_v_(\d+).*""".r
 
-  private def vname(v: Long): String = f"$VerPrefix$v%07d"
+  private def vname(v: Long, nonce: String): String =
+    f"$VerPrefix$v%07d_$nonce"
+
+  /** Numeric version of a version-dir name; accepts both the nonced
+    * form and the legacy bare `_v_<N>` form. */
+  private def vnum(dirName: String): Option[Long] = dirName match {
+    case VerName(d) => d.toLongOption
+    case _          => None
+  }
 
   private def fsFor(spark: SparkSession, p: String) =
     new org.apache.hadoop.fs.Path(p)
@@ -80,14 +104,18 @@ object MartStore {
 
   /** One resolved, immutable view of the whole store: every
     * `readTable` against the same snapshot reads from the same mart
-    * commit — the all-or-nothing reader contract. */
+    * commit — the all-or-nothing reader contract. `dirs` maps table →
+    * version-dir name (the marker's ground truth); `tables` exposes
+    * the numeric versions. */
   case class Snapshot(version: Long, batchId: Option[String],
-                      tables: Map[String, Long], storeDir: String) {
+                      dirs: Map[String, String], storeDir: String) {
+    def tables: Map[String, Long] =
+      dirs.flatMap { case (t, d) => vnum(d).map(t -> _) }
     def readTable(spark: SparkSession, table: String): DataFrame = {
-      val v = tables.getOrElse(table,
+      val d = dirs.getOrElse(table,
         throw new java.util.NoSuchElementException(
           s"table $table not in mart commit $version"))
-      spark.read.parquet(s"$storeDir/$table/${vname(v)}/data")
+      spark.read.parquet(s"$storeDir/$table/$d/data")
     }
   }
 
@@ -100,23 +128,33 @@ object MartStore {
       finally in.close()
     } catch { case _: java.io.IOException => None }
 
+  /** Strict marker parse: the text must END with the closing brace
+    * and carry a complete `"tables":{…}` block — a marker truncated
+    * mid-write (crash, disk-full) parses as None, i.e. NOT
+    * committed, never as a valid commit with a gutted table map. */
   private def parseMarker(txt: String)
-      : Option[(Long, Option[String], Map[String, Long])] =
-    """"mart_version":(\d+)""".r.findFirstMatchIn(txt).map { m =>
+      : Option[(Long, Option[String], Map[String, String])] =
+    for {
+      _ <- if (txt.trim.endsWith("}")) Some(()) else None
+      m <- """"mart_version":(\d+)""".r.findFirstMatchIn(txt)
+      body <- """"tables":\{([^}]*)\}""".r.findFirstMatchIn(txt)
+        .map(_.group(1))
+    } yield {
       val batch = """"batch_id":"([^"]*)"""".r.findFirstMatchIn(txt)
         .map(_.group(1)).filter(_.nonEmpty)
-      val body = """"tables":\{([^}]*)\}""".r.findFirstMatchIn(txt)
-        .map(_.group(1)).getOrElse("")
-      val tables = """"([^"]+)":(\d+)""".r.findAllMatchIn(body)
-        .map(g => g.group(1) -> g.group(2).toLong).toMap
+      val tables = """"([^"]+)":"([^"]+)"""".r.findAllMatchIn(body)
+        .filterNot(g => g.group(1) == "batch_id" ||
+          g.group(1) == "publisher")
+        .map(g => g.group(1) -> g.group(2)).toMap
       (m.group(1).toLong, batch, tables)
     }
 
-  /** Every VALID commit marker, ascending. An empty or unparsable
-    * marker file (crash mid-write) is skipped — not committed. */
+  /** Every VALID commit marker, ascending. An empty, truncated, or
+    * unparsable marker file (crash mid-write) is skipped — not
+    * committed. */
   private def commits(spark: SparkSession, storeDir: String)
       : Seq[(Long, org.apache.hadoop.fs.Path,
-             (Long, Option[String], Map[String, Long]))] = {
+             (Long, Option[String], Map[String, String]))] = {
     val dir = new org.apache.hadoop.fs.Path(s"$storeDir/$CommitsDir")
     val fs = fsFor(spark, storeDir)
     if (!fs.exists(dir)) return Nil
@@ -124,13 +162,24 @@ object MartStore {
       .filter(s => s.isFile && s.getPath.getName.startsWith(CPrefix))
       .flatMap { s =>
         s.getPath.getName.stripPrefix(CPrefix).toLongOption.flatMap { n =>
-          val in = fs.open(s.getPath)
-          val txt = try scala.io.Source.fromInputStream(in, "UTF-8")
-            .mkString finally in.close()
-          parseMarker(txt).filter(_._1 == n).map(p => (n, s.getPath, p))
+          readMarkerText(fs, s.getPath).flatMap(parseMarker)
+            .filter(_._1 == n).map(p => (n, s.getPath, p))
         }
       }
       .sortBy(_._1)
+  }
+
+  /** Highest commit-marker FILE number present, valid or not — commit
+    * numbers with any existing file are never reused, so a truncated
+    * corpse can never collide with (or be resurrected by) a retry. */
+  private def maxMarkerFile(fs: org.apache.hadoop.fs.FileSystem,
+                            storeDir: String): Long = {
+    val dir = new org.apache.hadoop.fs.Path(s"$storeDir/$CommitsDir")
+    if (!fs.exists(dir)) return 0L
+    fs.listStatus(dir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith(CPrefix))
+      .flatMap(_.getPath.getName.stripPrefix(CPrefix).toLongOption)
+      .maxOption.getOrElse(0L)
   }
 
   def snapshot(spark: SparkSession, storeDir: String): Option[Snapshot] =
@@ -149,15 +198,17 @@ object MartStore {
     if (!fs.exists(troot)) Nil
     else fs.listStatus(troot).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(VerPrefix))
-      .flatMap(s => s.getPath.getName.stripPrefix(VerPrefix).toLongOption
-        .map(v => (v, s.getPath)))
+      .flatMap(s => vnum(s.getPath.getName).map(v => (v, s.getPath)))
 
   /** PUT the marker with create-if-absent semantics. On an
     * atomic-create filesystem a collision with a concurrent
-    * publisher's valid marker surfaces here; on a blind-PUT store
-    * both writes "succeed" and the loser is caught by
-    * [[verifyOwnMarker]]. Package-visible so MartStoreSpec can drive
-    * the PUT/PUT/verify/verify interleaving deterministically. */
+    * publisher's VALID marker surfaces as
+    * [[ConcurrentPublishException]]; any other create/write failure
+    * (including colliding with a truncated corpse) rethrows as the
+    * I/O error it is. On a blind-PUT store both writes "succeed" and
+    * the loser is caught by [[verifyOwnMarker]]. Package-visible so
+    * MartStoreSpec can drive the PUT/PUT/verify/verify interleaving
+    * deterministically. */
   private[graft] def landMarker(fs: org.apache.hadoop.fs.FileSystem,
                                 mpath: org.apache.hadoop.fs.Path,
                                 marker: String): Unit =
@@ -175,12 +226,22 @@ object MartStore {
     }
 
   /** Last-writer-wins detection for stores whose create() is a blind
-    * PUT (see scaladoc): the surviving marker must carry OUR nonce,
-    * otherwise this publish was overwritten and did not land. */
+    * PUT (see scaladoc): the surviving marker must carry OUR nonce.
+    * A SUCCESSFUL read with a different nonce = overwritten →
+    * [[ConcurrentPublishException]]. A read that keeps FAILING is an
+    * I/O problem, not a lost race — the commit may have landed, so
+    * it surfaces as an IOException telling the caller to re-inspect
+    * rather than blindly re-publish. */
   private[graft] def verifyOwnMarker(fs: org.apache.hadoop.fs.FileSystem,
                                      mpath: org.apache.hadoop.fs.Path,
                                      nonce: String): Unit = {
-    val winner = readMarkerText(fs, mpath).getOrElse("")
+    val winner = (1 to 3).iterator
+      .map(_ => readMarkerText(fs, mpath))
+      .collectFirst { case Some(t) => t }
+      .getOrElse(throw new java.io.IOException(
+        s"commit marker $mpath could not be read back after the PUT — " +
+          "the commit may have landed; inspect the store before " +
+          "retrying the publish"))
     if (!""""publisher":"([^"]*)"""".r.findFirstMatchIn(winner)
         .map(_.group(1)).contains(nonce))
       throw new ConcurrentPublishException(
@@ -189,9 +250,12 @@ object MartStore {
   }
 
   /** Publish `tables` as one atomic commit: write each table's next
-    * version dir, then land the single marker naming every table's
-    * version (published ones advance, the rest carry forward).
-    * Returns the committed snapshot. Replay-idempotent on `batchId`. */
+    * version dir (nonce-unique path), land the single marker naming
+    * every table's version dir (published ones advance, the rest
+    * carry forward), then — having WON the commit — sweep aged
+    * markers, invalid marker corpses, and version dirs no retained
+    * commit references. Returns the committed snapshot.
+    * Replay-idempotent on `batchId`. */
   def publishAll(spark: SparkSession, tables: Seq[(String, DataFrame)],
                  storeDir: String, batchId: Option[String] = None,
                  keepCommits: Int = 2): Snapshot = {
@@ -199,66 +263,76 @@ object MartStore {
       return snapshot(spark, storeDir).get
     val fs = fsFor(spark, storeDir)
     val cs = commits(spark, storeDir)
-    val cur: Map[String, Long] = cs.lastOption.map(_._3._3)
+    val cur: Map[String, String] = cs.lastOption.map(_._3._3)
       .getOrElse(Map.empty)
-    val referenced: Map[String, Set[Long]] = cs.flatMap(_._3._3.toSeq)
-      .groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).toSet }
-    val nextC = cs.lastOption.map(_._1 + 1).getOrElse(1L)
-    // sweep corpses of a crashed previous publish: unparsable marker
-    // files, and published tables' version dirs no commit references
-    // (readers never saw either)
-    val cdir = new org.apache.hadoop.fs.Path(s"$storeDir/$CommitsDir")
-    if (fs.exists(cdir)) {
-      val valid = cs.map(_._2.getName).toSet
-      fs.listStatus(cdir).toSeq
-        .filter(s => s.isFile && s.getPath.getName.startsWith(CPrefix) &&
-          !valid.contains(s.getPath.getName))
-        .foreach(s => fs.delete(s.getPath, false))
-    }
-    tables.foreach { case (name, _) =>
-      val troot = new org.apache.hadoop.fs.Path(s"$storeDir/$name")
-      versionDirs(fs, troot)
-        .filterNot { case (v, _) =>
-          referenced.getOrElse(name, Set.empty).contains(v) }
-        .foreach { case (_, p) => fs.delete(p, true) }
-    }
+    // never reuse a commit number with ANY file (valid or corpse)
+    val nextC = math.max(cs.lastOption.map(_._1).getOrElse(0L),
+      maxMarkerFile(fs, storeDir)) + 1
+    val nonce = java.util.UUID.randomUUID().toString
+    val nonce8 = nonce.replace("-", "").take(8)
     // write every table's next version dir — all UNCOMMITTED until
-    // the one marker below; a crash anywhere in this loop leaves the
-    // store exactly as readers currently see it
-    val newVers: Map[String, Long] = tables.map { case (name, df) =>
+    // the one marker below, on paths no other publisher can collide
+    // with (the nonce); a crash anywhere in this loop leaves the
+    // store exactly as readers currently see it. NOTHING is deleted
+    // before the commit point.
+    val newDirs: Map[String, String] = tables.map { case (name, df) =>
       val troot = new org.apache.hadoop.fs.Path(s"$storeDir/$name")
       val v = versionDirs(fs, troot).map(_._1).maxOption.getOrElse(0L) + 1
+      val dirName = vname(v, nonce8)
       df.write.mode(SaveMode.Overwrite)
-        .parquet(s"$storeDir/$name/${vname(v)}/data")
-      name -> v
+        .parquet(s"$storeDir/$name/$dirName/data")
+      name -> dirName
     }.toMap
-    val all = cur ++ newVers
+    val all = cur ++ newDirs
     // ---- the commit point: ONE small object PUT for ALL tables ----
     val body = all.toSeq.sortBy(_._1)
-      .map { case (t, v) => s""""$t":$v""" }.mkString(",")
-    val nonce = java.util.UUID.randomUUID().toString
+      .map { case (t, d) => s""""$t":"$d"""" }.mkString(",")
     val marker = s"""{"mart_version":$nextC,"batch_id":"${
       batchId.getOrElse("")}","publisher":"$nonce","tables":{$body}}"""
+    val cdir = new org.apache.hadoop.fs.Path(s"$storeDir/$CommitsDir")
     fs.mkdirs(cdir)
     val mpath = new org.apache.hadoop.fs.Path(cdir, f"$CPrefix$nextC%07d")
     landMarker(fs, mpath, marker)
     verifyOwnMarker(fs, mpath, nonce)
-    // post-commit housekeeping — crash-safe to skip or die inside:
-    // drop commits beyond the keep window, then version dirs no
-    // retained commit references
+    // ---- post-commit housekeeping — WE are the committed publisher
+    // (a loser threw above and deletes nothing, ever). Crash-safe to
+    // skip or die inside: everything here re-runs on the next
+    // successful publish.
     val after = commits(spark, storeDir)
-    after.filter(_._1 <= nextC - keepCommits)
-      .foreach { case (_, p, _) => fs.delete(p, false) }
+    // aged markers beyond the keep window + invalid corpses at or
+    // below our commit number (an in-flight racer writing a HIGHER
+    // number is untouchable)
+    val validNames = after.map(_._2.getName).toSet
+    fs.listStatus(cdir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith(CPrefix))
+      .foreach { s =>
+        val id = s.getPath.getName.stripPrefix(CPrefix).toLongOption
+        val aged = validNames.contains(s.getPath.getName) &&
+          id.exists(_ <= nextC - keepCommits)
+        val corpse = !validNames.contains(s.getPath.getName) &&
+          id.forall(_ <= nextC)
+        if (aged || corpse) fs.delete(s.getPath, false)
+      }
     val retained = after.filter(_._1 > nextC - keepCommits)
-    val live: Map[String, Set[Long]] = retained.flatMap(_._3._3.toSeq)
-      .groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).toSet }
+    val live: Map[String, Set[String]] = retained.flatMap(_._3._3.toSeq)
+      .groupBy(_._1).map { case (t, ds) => t -> ds.map(_._2).toSet }
+    // committed ceiling per table: dirs above it belong to a YOUNGER
+    // in-flight publisher and must survive; dirs at or below it that
+    // no retained commit references are corpses or aged versions
+    val ceiling: Map[String, Long] = live.map { case (t, ds) =>
+      t -> ds.flatMap(vnum).maxOption.getOrElse(0L)
+    }
     fs.listStatus(new org.apache.hadoop.fs.Path(storeDir)).toSeq
       .filter(s => s.isDirectory && s.getPath.getName != CommitsDir)
       .foreach { tdir =>
         val name = tdir.getPath.getName
         versionDirs(fs, tdir.getPath)
-          .filterNot { case (v, _) =>
-            live.getOrElse(name, Set.empty).contains(v) }
+          .filter { case (v, p) =>
+            // a table with NO committed version keeps everything: a
+            // racing first publish's in-flight dirs must survive
+            // (its corpses clean up once the table first commits)
+            !live.getOrElse(name, Set.empty).contains(p.getName) &&
+              v <= ceiling.getOrElse(name, 0L) }
           .foreach { case (_, p) => fs.delete(p, true) }
       }
     Snapshot(nextC, batchId, all, storeDir)

@@ -238,44 +238,64 @@ object Relational {
     * — a partitions-count-sized frame, the only single-partition step).
     *
     * The result depends only on the global `order` (which must be a
-    * TOTAL order — pass a unique key last), not on where the range
-    * boundaries fall. The offsets branch re-derives the same layout
-    * from its own (column-pruned) pass: RangePartitioner's sampling
-    * is seeded from the partition index, so identical input produces
-    * identical boundaries, and Catalyst prunes that pass down to the
-    * order columns alone — the count pass shuffles a NARROW key
-    * stream, not the full rows (the wide data crosses the wire
-    * exactly once).
+    * TOTAL order — pass a unique key last; the first order column
+    * must be an atomic orderable type, and all order columns plain
+    * ascending).
     *
-    * The within-partition rank is NOT a `Window.partitionBy(__pid)`
-    * row_number: that window needs HashPartitioning(__pid), which the
-    * range exchange doesn't satisfy, so Spark would re-shuffle the
-    * ENTIRE dataset a second time just to rank rows that are already
-    * collocated and sorted. Instead the local index is
-    * `monotonically_increasing_id()` minus the partition's minimum id
-    * (carried on the same broadcast offsets row): mono ids are
-    * `(pid << 33) + rowIndexInPartition`, i.e. base + 0,1,2,… in the
-    * post-sort row order, so the subtraction IS the local rank —
-    * computed in the projection, zero extra shuffle. Contiguity is
-    * double-checked: the DuckDB oracle hash-compares against a bare
-    * global row_number, and RelationalSpec asserts ids = 0..n-1. */
+    * WHY buckets are a VALUE function, not a physical layout: the
+    * rank-within-piece + broadcast-offsets composition needs the
+    * data pass and the (column-pruned) count pass to agree on which
+    * piece every row belongs to. Deriving pieces from the physical
+    * partitioning (`repartitionByRange` + `spark_partition_id`, the
+    * previous form) makes that agreement depend on two INDEPENDENT
+    * range exchanges sampling identical boundaries — and they don't:
+    * RangePartitioner seeds its sampler from the RDD id, so the two
+    * branches can draw different boundaries (and AQE may also
+    * coalesce the narrow pass differently). At oracle scale the
+    * divergence was masked by everything coalescing to one
+    * partition; with real partition counts the ids came out wrong.
+    * Here the piece id `__b` is a PURE FUNCTION of the row: cut
+    * points are quantiles of a bounded driver-collected sample,
+    * folded in as literals, so both passes compute bit-identical
+    * piece ids regardless of partitioning, sampling seeds, or AQE
+    * decisions. ANY cut set is CORRECT (cuts only balance piece
+    * sizes — equal keys always land in one piece; correctness needs
+    * only the same cuts on both passes, which literals guarantee).
+    *
+    * Shape: one bounded sample job (narrow, limit-bounded), one
+    * full-data hash shuffle on `__b` for the per-piece rank window,
+    * one NARROW count pass (column-pruned to the order keys), and a
+    * broadcast offsets join — the corpus never collapses to a
+    * single-partition window. Contiguity is double-checked: the
+    * DuckDB oracle hash-compares against a bare global row_number,
+    * and RelationalSpec asserts ids = 0..n-1. */
   def contiguousRowIds(df: DataFrame, order: Seq[Column],
                        idName: String = "row_id"): DataFrame = {
-    val ranged = df.repartitionByRange(order: _*)
-      .sortWithinPartitions(order: _*)
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__mono", monotonically_increasing_id())
-    val offsets = ranged.groupBy("__pid")
-      .agg(count(lit(1)).as("__cnt"), min("__mono").as("__base"))
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    // bounded quantile sample of the leading order key; sampling
+    // randomness is harmless (any cuts are correct — see scaladoc)
+    val sample = df.select(order.head.as("__k"))
+      .sample(0.1).limit(100000)
+      .orderBy(col("__k")).collect().map(_.get(0))
+    val cuts: Seq[Any] =
+      if (sample.isEmpty) Nil
+      else (1 until n).map(i =>
+        sample(((i.toLong * (sample.length - 1)) / n).toInt))
+    val bucket = cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + when(order.head > lit(c), 1).otherwise(0) }
+    val bucketed = df.withColumn("__b", bucket)
+    val offsets = bucketed.groupBy("__b")
+      .agg(count(lit(1)).as("__cnt"))
       .withColumn("__offset",
         coalesce(sum(col("__cnt")).over(
-          Window.orderBy("__pid")
+          Window.orderBy("__b")
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("__pid", "__offset", "__base")
-    ranged
-      .join(broadcast(offsets), Seq("__pid"))
+      .select("__b", "__offset")
+    val w = Window.partitionBy("__b").orderBy(order: _*)
+    bucketed
+      .join(broadcast(offsets), Seq("__b"))
       .withColumn(idName,
-        col("__offset") + (col("__mono") - col("__base")))
-      .drop("__pid", "__offset", "__mono", "__base")
+        col("__offset") + row_number().over(w) - lit(1))
+      .drop("__b", "__offset")
   }
 }

@@ -51,13 +51,26 @@ class MartStoreSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$store/_commits/_c_0000002"),
       Array.emptyByteArray)
     assert(MartStore.snapshot(spark, store).get.version == 1L)
-    // the retried publish sweeps both corpses and commits above them
+    // ...and so is a TRUNCATED one that still carries a parsable
+    // prefix (crash mid-write after flushing part of the JSON) — the
+    // strict parse requires the complete tables block + closing brace
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$store/_commits/_c_0000003"),
+      """{"mart_version":3,"batch_id":"px","publisher":"x","tables":{"a"""")
+    assert(MartStore.snapshot(spark, store).get.version == 1L)
+    // the retried publish commits ABOVE every corpse (marker-file
+    // numbers are never reused) and its post-commit sweep removes them
     val s2 = MartStore.publishAll(spark, Seq(
       "a" -> Seq((1L, "a2")).toDF("id", "v"),
       "b" -> Seq((1L, "b2")).toDF("id", "v")), store, Some("p2"))
-    assert(s2.version == 2L)
+    assert(s2.version == 4L)
     assert(s2.readTable(spark, "a").as[(Long, String)].head()._2 == "a2")
     assert(s2.readTable(spark, "b").as[(Long, String)].head()._2 == "b2")
+    // corpses gone; commit 1 aged out of keepCommits=2 (window is
+    // commit numbers > 4 - 2, and the invalid 2/3 never counted)
+    val names = new java.io.File(s"$store/_commits").listFiles()
+      .map(_.getName).filter(_.startsWith("_c_")).sorted.toSeq
+    assert(names == Seq("_c_0000004"), names)
   }
 
   test("a replayed publish batch is acknowledged without a new commit; " +
@@ -90,11 +103,14 @@ class MartStoreSpec extends SparkSpec {
       MartStore.publishAll(spark, Seq(
         "a" -> Seq((1L, s"a$i")).toDF("id", "v")), store, Some(s"p$i"))
     }
+    // dir names carry a per-publish nonce suffix — compare the
+    // numeric version prefixes
     def verDirs(t: String) = Option(
       new java.io.File(s"$store/$t").listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.startsWith("_v_")).map(_.getName).sorted.toSeq
-    assert(verDirs("a") == Seq("_v_0000003", "_v_0000004"))
-    assert(verDirs("b") == Seq("_v_0000001"))
+      .filter(_.getName.startsWith("_v_"))
+      .map(_.getName.stripPrefix("_v_").take(7).toLong).sorted.toSeq
+    assert(verDirs("a") == Seq(3L, 4L))
+    assert(verDirs("b") == Seq(1L))
     val markers = new java.io.File(s"$store/_commits").listFiles()
       .map(_.getName).filter(_.startsWith("_c_")).sorted.toSeq
     assert(markers == Seq("_c_0000003", "_c_0000004"))
@@ -127,7 +143,7 @@ class MartStoreSpec extends SparkSpec {
     "loser fails loudly, on both filesystem models") {
     def markerFor(nonce: String, ver: String) =
       s"""{"mart_version":1,"batch_id":"pB","publisher":"$nonce",""" +
-        s""""tables":{"a":$ver}}"""
+        s""""tables":{"a":"_v_000000${ver}_$nonce"}}"""
 
     // atomic-create model (local fs): publisher B computed the same
     // next commit number before A landed; B's PUT must refuse and
@@ -165,6 +181,31 @@ class MartStoreSpec extends SparkSpec {
     assert(markers == Seq("_c_0000001"))
     assert(MartStore.snapshot(spark, s"objput://$local2").get
       .tables == Map("a" -> 2L))
+  }
+
+  test("a losing publisher's uncommitted version dirs never touch " +
+    "the winner's data and are swept by the next successful publish") {
+    val store = Files.createTempDirectory("graft-mart-loser").toString
+    MartStore.publishAll(spark,
+      Seq("a" -> Seq((1L, "a1")).toDF("id", "v")), store, Some("p1"))
+    // a loser computed version 2 for table a, wrote its (nonce-unique)
+    // dir, then lost the marker race and threw — its path can never
+    // collide with any other publisher's, and it deleted nothing
+    Seq((1L, "a2-loser")).toDF("id", "v")
+      .write.parquet(s"$store/a/_v_0000002_deadbeef/data")
+    val s1 = MartStore.snapshot(spark, store).get
+    assert(s1.readTable(spark, "a").as[(Long, String)].head()._2 == "a1")
+    // the next successful publish allocates v3 (above the corpse —
+    // dir numbers are never reused), commits, and its POST-commit
+    // sweep removes the corpse (v2 <= committed ceiling 3, unreferenced)
+    val s2 = MartStore.publishAll(spark,
+      Seq("a" -> Seq((1L, "a2")).toDF("id", "v")), store, Some("p2"))
+    assert(s2.tables == Map("a" -> 3L))
+    assert(s2.readTable(spark, "a").as[(Long, String)].head()._2 == "a2")
+    val vs = new java.io.File(s"$store/a").listFiles()
+      .map(_.getName).filter(_.startsWith("_v_"))
+      .map(_.stripPrefix("_v_").take(7).toLong).sorted.toSeq
+    assert(vs == Seq(1L, 3L), vs.toString) // corpse swept, v1 retained
   }
 
   test("MartBuild.runVersioned publishes all 11 mart tables as one " +

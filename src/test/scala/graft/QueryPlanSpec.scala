@@ -42,20 +42,18 @@ class QueryPlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
-  test("global_row_ids ranks inside range partitions — the corpus " +
-    "never collapses to a single-partition global window") {
+  test("global_row_ids ranks inside value-derived buckets — the " +
+    "corpus never collapses to a single-partition global window") {
     val p = plan("global_row_ids")
-    assert(p.toLowerCase.contains("rangepartitioning"), p)
-    // the corpus-side rank is mono-id arithmetic in the projection;
-    // only the partitions-count-sized offset cumsum may be a window
-    assert(p.contains("__pid"), p)
-    assert(!p.contains("row_number"), p)
-    // the wide data is never hash-re-shuffled: the only
-    // hashpartitioning exchange is the partial-agged offsets count
-    assert("Exchange hashpartitioning\\(__pid".r.findAllIn(p).size <= 1, p)
-    // the surface orderBy rides the id pass's range partitioning —
-    // no second full-data range exchange on row_id
+    // the per-piece rank window is partitioned by the literal-cut
+    // bucket column (a pure row function — see contiguousRowIds
+    // scaladoc), never an empty partition spec
+    assert(p.contains("windowspecdefinition(__b"), p)
+    assert(p.contains("row_number"), p)
+    // no full-data re-sort keyed on the derived id
     assert(!p.contains("rangepartitioning(row_id"), p)
+    // offsets ride a broadcast join, not a shuffled one
+    assert(p.contains("BroadcastHashJoin"), p)
   }
 
   test("conditional_agg is a partial+final hash aggregate") {

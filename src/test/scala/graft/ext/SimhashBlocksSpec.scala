@@ -68,21 +68,30 @@ class SimhashBlocksSpec extends SparkSpec {
     }
   }
 
-  test("chooseMinhashParams: recall and false-positive budgets hold, " +
-    "and the signature grows monotonically with the corpus") {
+  test("chooseMinhashParams: recall always holds; the FP budget holds " +
+    "or the signature sits at the deepest in-budget depth; monotone " +
+    "and capped growth with the corpus") {
+    // mirror of the production bands formula, for the at-the-cap check
+    def bandsFor(t: Double, r: Int): Int = math.max(1,
+      math.ceil(math.log(1e-6) / math.log1p(-math.pow(t, r))).toInt)
     for (t <- Seq(0.5, 0.8, 0.9)) {
       val ns = Seq(1000L, 100000L, 10000000L, 1000000000L)
       val params = ns.map(n =>
         DedupOps.chooseMinhashParams(n, threshold = t))
       params.zip(ns).foreach { case ((h, b, r), n) =>
         assert(h == b * r, s"t=$t n=$n: numHashes $h != $b*$r")
+        assert(h <= 512, s"t=$t n=$n: signature $h over the 512 cap")
         // recall: a true pair at the threshold misses all bands
-        // w.p. (1-t^r)^b <= 1e-6
+        // w.p. (1-t^r)^b <= 1e-6 — never traded away
         val miss = math.pow(1 - math.pow(t, r), b)
         assert(miss <= 1e-6 * 1.0001, s"t=$t n=$n: miss=$miss")
-        // precision: expected background-pair candidates per doc <= 1
+        // precision: expected background-pair candidates per doc <= 1,
+        // OR the next depth would blow the signature budget (the
+        // documented best-effort fallback at web-scale n)
         val fp = (n - 1) / 2.0 * b * math.pow(0.1, r)
-        assert(fp <= 1.0001, s"t=$t n=$n: fp/doc=$fp")
+        val atCap = (r + 1).toLong * bandsFor(t, r + 1) > 512
+        assert(fp <= 1.0001 || atCap,
+          s"t=$t n=$n: fp/doc=$fp with headroom below the cap")
       }
       val hashes = params.map(_._1)
       val rows = params.map(_._3)
