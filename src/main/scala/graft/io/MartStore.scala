@@ -73,7 +73,17 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * the race to the PUT-to-read window — on stores with
   * read-after-write consistency (S3 since 2020) the overwrite is
   * detected; a store without even that needs an external lease,
-  * which no marker protocol can replace. */
+  * which no marker protocol can replace.
+  *
+  * Residual caveat (keepCommits zombie): a publisher that computes
+  * its commit number, then stalls across ≥ `keepCommits` SUCCESSFUL
+  * publishes by others, can find its number's marker file aged away
+  * and land a marker BELOW the current maximum — durable but never
+  * visible (readers take the highest commit), and not reported as
+  * lost. Size `keepCommits` above any plausible publisher stall, or
+  * front the store with a lease when publishers can hang for whole
+  * retention windows — the same horizon rule as `batchId` replay
+  * dedup. */
 
 /** A concurrent publisher won the commit race (MartStore scaladoc,
   * "CONCURRENT PUBLISHERS"): nothing from this publish is visible;
