@@ -287,7 +287,39 @@ object GraftProperties extends Properties("graft") {
       out.map(_._3).sum == samples.length && out == model
     }
 
-  property("funnelStages reach times are chained-monotone " +
+  // random word-bag corpora: doc = subset of a 20-word vocab, with a
+  // bias toward overlap so thresholds actually fire
+  private val vocab: Vector[String] =
+    (0 until 20).map(i => s"w$i").toVector
+  private val bagGen: Gen[String] = for {
+    n <- Gen.choose(3, 12)
+    ws <- Gen.pick(n, vocab)
+  } yield ws.mkString(" ")
+  private val corpusGen: Gen[List[(Long, String)]] =
+    Gen.listOfN(12, bagGen).map(_.zipWithIndex.map {
+      case (t, i) => (i.toLong, t) })
+
+  property("prefixFilterJaccardPairs == exhaustive exact jaccard " +
+    "(AllPairs completeness + verification precision, any threshold)") =
+    forAll(corpusGen, Gen.oneOf(0.3, 0.5, 0.8)) { (docs, t) =>
+      val df = docs.toDF("doc_id", "text")
+      val ts = df.select($"doc_id",
+        array_distinct(graft.ext.TextOps.tokens($"text")).as("ts"))
+      val want = ts.as("a").join(ts.as("b"),
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          round(size(array_intersect($"a.ts", $"b.ts")).cast("double") /
+            (size($"a.ts") + size($"b.ts") -
+              size(array_intersect($"a.ts", $"b.ts"))), 6).as("j"))
+        .filter($"j" >= t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val got = graft.ext.DedupOps.prefixFilterJaccardPairs(
+          df, "doc_id", "text", threshold = t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      got == want
+    }
+
+  property("funnelStages per-user reach times are a monotone chain " +
     "(t1 <= t2 <= t3, and a later step implies every earlier one)") =
     forAll(eventGen) { rows =>
       val stepNames = Map("a" -> "s1", "b" -> "s2", "hot" -> "s3")
