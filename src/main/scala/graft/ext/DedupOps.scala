@@ -517,7 +517,13 @@ object DedupOps {
     * When no depth within the budget meets the false-positive target
     * the deepest in-budget `r` is used — best effort, exactly the
     * [[chooseBlocks]] fallback posture, with the hot-bucket cap as
-    * the remaining safety. The hot-bucket cap itself is deliberately
+    * the remaining safety. Below threshold ≈ 0.23 (at the default
+    * recall target and budget) even `r = 2` cannot fit: recall at
+    * such thresholds inherently needs thousands of bands, so the
+    * call FAILS LOUDLY (IllegalArgumentException) rather than
+    * silently degrading the recall contract — raise `maxSigHashes`,
+    * relax `maxMissProb`, or use a higher threshold with transitive
+    * clustering ([[duplicateClusters]]) to reach looser similarity. The hot-bucket cap itself is deliberately
     * NOT n-derived: a band hash is 64 bits, so unrelated-doc
     * occupancy stays ~0 at any corpus size — oversized buckets mean
     * a degenerate near-dup cluster, and the cap is a per-cluster

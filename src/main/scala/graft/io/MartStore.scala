@@ -152,10 +152,14 @@ object MartStore {
     } yield {
       val batch = """"batch_id":"([^"]*)"""".r.findFirstMatchIn(txt)
         .map(_.group(1)).filter(_.nonEmpty)
+      // current format: "table":"<dir-name>"; legacy (pre-nonce)
+      // markers carried bare numeric versions — map them to their
+      // legacy dir names so an existing store reads in place
       val tables = """"([^"]+)":"([^"]+)"""".r.findAllMatchIn(body)
-        .filterNot(g => g.group(1) == "batch_id" ||
-          g.group(1) == "publisher")
-        .map(g => g.group(1) -> g.group(2)).toMap
+        .map(g => g.group(1) -> g.group(2)).toMap ++
+        """"([^"]+)":(\d+)""".r.findAllMatchIn(body)
+          .map(g => g.group(1) -> f"$VerPrefix${g.group(2).toLong}%07d")
+          .toMap
       (m.group(1).toLong, batch, tables)
     }
 
@@ -221,18 +225,27 @@ object MartStore {
     * deterministically. */
   private[graft] def landMarker(fs: org.apache.hadoop.fs.FileSystem,
                                 mpath: org.apache.hadoop.fs.Path,
-                                marker: String): Unit =
+                                marker: String,
+                                nonce: String): Unit =
     try {
       val out = fs.create(mpath, false)
       try out.write((marker + "\n").getBytes("UTF-8")) finally out.close()
     } catch {
-      case e: java.io.IOException if fs.exists(mpath) &&
-          readMarkerText(fs, mpath).flatMap(parseMarker).nonEmpty =>
-        // another publisher landed this commit number first and its
-        // marker is valid — lost race on an atomic-create filesystem
-        throw new ConcurrentPublishException(
-          s"commit $mpath was published concurrently " +
-            s"(atomic create refused: ${e.getMessage})")
+      case e: java.io.IOException
+          if fs.exists(mpath) &&
+            readMarkerText(fs, mpath).flatMap(parseMarker).nonEmpty =>
+        // a valid marker exists under this commit number. If it is
+        // OURS, the write actually completed and only the tail of the
+        // create/close path failed (e.g. flush-on-close error) — the
+        // commit landed; treating it as lost would invite a duplicate
+        // publish. Only a RIVAL's valid marker is a lost race.
+        val own = readMarkerText(fs, mpath).exists(t =>
+          """"publisher":"([^"]*)"""".r.findFirstMatchIn(t)
+            .map(_.group(1)).contains(nonce))
+        if (!own)
+          throw new ConcurrentPublishException(
+            s"commit $mpath was published concurrently " +
+              s"(atomic create refused: ${e.getMessage})")
     }
 
   /** Last-writer-wins detection for stores whose create() is a blind
@@ -302,33 +315,39 @@ object MartStore {
     val cdir = new org.apache.hadoop.fs.Path(s"$storeDir/$CommitsDir")
     fs.mkdirs(cdir)
     val mpath = new org.apache.hadoop.fs.Path(cdir, f"$CPrefix$nextC%07d")
-    landMarker(fs, mpath, marker)
+    landMarker(fs, mpath, marker, nonce)
     verifyOwnMarker(fs, mpath, nonce)
     // ---- post-commit housekeeping — WE are the committed publisher
     // (a loser threw above and deletes nothing, ever). Crash-safe to
     // skip or die inside: everything here re-runs on the next
     // successful publish.
     val after = commits(spark, storeDir)
-    // aged markers beyond the keep window + invalid corpses at or
-    // below our commit number (an in-flight racer writing a HIGHER
-    // number is untouchable)
+    // COUNT-based retention (never number-distance: commit numbers
+    // skip over corpses, and a number window would silently retain
+    // fewer than keepCommits valid commits — shrinking both the
+    // time-travel window and the batchId replay horizon)
+    val retained = after.takeRight(keepCommits)
+    val retainedNames = retained.map(_._2.getName).toSet
     val validNames = after.map(_._2.getName).toSet
     fs.listStatus(cdir).toSeq
       .filter(s => s.isFile && s.getPath.getName.startsWith(CPrefix))
       .foreach { s =>
         val id = s.getPath.getName.stripPrefix(CPrefix).toLongOption
         val aged = validNames.contains(s.getPath.getName) &&
-          id.exists(_ <= nextC - keepCommits)
+          !retainedNames.contains(s.getPath.getName)
+        // invalid corpses at or below our commit number (an in-flight
+        // racer writing a HIGHER number is untouchable)
         val corpse = !validNames.contains(s.getPath.getName) &&
           id.forall(_ <= nextC)
         if (aged || corpse) fs.delete(s.getPath, false)
       }
-    val retained = after.filter(_._1 > nextC - keepCommits)
     val live: Map[String, Set[String]] = retained.flatMap(_._3._3.toSeq)
       .groupBy(_._1).map { case (t, ds) => t -> ds.map(_._2).toSet }
-    // committed ceiling per table: dirs above it belong to a YOUNGER
-    // in-flight publisher and must survive; dirs at or below it that
-    // no retained commit references are corpses or aged versions
+    // committed ceiling per table: only dirs STRICTLY below it are
+    // sweepable. At-ceiling dirs are protected even when unreferenced
+    // — on a blind-PUT store a rival's same-numbered dir can be the
+    // one the SURVIVING marker references during the PUT-to-verify
+    // window, and dirs above belong to a younger in-flight publisher.
     val ceiling: Map[String, Long] = live.map { case (t, ds) =>
       t -> ds.flatMap(vnum).maxOption.getOrElse(0L)
     }
@@ -342,9 +361,14 @@ object MartStore {
             // racing first publish's in-flight dirs must survive
             // (its corpses clean up once the table first commits)
             !live.getOrElse(name, Set.empty).contains(p.getName) &&
-              v <= ceiling.getOrElse(name, 0L) }
+              v < ceiling.getOrElse(name, 0L) }
           .foreach { case (_, p) => fs.delete(p, true) }
       }
+    // blind-PUT closure: if a rival overwrote our marker AFTER the
+    // first verify, the sweep above ran with a stale view — re-check
+    // so the loss is REPORTED (the strict-below ceiling already kept
+    // the sweep from touching any same-numbered rival dir)
+    verifyOwnMarker(fs, mpath, nonce)
     Snapshot(nextC, batchId, all, storeDir)
   }
 }

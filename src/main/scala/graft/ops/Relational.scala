@@ -231,11 +231,12 @@ object Relational {
     * partition spec, so Spark moves the ENTIRE dataset to one
     * partition (the WindowExec warning) and one task materializes the
     * corpus. Here the global rank is composed from parallel pieces:
-    * range-repartition on the order key (disjoint, ordered ranges),
-    * rank within each physical partition (a window PARTITIONED BY the
-    * partition id — runs per-partition, in parallel), plus that
-    * partition's broadcast start offset (per-partition counts cumsum'd
-    * — a partitions-count-sized frame, the only single-partition step).
+    * rows are assigned to ordered, disjoint key-range BUCKETS by a
+    * value expression (literal quantile cuts), ranked per bucket (a
+    * window PARTITIONED BY the bucket — runs per-bucket, in
+    * parallel), plus the bucket's broadcast start offset (per-bucket
+    * counts cumsum'd — a buckets-count-sized frame, the only
+    * single-partition step).
     *
     * The result depends only on the global `order` (which must be a
     * TOTAL order — pass a unique key last; the first order column
@@ -271,16 +272,24 @@ object Relational {
     * and RelationalSpec asserts ids = 0..n-1. */
   def contiguousRowIds(df: DataFrame, order: Seq[Column],
                        idName: String = "row_id"): DataFrame = {
-    val n = df.sparkSession.sessionState.conf.numShufflePartitions
-    // bounded quantile sample of the leading order key; sampling
-    // randomness is harmless (any cuts are correct — see scaladoc)
+    // bucket count capped at 1024: the bucket expression below is an
+    // O(cuts) comparison chain per row, and cuts beyond ~1k buy
+    // little window parallelism while bloating codegen. KNOWN LIMIT
+    // of the sample: limit() satisfies from the earliest partitions,
+    // so an order key correlated with partition order (ingest-time
+    // data) draws low-end-biased cuts — ids stay CORRECT (any cuts
+    // are, see scaladoc) but high keys pile into the top bucket. If
+    // per-bucket skew ever shows at scale, replace the sample with a
+    // per-partition reservoir or approxQuantile on numeric keys.
+    val n = math.min(1024,
+      df.sparkSession.sessionState.conf.numShufflePartitions)
     val sample = df.select(order.head.as("__k"))
       .sample(0.1).limit(100000)
       .orderBy(col("__k")).collect().map(_.get(0))
     val cuts: Seq[Any] =
       if (sample.isEmpty) Nil
       else (1 until n).map(i =>
-        sample(((i.toLong * (sample.length - 1)) / n).toInt))
+        sample(((i.toLong * (sample.length - 1)) / n).toInt)).distinct
     val bucket = cuts.foldLeft(lit(0)) { (acc, c) =>
       acc + when(order.head > lit(c), 1).otherwise(0) }
     val bucketed = df.withColumn("__b", bucket)

@@ -163,10 +163,9 @@ object RelationalQueries {
       (s, d) => Relational.contiguousRowIds(
           Tables.orders(s, d).select("o_orderkey", "o_orderstatus"),
           Seq(col("o_orderkey")))
-        // row_id is monotone in o_orderkey (it IS the o_orderkey rank),
-        // so ordering by the key is the same row order — and the plan
-        // keeps the range partitioning + sort the id pass already
-        // established instead of a fresh range exchange on row_id
+        // row_id is monotone in o_orderkey (it IS the o_orderkey
+        // rank), so ordering by the key is the same row order; the
+        // sort runs on the source column rather than the derived id
         .orderBy("o_orderkey"),
       Some("""SELECT o_orderkey, o_orderstatus,
         |  row_number() OVER (ORDER BY o_orderkey) - 1 AS row_id

@@ -66,11 +66,12 @@ class MartStoreSpec extends SparkSpec {
     assert(s2.version == 4L)
     assert(s2.readTable(spark, "a").as[(Long, String)].head()._2 == "a2")
     assert(s2.readTable(spark, "b").as[(Long, String)].head()._2 == "b2")
-    // corpses gone; commit 1 aged out of keepCommits=2 (window is
-    // commit numbers > 4 - 2, and the invalid 2/3 never counted)
+    // corpses gone; retention is COUNT-based over VALID commits, so
+    // commit 1 stays (keepCommits=2 valid commits: 1 and 4 — corpse
+    // numbers never shrink the window)
     val names = new java.io.File(s"$store/_commits").listFiles()
       .map(_.getName).filter(_.startsWith("_c_")).sorted.toSeq
-    assert(names == Seq("_c_0000004"), names)
+    assert(names == Seq("_c_0000001", "_c_0000004"), names)
   }
 
   test("a replayed publish batch is acknowledged without a new commit; " +
@@ -156,7 +157,7 @@ class MartStoreSpec extends SparkSpec {
     val mpath =
       new org.apache.hadoop.fs.Path(s"$store/_commits/_c_0000001")
     intercept[graft.io.ConcurrentPublishException] {
-      MartStore.landMarker(fs, mpath, markerFor("B-nonce", "9"))
+      MartStore.landMarker(fs, mpath, markerFor("B-nonce", "9"), "B-nonce")
     }
     assert(MartStore.snapshot(spark, store).get.tables == Map("a" -> 1L))
 
@@ -170,8 +171,8 @@ class MartStoreSpec extends SparkSpec {
     val fs2 = cdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs2.mkdirs(cdir)
     val m2 = new org.apache.hadoop.fs.Path(cdir, "_c_0000001")
-    MartStore.landMarker(fs2, m2, markerFor("nonce-A", "1"))
-    MartStore.landMarker(fs2, m2, markerFor("nonce-B", "2")) // overwrites
+    MartStore.landMarker(fs2, m2, markerFor("nonce-A", "1"), "nonce-A")
+    MartStore.landMarker(fs2, m2, markerFor("nonce-B", "2"), "nonce-B")
     intercept[graft.io.ConcurrentPublishException] {
       MartStore.verifyOwnMarker(fs2, m2, "nonce-A")
     }

@@ -102,6 +102,18 @@ class SimhashBlocksSpec extends SparkSpec {
     }
   }
 
+  test("chooseMinhashParams: a threshold too low for the signature " +
+    "budget fails loudly instead of silently degrading recall") {
+    intercept[IllegalArgumentException] {
+      DedupOps.chooseMinhashParams(1000000L, threshold = 0.2)
+    }
+    // and a raised budget makes the same threshold feasible again
+    val (h, b, r) = DedupOps.chooseMinhashParams(1000000L,
+      threshold = 0.2, maxSigHashes = 4096)
+    assert(h == b * r && h <= 4096)
+    assert(math.pow(1 - math.pow(0.2, r), b) <= 1e-6 * 1.0001)
+  }
+
   test("chooseBlocks: block count is monotone non-decreasing in the " +
     "corpus size (bigger corpora buy wider keys, never narrower)") {
     for (d <- Seq(2, 3, 4)) {
