@@ -28,6 +28,12 @@ object SearchOps {
   def bm25Rank(docs: DataFrame, idCol: String, textCol: String,
                terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
                topK: Int = 20): DataFrame = {
+    // tf columns are keyed by terms.indexOf(t): a duplicate term would
+    // collide two __tf_i names and surface as an opaque
+    // ambiguous-column analysis error deep in the aggregation.
+    require(terms.distinct.size == terms.size,
+      s"bm25Rank: duplicate terms in query ${terms.mkString("[", ",", "]")}" +
+        " — dedupe the term list (a repeated term does not change BM25)")
     val toks = docs.select(col(idCol),
       explode(TextOps.tokens(col(textCol))).as("token"))
     // ONE-STATS-FRAME shape: the query's term set is a fixed small

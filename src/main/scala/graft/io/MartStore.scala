@@ -79,18 +79,71 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * its commit number, then stalls across ≥ `keepCommits` SUCCESSFUL
   * publishes by others, can find its number's marker file aged away
   * and land a marker BELOW the current maximum — durable but never
-  * visible (readers take the highest commit), and not reported as
-  * lost. Size `keepCommits` above any plausible publisher stall, or
-  * front the store with a lease when publishers can hang for whole
-  * retention windows — the same horizon rule as `batchId` replay
-  * dedup. */
+  * visible (readers take the highest commit). Two defenses, both in
+  * `publishAll`: (1) the [[PublishLease]] fence is asserted at the
+  * commit point, so a lease-backed deployment rejects the stalled
+  * publisher's late marker BEFORE it lands ([[LeaseExpiredException]],
+  * nothing committed); (2) lease or not, a post-commit re-list
+  * raises [[ShadowedCommitException]] when the landed marker sits
+  * below an already-higher commit, so a shadowed publish is reported
+  * rather than returned as success. Size `keepCommits` above any
+  * plausible publisher stall (the same horizon rule as `batchId`
+  * replay dedup), and front the store with a real lease when
+  * publishers can hang for whole retention windows. */
 
 /** A concurrent publisher won the commit race (MartStore scaladoc,
   * "CONCURRENT PUBLISHERS"): nothing from this publish is visible;
   * the store is exactly as the winner left it. Retry the publish —
   * a same-`batchId` winner dedups the retry into an acknowledge. */
-final class ConcurrentPublishException(message: String)
+class ConcurrentPublishException(message: String)
   extends RuntimeException(message)
+
+/** This publish's marker landed DURABLY but a higher commit already
+  * exists, so readers (who take the highest commit) may never have
+  * observed it — the keepCommits-zombie outcome (MartStore scaladoc,
+  * "Residual caveat"). The marker is retained and its `batchId` is in
+  * the replay horizon, so a retry of the same batch is acknowledged,
+  * not re-published; the exception exists so a shadowed publish is
+  * REPORTED instead of returned as a successful Snapshot. */
+final class ShadowedCommitException(message: String)
+  extends ConcurrentPublishException(message)
+
+/** The publisher's lease expired before the commit point
+  * ([[PublishLease]]): NOTHING was committed — the marker was never
+  * PUT; only uncommitted (invisible) version dirs were written, and
+  * the next successful publish sweeps them. Re-acquire the lease and
+  * retry the batch. */
+final class LeaseExpiredException(message: String)
+  extends RuntimeException(message)
+
+/** Fencing hook for the keepCommits-zombie window: a publisher that
+  * stalls across a full marker-retention window can otherwise land a
+  * durable-but-never-visible commit below the current maximum (see
+  * MartStore scaladoc, "Residual caveat"). [[MartStore.publishAll]]
+  * invokes [[assertHeldForCommit]] at the COMMIT POINT — after all
+  * version dirs are written, immediately before the marker PUT — so
+  * an implementation backed by a real fencing primitive (a ZK/etcd
+  * lease, a DynamoDB conditional write, a lock table) rejects the
+  * stalled publisher's late marker before it lands. Contract: throw
+  * [[LeaseExpiredException]] if the lease is no longer held; the
+  * implementation must consider the lease held through the PUT-to-
+  * verify window (i.e. renew with a margin wider than one marker
+  * PUT), and the lease's validity horizon must be ≤ the time
+  * `keepCommits` successful publishes take — then a zombie is fenced
+  * BEFORE its number can be shadowed. The default
+  * ([[PublishLease.Unfenced]]) is a no-op: single-publisher stores
+  * need no fence, and the post-commit shadow re-check in publishAll
+  * still reports (rather than hides) a zombie that raced through. */
+trait PublishLease {
+  def assertHeldForCommit(commitNumber: Long): Unit
+}
+
+object PublishLease {
+  /** No fencing — the single-publisher default. */
+  object Unfenced extends PublishLease {
+    override def assertHeldForCommit(commitNumber: Long): Unit = ()
+  }
+}
 
 object MartStore {
   private val CommitsDir = "_commits"
@@ -231,15 +284,20 @@ object MartStore {
       val out = fs.create(mpath, false)
       try out.write((marker + "\n").getBytes("UTF-8")) finally out.close()
     } catch {
-      case e: java.io.IOException
-          if fs.exists(mpath) &&
-            readMarkerText(fs, mpath).flatMap(parseMarker).nonEmpty =>
-        // a valid marker exists under this commit number. If it is
-        // OURS, the write actually completed and only the tail of the
+      case e: java.io.IOException =>
+        // ONE read of the marker under this commit number; validity
+        // and ownership both derive from that single snapshot of the
+        // file (two reads could straddle a racing overwrite and
+        // disagree). If a valid marker exists and it is OURS, the
+        // write actually completed and only the tail of the
         // create/close path failed (e.g. flush-on-close error) — the
         // commit landed; treating it as lost would invite a duplicate
-        // publish. Only a RIVAL's valid marker is a lost race.
-        val own = readMarkerText(fs, mpath).exists(t =>
+        // publish. Only a RIVAL's valid marker is a lost race; no
+        // valid marker at all rethrows the I/O error.
+        val existing =
+          if (fs.exists(mpath)) readMarkerText(fs, mpath) else None
+        if (existing.flatMap(parseMarker).isEmpty) throw e
+        val own = existing.exists(t =>
           """"publisher":"([^"]*)"""".r.findFirstMatchIn(t)
             .map(_.group(1)).contains(nonce))
         if (!own)
@@ -278,10 +336,20 @@ object MartStore {
     * carry forward), then — having WON the commit — sweep aged
     * markers, invalid marker corpses, and version dirs no retained
     * commit references. Returns the committed snapshot.
-    * Replay-idempotent on `batchId`. */
+    * Replay-idempotent on `batchId`.
+    *
+    * `lease` is the zombie-publisher fence ([[PublishLease]]): it is
+    * asserted at the commit point, after the version-dir writes and
+    * immediately before the marker PUT, so a publisher whose lease
+    * expired mid-stall aborts with [[LeaseExpiredException]] having
+    * committed nothing. Independent of the lease, a post-commit
+    * re-list detects the shadowed outcome (our marker landed below an
+    * already-higher commit) and raises [[ShadowedCommitException]]
+    * instead of returning a Snapshot no reader will ever resolve. */
   def publishAll(spark: SparkSession, tables: Seq[(String, DataFrame)],
                  storeDir: String, batchId: Option[String] = None,
-                 keepCommits: Int = 2): Snapshot = {
+                 keepCommits: Int = 2,
+                 lease: PublishLease = PublishLease.Unfenced): Snapshot = {
     if (batchId.exists(appliedBatchIds(spark, storeDir)))
       return snapshot(spark, storeDir).get
     val fs = fsFor(spark, storeDir)
@@ -315,6 +383,11 @@ object MartStore {
     val cdir = new org.apache.hadoop.fs.Path(s"$storeDir/$CommitsDir")
     fs.mkdirs(cdir)
     val mpath = new org.apache.hadoop.fs.Path(cdir, f"$CPrefix$nextC%07d")
+    // zombie fence: a publisher that stalled between computing nextC
+    // and reaching this line asserts its lease is STILL held before
+    // the marker can land — an expired lease aborts with nothing
+    // committed (only invisible version dirs, swept later)
+    lease.assertHeldForCommit(nextC)
     landMarker(fs, mpath, marker, nonce)
     verifyOwnMarker(fs, mpath, nonce)
     // ---- post-commit housekeeping — WE are the committed publisher
@@ -322,6 +395,23 @@ object MartStore {
     // skip or die inside: everything here re-runs on the next
     // successful publish.
     val after = commits(spark, storeDir)
+    // shadowed-commit report: if the re-list already shows a VALID
+    // commit above ours, readers resolve that one — our durable
+    // marker may never have been (and never again will be) the
+    // store's visible state. Raise rather than return a Snapshot
+    // nobody can read; the retained marker keeps our batchId in the
+    // replay horizon, so a retry is acknowledged, not duplicated.
+    // (A racer landing nextC+1 in the instant after our verify trips
+    // this too — indistinguishable from the zombie case by re-list,
+    // and the same retry-acknowledge path resolves both.)
+    after.filter(_._1 > nextC).map(_._1).maxOption.foreach { shadowMax =>
+      throw new ShadowedCommitException(
+        s"commit $nextC landed below the store's current maximum " +
+          s"$shadowMax — a concurrent publisher shadowed this publish " +
+          "(keepCommits-zombie window); the marker is durable but " +
+          "readers resolve the higher commit. Retry the batch: the " +
+          "batchId dedup acknowledges it if this commit is retained.")
+    }
     // COUNT-based retention (never number-distance: commit numbers
     // skip over corpses, and a number window would silently retain
     // fewer than keepCommits valid commits — shrinking both the

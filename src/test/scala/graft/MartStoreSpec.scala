@@ -209,6 +209,72 @@ class MartStoreSpec extends SparkSpec {
     assert(vs == Seq(1L, 3L), vs.toString) // corpse swept, v1 retained
   }
 
+  test("an expired lease rejects the stalled publisher's late marker " +
+    "at the commit point: nothing committed, store untouched") {
+    val store = Files.createTempDirectory("graft-mart-lease").toString
+    MartStore.publishAll(spark,
+      Seq("a" -> Seq((1L, "a1")).toDF("id", "v")), store, Some("p1"))
+    // a publisher that stalled past its lease deadline reaches the
+    // commit point; the fence fires BEFORE the marker PUT
+    val expired = new graft.io.PublishLease {
+      override def assertHeldForCommit(c: Long): Unit =
+        throw new graft.io.LeaseExpiredException(
+          s"lease expired before commit $c")
+    }
+    intercept[graft.io.LeaseExpiredException] {
+      MartStore.publishAll(spark,
+        Seq("a" -> Seq((1L, "a2-zombie")).toDF("id", "v")), store,
+        Some("p2"), lease = expired)
+    }
+    // the late marker never landed: readers still resolve commit 1,
+    // and the only on-disk residue is the UNCOMMITTED version dir
+    // (invisible; swept by the next successful publish)
+    val s = MartStore.snapshot(spark, store).get
+    assert(s.version == 1L && s.tables == Map("a" -> 1L))
+    assert(s.readTable(spark, "a").as[(Long, String)].head()._2 == "a1")
+    val markers = new java.io.File(s"$store/_commits").listFiles()
+      .map(_.getName).filter(_.startsWith("_c_")).toSeq
+    assert(markers == Seq("_c_0000001"), markers)
+    // ...and the retried publish (lease re-acquired → default fence)
+    // commits cleanly and sweeps the zombie's orphan dir
+    val s2 = MartStore.publishAll(spark,
+      Seq("a" -> Seq((1L, "a2")).toDF("id", "v")), store, Some("p2"))
+    assert(s2.readTable(spark, "a").as[(Long, String)].head()._2 == "a2")
+  }
+
+  test("a zombie publisher whose number got shadowed is reported, " +
+    "not returned as success") {
+    val store = Files.createTempDirectory("graft-mart-shadow").toString
+    MartStore.publishAll(spark,
+      Seq("a" -> Seq((1L, "a1")).toDF("id", "v")), store, Some("p1"))
+    // simulate the keepCommits-zombie interleaving through the lease
+    // injection point: this publisher computed nextC=2, then "stalls"
+    // at the commit point while a rival lands commit 3; the no-op
+    // lease lets the late marker through, and the post-commit re-list
+    // must raise rather than return an unreadable Snapshot
+    val stallThenProceed = new graft.io.PublishLease {
+      override def assertHeldForCommit(c: Long): Unit = {
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$store/_commits/_c_0000003"),
+          """{"mart_version":3,"batch_id":"rival","publisher":"R",""" +
+            """"tables":{"a":"_v_0000003_rivalaa"}}""")
+        () // lease considered held — the marker lands anyway
+      }
+    }
+    intercept[graft.io.ShadowedCommitException] {
+      MartStore.publishAll(spark,
+        Seq("a" -> Seq((1L, "a2-shadowed")).toDF("id", "v")), store,
+        Some("p2"), lease = stallThenProceed)
+    }
+    // the shadowed marker IS durable (its batchId stays in the replay
+    // horizon) but readers resolve the rival's higher commit
+    val names = new java.io.File(s"$store/_commits").listFiles()
+      .map(_.getName).filter(_.startsWith("_c_")).sorted.toSeq
+    assert(names == Seq("_c_0000001", "_c_0000002", "_c_0000003"), names)
+    assert(MartStore.snapshot(spark, store).get.version == 3L)
+    assert(MartStore.appliedBatchIds(spark, store).contains("p2"))
+  }
+
   test("MartBuild.runVersioned publishes all 11 mart tables as one " +
     "commit") {
     val root = Files.createTempDirectory("graft-mart-run")

@@ -114,6 +114,30 @@ class RelationalSpec extends SparkSpec {
       .collect().toSet == Set(1, 2))
   }
 
+  test("contiguousRowIds cuts cover the full key range and balance " +
+    "buckets on ingest-ordered input (per-partition reservoir)") {
+    // key correlated with partition order: partition 0 holds the
+    // lowest keys, partition 7 the highest — the layout where the old
+    // limit-based sample drew only low-end cuts
+    val df = spark.range(0, 20000, 1, 8).toDF("k")
+    val cuts = graft.ops.Relational.sampleCuts(df, col("k"), 16)
+      .map(_.asInstanceOf[Long]).sorted
+    assert(cuts.nonEmpty)
+    // cuts span the whole range, not just the earliest partitions
+    assert(cuts.max > 15000L, s"top cut ${cuts.max} — low-biased cuts")
+    assert(cuts.min < 5000L, s"bottom cut ${cuts.min}")
+    // implied bucket sizes (uniform keys: size == cut gap) balanced:
+    // no bucket more than 3x the ideal 20000/(cuts+1)
+    val bounds = (0L +: cuts) :+ 20000L
+    val gaps = bounds.sliding(2).map(p => p(1) - p(0)).toSeq
+    val ideal = 20000.0 / (cuts.size + 1)
+    assert(gaps.max <= 3 * ideal,
+      s"max bucket ${gaps.max} vs ideal $ideal — unbalanced cuts")
+    // deterministic: same input layout -> identical cuts
+    assert(cuts == graft.ops.Relational.sampleCuts(df, col("k"), 16)
+      .map(_.asInstanceOf[Long]).sorted)
+  }
+
   test("contiguousRowIds assigns 0..n-1 in order, independent of the " +
     "input's partition layout") {
     val rows = scala.util.Random.shuffle((0 until 1000).toList)
