@@ -108,17 +108,25 @@ object SearchQueries {
     // Doc-in-doc detection: blocked exact token-set containment, both
     // directions, pairs >= 0.9 in either (the boilerplate-inclusion
     // case Jaccard misses — DedupOps.containmentPairs scaladoc).
+    // Rows carry the block-cap coverage accounting (dropped_blocks /
+    // dropped_docs), same no-silent-caps discipline as
+    // ngram_jaccard_topk — see that query's comment.
     "containment_dedup" -> QueryDef(
-      (s, d) => graft.ext.DedupOps.containmentPairs(
-          Tables.documents(s, d), "doc_id", "text",
-          Seq("lang", "source"), minContainment = 0.9)
-        .select("lang", "id_a", "id_b", "containment_a", "containment_b")
-        .orderBy("lang", "id_a", "id_b"),
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.ext.DedupOps.containmentPairs(docs, "doc_id", "text",
+            Seq("lang", "source"), minContainment = 0.9)
+          .crossJoin(broadcast(graft.ext.DedupOps.droppedBlockStats(
+            docs, Seq("lang", "source"))))
+          .select("lang", "id_a", "id_b", "containment_a",
+            "containment_b", "dropped_blocks", "dropped_docs")
+          .orderBy("lang", "id_a", "id_b")
+      },
       // the blk CTE mirrors containmentPairs' smallBlocks filter
-      // (maxBlockSize = 10000, the call-site default): without it a
-      // (lang, source) block growing past the cap would be silently
-      // dropped by the Scala side but kept by the oracle — benign at
-      // sf0.1 (max block 112 docs) but a confusing future hash gate
+      // (maxBlockSize = 10000, the call-site default) and the o CTE
+      // mirrors droppedBlockStats: a (lang, source) block growing
+      // past the cap is dropped on BOTH sides and the drop is
+      // counted in the output on both sides
       Some("""WITH t AS (SELECT doc_id, lang, source,
         |  list_distinct(CASE WHEN length(trim(text)) = 0
         |    THEN []::VARCHAR[]
@@ -126,6 +134,11 @@ object SearchQueries {
         |    AS tok FROM documents),
         |blk AS (SELECT lang, source FROM documents
         |  GROUP BY 1, 2 HAVING count(*) <= 10000),
+        |o AS (SELECT CAST(count(*) AS BIGINT) AS dropped_blocks,
+        |  CAST(coalesce(sum(c), 0) AS BIGINT) AS dropped_docs
+        |  FROM (SELECT count(*) AS c FROM documents
+        |        WHERE lang IS NOT NULL AND source IS NOT NULL
+        |        GROUP BY lang, source HAVING count(*) > 10000)),
         |p AS (SELECT a.lang, a.doc_id AS id_a, b.doc_id AS id_b,
         |  round(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
         |    len(a.tok), 6) AS containment_a,
@@ -135,8 +148,9 @@ object SearchQueries {
         |    ON a.lang = b.lang AND a.source = b.source
         |   AND a.doc_id < b.doc_id
         |  JOIN blk ON a.lang = blk.lang AND a.source = blk.source)
-        |SELECT lang, id_a, id_b, containment_a, containment_b
-        |FROM p WHERE containment_a >= 0.9 OR containment_b >= 0.9
+        |SELECT lang, id_a, id_b, containment_a, containment_b,
+        |  dropped_blocks, dropped_docs
+        |FROM p, o WHERE containment_a >= 0.9 OR containment_b >= 0.9
         |ORDER BY lang, id_a, id_b""".stripMargin))
   )
 }

@@ -187,29 +187,48 @@ object TextQueries {
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // Exact token-set Jaccard pairs within (lang, source) blocks:
-    // the 5 most similar pairs per lang.
+    // the 5 most similar pairs per lang. Every row carries the
+    // block-cap coverage accounting (dropped_blocks / dropped_docs —
+    // constant corpus-level columns, hash-gated like the data): the
+    // B²-guard cap in ngramJaccardPairs is deliberate, but its drop
+    // must be VISIBLE in output, not discoverable only in scaladoc
+    // (no-silent-caps; the blk CTE + o CTE mirror both the cap and
+    // the accounting on the oracle side).
     "ngram_jaccard_topk" -> QueryDef(
       (s, d) => {
-        val pairs = DedupOps.ngramJaccardPairs(Tables.documents(s, d),
+        val docs = Tables.documents(s, d)
+        val pairs = DedupOps.ngramJaccardPairs(docs,
           "doc_id", "text", Seq("lang", "source"))
         graft.ops.Relational.topNPerKey(pairs, Seq("lang"),
             Seq(col("jaccard").desc, col("id_a"), col("id_b")), 5)
-          .select("lang", "id_a", "id_b", "jaccard")
+          .crossJoin(broadcast(
+            DedupOps.droppedBlockStats(docs, Seq("lang", "source"))))
+          .select("lang", "id_a", "id_b", "jaccard",
+            "dropped_blocks", "dropped_docs")
           .orderBy(col("lang"), col("jaccard").desc, col("id_a"),
             col("id_b"))
       },
       Some("""WITH t AS (SELECT doc_id, lang, source,
         |  list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))
         |    AS tok FROM documents),
+        |blk AS (SELECT lang, source FROM documents
+        |  GROUP BY 1, 2 HAVING count(*) <= 10000),
+        |o AS (SELECT CAST(count(*) AS BIGINT) AS dropped_blocks,
+        |  CAST(coalesce(sum(c), 0) AS BIGINT) AS dropped_docs
+        |  FROM (SELECT count(*) AS c FROM documents
+        |        WHERE lang IS NOT NULL AND source IS NOT NULL
+        |        GROUP BY lang, source HAVING count(*) > 10000)),
         |p AS (SELECT a.lang, a.doc_id AS id_a, b.doc_id AS id_b,
         |  round(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
         |    len(list_distinct(a.tok || b.tok)), 6) AS jaccard
         |  FROM t a JOIN t b
         |    ON a.lang = b.lang AND a.source = b.source
-        |   AND a.doc_id < b.doc_id),
+        |   AND a.doc_id < b.doc_id
+        |  JOIN blk ON a.lang = blk.lang AND a.source = blk.source),
         |r AS (SELECT *, row_number() OVER (PARTITION BY lang
         |  ORDER BY jaccard DESC, id_a, id_b) AS rn FROM p)
-        |SELECT lang, id_a, id_b, jaccard FROM r WHERE rn <= 5
+        |SELECT lang, id_a, id_b, jaccard, dropped_blocks, dropped_docs
+        |FROM r, o WHERE rn <= 5
         |ORDER BY lang, jaccard DESC, id_a, id_b""".stripMargin)),
 
     // Composed curation pass: quality gate → exact dedup by

@@ -110,10 +110,20 @@ object PlanAudit {
     *    grain-bounded; the 100 TB form materializes the CTE once,
     *    which Spark SQL text cannot express. The count rose when the
     *    counter moved to the plan tree and started seeing subquery
-    *    plans at all — the shape itself is unchanged since r6. */
+    *    plans at all — the shape itself is unchanged since r6.
+    *
+    *  - `ngram_jaccard_topk` (4 vs neardup 3): the r9 no-silent-caps
+    *    accounting (dropped_blocks/dropped_docs on every row) adds
+    *    ONE block-grain SinglePartition fold — the per-block count
+    *    exchange underneath it is REUSED from the operator's own
+    *    small-block prune (droppedBlockStats scaladoc), so the only
+    *    new exchange moves #blocks rows (hundreds), not pairs.
+    *    containment_dedup absorbed the same fold inside the family
+    *    budget (2→3). */
   val overrides: Map[String, Int] = Map(
     "asof_join_bucketed" -> 5,
-    "sql_q15" -> 4
+    "sql_q15" -> 4,
+    "ngram_jaccard_topk" -> 4
   )
 
   /** Shuffle-exchange count of the AQE-FINAL plan, walked on the

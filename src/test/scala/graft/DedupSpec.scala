@@ -154,6 +154,39 @@ class DedupSpec extends SparkSpec {
     assert(hit == Set((1L, 2L)))
   }
 
+  test("prefixFilterJaccardPairs maxBucketSize cap: lossless while " +
+    "slack, documented drop semantics when it binds") {
+    // t=0.3 on 3-token docs → prefix length 3 - ceil(0.9) + 1 = 3:
+    // the WHOLE doc is prefix, so the two corpus-hot tokens (h1, h2)
+    // enter every hot doc's postings — the low-threshold shape the
+    // scaladoc's threshold↔hotness note describes. Hot pairs share
+    // ONLY hot prefix tokens; the rare pair (100, 101) shares rare
+    // ones (df=2 postings).
+    val t = 0.3
+    val corpus = (
+      (1 to 8).map(i => (i.toLong, s"h1 h2 u$i")) ++ // J=2/4=0.5 pairwise
+      Seq((100L, "r1 r2 c3"), (101L, "r1 r2 d3"))    // J=0.5, rare tokens
+    ).toDF("doc_id", "text")
+    val hotPairs = (for {
+      a <- 1 to 8; b <- (a + 1) to 8 } yield (a.toLong, b.toLong)).toSet
+    val allPairs = hotPairs + ((100L, 101L))
+    // (a) cap present but NOT binding (every posting ≤ 100): the
+    // exactness contract holds — identical to the uncapped run
+    val slack = DedupOps.prefixFilterJaccardPairs(
+        corpus, "doc_id", "text", t, maxBucketSize = 100)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(slack == allPairs, s"slack cap lost pairs: ${allPairs -- slack}")
+    // (b) cap binds on h1/h2 (postings of 8 > 4): every hot pair's
+    // shared prefix tokens are ALL over the cap → dropped; the rare
+    // pair survives through its size-2 postings — one surviving
+    // shared rare token is enough
+    val capped = DedupOps.prefixFilterJaccardPairs(
+        corpus, "doc_id", "text", t, maxBucketSize = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped == Set((100L, 101L)),
+      s"capped run: expected only the rare pair, got $capped")
+  }
+
   test("duplicateClusters finds transitive components with min-id reps") {
     // components: {1,2,3,7} via chain 1-2, 2-3, 3-7; {5,9}; pair list
     // never contains (1,7) etc. — only the closure connects them
