@@ -2,7 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.SamplingOps
+import graft.ext.{CorpusPipeline, DecontamOps, DedupOps, SamplingOps,
+  TextOps}
 
 /** Corpus-assembly queries: reproducible sampling / splitting /
   * mixing / sequence packing ([[graft.ext.SamplingOps]] scaladoc for
@@ -19,6 +20,168 @@ object CurationQueries {
     s"CAST(('0x' || substring(md5($key), 1, 8)) AS BIGINT) % $buckets"
 
   val defs: Map[String, QueryDef] = Map(
+
+    // THE COMPOSED END-TO-END CURATION PIPELINE (VERDICT r8 #1): the
+    // eight per-stage-gated operators chained the way a real corpus
+    // build runs them, as ONE query whose DuckDB oracle re-derives
+    // the FINAL EXPORT MANIFEST — any drift in any stage handoff
+    // (schema, survivor set, split keying, sample cut, window layout)
+    // breaks the manifest hash. Stage chain (each stage's standalone
+    // oracle-gated twin in parentheses):
+    //   1. exact dedup, fingerprint min-id survivor (dedup_exact /
+    //      corpus_curation)
+    //   2. near-dup removal: production LSH from the build-once
+    //      signature store, verified pairs, higher id drops
+    //      (dedup_minhash_lsh / dedup_minhash_verified)
+    //   3. decontamination vs the doc_id % 37 eval slice, shared
+    //      4-gram (decontaminate)
+    //   4. quality gate, narrow (corpus_curation)
+    //   5. leakage-safe split on duplicate-CLUSTER representatives —
+    //      survivors of a partly-deduped component key on the same
+    //      rep so residual near-dup structure can never straddle the
+    //      split (leakage_safe_split / dedup_clusters)
+    //   6. quality-weighted A-ES top-50 sample (weighted_sample)
+    //   7. 512-token sequence packing per lang (doc_packing)
+    //   8. deterministic export manifest with per-shard docs /
+    //      tokens / windows / XOR checksum (export_manifest)
+    // Oracle-equivalence of stage 2 at the gate SF: the exact-jaccard
+    // pair CTE equals the capped LSH run because (a) verification
+    // filters on the SAME rounded jaccard >= 0.9, (b) banding misses
+    // a j>=0.9 pair w.p. <= 4e-8 (16x4 bands, realized-zero misses
+    // hash-proven by dedup_minhash_verified every round), and (c) the
+    // 500-doc bucket cap cannot bind on a 500-doc gate corpus. At
+    // bench SF the cap binds on the degenerate mega-cluster — the
+    // documented production trade (dedup_minhash_lsh comment).
+    // 100 TB shape: every stage is the same plan its standalone query
+    // ships — signatures/digests shuffle, documents don't; the pair
+    // set and cluster fixpoint are pair-grain; stages 3-8 operate on
+    // the shrinking survivor minority.
+    "curation_e2e" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        // (1) exact dedup
+        val exact = CorpusPipeline.exactDedup(docs, "doc_id", "text")
+        // (2) near-dup: verified pairs from the signature store, both
+        // ends restricted to exact survivors (band membership is a
+        // pure pair property, so restricting the full-corpus pair set
+        // equals pair generation among survivors)
+        val pairs = DedupOps.minhashNearDupPairsFromSigs(
+            TextQueries.storedSigs(s, d), bands = 16, rowsPerBand = 4,
+            threshold = 0.9, maxBucketSize = 500)
+          .join(exact.select(col("doc_id").as("id_a")),
+            Seq("id_a"), "left_semi")
+          .join(exact.select(col("doc_id").as("id_b")),
+            Seq("id_b"), "left_semi")
+          .select("id_a", "id_b")
+        val deduped = exact.join(
+          pairs.select(col("id_b").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+        // (3) decontaminate (eval slice leaves the corpus too)
+        val evalSet = docs.filter(col("doc_id") % 37 === 0)
+        val clean = DecontamOps.flagContaminated(
+            deduped.filter(col("doc_id") % 37 =!= 0), evalSet,
+            "doc_id", "text", 4)
+          .filter(!col("contaminated")).drop("contaminated")
+        // (4) quality gate
+        val gated = CorpusPipeline.qualityFilter(clean, "text",
+          CorpusPipeline.Config())
+        // (5) leakage-safe split: key on the duplicate-cluster rep
+        val reps = DedupOps.duplicateClusters(pairs)
+          .select(col("id").as("doc_id"), col("cluster_rep"))
+        val train = gated.join(reps, Seq("doc_id"), "left")
+          .withColumn("rep", coalesce(col("cluster_rep"), col("doc_id")))
+          .filter(SamplingOps.md5Bucket(col("rep").cast("string"), 100)
+            >= 10)
+        // (6) quality-weighted top-50 sample (A-ES key)
+        val sampled = train
+          .withColumn("quality", TextOps.qualityScore(col("text")))
+          .withColumn("skey",
+            SamplingOps.aesKey(col("text"), col("quality") + lit(0.01)))
+          .orderBy(col("skey").desc, col("doc_id")).limit(50)
+          .select("doc_id", "lang", "text")
+        // (7) pack into 512-token windows per lang
+        val packed = SamplingOps.packSequences(sampled, "lang", "doc_id",
+          size(TextOps.tokens(col("text"))), capacity = 512)
+        // (8) export manifest over the packed sample
+        sampled.join(packed.select("doc_id", "n_windows"), Seq("doc_id"))
+          .withColumn("shard", SamplingOps.md5Bucket(col("text"), 16))
+          .withColumn("__h",
+            conv(substring(md5(col("text").cast("binary")), 1, 15),
+              16, 10).cast("long"))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(TextOps.tokenCount(col("text")).cast("long"))
+              .as("n_tokens"),
+            sum(col("n_windows")).as("n_windows"),
+            expr("bit_xor(__h)").as("checksum"))
+          .orderBy("shard")
+      },
+      Some(s"""WITH RECURSIVE ${QueryDef.qualityCtesSql("quality")},
+        |f AS (SELECT doc_id, row_number() OVER (
+        |    PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+',
+        |      ' ', 'g'))
+        |    ORDER BY doc_id) AS rn FROM documents),
+        |ex AS (SELECT doc_id FROM f WHERE rn = 1),
+        |ts AS (SELECT t.doc_id, list_distinct(t.tok) AS ts
+        |  FROM t JOIN ex USING (doc_id)),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM ts a JOIN ts b ON a.doc_id < b.doc_id
+        |  WHERE round(len(list_intersect(a.ts, b.ts))::DOUBLE /
+        |    (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))),
+        |    6) >= 0.9),
+        |nd AS (SELECT doc_id FROM ex
+        |  WHERE doc_id NOT IN (SELECT id_b FROM p)),
+        |g AS (SELECT doc_id, CASE WHEN len(tok) < 4 THEN []::VARCHAR[]
+        |    ELSE list_transform(range(1, len(tok) - 2),
+        |           i -> array_to_string(tok[i:i+3], ' '))
+        |    END AS ngs FROM t),
+        |ev AS (SELECT DISTINCT unnest(ngs) AS ng FROM g
+        |  WHERE doc_id % 37 = 0),
+        |cl AS (SELECT nd.doc_id FROM nd JOIN g USING (doc_id)
+        |  WHERE doc_id % 37 <> 0 AND NOT EXISTS (
+        |    SELECT 1 FROM ev WHERE list_contains(g.ngs, ev.ng))),
+        |qg AS (SELECT q.doc_id, q.lang, q.text, q.quality
+        |  FROM q JOIN cl USING (doc_id) JOIN t USING (doc_id)
+        |  WHERE len(t.tok) BETWEEN 10 AND 100000
+        |    AND (CASE WHEN length(q.text) = 0 THEN 0.0
+        |         ELSE CAST(length(regexp_replace(q.text, '[^.,!?;:]',
+        |           '', 'g')) AS DOUBLE) / length(q.text) END) < 0.2),
+        |e AS (SELECT id_a AS s, id_b AS d FROM p
+        |  UNION ALL SELECT id_b, id_a FROM p),
+        |reach(id, r) AS (
+        |  SELECT s, s FROM e GROUP BY s
+        |  UNION
+        |  SELECT e.s, reach.r FROM e JOIN reach ON e.d = reach.id),
+        |reps AS (SELECT id AS doc_id, min(r) AS rep
+        |  FROM reach GROUP BY id),
+        |tr AS (SELECT qg.doc_id, qg.lang, qg.text, qg.quality
+        |  FROM qg LEFT JOIN reps USING (doc_id)
+        |  WHERE CAST(('0x' || substring(md5(CAST(
+        |      coalesce(reps.rep, qg.doc_id) AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 100 >= 10),
+        |ws AS (SELECT doc_id, lang, text,
+        |  round(pow((CAST(CAST(('0x' || substring(md5(text), 1, 13))
+        |      AS BIGINT) AS DOUBLE) + 0.5) / 4503599627370496.0,
+        |    1.0 / (quality + 0.01)), 9) AS skey
+        |  FROM tr ORDER BY skey DESC, doc_id LIMIT 50),
+        |pk AS (SELECT doc_id, lang, text,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+        |  END AS n_tokens FROM ws),
+        |c AS (SELECT doc_id, text, n_tokens,
+        |  sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS run FROM pk),
+        |pw AS (SELECT doc_id, text, n_tokens,
+        |  (run - 1) // 512 - (run - n_tokens) // 512 + 1 AS n_windows
+        |  FROM c)
+        |SELECT CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)
+        |    % 16 AS shard,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_windows) AS BIGINT) AS n_windows,
+        |  bit_xor(CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT))
+        |    AS checksum
+        |FROM pw GROUP BY 1 ORDER BY shard""".stripMargin)),
 
     // Deterministic 20% sample keyed by text content: the same rows
     // survive on every run, engine, and partitioning — asserted

@@ -51,6 +51,7 @@ object PlanAudit {
       n == "timed_conversion" || n == "gapfill_resample"    => "events"
     case n if n.startsWith("multimodal_") ||
       n == "audio_segments"                                 => "multimodal"
+    case "curation_e2e"                                       => "pipeline"
     case n if n.startsWith("corpus_") || n.startsWith("dataset_") ||
       n == "mixture_temperature" || n == "doc_packing" ||
       n == "train_test_split" || n == "weighted_sample" ||
@@ -82,8 +83,18 @@ object PlanAudit {
     "neardup"    -> 3, // pair/cluster fixpoints materialize in side
                        // jobs against persisted frames; the returned
                        // plan reads those caches
-    "store"      -> 3  // commit sequences run in side jobs; the
+    "store"      -> 3, // commit sequences run in side jobs; the
                        // returned plan is the final store read
+    "pipeline"   -> 11 // curation_e2e: the 8-stage composed chain —
+                       // its exchange count is the SUM of its stages'
+                       // (pair candidate agg + anti/semi joins +
+                       // decontam n-gram agg + split join + pack
+                       // window + manifest agg/order); each stage's
+                       // own shape stays pinned by that stage's
+                       // standalone family budget, so this ceiling
+                       // only guards against a stage HANDOFF adding
+                       // an unnecessary re-shuffle (e.g. losing a
+                       // broadcast between stages)
   )
 
   /** Per-QUERY budget overrides for the few queries whose correct
