@@ -29,6 +29,7 @@ object SparkEntry {
     Event2Queries.defs,
     TextQueries.defs,
     Text2Queries.defs,
+    Text3Queries.defs,
     SearchQueries.defs,
     VectorQueries.defs,
     MultimodalQueries.defs,

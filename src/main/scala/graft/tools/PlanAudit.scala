@@ -40,7 +40,8 @@ object PlanAudit {
       n == "ngram_jaccard_topk" || n == "fuzzy_link_blocked" ||
       n == "leakage_safe_split" || n == "decontaminate" ||
       n == "jaccard_pairs_prefix"                           => "neardup"
-    case n if n.startsWith("ann_") || n.startsWith("vector_") => "vector"
+    case n if n.startsWith("ann_") || n.startsWith("vector_") ||
+      n == "semantic_dedup"                                 => "vector"
     case n if n.startsWith("incremental_") ||
       n == "versioned_store" || n == "versioned_store_partitioned" ||
       n == "mart_publish_atomic" || n == "delete_keys" ||
