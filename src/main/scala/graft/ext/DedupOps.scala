@@ -1097,15 +1097,29 @@ object DedupOps {
   def corpusDupNgramShare(df: DataFrame, idCol: String, textCol: String,
                           n: Int): DataFrame = {
     require(n >= 1, "n >= 1")
-    val grams = df.select(col(idCol),
-      explode(array_distinct(TextOps.wordNgrams(col(textCol), n)))
-        .as("__gram"))
-    val hashed = grams.select(col(idCol), sha2(col("__gram"), 256).as("__g"))
+    // 128-bit gram digest as TWO independent-seed fused hash chains
+    // ([[graft.functions.NgramHashes]]): no gram strings are ever
+    // built (the interpreted transform+concat_ws+slice composition
+    // was the query's dominant cost), and the shuffle key is 16 bytes
+    // of longs rather than a 64-byte sha2 hex varchar — collision
+    // probability ~1e-15 even at 10^12 distinct grams. Distinctness
+    // of hash PAIRS equals distinctness of grams up to collisions, so
+    // the per-doc distinct-gram set is taken over the pairs.
+    val grams = df
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__tok"))
+      .select(col(idCol), explode(array_distinct(arrays_zip(
+        graft.functions.native.ngram_hashes(col("__tok"), n, 42L)
+          .as("__g1"),
+        graft.functions.native.ngram_hashes(col("__tok"), n, 1337L)
+          .as("__g2")))).as("__g"))
+      .select(col(idCol), col("__g.__g1").as("__g1"),
+        col("__g.__g2").as("__g2"))
     // grams are distinct per doc, so count(*) per digest == document
     // frequency; a window (single hash-shuffle on the digest) beats
     // groupBy + join-back (two shuffles of the same rows)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("__g")
-    hashed.withColumn("__df", count(lit(1)).over(w))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__g1", "__g2")
+    grams.withColumn("__df", count(lit(1)).over(w))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("__df") > 1, 1L).otherwise(0L)).as("n_dup_grams"))

@@ -238,12 +238,44 @@ object TextOps {
     * bigrams and yield no row. */
   def bigramLmScores(df: org.apache.spark.sql.DataFrame, idCol: String,
                      textCol: String): org.apache.spark.sql.DataFrame = {
-    val inst = df.select(col(idCol),
-      explode(wordNgrams(col(textCol), 2)).as("__bigram"))
-      .withColumn("__w1", substring_index(col("__bigram"), " ", 1))
-    val c2 = inst.groupBy("__bigram").agg(count(lit(1)).as("__c2"))
-    val c1 = inst.groupBy("__w1").agg(count(lit(1)).as("__c1"))
-    inst.join(c2, "__bigram").join(c1, "__w1")
+    // Single tokenize pass; the bigram and left-token keys are
+    // 128-bit fused-hash-chain digests ([[graft.functions
+    // .NgramHashes]] at n=2 / n=1, two independent seeds each) —
+    // no bigram STRINGS are ever built and the shuffle keys are
+    // longs. The left token of bigram i is token i, so the unigram
+    // hash arrays sliced to the bigram count align positionally with
+    // the bigram hash arrays under one arrays_zip + explode. The
+    // counts attach via two count-only windows over the digests —
+    // each ONE hash shuffle of the instance frame — instead of
+    // groupBy count-frames joined back (which re-scans the corpus
+    // per count frame and shuffles the instances once more per
+    // join). Skew note: a stopword-grade left token concentrates its
+    // window partition; count-only windows tolerate that at this
+    // scale, and a skew-hardened variant would pre-aggregate per
+    // (doc, digest) before the window (same two-level fold as
+    // salted_agg) — the count frames stay vocabulary-sized either
+    // way.
+    import graft.functions.native.ngram_hashes
+    val inst = df
+      .select(col(idCol), tokens(col(textCol)).as("__tok"))
+      .select(col(idCol),
+        ngram_hashes(col("__tok"), 2, 42L).as("__ba"),
+        ngram_hashes(col("__tok"), 2, 1337L).as("__bb"),
+        ngram_hashes(col("__tok"), 1, 42L).as("__ua"),
+        ngram_hashes(col("__tok"), 1, 1337L).as("__ub"))
+      .select(col(idCol), explode(arrays_zip(
+        col("__ba"), col("__bb"),
+        slice(col("__ua"), lit(1), size(col("__ba"))).as("__ha"),
+        slice(col("__ub"), lit(1), size(col("__ba"))).as("__hb"))).as("__z"))
+      .select(col(idCol),
+        col("__z.__ba").as("__b1"), col("__z.__bb").as("__b2"),
+        col("__z.__ha").as("__h1"), col("__z.__hb").as("__h2"))
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy("__b1", "__b2")
+    val wW = org.apache.spark.sql.expressions.Window
+      .partitionBy("__h1", "__h2")
+    inst.withColumn("__c2", count(lit(1)).over(wB))
+      .withColumn("__c1", count(lit(1)).over(wW))
       .withColumn("__lp",
         round(log(col("__c2").cast("double") / col("__c1")), 6)
           .cast("decimal(20,6)"))

@@ -189,6 +189,62 @@ case class MinhashSig(child: Expression, numHashes: Int)
     copy(child = c)
 }
 
+/** Hashed word n-grams from a token array, as ONE fused pass: element
+  * i = the xxhash64 seed-chain fold of tokens i..i+n-1 (h starts at
+  * `seed`; each token folds in as XxHash64(token, h)). Replaces the
+  * interpreted `transform(sequence(...), i => concat_ws(slice(...)))`
+  * + per-gram string hash composition: no gram STRINGS are ever
+  * built, and the per-row cost is one hash per (position, token)
+  * instead of per-gram string allocation + join + re-hash — the
+  * [[MinhashSig]] treatment applied to the n-gram family
+  * (corpus-duplication shares, bigram LM counts, decontamination).
+  *
+  * The chain fold distinguishes token BOUNDARIES strictly better than
+  * space-joining (["ab","c"] vs ["a","bc"] join to the same string
+  * but fold differently), so any distinctness-based consumer (df
+  * counts, set membership) sees the same or finer structure than the
+  * string form, up to 64-bit collisions; consumers needing 128-bit
+  * safety call it twice with different seeds (independent chains).
+  * Fewer than n tokens → empty array, matching
+  * [[graft.ext.TextOps.wordNgrams]]; a NULL token folds as
+  * hashLong(0), distinct from every real token's fold. */
+case class NgramHashes(child: Expression, n: Int, seed: Long)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+
+  require(n >= 1, "n must be positive")
+
+  override def nullIntolerant: Boolean = true
+  override def inputTypes =
+    Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ngram_hashes"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val len = arr.numElements()
+    val m = len - n + 1
+    if (m <= 0) return ArrayData.toArrayData(Array.emptyLongArray)
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = seed
+      var j = 0
+      while (j < n) {
+        h = if (arr.isNullAt(i + j)) XXH64.hashLong(0L, h)
+            else XxHash64Function.hash(arr.getUTF8String(i + j),
+              StringType, h)
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): NgramHashes =
+    copy(child = c)
+}
+
 /** Argmax-cosine nearest-centroid id: given a float vector and an
   * array of (centroid_id, centroid) structs, returns the id of the
   * centroid with the highest cosine similarity — the IVF assignment
@@ -472,6 +528,9 @@ case class BloomMightContain(left: Expression, right: Expression)
 
 /** Column-level entry points. */
 object native {
+  def ngram_hashes(tokens: Column, n: Int, seed: Long): Column =
+    Bridge.column(NgramHashes(Bridge.expression(tokens), n, seed))
+
   def cms_estimate(sketch: Column, item: Column): Column =
     Bridge.column(CmsEstimate(
       Bridge.expression(sketch),

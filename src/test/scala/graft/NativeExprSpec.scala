@@ -152,4 +152,38 @@ class NativeExprSpec extends SparkSpec {
       native.simhash64(lit(null).cast("array<string>")).as("s")).head()
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
+
+  test("native ngram_hashes == the Scala seed-chain model, bitwise, " +
+    "incl. unicode / nulls / short arrays") {
+    import org.apache.spark.sql.catalyst.expressions.{XXH64,
+      XxHash64Function}
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    def model(toks: Seq[String], n: Int, seed: Long): Seq[Long] =
+      (0 to toks.length - n).map { i =>
+        toks.slice(i, i + n).foldLeft(seed) { (h, t) =>
+          if (t == null) XXH64.hashLong(0L, h)
+          else XxHash64Function.hash(UTF8String.fromString(t),
+            StringType, h)
+        }
+      }
+    val cases: Seq[Seq[String]] = Seq(
+      Seq("a", "b", "c", "d"),
+      Seq("héllo", "wörld", "héllo"),
+      Seq("a", null, "c"),
+      Seq("only"),
+      Seq())
+    for (n <- Seq(1, 2, 3); seed <- Seq(42L, 1337L); toks <- cases) {
+      val got = Seq(toks).toDF("t")
+        .select(native.ngram_hashes(col("t"), n, seed).as("g"))
+        .as[Seq[Long]].head()
+      assert(got === model(toks, n, seed), s"n=$n seed=$seed toks=$toks")
+    }
+    // boundary discrimination the string-join form lacks
+    val joined = Seq(Seq("ab", "c"), Seq("a", "bc"))
+    val hs = joined.map(t => Seq(t).toDF("t")
+      .select(native.ngram_hashes(col("t"), 2, 42L).as("g"))
+      .as[Seq[Long]].head().head)
+    assert(hs.distinct.size == 2)
+  }
 }
