@@ -267,16 +267,25 @@ object DedupOps {
     * transitive closure, and a cluster's representative must be
     * deterministic for reproducible survivor selection.
     *
-    * Distributed min-label propagation: every vertex starts as its own
-    * label; each round, labels flow across edges and every vertex
-    * keeps the minimum seen; fixpoint = components labeled by their
-    * min id. Round count is the graph DIAMETER — near-dup graphs are
-    * dense little clumps (diameter 2-4), not long chains, so a handful
-    * of rounds closes corpus-scale graphs. Each round is one join +
-    * one min-aggregate on (id, label) pairs — edge-linear shuffles
-    * carrying two longs; `localCheckpoint` truncates the per-round
-    * lineage so the plan doesn't grow with iterations (the classic
-    * iterative-Spark failure). `maxIter` bounds adversarial chains;
+    * Distributed min-label propagation WITH pointer jumping: every
+    * vertex starts as its own label; each round, labels flow across
+    * edges and every vertex keeps the minimum seen; each superstep
+    * additionally shortcuts label(x) ← label(label(x)) (valid because
+    * labels are always vertex ids, and x ~ label(x) by induction).
+    * The jump doubles the distance a label covers per superstep, so
+    * convergence is O(log diameter) instead of O(diameter) — the
+    * distinction the r9 sf1 leg made concrete: the e2e curation
+    * chain's CAPPED pair graph (hot LSH buckets dropped) breaks its
+    * mega-cluster into long thin chains, and plain propagation blew
+    * the 25-round bound where log-doubling closes it in a few
+    * supersteps. Fixpoint = components labeled by their min id,
+    * identical for any propagation order (the label lattice has one
+    * bottom per component). Each round is one join + one
+    * min-aggregate on (id, label) pairs — edge-linear shuffles
+    * carrying two longs; the jump adds one vertex-grain self-join per
+    * superstep; `localCheckpoint` truncates the per-round lineage so
+    * the plan doesn't grow with iterations (the classic
+    * iterative-Spark failure). `maxIter` bounds the supersteps;
     * hitting it raises rather than silently emitting a non-fixpoint
     * labeling. */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
@@ -319,21 +328,37 @@ object DedupOps {
     var i = 0
     try {
       spark.conf.set(aqeKey, "false")
-      // supersteps never overrun maxIter: the final one is truncated
-    // SUPERSTEPS of 3 lazily-chained rounds, two jobs each (eager
-    // checkpoint + convergence count). The obvious alternatives both
-    // measured badly at bench SF: per-round checkpoint+count is 3
-    // fixed-cost jobs per round, and per-round persist-without-
-    // checkpoint recomputes the whole chain each round (labels appears
-    // twice per round, so cost TRIPLES per un-truncated level —
-    // measured 0.6→45 s/round before the first lineage cut). Chaining
-    // 3 rounds inside one job re-scans the checkpointed labels RDD a
-    // few extra times — trivially cheap — while cutting job count to
-    // 2 per 3 rounds; dedup graphs (diameter 2-4) close in 1-2
-    // supersteps. */
+    // SUPERSTEPS of one pointer jump + 3 lazily-chained propagate
+    // rounds, two jobs each (eager checkpoint + convergence count).
+    // `maxIter` bounds SUPERSTEPS — with the jump doubling covered
+    // distance each superstep, the default 25 closes components of
+    // diameter ~3·2²⁴, so hitting the bound means a broken edge set,
+    // not an honest long chain. The chaining shape itself: per-round
+    // checkpoint+count is 3 fixed-cost jobs per round, and per-round
+    // persist-without-checkpoint recomputes the whole chain each
+    // round (labels appears twice per round, so cost TRIPLES per
+    // un-truncated level — measured 0.6→45 s/round before the first
+    // lineage cut). Chaining 3 rounds inside one job re-scans the
+    // checkpointed labels RDD a few extra times — trivially cheap —
+    // while cutting job count to 2 per 3 rounds; dedup graphs
+    // (diameter 2-4) close in 1-2 supersteps. */
     while (changed > 0 && i < maxIter) {
-      val step = math.min(3, maxIter - i)
+      val step = 3
+      // pointer jump FIRST, on the checkpointed frame (a LogicalRDD —
+      // self-joining the in-loop union/aggregate plan instead trips
+      // Union constraint rewriting on duplicate attribute ids):
+      // label(x) <- label(label(x)). Labels only ever DECREASE (they
+      // are min-folds of vertex ids within the component), so the
+      // shortcut is monotone toward the same fixpoint; every label IS
+      // a vertex id present in the frame, the left join + least() is
+      // belt-and-braces.
+      val jumpTo = labels.toDF("__jid", "__jlabel")
       var cur = labels
+        .join(jumpTo, labels("label") === jumpTo("__jid"), "left")
+        .select(labels("id"),
+          least(labels("label"), coalesce(col("__jlabel"),
+            labels("label"))).as("label"))
+        .repartition(w, col("id"))
       for (_ <- 0 until step) {
         val via = edges.join(cur, edges("dst") === cur("id"))
           .select(edges("src").as("id"), col("label"))
@@ -346,7 +371,7 @@ object DedupOps {
         .join(labels.select(col("id"), col("label").as("__old")), Seq("id"))
         .filter(col("label") =!= col("__old")).count()
       labels = next
-      i += step
+      i += 1
     }
     } finally {
       spark.conf.set(aqeKey, prevAqe)
@@ -357,9 +382,10 @@ object DedupOps {
     }
     if (changed > 0)
       throw new IllegalStateException(
-        s"duplicateClusters did not converge in $i rounds — " +
-          "pair graph has a longer diameter than a dedup graph should; " +
-          "raise maxIter explicitly if the chain is legitimate")
+        s"duplicateClusters did not converge in $i supersteps — with " +
+          "pointer jumping that needs diameter ~2^supersteps, so the " +
+          "edge set is likely malformed; raise maxIter explicitly if " +
+          "the graph is legitimate")
     labels.withColumnRenamed("label", "cluster_rep")
   }
 

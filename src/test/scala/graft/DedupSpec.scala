@@ -208,6 +208,17 @@ class DedupSpec extends SparkSpec {
     assert(full.values.toSet == Set(1L) && full.size == 12)
   }
 
+  test("duplicateClusters closes a 2000-vertex path graph within the " +
+    "default superstep budget (pointer jumping: O(log diameter), " +
+    "where plain propagation would cover only ~75 hops)") {
+    // the r9 sf1 regression shape: a capped LSH pair graph degrades
+    // the mega-cluster into long thin chains
+    val path = (1L until 2000L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = DedupOps.duplicateClusters(path)
+      .as[(Long, Long)].collect().toMap
+    assert(out.size == 2000 && out.values.toSet == Set(1L))
+  }
+
   test("degenerate corpus: hot LSH buckets and hot blocks stay capped — " +
     "pair counts bounded, wall-time flat") {
     // adversarial shape at stress size: HALF the corpus is one
