@@ -1152,4 +1152,57 @@ object DedupOps {
       .withColumn("dup_share",
         round(col("n_dup_grams").cast("double") / col("n_grams"), 6))
   }
+
+  /** Duplicated-SPAN coverage, the token-position form of the
+    * exact-substring dedup signal (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): per document, how
+    * many token positions are covered by at least one `n`-gram whose
+    * TOTAL occurrence count across the corpus exceeds 1 (cross-doc
+    * duplicates AND within-doc repeats both count — any repeated
+    * passage). A span remover would strip exactly these positions;
+    * this op emits the accounting a 100 TB curation run decides on:
+    * `(id, n_tokens, n_covered, coverage)` for every document
+    * (`n_covered = 0` for docs shorter than `n` tokens).
+    *
+    * Scale design: gram digests are the fused 128-bit hash chains
+    * ([[graft.functions.NgramHashes]] — no gram strings exist);
+    * occurrence counts attach via ONE count-window over the
+    * digest-shuffled instance frame (all occurrences, not per-doc
+    * distinct — within-doc repeats must count); covered positions are
+    * the exploded `[i, i+n-1]` windows of duplicated gram starts,
+    * distinct-counted per doc. The explode factor is the constant
+    * `n`, so every stage is corpus-linear; no pairwise stage exists.
+    * Collision odds as [[corpusDupNgramShare]] (~1e-15; a binding
+    * collision can only over-mark coverage, and the string-counting
+    * DuckDB oracle doubles as the collision monitor at gate SF). */
+  def dupSpanCoverage(df: DataFrame, idCol: String, textCol: String,
+                      n: Int): DataFrame = {
+    require(n >= 1, "n >= 1")
+    val toks = df.select(col(idCol),
+      TextOps.tokens(col(textCol)).as("__tok"))
+    val starts = toks
+      .select(col(idCol), posexplode(arrays_zip(
+        graft.functions.native.ngram_hashes(col("__tok"), n, 42L)
+          .as("__g1"),
+        graft.functions.native.ngram_hashes(col("__tok"), n, 1337L)
+          .as("__g2"))).as(Seq("__i", "__g")))
+      .select(col(idCol), col("__i"),
+        col("__g.__g1").as("__g1"), col("__g.__g2").as("__g2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__g1", "__g2")
+    val covered = starts
+      .withColumn("__occ", count(lit(1)).over(w))
+      .filter(col("__occ") > 1)
+      .select(col(idCol),
+        explode(sequence(col("__i"), col("__i") + (n - 1))).as("__p"))
+      .groupBy(col(idCol))
+      .agg(count_distinct(col("__p")).as("n_covered"))
+    toks.select(col(idCol), size(col("__tok")).as("n_tokens"))
+      .join(covered, Seq(idCol), "left")
+      .withColumn("n_covered", coalesce(col("n_covered"), lit(0L)))
+      .withColumn("coverage",
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(round(
+            col("n_covered").cast("double") / col("n_tokens"), 6)))
+  }
 }

@@ -286,4 +286,113 @@ object TextOps {
         round(col("__lp_sum").cast("double") / col("n_bigrams"), 6))
       .drop("__lp_sum")
   }
+
+  /** DSIR-style hashed-n-gram importance weights (Xie et al. 2023,
+    * "Data Selection via Importance Resampling"): per document, the
+    * log importance weight
+    * `Σ_instances ln( p_target(f) / p_raw(f) )` over the document's
+    * bigram feature instances, where both distributions are
+    * Laplace-smoothed bag-of-bigram models —
+    * `p_D(f) = (c_D(f) + 1) / (N_D + V)` with `c_D` the instance
+    * count of `f` in domain D, `N_D` the domain's total instances,
+    * and `V` the full corpus's distinct-feature count. `targetFlag`
+    * marks the target-domain rows (e.g. `col("lang") === "en"`); the
+    * raw distribution is the WHOLE corpus, so every document scores
+    * against the same pair of models. A downstream resampler keeps
+    * the top-weight documents (or Gumbel-samples with these log
+    * weights — compose with [[graft.ext.SamplingOps]]).
+    *
+    * Scale design: the same shape as [[bigramLmScores]] — the feature
+    * space is 128-bit fused hash-chain digests
+    * ([[graft.functions.NgramHashes]], no n-gram strings anywhere),
+    * and the count models attach via ONE count-window over the
+    * digest-hash-shuffled instance frame (`c_target` is a conditional
+    * sum over the same window — no second shuffle). The three model
+    * scalars (N_t, N_raw, V) are a one-row aggregate cross-joined
+    * back (broadcast, no driver collect); V needs a distinct count,
+    * vocabulary-sized after partial aggregation. Total: two scans of
+    * the instance frame, one digest shuffle, one doc-grain shuffle —
+    * corpus-linear, no pairwise stage.
+    *
+    * Determinism: per-distinct-feature log-ratio rounded to 6
+    * decimals, per-doc accumulation as exact DECIMAL (the
+    * [[graft.queries.QueryDef.dsum]] discipline), so results are
+    * partition- and engine-independent. Docs with < 2 tokens have no
+    * bigram instances and yield no row. */
+  def dsirWeights(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String,
+                  targetFlag: Column): org.apache.spark.sql.DataFrame = {
+    import graft.functions.native.ngram_hashes
+    val inst = df
+      .select(col(idCol), targetFlag.cast("boolean").as("__t"),
+        tokens(col(textCol)).as("__tok"))
+      .select(col(idCol), col("__t"), explode(arrays_zip(
+        ngram_hashes(col("__tok"), 2, 42L).as("__f1"),
+        ngram_hashes(col("__tok"), 2, 1337L).as("__f2"))).as("__z"))
+      .select(col(idCol), col("__t"),
+        col("__z.__f1").as("__f1"), col("__z.__f2").as("__f2"))
+    // One-row model-size frame: target/raw instance totals + distinct
+    // feature count. Broadcast-joined to every instance (3 longs).
+    val stats = inst.agg(
+      sum(when(col("__t"), 1L).otherwise(0L)).as("__nt"),
+      count(lit(1)).as("__nr"),
+      count_distinct(col("__f1"), col("__f2")).as("__v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__f1", "__f2")
+    inst
+      .withColumn("__ct", sum(when(col("__t"), 1L).otherwise(0L)).over(w))
+      .withColumn("__cr", count(lit(1)).over(w))
+      .crossJoin(broadcast(stats))
+      .withColumn("__lp",
+        round(
+          log((col("__ct") + 1).cast("double") / (col("__nt") + col("__v")))
+            - log((col("__cr") + 1).cast("double")
+              / (col("__nr") + col("__v"))), 6)
+          .cast("decimal(20,6)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"),
+        sum(col("__lp")).as("__lw"))
+      .withColumn("dsir_logw", round(col("__lw").cast("double"), 6))
+      .drop("__lw")
+  }
+
+  /** CCNet-style per-language fluency buckets: rank each language's
+    * documents by their self-trained bigram-LM score
+    * ([[bigramLmScores]] — higher = more fluent under the corpus's
+    * own model) and cut into `nBuckets` equal-frequency buckets
+    * (bucket 1 = head/most fluent … n = tail), the stratification
+    * CCNet uses to keep perplexity-balanced corpus slices. Returns
+    * the per-(lang, bucket) accounting frame: document count and
+    * mean LM log-prob.
+    *
+    * The bucket is the explicit rank formula
+    * `ceil(nBuckets · rank / count)` over (rounded score desc,
+    * doc-id) — NOT `ntile`, whose remainder-distribution rule differs
+    * across engines; the formula is engine-portable and what the
+    * DuckDB oracle mirrors. Scale note: the rank window partitions by
+    * language — a skewed-language corpus concentrates one partition,
+    * and the scale-out variant cuts by per-language approximate score
+    * percentiles instead of a global per-lang sort (the
+    * `quality_percentile_gate` pattern); at bucket-accounting grain
+    * the output is identical when scores are distinct. */
+  def ccnetBuckets(df: org.apache.spark.sql.DataFrame, idCol: String,
+                   textCol: String, langCol: String,
+                   nBuckets: Int): org.apache.spark.sql.DataFrame = {
+    require(nBuckets >= 1, "nBuckets >= 1")
+    val scores = bigramLmScores(df, idCol, textCol)
+      .join(df.select(col(idCol), col(langCol).as("lang")), Seq(idCol))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang")
+      .orderBy(col("lm_logprob").desc, col(idCol))
+    val wCnt = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+    scores
+      .withColumn("__rn", row_number().over(wRank))
+      .withColumn("__n", count(lit(1)).over(wCnt))
+      .withColumn("bucket",
+        ceil(col("__rn") * nBuckets / col("__n")).cast("int"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("lm_logprob").cast("decimal(25,6)")).cast("double")
+          / count(lit(1)), 6).as("avg_logprob"))
+  }
 }

@@ -83,6 +83,101 @@ object Text3Queries {
         |  round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS lm_logprob
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // DSIR hashed-bigram importance weights: target domain = English
+    // documents, raw = the whole corpus, Laplace-smoothed bag-of-
+    // bigram models. Docs with < 2 tokens yield no row.
+    "dsir_weights" -> QueryDef(
+      (s, d) => TextOps.dsirWeights(
+          Tables.documents(s, d), "doc_id", "text",
+          col("lang") === "en")
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, lang = 'en' AS tgt,
+        |    $tokSql AS tok FROM documents),
+        |bg AS (SELECT doc_id, tgt, array_to_string(tok[i:i+1], ' ') AS f
+        |  FROM t, LATERAL (SELECT
+        |    unnest(generate_series(1, len(tok) - 1)) AS i) u
+        |  WHERE len(tok) >= 2),
+        |st AS (SELECT sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS nt,
+        |    count(*) AS nr, count(DISTINCT f) AS v FROM bg),
+        |wc AS (SELECT doc_id,
+        |    sum(CASE WHEN tgt THEN 1 ELSE 0 END) OVER (PARTITION BY f)
+        |      AS ct,
+        |    count(*) OVER (PARTITION BY f) AS cr
+        |  FROM bg),
+        |lp AS (SELECT doc_id,
+        |    CAST(round(ln(CAST(ct + 1 AS DOUBLE) / (nt + v))
+        |      - ln(CAST(cr + 1 AS DOUBLE) / (nr + v)), 6)
+        |      AS DECIMAL(20,6)) AS lp
+        |  FROM wc CROSS JOIN st)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+        |  round(CAST(sum(lp) AS DOUBLE), 6) AS dsir_logw
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Duplicated-span coverage, n=5: per doc, token positions covered
+    // by any 5-gram occurring more than once in the whole corpus
+    // (cross-doc AND within-doc repeats). Every document gets a row.
+    "dup_span_coverage" -> QueryDef(
+      (s, d) => DedupOps.dupSpanCoverage(
+          Tables.documents(s, d), "doc_id", "text", 5)
+        .select(col("doc_id"), col("n_tokens").cast("long"),
+          col("n_covered"), col("coverage"))
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, $tokSql AS tok FROM documents),
+        |g AS (SELECT doc_id, i, array_to_string(tok[i:i+4], ' ') AS gram
+        |  FROM t, LATERAL (SELECT
+        |    unnest(generate_series(1, len(tok) - 4)) AS i) u
+        |  WHERE len(tok) >= 5),
+        |ds AS (SELECT doc_id, i FROM (SELECT doc_id, i,
+        |    count(*) OVER (PARTITION BY gram) AS occ FROM g)
+        |  WHERE occ > 1),
+        |cov AS (SELECT doc_id, count(DISTINCT p) AS n_cov
+        |  FROM ds, LATERAL (SELECT
+        |    unnest(generate_series(i, i + 4)) AS p) u
+        |  GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(tok) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(cov.n_cov, 0) AS BIGINT) AS n_covered,
+        |  CASE WHEN len(tok) = 0 THEN 0.0
+        |    ELSE round(CAST(coalesce(cov.n_cov, 0) AS DOUBLE)
+        |      / len(tok), 6) END AS coverage
+        |FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id
+        |ORDER BY t.doc_id""".stripMargin)),
+
+    // CCNet-style per-language fluency buckets over the self-trained
+    // bigram-LM score: 3 equal-frequency buckets by the explicit
+    // ceil(3·rank/count) formula (NOT ntile — remainder rules differ
+    // across engines), ranked by (score desc, doc_id).
+    "ccnet_buckets" -> QueryDef(
+      (s, d) => TextOps.ccnetBuckets(
+          Tables.documents(s, d), "doc_id", "text", "lang", 3)
+        .orderBy("lang", "bucket"),
+      Some(s"""WITH t AS (SELECT doc_id, $tokSql AS tok FROM documents),
+        |bg AS (SELECT doc_id, array_to_string(tok[i:i+1], ' ') AS bigram,
+        |    tok[i] AS w1
+        |  FROM t, LATERAL (SELECT
+        |    unnest(generate_series(1, len(tok) - 1)) AS i) u
+        |  WHERE len(tok) >= 2),
+        |c2 AS (SELECT bigram, count(*) AS c2 FROM bg GROUP BY 1),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+        |j AS (SELECT bg.doc_id,
+        |    CAST(round(ln(CAST(c2.c2 AS DOUBLE) / c1.c1), 6)
+        |      AS DECIMAL(20,6)) AS lp
+        |  FROM bg JOIN c2 USING (bigram) JOIN c1 USING (w1)),
+        |sc AS (SELECT doc_id,
+        |    round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS lm
+        |  FROM j GROUP BY doc_id),
+        |sl AS (SELECT d.lang, sc.lm,
+        |    row_number() OVER (PARTITION BY d.lang
+        |      ORDER BY sc.lm DESC, sc.doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY d.lang) AS n
+        |  FROM sc JOIN documents d USING (doc_id))
+        |SELECT lang, CAST(ceil(CAST(rn * 3 AS DOUBLE) / n) AS INT)
+        |    AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(CAST(sum(CAST(lm AS DECIMAL(25,6))) AS DOUBLE)
+        |    / count(*), 6) AS avg_logprob
+        |FROM sl GROUP BY lang, bucket
+        |ORDER BY lang, bucket""".stripMargin)),
+
     // SemDeDup over the embeddings table: per-label mean centroids as
     // the (deterministic, oracle-expressible) cluster model, nearest-
     // centroid assignment by rounded cosine, min-id survivor pruning

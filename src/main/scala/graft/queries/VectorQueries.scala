@@ -66,6 +66,53 @@ object VectorQueries {
         |WHERE rn <= 10
         |ORDER BY query_id, cosine_sim DESC, neighbor_id""".stripMargin)),
 
+    // SQ8 scalar-quantized ANN: per-dimension [min, max] linear
+    // 8-bit codes (the faiss ScalarQuantizer scheme), shortlist of 30
+    // by cosine over the DE-QUANTIZED codes, exact re-rank to top 10.
+    // Both legs under the full DuckDB oracle: the oracle recomputes
+    // the ranges, the codes, the reconstruction, both cosines, and
+    // both rank cuts — quantization arithmetic is exact cross-engine
+    // (float-exact double ranges; round() at non-negative args is
+    // half-up in both engines).
+    "ann_sq8_topk" -> QueryDef(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        VectorOps.sq8TopK(emb, emb.filter(col("vec_id") < 5),
+            "vec_id", "embedding", k = 10, shortlist = 30)
+          .orderBy(col("query_id"), col("cosine_sim").desc,
+            col("neighbor_id"))
+      },
+      Some("""WITH dims AS (SELECT u.dim, min(CAST(u.c AS DOUBLE)) AS mn,
+        |    max(CAST(u.c AS DOUBLE)) AS mx
+        |  FROM embeddings, LATERAL (SELECT
+        |    unnest(generate_series(1, len(embedding))) AS dim,
+        |    unnest(embedding) AS c) u
+        |  GROUP BY u.dim),
+        |rng AS (SELECT list(mn ORDER BY dim) AS lo,
+        |    list(mx ORDER BY dim) AS hi FROM dims),
+        |rec AS (SELECT vec_id, embedding,
+        |    list_transform(CAST(embedding AS DOUBLE[]), (v, i) ->
+        |      CASE WHEN hi[i] = lo[i] THEN lo[i]
+        |        ELSE lo[i] + CAST(least(greatest(
+        |          round(255 * (v - lo[i]) / (hi[i] - lo[i])), 0), 255)
+        |          AS DOUBLE) * (hi[i] - lo[i]) / 255.0 END) AS recon
+        |  FROM embeddings CROSS JOIN rng),
+        |appx AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.recon, c.recon) AS asim,
+        |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |      CAST(c.embedding AS DOUBLE[])) AS esim
+        |  FROM rec q JOIN rec c
+        |    ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
+        |sl AS (SELECT * FROM (SELECT *, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY asim DESC, neighbor_id)
+        |      AS rn1 FROM appx) WHERE rn1 <= 30)
+        |SELECT query_id, neighbor_id, round(asim, 6) AS sq8_sim,
+        |  round(esim, 6) AS cosine_sim
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY esim DESC, neighbor_id) AS rn2 FROM sl)
+        |WHERE rn2 <= 10
+        |ORDER BY query_id, cosine_sim DESC, neighbor_id""".stripMargin)),
+
     // IVF (inverted-file) ANN: hash-seeded spherical k-means
     // centroids, nearest-centroid index, probe-then-rescore. Run
     // EXHAUSTIVELY here (nProbe = nCentroids), which must equal brute

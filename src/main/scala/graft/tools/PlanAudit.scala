@@ -56,14 +56,16 @@ object PlanAudit {
     case n if n.startsWith("corpus_") || n.startsWith("dataset_") ||
       n == "mixture_temperature" || n == "doc_packing" ||
       n == "train_test_split" || n == "weighted_sample" ||
-      n == "stratified_sample" || n == "deterministic_sample" => "corpus"
+      n == "stratified_sample" || n == "deterministic_sample" ||
+      n == "dup_span_coverage"                              => "corpus"
     case n if n.startsWith("text_") || n.startsWith("doc_") ||
       n == "lang_id" || n == "token_count_by_lang" ||
       n == "top_tokens" || n == "repetition_metrics" ||
       n == "pii_redaction" || n == "quality_deciles" ||
       n == "quality_percentile_gate" || n == "regex_extract_all" ||
       n == "bm25_rank" || n == "bm25_indexed" ||
-      n == "inverted_index"                                 => "text"
+      n == "inverted_index" || n == "dsir_weights" ||
+      n == "ccnet_buckets"                                  => "text"
     case _                                                  => "core"
   }
 

@@ -132,4 +132,93 @@ class CorpusSignalsSpec extends SparkSpec {
     assert(rows.map(_._1).sum === emb.count())
     assert(rows.forall { case (a, d, k) => k == a - d && d >= 0 && k >= 1 })
   }
+
+  // ---------------- dsirWeights ----------------
+
+  test("dsirWeights matches the hand-computed Laplace-smoothed " +
+    "importance log-ratio") {
+    // features: "a b" (c_t=1, c_r=2), "c d" (c_t=0, c_r=1);
+    // N_t=1, N_r=3, V=2
+    // lp(a b) = ln(2/3) - ln(3/5) = ln(10/9) = 0.105361
+    // lp(c d) = ln(1/3) - ln(2/5) = ln(5/6)  = -0.182322
+    val docs = Seq(
+      (1L, "a b", "en"),
+      (2L, "a b", "fr"),
+      (3L, "c d", "fr"),
+      (4L, "solo", "en")   // < 2 tokens: no row
+    ).toDF("doc_id", "text", "lang")
+    val out = TextOps.dsirWeights(docs, "doc_id", "text",
+        col("lang") === "en")
+      .orderBy("doc_id")
+      .select("doc_id", "n_feats", "dsir_logw")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out === Seq(
+      (1L, 1L, 0.105361),
+      (2L, 1L, 0.105361),
+      (3L, 1L, -0.182322)))
+  }
+
+  test("dsirWeights separates target-like from off-target documents " +
+    "on a two-domain corpus") {
+    // target docs repeat one vocabulary, off-target another; a doc
+    // made of target vocabulary must outscore one of off-target
+    // vocabulary under the target-vs-raw ratio
+    val docs = ((1L to 10L).map(i => (i, "alpha beta gamma delta", "en"))
+      ++ (11L to 20L).map(i => (i, "omega psi chi phi", "de"))).toSeq
+      .toDF("doc_id", "text", "lang")
+    val w = TextOps.dsirWeights(docs, "doc_id", "text",
+        col("lang") === "en")
+      .select("doc_id", "dsir_logw").as[(Long, Double)].collect().toMap
+    assert(w(1L) > w(11L))
+    assert((1L to 10L).map(w).toSet.size == 1) // identical docs tie
+  }
+
+  // ---------------- dupSpanCoverage ----------------
+
+  test("dupSpanCoverage covers exactly the positions under corpus-" +
+    "duplicated n-grams (cross-doc and within-doc)") {
+    val docs = Seq(
+      (1L, "a b c d e f"),  // shares bcd, cde with doc 2
+      (2L, "z b c d e q"),
+      (3L, "a b"),          // too short for a trigram
+      (4L, ""),             // empty
+      (5L, "x y x y x")     // within-doc repeated bigrams — but n=3:
+                            // trigrams xyx(0) yxy(1) xyx(2) → all dup
+    ).toDF("doc_id", "text")
+    val out = DedupOps.dupSpanCoverage(docs, "doc_id", "text", 3)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "n_covered", "coverage")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    // doc 1/2: dup trigram starts {1, 2} → covered {1,2,3,4} = 4 of 6
+    // doc 5: dup starts {0, 2} → covered {0..4} = 5 of 5
+    assert(out === Seq(
+      (1L, 6, 4L, 0.666667),
+      (2L, 6, 4L, 0.666667),
+      (3L, 2, 0L, 0.0),
+      (4L, 0, 0L, 0.0),
+      (5L, 5, 5L, 1.0)))
+  }
+
+  // ---------------- ccnetBuckets ----------------
+
+  test("ccnetBuckets: ceil-formula bucket sizes, every doc bucketed " +
+    "once, head bucket at least as fluent as the tail") {
+    // lang A: 7 docs → bucket sizes 2/2/3 by ceil(3·rn/7);
+    // lang B: 2 docs → ranks 1,2 land in buckets 2,3 (no bucket 1 —
+    // the formula is faithful, not ntile's remainder rule)
+    val docs = ((1L to 7L).map(i =>
+        (i, s"tok$i tok${i % 3} tok$i tok${(i * 7) % 5}", "A"))
+      ++ Seq((8L, "u v u v", "B"), (9L, "w w w", "B"))).toSeq
+      .toDF("doc_id", "text", "lang")
+    val out = TextOps.ccnetBuckets(docs, "doc_id", "text", "lang", 3)
+      .orderBy("lang", "bucket")
+      .select("lang", "bucket", "n_docs", "avg_logprob")
+      .as[(String, Int, Long, Double)].collect().toSeq
+    assert(out.map(r => (r._1, r._2, r._3)) === Seq(
+      ("A", 1, 2L), ("A", 2, 2L), ("A", 3, 3L),
+      ("B", 2, 1L), ("B", 3, 1L)))
+    // ranked desc by score: bucket means are non-increasing per lang
+    val a = out.filter(_._1 == "A").map(_._4)
+    assert(a.zip(a.tail).forall { case (hi, lo) => hi >= lo })
+  }
 }

@@ -200,4 +200,42 @@ class VectorSpec extends SparkSpec {
     // opposite vector flips every decided bit
     assert(sigs(0L) != sigs(2L))
   }
+
+  test("sq8TopK with an exhaustive shortlist equals brute force " +
+    "exactly (re-rank leg is exact cosine)") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = emb.count().toInt
+    val queries = emb.filter($"vec_id" < 5)
+    val exact = VectorOps.bruteForceTopK(emb, queries, "vec_id",
+        "embedding", 10)
+      .select($"query_id", $"neighbor_id",
+        round($"cosine_sim", 6).as("cs"))
+      .as[(Long, Long, Double)].collect().toSet
+    // shortlist = whole corpus → quantization cannot prune anything
+    val sq8 = VectorOps.sq8TopK(emb, queries, "vec_id", "embedding",
+        k = 10, shortlist = n)
+      .select($"query_id", $"neighbor_id", $"cosine_sim")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(sq8 === exact)
+  }
+
+  test("sq8TopK pruned shortlist keeps sane recall and the approx " +
+    "score tracks the exact one within quantization error") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter($"vec_id" < 5)
+    val exact = VectorOps.bruteForceTopK(emb, queries, "vec_id",
+        "embedding", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val rows = VectorOps.sq8TopK(emb, queries, "vec_id", "embedding",
+        k = 10, shortlist = 15)
+      .select($"query_id", $"neighbor_id", $"sq8_sim", $"cosine_sim")
+      .as[(Long, Long, Double, Double)].collect()
+    val approx = rows.map(r => (r._1, r._2)).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall > 0.6, s"SQ8 recall $recall suspiciously low for " +
+      "a 1.5x shortlist")
+    // 8-bit per-dim quantization on this corpus: approx cosine within
+    // a few hundredths of exact
+    assert(rows.forall(r => math.abs(r._3 - r._4) < 0.05))
+  }
 }
