@@ -314,12 +314,15 @@ object DedupOps {
     // ~250 ms of stage scheduling per tiny shuffle (measured 7× the
     // whole propagation at bench SF). The width is already sized from
     // the data above, which is the decision AQE would be making.
-    // Session-conf scope: restored in finally; a query PLANNED
-    // concurrently in this session during the loop window would plan
-    // without AQE — correctness unaffected, one plan's runtime
-    // adaptivity lost (relevant only to concurrent-warmup style use).
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val prevAqe = spark.conf.get(aqeKey, "true")
+    // Session-conf scope: handled by the reference-counted [[AqeGate]]
+    // — a bare get/set/restore pair here raced under CONCURRENT loop
+    // invocations (two overlapping enters: the second reads "false" as
+    // its restore value and re-lands it, leaving the session without
+    // AQE for every later query — exactly the bench's parallel-warmup
+    // shape once curation_e2e added a second cluster-loop entry point;
+    // measured as a suite-wide 1.3× inflation at r9: 86.4 → 67 s).
+    // A query PLANNED concurrently during the (now fully bracketed)
+    // loop window still plans without AQE — correctness unaffected.
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .repartition(w, col("id"))
@@ -327,7 +330,7 @@ object DedupOps {
     var changed = 1L
     var i = 0
     try {
-      spark.conf.set(aqeKey, "false")
+      AqeGate.enter(spark)
     // SUPERSTEPS of one pointer jump + 3 lazily-chained propagate
     // rounds, two jobs each (eager checkpoint + convergence count).
     // `maxIter` bounds SUPERSTEPS — with the jump doubling covered
@@ -374,7 +377,7 @@ object DedupOps {
       i += 1
     }
     } finally {
-      spark.conf.set(aqeKey, prevAqe)
+      AqeGate.exit(spark)
       // in the finally: an exception mid-loop (including a cancelled
       // job) must not leak two corpus-pair caches into the session
       edges.unpersist()
@@ -1205,4 +1208,41 @@ object DedupOps {
           .otherwise(round(
             col("n_covered").cast("double") / col("n_tokens"), 6)))
   }
+}
+
+/** Reference-counted session-conf gate for the iterative loops that
+  * run with `spark.sql.adaptive.enabled=false`
+  * ([[DedupOps.duplicateClusters]]). A bare get/set/restore-in-finally
+  * races when two loops overlap on one session (possible whenever
+  * queries are built concurrently — e.g. a parallel warmup): the
+  * second enter reads the first's "false" as its restore value and
+  * re-lands it on exit, permanently stripping AQE from the session.
+  * Here the FIRST enter records the true prior value and flips the
+  * conf; nested/overlapping enters only bump the count; the LAST exit
+  * restores the recorded value. One coarse lock — enters happen at
+  * most a handful of times per query, never per row. */
+private[ext] object AqeGate {
+  private val key = "spark.sql.adaptive.enabled"
+  private val state = new java.util.IdentityHashMap[
+    org.apache.spark.sql.SparkSession, (Array[Int], String)]()
+  def enter(spark: org.apache.spark.sql.SparkSession): Unit =
+    state.synchronized {
+      val e = state.get(spark)
+      if (e == null) {
+        val prev = spark.conf.get(key, "true")
+        state.put(spark, (Array(1), prev))
+        spark.conf.set(key, "false")
+      } else e._1(0) += 1
+    }
+  def exit(spark: org.apache.spark.sql.SparkSession): Unit =
+    state.synchronized {
+      val e = state.get(spark)
+      if (e != null) {
+        e._1(0) -= 1
+        if (e._1(0) == 0) {
+          spark.conf.set(key, e._2)
+          state.remove(spark)
+        }
+      }
+    }
 }

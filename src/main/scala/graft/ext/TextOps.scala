@@ -377,9 +377,21 @@ object TextOps {
     * the output is identical when scores are distinct. */
   def ccnetBuckets(df: org.apache.spark.sql.DataFrame, idCol: String,
                    textCol: String, langCol: String,
-                   nBuckets: Int): org.apache.spark.sql.DataFrame = {
+                   nBuckets: Int): org.apache.spark.sql.DataFrame =
+    ccnetBucketsFromScores(bigramLmScores(df, idCol, textCol), df,
+      idCol, langCol, nBuckets)
+
+  /** [[ccnetBuckets]] over a PRE-BUILT score frame (columns `idCol`,
+    * `lm_logprob`) — the build/serve split: the bigram-LM model scan
+    * is a snapshot artifact consumers share (the signature-store
+    * pattern), and bucketing is a cheap read over it. */
+  def ccnetBucketsFromScores(lmScores: org.apache.spark.sql.DataFrame,
+                             df: org.apache.spark.sql.DataFrame,
+                             idCol: String, langCol: String,
+                             nBuckets: Int)
+      : org.apache.spark.sql.DataFrame = {
     require(nBuckets >= 1, "nBuckets >= 1")
-    val scores = bigramLmScores(df, idCol, textCol)
+    val scores = lmScores
       .join(df.select(col(idCol), col(langCol).as("lang")), Seq(idCol))
     val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy("lang")
