@@ -1208,6 +1208,67 @@ object DedupOps {
           .otherwise(round(
             col("n_covered").cast("double") / col("n_tokens"), 6)))
   }
+
+  /** Duplicated-span REMOVAL — the transform [[dupSpanCoverage]]
+    * accounts for (Lee et al. 2022's exact-substring dedup, applied
+    * at token grain): strip every token position covered by a
+    * NON-CANONICAL occurrence of a corpus-duplicated `n`-gram, where
+    * the canonical occurrence is the (doc, start)-minimal one — the
+    * corpus keeps exactly one copy of every repeated passage (rather
+    * than losing all copies), and the survivor choice is the same
+    * min-id rule as the whole dedup family. Returns every input
+    * document: `(id, n_tokens, n_removed, cleaned_text)` with
+    * `cleaned_text` the kept tokens rejoined on single spaces.
+    *
+    * Scale shape: ONE digest-hash shuffle serves both the occurrence
+    * count and the canonical-occurrence rank (the two windows share
+    * `partitionBy(digest)`, so Catalyst plans one Exchange); removal
+    * positions are a constant-factor (`n`) explode of non-canonical
+    * dup starts; the rebuild shuffles token INSTANCES once on the
+    * doc key and re-assembles with a per-doc sort — every stage
+    * corpus-linear, no pairwise stage. A position covered by both a
+    * canonical occurrence of one gram and a non-canonical occurrence
+    * of another is removed (removal wins), which is exactly the
+    * overlap rule a sequential span-stripper applies. */
+  def stripDupSpans(df: DataFrame, idCol: String, textCol: String,
+                    n: Int): DataFrame = {
+    require(n >= 1, "n >= 1")
+    val toks = df.select(col(idCol),
+      TextOps.tokens(col(textCol)).as("__tok"))
+    val starts = toks
+      .select(col(idCol), posexplode(arrays_zip(
+        graft.functions.native.ngram_hashes(col("__tok"), n, 42L)
+          .as("__g1"),
+        graft.functions.native.ngram_hashes(col("__tok"), n, 1337L)
+          .as("__g2"))).as(Seq("__i", "__g")))
+      .select(col(idCol), col("__i"),
+        col("__g.__g1").as("__g1"), col("__g.__g2").as("__g2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__g1", "__g2")
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy("__g1", "__g2").orderBy(col(idCol), col("__i"))
+    val rmPos = starts
+      .withColumn("__occ", count(lit(1)).over(w))
+      .withColumn("__rn", row_number().over(wr))
+      .filter(col("__occ") > 1 && col("__rn") > 1)
+      .select(col(idCol),
+        explode(sequence(col("__i"), col("__i") + (n - 1))).as("__p"))
+      .distinct()
+    val kept = toks
+      .select(col(idCol), posexplode(col("__tok")).as(Seq("__p", "__t")))
+      .join(rmPos, Seq(idCol, "__p"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__p"), col("__t")))),
+          s => s.getField("__t")), " ").as("cleaned_text"))
+    toks.select(col(idCol), size(col("__tok")).cast("long").as("n_tokens"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__n_kept"), lit(0L)))
+          .as("n_removed"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
 }
 
 /** Reference-counted session-conf gate for the iterative loops that

@@ -159,6 +159,46 @@ object Text3Queries {
         |FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id
         |ORDER BY t.doc_id""".stripMargin)),
 
+    // Duplicated-span REMOVAL, n=5: the transform dup_span_coverage
+    // accounts for — strip positions covered by NON-canonical
+    // occurrences of corpus-duplicated 5-grams (canonical = the
+    // (doc, start)-minimal occurrence; the corpus keeps exactly one
+    // copy of each repeated passage). Cleaned text itself is in the
+    // output, so the oracle hashes the full reconstruction.
+    "dup_span_strip" -> QueryDef(
+      (s, d) => DedupOps.stripDupSpans(
+          Tables.documents(s, d), "doc_id", "text", 5)
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, $tokSql AS tok FROM documents),
+        |g AS (SELECT doc_id, i, array_to_string(tok[i:i+4], ' ') AS gram
+        |  FROM t, LATERAL (SELECT
+        |    unnest(generate_series(1, len(tok) - 4)) AS i) u
+        |  WHERE len(tok) >= 5),
+        |occ AS (SELECT doc_id, i,
+        |    count(*) OVER (PARTITION BY gram) AS occ,
+        |    row_number() OVER (PARTITION BY gram
+        |      ORDER BY doc_id, i) AS rn
+        |  FROM g),
+        |rm AS (SELECT DISTINCT doc_id, p
+        |  FROM occ, LATERAL (SELECT
+        |    unnest(generate_series(i, i + 4)) AS p) u
+        |  WHERE occ > 1 AND rn > 1),
+        |pos AS (SELECT doc_id, u.p, u.tk
+        |  FROM t, LATERAL (SELECT
+        |    unnest(generate_series(1, len(tok))) AS p,
+        |    unnest(tok) AS tk) u),
+        |kept AS (SELECT pos.doc_id, count(*) AS n_kept,
+        |    string_agg(pos.tk, ' ' ORDER BY pos.p) AS cleaned
+        |  FROM pos LEFT JOIN rm
+        |    ON pos.doc_id = rm.doc_id AND pos.p = rm.p
+        |  WHERE rm.doc_id IS NULL GROUP BY pos.doc_id)
+        |SELECT t.doc_id, CAST(len(tok) AS BIGINT) AS n_tokens,
+        |  CAST(len(tok) - coalesce(kept.n_kept, 0) AS BIGINT)
+        |    AS n_removed,
+        |  coalesce(kept.cleaned, '') AS cleaned_text
+        |FROM t LEFT JOIN kept ON t.doc_id = kept.doc_id
+        |ORDER BY t.doc_id""".stripMargin)),
+
     // CCNet-style per-language fluency buckets over the self-trained
     // bigram-LM score: 3 equal-frequency buckets by the explicit
     // ceil(3·rank/count) formula (NOT ntile — remainder rules differ

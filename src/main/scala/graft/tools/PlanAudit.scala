@@ -57,7 +57,7 @@ object PlanAudit {
       n == "mixture_temperature" || n == "doc_packing" ||
       n == "train_test_split" || n == "weighted_sample" ||
       n == "stratified_sample" || n == "deterministic_sample" ||
-      n == "dup_span_coverage"                              => "corpus"
+      n == "dup_span_coverage" || n == "dup_span_strip"     => "corpus"
     case n if n.startsWith("text_") || n.startsWith("doc_") ||
       n == "lang_id" || n == "token_count_by_lang" ||
       n == "top_tokens" || n == "repetition_metrics" ||

@@ -199,6 +199,30 @@ class CorpusSignalsSpec extends SparkSpec {
       (5L, 5, 5L, 1.0)))
   }
 
+  test("stripDupSpans keeps the (doc, start)-minimal occurrence of " +
+    "each duplicated n-gram and strips the rest, removal winning " +
+    "on overlap") {
+    val docs = Seq(
+      (1L, "a b c d e"),   // canonical owner of "b c d" → unchanged
+      (2L, "z b c d q"),   // non-canonical "b c d" @ 1 → strip 1..3
+      (3L, "x y x y x"),   // "x y x" @ 0 (canonical) and @ 2 → strip
+                           // 2..4; overlap at 2 with the canonical
+                           // span: removal wins
+      (4L, "t u"),         // too short for a trigram → unchanged
+      (5L, "")             // empty → empty
+    ).toDF("doc_id", "text")
+    val out = DedupOps.stripDupSpans(docs, "doc_id", "text", 3)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "n_removed", "cleaned_text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out === Seq(
+      (1L, 5L, 0L, "a b c d e"),
+      (2L, 5L, 3L, "z q"),
+      (3L, 5L, 3L, "x y"),
+      (4L, 2L, 0L, "t u"),
+      (5L, 0L, 0L, "")))
+  }
+
   // ---------------- ccnetBuckets ----------------
 
   test("ccnetBuckets: ceil-formula bucket sizes, every doc bucketed " +
