@@ -100,4 +100,102 @@ object VectorIndexOps {
     Relational.topNPerKey(candidates, Seq("query_id"),
       Seq(col("cosine_sim").desc, col("neighbor_id")), k)
   }
+
+  /** Fold one ingest batch into an SQ8-QUANTIZED IVF index — the
+    * faiss `IVF…,SQ8` composition: postings store one byte per
+    * dimension instead of a float (4× smaller scan at search time —
+    * at 100 TB of embeddings the code table IS what fits the probe
+    * budget), under the same frozen-geometry maintenance contract as
+    * [[updateIndex]]. THREE persisted tables:
+    *   - `centroids` — trained on the first batch, frozen (as
+    *     [[updateIndex]]);
+    *   - `ranges` — per-dimension SQ8 (min, max), ALSO trained on the
+    *     first batch and frozen: quantization geometry must not move
+    *     between batches or previously-written codes silently change
+    *     meaning; later batches' out-of-range components clamp to the
+    *     boundary ([[VectorOps.sq8Code]]), and corpus drift is a
+    *     REBUILD, the [[updateIndex]] posture;
+    *   - `postings` — (centroid_id, doc_id, code array<int>),
+    *     partitioned by centroid_id, appended per batch with the same
+    *     zero-shuffle broadcast-assignment narrow map.
+    * Append is at-least-once under replay; search dedupes candidates
+    * before scoring (spec-asserted replay idempotence). */
+  def updateIndexSq8(spark: SparkSession, batch: DataFrame, idCol: String,
+                     vecCol: String, indexDir: String, nCentroids: Int,
+                     iters: Int = 2): Long = {
+    val cents =
+      if (graft.io.Staging.tableExists(spark, indexDir, "centroids"))
+        graft.io.Staging.readTable(spark, indexDir, "centroids")
+      else {
+        val c = VectorOps.ivfCentroids(batch, idCol, vecCol,
+          nCentroids, iters)
+        graft.io.Staging.overwriteParquet(c, indexDir, "centroids")
+        c
+      }
+    val ranges =
+      if (graft.io.Staging.tableExists(spark, indexDir, "ranges"))
+        graft.io.Staging.readTable(spark, indexDir, "ranges")
+      else {
+        val r = VectorOps.sq8Ranges(batch, vecCol)
+        graft.io.Staging.overwriteParquet(r, indexDir, "ranges")
+        r
+      }
+    val centArr = cents.agg(array_sort(collect_list(struct(
+      col("centroid_id"), col("centroid")))).as("__cs"))
+    val postings = batch
+      .select(col(idCol).as("doc_id"), col(vecCol).as("vec"))
+      .crossJoin(broadcast(centArr))
+      .withColumn("centroid_id",
+        graft.functions.native.nearest_centroid(col("vec"), col("__cs")))
+      .crossJoin(broadcast(ranges))
+      .withColumn("code",
+        VectorOps.sq8Code(col("vec"), col("__lo"), col("__hi")))
+      .select("centroid_id", "doc_id", "code")
+    graft.io.Staging.appendPartitioned(postings, indexDir, "postings",
+      Seq("centroid_id"))
+    postings.count()
+  }
+
+  /** Top-k search against the SQ8 index: probe selection is the same
+    * raw-query-vs-centroid scoring as [[searchIndex]]; candidate
+    * scoring is SYMMETRIC quantized cosine — the query is quantized
+    * under the index's frozen ranges and both sides score as
+    * de-quantized doubles (what an int8 SIMD kernel computes up to
+    * scaling). The index stores no raw vectors, so there is no exact
+    * re-rank leg — callers wanting one keep a refine store of
+    * originals and re-rank the shortlist (the faiss refine layer;
+    * [[VectorOps.sq8TopK]] shows that composition). With
+    * `nProbe == nCentroids` the probe is exhaustive and the ranking
+    * is a pure function of (codes, ranges) — fully re-derivable by
+    * the DuckDB oracle (`ann_index_sq8`). */
+  def searchIndexSq8(spark: SparkSession, queries: DataFrame,
+                     idCol: String, vecCol: String, indexDir: String,
+                     k: Int, nProbe: Int): DataFrame = {
+    val cents = graft.io.Staging.readTable(spark, indexDir, "centroids")
+    val ranges = graft.io.Staging.readTable(spark, indexDir, "ranges")
+    val postings = graft.io.Staging.readTable(spark, indexDir, "postings")
+    val q = queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("__qvec"))
+      .crossJoin(broadcast(ranges))
+      .withColumn("__qrec", VectorOps.sq8Recon(
+        VectorOps.sq8Code(col("__qvec"), col("__lo"), col("__hi")),
+        col("__lo"), col("__hi")))
+      .select("query_id", "__qvec", "__qrec")
+    val scored = q.join(broadcast(cents))
+      .withColumn("__sim", VectorOps.cosine(
+        transform(col("__qvec"), x => x.cast("double")), col("centroid")))
+    val probes = Relational.topNPerKey(scored, Seq("query_id"),
+        Seq(col("__sim").desc, col("centroid_id")), nProbe)
+      .select(col("query_id"), col("__qrec"), col("centroid_id"))
+    val candidates = postings.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "doc_id")
+      .crossJoin(broadcast(ranges))
+      .withColumn("sq8_sim", VectorOps.cosine(col("__qrec"),
+        VectorOps.sq8Recon(col("code"), col("__lo"), col("__hi"))))
+      .select(col("query_id"), col("doc_id").as("neighbor_id"),
+        col("sq8_sim"))
+    Relational.topNPerKey(candidates, Seq("query_id"),
+      Seq(col("sq8_sim").desc, col("neighbor_id")), k)
+  }
 }

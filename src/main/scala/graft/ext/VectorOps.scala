@@ -492,8 +492,10 @@ object VectorOps {
 
   /** 8-bit code for `vec` under ranges (`lo`, `hi`):
     * `round(255 (v - lo_i) / (hi_i - lo_i))` clamped to [0, 255]
-    * (degenerate dimension → 0). */
-  private def sq8Code(vec: Column, lo: Column, hi: Column): Column =
+    * (degenerate dimension → 0; out-of-range components — e.g. later
+    * batches quantized under ranges frozen from an earlier one —
+    * clamp to the boundary, the standard SQ posture). */
+  def sq8Code(vec: Column, lo: Column, hi: Column): Column =
     transform(vec, (v, i) => {
       val l = element_at(lo, i + 1)
       val h = element_at(hi, i + 1)
@@ -505,7 +507,7 @@ object VectorOps {
 
   /** De-quantized double vector for a code array under (lo, hi):
     * `lo_i + q (hi_i - lo_i) / 255`. */
-  private def sq8Recon(code: Column, lo: Column, hi: Column): Column =
+  def sq8Recon(code: Column, lo: Column, hi: Column): Column =
     transform(code, (q, i) => {
       val l = element_at(lo, i + 1)
       val h = element_at(hi, i + 1)

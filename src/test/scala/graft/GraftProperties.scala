@@ -319,6 +319,43 @@ object GraftProperties extends Properties("graft") {
       got == want
     }
 
+  private val spanDocGen: Gen[List[String]] = Gen.listOfN(8,
+    Gen.choose(0, 12).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" "))))
+
+  property("stripDupSpans == positional keep-first model for any " +
+    "corpus and n (duplicated spans stripped except the (doc, start)-" +
+    "minimal occurrence, removal winning on overlap)") =
+    forAll(spanDocGen, Gen.oneOf(2, 3)) { (texts, n) =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      // in-memory model of the documented semantics
+      val toks = docs.map { case (id, t) =>
+        id -> (if (t.trim.isEmpty) Array.empty[String]
+               else t.trim.toLowerCase.split("\\s+")) }
+      val occ = for {
+        (id, tk) <- toks
+        i <- 0 to tk.length - n
+      } yield (tk.slice(i, i + n).mkString(" "), id, i)
+      val rm: Set[(Long, Int)] = occ.groupBy(_._1).values
+        .filter(_.size > 1)
+        .flatMap { os =>
+          os.sortBy(o => (o._2, o._3)).tail
+            .flatMap { case (_, id, i) => (i until i + n).map((id, _)) }
+        }.toSet
+      val want = toks.map { case (id, tk) =>
+        val kept = tk.zipWithIndex
+          .collect { case (t, p) if !rm((id, p)) => t }
+        id -> ((tk.length.toLong, (tk.length - kept.length).toLong,
+          kept.mkString(" ")))
+      }.toMap
+      val got = graft.ext.DedupOps.stripDupSpans(
+          docs.toDF("doc_id", "text"), "doc_id", "text", n)
+        .select("doc_id", "n_tokens", "n_removed", "cleaned_text")
+        .as[(Long, Long, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      got == want
+    }
+
   property("funnelStages per-user reach times are a monotone chain " +
     "(t1 <= t2 <= t3, and a later step implies every earlier one)") =
     forAll(eventGen) { rows =>

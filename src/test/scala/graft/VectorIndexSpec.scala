@@ -74,6 +74,47 @@ class VectorIndexSpec extends SparkSpec {
     assert(results(2) == partial)
   }
 
+  test("SQ8 index: frozen quantization geometry, replay idempotence, " +
+    "sub-exhaustive recall vs exact brute force") {
+    val dir = Files.createTempDirectory("graft-sq8idx").toString
+    val emb = Tables.embeddings(spark, d)
+    val batches = (0 until 3).map(i =>
+      emb.filter(pmod(col("vec_id"), lit(3)) === i))
+    batches.foreach(b => VectorIndexOps.updateIndexSq8(spark, b,
+      "vec_id", "embedding", dir, nCentroids = 8))
+    // frozen geometry: ranges and centroids trained on batch 0 only —
+    // later appends must not have touched either table
+    val ranges = Staging.readTable(spark, dir, "ranges")
+      .select("__lo", "__hi").as[(Seq[Double], Seq[Double])].head()
+    val expected = graft.ext.VectorOps.sq8Ranges(batches(0), "embedding")
+      .select("__lo", "__hi").as[(Seq[Double], Seq[Double])].head()
+    assert(ranges == expected)
+    // every vector coded exactly once; no raw vectors in postings
+    val postings = Staging.readTable(spark, dir, "postings")
+    assert(postings.count() == emb.count())
+    assert(!postings.columns.contains("vec"))
+    val queries = emb.filter($"vec_id" < 5)
+    def results(nProbe: Int): Seq[(Long, Long, Double)] =
+      VectorIndexOps.searchIndexSq8(spark, queries, "vec_id",
+          "embedding", dir, k = 10, nProbe = nProbe)
+        .select($"query_id", $"neighbor_id", round($"sq8_sim", 6))
+        .as[(Long, Long, Double)].collect().toSeq.sorted
+    val exhaustive = results(8)
+    // replay: re-append batch 2; duplicate postings must not change
+    // any search result (at-least-once maintenance)
+    VectorIndexOps.updateIndexSq8(spark, batches(2), "vec_id",
+      "embedding", dir, nCentroids = 8)
+    assert(results(8) == exhaustive)
+    // sub-exhaustive probe keeps sane recall vs EXACT brute force
+    // (quantization + bucket pruning combined)
+    val exact = VectorOps.bruteForceTopK(emb, queries, "vec_id",
+        "embedding", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val probed = results(4).map(r => (r._1, r._2)).toSet
+    val recall = (exact & probed).size.toDouble / exact.size
+    assert(recall > 0.3, s"SQ8 index recall $recall suspiciously low")
+  }
+
   test("chooseNumCentroids follows the √n rule with [4, 65536] " +
     "clamps and is monotone in the corpus size") {
     import graft.ext.VectorOps.chooseNumCentroids
