@@ -159,6 +159,57 @@ object Text3Queries {
         |FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id
         |ORDER BY t.doc_id""".stripMargin)),
 
+    // DSIR importance RESAMPLING — the selection step completing
+    // dsir_weights: Gumbel-max over the log importance weights
+    // (sampling w.p. ∝ exp(logw) ≡ taking top-k of logw + Gumbel
+    // noise), with the noise derived deterministically from the
+    // document content hash (the same md5→uniform machinery as the
+    // A-ES weighted sample — reproducible across runs, engines and
+    // partitionings, which is the whole point of hash-keyed sampling
+    // here). Output: the 50 selected docs with their weights + keys.
+    "dsir_resample" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        TextOps.dsirWeights(docs, "doc_id", "text",
+            col("lang") === "en")
+          .join(docs.select("doc_id", "text"), Seq("doc_id"))
+          .withColumn("sample_key", round(
+            col("dsir_logw") - log(-log(
+              (conv(substring(md5(col("text").cast("binary")), 1, 13),
+                16, 10).cast("double") + 0.5) / 4503599627370496.0)),
+            6))
+          .orderBy(col("sample_key").desc, col("doc_id")).limit(50)
+          .select("doc_id", "n_feats", "dsir_logw", "sample_key")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, lang = 'en' AS tgt,
+        |    $tokSql AS tok FROM documents),
+        |bg AS (SELECT doc_id, tgt, array_to_string(tok[i:i+1], ' ') AS f
+        |  FROM t, LATERAL (SELECT
+        |    unnest(generate_series(1, len(tok) - 1)) AS i) u
+        |  WHERE len(tok) >= 2),
+        |st AS (SELECT sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS nt,
+        |    count(*) AS nr, count(DISTINCT f) AS v FROM bg),
+        |wc AS (SELECT doc_id,
+        |    sum(CASE WHEN tgt THEN 1 ELSE 0 END) OVER (PARTITION BY f)
+        |      AS ct,
+        |    count(*) OVER (PARTITION BY f) AS cr
+        |  FROM bg),
+        |lp AS (SELECT doc_id,
+        |    CAST(round(ln(CAST(ct + 1 AS DOUBLE) / (nt + v))
+        |      - ln(CAST(cr + 1 AS DOUBLE) / (nr + v)), 6)
+        |      AS DECIMAL(20,6)) AS lp
+        |  FROM wc CROSS JOIN st),
+        |dsw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+        |    round(CAST(sum(lp) AS DOUBLE), 6) AS dsir_logw
+        |  FROM lp GROUP BY doc_id)
+        |SELECT dsw.doc_id, dsw.n_feats, dsw.dsir_logw,
+        |  round(dsw.dsir_logw - ln(-ln(
+        |    (CAST(CAST(('0x' || substring(md5(dd.text), 1, 13))
+        |      AS BIGINT) AS DOUBLE) + 0.5) / 4503599627370496.0)), 6)
+        |    AS sample_key
+        |FROM dsw JOIN documents dd ON dsw.doc_id = dd.doc_id
+        |ORDER BY sample_key DESC, dsw.doc_id LIMIT 50""".stripMargin)),
+
     // Duplicated-span REMOVAL, n=5: the transform dup_span_coverage
     // accounts for — strip positions covered by NON-canonical
     // occurrences of corpus-duplicated 5-grams (canonical = the

@@ -65,7 +65,7 @@ object PlanAudit {
       n == "quality_percentile_gate" || n == "regex_extract_all" ||
       n == "bm25_rank" || n == "bm25_indexed" ||
       n == "inverted_index" || n == "dsir_weights" ||
-      n == "ccnet_buckets"                                  => "text"
+      n == "dsir_resample" || n == "ccnet_buckets"          => "text"
     case _                                                  => "core"
   }
 
