@@ -537,9 +537,20 @@ object VectorOps {
     * doubles and `round` at non-negative arguments is half-up in
     * both engines. */
   def sq8TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, shortlist: Int): DataFrame = {
+              vecCol: String, k: Int, shortlist: Int): DataFrame =
+    sq8TopKWithRanges(corpus, queries, idCol, vecCol, k, shortlist,
+      sq8Ranges(corpus, vecCol))
+
+  /** [[sq8TopK]] against a PRE-BUILT codebook (`ranges` as produced
+    * by [[sq8Ranges]]) — in production the 2·d-double codebook
+    * persists next to the dataset snapshot and every consumer reads
+    * the same one (quantization geometry must not drift between the
+    * index build and the queries; the [[graft.ext.VectorIndexOps]]
+    * frozen-ranges contract). */
+  def sq8TopKWithRanges(corpus: DataFrame, queries: DataFrame,
+                        idCol: String, vecCol: String, k: Int,
+                        shortlist: Int, ranges: DataFrame): DataFrame = {
     require(shortlist >= k, "shortlist >= k")
-    val ranges = sq8Ranges(corpus, vecCol)
     val q = queries.select(col(idCol).as("query_id"),
         col(vecCol).as("__qvec"))
       .crossJoin(broadcast(ranges))

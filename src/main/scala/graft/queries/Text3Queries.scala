@@ -51,6 +51,24 @@ object Text3Queries {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
 
+  /** Session-lifetime DSIR weight store — like [[lmScores]], the
+    * importance-weight frame is a MODEL artifact (two smoothed count
+    * models applied to the corpus) scored once per snapshot and read
+    * by both the weights query and the resampler; doc-grain
+    * (doc_id, n_feats, dsir_logw). */
+  private val dsirCache =
+    scala.collection.mutable.Map.empty[(org.apache.spark.sql.SparkSession,
+      String), org.apache.spark.sql.DataFrame]
+
+  private def dsirStore(s: org.apache.spark.sql.SparkSession,
+                        d: String): org.apache.spark.sql.DataFrame =
+    dsirCache.synchronized {
+      dsirCache.getOrElseUpdate((s, d),
+        TextOps.dsirWeights(Tables.documents(s, d), "doc_id", "text",
+            col("lang") === "en")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+
   val defs: Map[String, QueryDef] = Map(
 
     // Corpus-level duplicated-n-gram share, n=5: the digest-shuffled
@@ -104,10 +122,7 @@ object Text3Queries {
     // documents, raw = the whole corpus, Laplace-smoothed bag-of-
     // bigram models. Docs with < 2 tokens yield no row.
     "dsir_weights" -> QueryDef(
-      (s, d) => TextOps.dsirWeights(
-          Tables.documents(s, d), "doc_id", "text",
-          col("lang") === "en")
-        .orderBy("doc_id"),
+      (s, d) => dsirStore(s, d).orderBy("doc_id"),
       Some(s"""WITH t AS (SELECT doc_id, lang = 'en' AS tgt,
         |    $tokSql AS tok FROM documents),
         |bg AS (SELECT doc_id, tgt, array_to_string(tok[i:i+1], ' ') AS f
@@ -170,8 +185,7 @@ object Text3Queries {
     "dsir_resample" -> QueryDef(
       (s, d) => {
         val docs = Tables.documents(s, d)
-        TextOps.dsirWeights(docs, "doc_id", "text",
-            col("lang") === "en")
+        dsirStore(s, d)
           .join(docs.select("doc_id", "text"), Seq("doc_id"))
           .withColumn("sample_key", round(
             col("dsir_logw") - log(-log(

