@@ -66,4 +66,39 @@ object DecontamOps {
       .withColumn("contaminated", coalesce(col("__contam"), lit(false)))
       .drop("__contam")
   }
+
+  /** Per-EVAL-document leak report — the audit a benchmark owner runs
+    * against a training corpus: for every eval document, how many
+    * corpus documents share at least one word `n`-gram with it
+    * (`n_contaminating_docs`) and how many distinct n-grams leak
+    * (`n_shared_ngrams`). Every eval document gets a row (zeros when
+    * clean), so the report doubles as a clean-bill certificate.
+    *
+    * Same scale shape as [[contaminatedIds]]: the eval n-gram set
+    * (now carrying its eval ids) is the broadcast build side; the
+    * corpus side is a narrow explode probed against it, so only
+    * MATCHED instances — the leak minority — reach the dedupe/agg
+    * exchange. The corpus is never shuffled, whatever its size. */
+  def leakReport(corpus: DataFrame, evalSet: DataFrame,
+                 idCol: String, textCol: String, n: Int): DataFrame = {
+    val evalNg = evalSet
+      .select(col(idCol).as("eval_id"),
+        explode(TextOps.wordNgrams(col(textCol), n)).as("__ng"))
+      .distinct()
+    // no pre-dedupe: the distinct aggregates dedupe internally (one
+    // Expand + exchange instead of a distinct exchange + an agg one)
+    val hits = corpus
+      .select(col(idCol).as("__cid"),
+        explode(TextOps.wordNgrams(col(textCol), n)).as("__ng"))
+      .join(broadcast(evalNg), Seq("__ng"))
+      .groupBy("eval_id")
+      .agg(count_distinct(col("__cid")).as("n_contaminating_docs"),
+        count_distinct(col("__ng")).as("n_shared_ngrams"))
+    evalSet.select(col(idCol).as("eval_id")).distinct()
+      .join(hits, Seq("eval_id"), "left")
+      .select(col("eval_id"),
+        coalesce(col("n_contaminating_docs"), lit(0L))
+          .as("n_contaminating_docs"),
+        coalesce(col("n_shared_ngrams"), lit(0L)).as("n_shared_ngrams"))
+  }
 }

@@ -78,6 +78,40 @@ object Text2Queries {
         |    AS contaminated
         |FROM g WHERE doc_id % 37 <> 0 ORDER BY doc_id""".stripMargin)),
 
+    // The per-EVAL-document leak audit (the benchmark owner's view of
+    // `decontaminate`): for every eval doc, the count of corpus docs
+    // sharing any 4-gram and the count of distinct leaked 4-grams;
+    // zero rows certify clean eval items.
+    "decontam_report" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        DecontamOps.leakReport(
+            docs.filter(col("doc_id") % 37 =!= 0),
+            docs.filter(col("doc_id") % 37 === 0),
+            "doc_id", "text", 4)
+          .orderBy("eval_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $tokSql AS tok FROM documents),
+        |ng AS (SELECT doc_id, array_to_string(tok[i:i+3], ' ') AS ng
+        |  FROM t, LATERAL (SELECT
+        |    unnest(generate_series(1, len(tok) - 3)) AS i) u
+        |  WHERE len(tok) >= 4),
+        |ev AS (SELECT DISTINCT doc_id AS eval_id, ng FROM ng
+        |  WHERE doc_id % 37 = 0),
+        |co AS (SELECT DISTINCT doc_id AS cid, ng FROM ng
+        |  WHERE doc_id % 37 <> 0),
+        |a AS (SELECT ev.eval_id,
+        |    count(DISTINCT co.cid) AS n_docs,
+        |    count(DISTINCT ev.ng) AS n_ngs
+        |  FROM ev JOIN co USING (ng) GROUP BY ev.eval_id)
+        |SELECT e.doc_id AS eval_id,
+        |  CAST(coalesce(a.n_docs, 0) AS BIGINT) AS n_contaminating_docs,
+        |  CAST(coalesce(a.n_ngs, 0) AS BIGINT) AS n_shared_ngrams
+        |FROM (SELECT DISTINCT doc_id FROM documents
+        |  WHERE doc_id % 37 = 0) e
+        |LEFT JOIN a ON e.doc_id = a.eval_id
+        |ORDER BY eval_id""".stripMargin)),
+
     // PII redaction: the corpus text carries no PII by construction,
     // so both sides append the same deterministic synthetic contact
     // block (email / IPv4 / phone, plus a second email on every third

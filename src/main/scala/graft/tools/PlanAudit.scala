@@ -65,7 +65,8 @@ object PlanAudit {
       n == "quality_percentile_gate" || n == "regex_extract_all" ||
       n == "bm25_rank" || n == "bm25_indexed" ||
       n == "inverted_index" || n == "dsir_weights" ||
-      n == "dsir_resample" || n == "ccnet_buckets"          => "text"
+      n == "dsir_resample" || n == "ccnet_buckets" ||
+      n == "decontam_report"                                => "text"
     case _                                                  => "core"
   }
 

@@ -31,6 +31,26 @@ class DecontamSpec extends SparkSpec {
     assert(bad == Seq(1L, 3L))
   }
 
+  test("leakReport counts contaminating docs and distinct leaked " +
+    "n-grams per eval doc; clean eval docs get a zero row") {
+    val out = DecontamOps.leakReport(corpus, evalSet,
+        "doc_id", "text", 4)
+      .orderBy("eval_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    // eval 100 leaks only "quick brown fox jumps" (via corpus doc 1);
+    // eval 101's full sentence is embedded in doc 3 → all 7 of its
+    // 4-grams leak from that single doc
+    assert(out === Seq((100L, 1L, 1L), (101L, 1L, 7L)))
+    // add an eval doc that shares nothing → zero row present
+    val evalPlus = evalSet.unionByName(
+      Seq((102L, "zz yy xx ww vv uu")).toDF("doc_id", "text"))
+    val withClean = DecontamOps.leakReport(corpus, evalPlus,
+        "doc_id", "text", 4)
+      .orderBy("eval_id").as[(Long, Long, Long)].collect().toSeq
+    assert(withClean === Seq((100L, 1L, 1L), (101L, 1L, 7L),
+      (102L, 0L, 0L)))
+  }
+
   test("decontaminate removes flagged docs; flagContaminated keeps " +
     "all rows with the boolean") {
     val kept = DecontamOps.decontaminate(corpus, evalSet,
