@@ -1115,14 +1115,22 @@ object DedupOps {
     *
     * Scale design: the n-gram universe is shuffled as 256-bit digests,
     * never as text (the exact-dedup digest-shuffle discipline applied
-    * at n-gram grain). One shuffle partitions digests to count each
-    * gram's document frequency (window over the digest — the doc-id
-    * payload rides along, no join-back pass), one shuffle re-groups by
-    * doc for the per-doc fold. Cost is linear in total distinct
-    * (doc, gram) instances; no pairwise stage exists at any scale.
-    * Docs with fewer than `n` tokens have no n-grams and yield no row
-    * (callers treating absence as share-0 can left-join the corpus).
-    */
+    * at n-gram grain), and NOTHING instance-grained is ever windowed
+    * or joined back: the count window over the digest this replaces
+    * put every occurrence of one gram into a single partition, so a
+    * stopword phrase or boilerplate passage shared by 10⁸ documents
+    * became one straggler task. Instead, ONE map-side-combinable fold
+    * per digest — `groupBy(digest).agg(count, min(doc))` — yields
+    * each gram's document frequency plus, for df = 1 grams, their
+    * single OWNING doc; per-doc unique-gram counts then fold from the
+    * vocabulary-sized digest frame alone (`n_dup = n_grams −
+    * n_unique`), so the instance frame is never re-shuffled on the
+    * gram key at all. Partial aggregation collapses a hot gram to one
+    * row per input partition before any shuffle. Cost is linear in
+    * total distinct (doc, gram) instances; no pairwise stage exists
+    * at any scale. Docs with fewer than `n` tokens have no n-grams
+    * and yield no row (callers treating absence as share-0 can
+    * left-join the corpus). */
   def corpusDupNgramShare(df: DataFrame, idCol: String, textCol: String,
                           n: Int): DataFrame = {
     require(n >= 1, "n >= 1")
@@ -1144,16 +1152,22 @@ object DedupOps {
       .select(col(idCol), col("__g.__g1").as("__g1"),
         col("__g.__g2").as("__g2"))
     // grams are distinct per doc, so count(*) per digest == document
-    // frequency; a window (single hash-shuffle on the digest) beats
-    // groupBy + join-back (two shuffles of the same rows)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("__g1", "__g2")
-    grams.withColumn("__df", count(lit(1)).over(w))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("__df") > 1, 1L).otherwise(0L)).as("n_dup_grams"))
+    // frequency, and a df=1 gram has exactly one owner (= min doc id);
+    // unique-gram counts fold from this vocabulary-sized frame —
+    // no instance-grain join-back (see scale note)
+    val uniqPerDoc = grams.groupBy("__g1", "__g2")
+      .agg(count(lit(1)).as("__df"), min(col(idCol)).as("__owner"))
+      .filter(col("__df") === 1)
+      .groupBy(col("__owner").as(idCol))
+      .agg(count(lit(1)).as("__n_uniq"))
+    grams.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"))
+      .join(uniqPerDoc, Seq(idCol), "left")
+      .withColumn("n_dup_grams",
+        col("n_grams") - coalesce(col("__n_uniq"), lit(0L)))
       .withColumn("dup_share",
         round(col("n_dup_grams").cast("double") / col("n_grams"), 6))
+      .drop("__n_uniq")
   }
 
   /** Duplicated-SPAN coverage, the token-position form of the
@@ -1169,12 +1183,18 @@ object DedupOps {
     *
     * Scale design: gram digests are the fused 128-bit hash chains
     * ([[graft.functions.NgramHashes]] — no gram strings exist);
-    * occurrence counts attach via ONE count-window over the
-    * digest-shuffled instance frame (all occurrences, not per-doc
-    * distinct — within-doc repeats must count); covered positions are
-    * the exploded `[i, i+n-1]` windows of duplicated gram starts,
-    * distinct-counted per doc. The explode factor is the constant
-    * `n`, so every stage is corpus-linear; no pairwise stage exists.
+    * occurrence counts come from a map-side-combinable
+    * `groupBy(digest).count()` (all occurrences, not per-doc distinct
+    * — within-doc repeats must count), filtered to the duplicated
+    * digests and semi-joined back to the start frame — NOT a count
+    * window, whose hot-gram partitions are single-task stragglers at
+    * corpus scale (see [[corpusDupNgramShare]]'s scale note; the
+    * semi-join's hot probe partitions split under AQE skew handling,
+    * and at bench SF the duplicated-digest frame broadcasts). Covered
+    * positions are the exploded `[i, i+n-1]` windows of duplicated
+    * gram starts, distinct-counted per doc. The explode factor is the
+    * constant `n`, so every stage is corpus-linear; no pairwise stage
+    * exists.
     * Collision odds as [[corpusDupNgramShare]] (~1e-15; a binding
     * collision can only over-mark coverage, and the string-counting
     * DuckDB oracle doubles as the collision monitor at gate SF). */
@@ -1191,11 +1211,12 @@ object DedupOps {
           .as("__g2"))).as(Seq("__i", "__g")))
       .select(col(idCol), col("__i"),
         col("__g.__g1").as("__g1"), col("__g.__g2").as("__g2"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("__g1", "__g2")
-    val covered = starts
-      .withColumn("__occ", count(lit(1)).over(w))
+    val dupGrams = starts.groupBy("__g1", "__g2")
+      .agg(count(lit(1)).as("__occ"))
       .filter(col("__occ") > 1)
+      .select("__g1", "__g2")
+    val covered = starts
+      .join(dupGrams, Seq("__g1", "__g2"), "left_semi")
       .select(col(idCol),
         explode(sequence(col("__i"), col("__i") + (n - 1))).as("__p"))
       .groupBy(col(idCol))
@@ -1220,16 +1241,30 @@ object DedupOps {
     * document: `(id, n_tokens, n_removed, cleaned_text)` with
     * `cleaned_text` the kept tokens rejoined on single spaces.
     *
-    * Scale shape: ONE digest-hash shuffle serves both the occurrence
-    * count and the canonical-occurrence rank (the two windows share
-    * `partitionBy(digest)`, so Catalyst plans one Exchange); removal
-    * positions are a constant-factor (`n`) explode of non-canonical
-    * dup starts; the rebuild shuffles token INSTANCES once on the
-    * doc key and re-assembles with a per-doc sort — every stage
-    * corpus-linear, no pairwise stage. A position covered by both a
-    * canonical occurrence of one gram and a non-canonical occurrence
-    * of another is removed (removal wins), which is exactly the
-    * overlap rule a sequential span-stripper applies. */
+    * Scale shape: occurrence count AND canonical occurrence come from
+    * ONE map-side-combinable fold — `groupBy(digest).agg(count,
+    * min(struct(doc, start)))` — joined back to the start frame. The
+    * count-window + `row_number()`-window form this replaces put every
+    * occurrence of a hot gram (boilerplate repeated 10⁸ times) into a
+    * single window partition and then SORTED it in one task; the
+    * groupBy's partial aggregation folds each input partition's
+    * occurrences to one row pre-shuffle, min-of-struct is the rank's
+    * replacement (the canonical occurrence is exactly the
+    * (doc, start)-minimum — no total order is ever materialized), and
+    * the join-back's hot probe partitions split under AQE skew
+    * handling. Removal positions are a constant-factor (`n`) explode
+    * of non-canonical dup starts, folded per doc into a sorted
+    * position array (ints — NOT the kept-token structs of the
+    * previous form, whose aggregation state held every token string
+    * of the largest document); the cleaned text is rebuilt by slicing
+    * the original token array between consecutive removed positions
+    * (O(tokens + removals) per doc, no per-token membership probe).
+    * Per-doc state is bounded by the REMOVED-position count of the
+    * largest document (4 bytes each), not its full token text. Every
+    * stage corpus-linear, no pairwise stage. A position covered by
+    * both a canonical occurrence of one gram and a non-canonical
+    * occurrence of another is removed (removal wins), which is
+    * exactly the overlap rule a sequential span-stripper applies. */
   def stripDupSpans(df: DataFrame, idCol: String, textCol: String,
                     n: Int): DataFrame = {
     require(n >= 1, "n >= 1")
@@ -1243,31 +1278,49 @@ object DedupOps {
           .as("__g2"))).as(Seq("__i", "__g")))
       .select(col(idCol), col("__i"),
         col("__g.__g1").as("__g1"), col("__g.__g2").as("__g2"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("__g1", "__g2")
-    val wr = org.apache.spark.sql.expressions.Window
-      .partitionBy("__g1", "__g2").orderBy(col(idCol), col("__i"))
-    val rmPos = starts
-      .withColumn("__occ", count(lit(1)).over(w))
-      .withColumn("__rn", row_number().over(wr))
-      .filter(col("__occ") > 1 && col("__rn") > 1)
+    // one combinable fold per digest: total occurrences + the
+    // (doc, start)-minimal occurrence (the canonical survivor — the
+    // min-struct is the skew-safe replacement for ranking the
+    // digest's occurrences)
+    val dupCanon = starts.groupBy("__g1", "__g2")
+      .agg(count(lit(1)).as("__occ"),
+        min(struct(col(idCol).as("__cid"), col("__i").as("__ci")))
+          .as("__canon"))
+      .filter(col("__occ") > 1)
+      .select("__g1", "__g2", "__canon")
+    // removed positions = the n-token windows of every NON-canonical
+    // occurrence of a duplicated gram, folded per doc into one sorted
+    // int array (collect_set dedups overlapping windows in the fold)
+    val rm = starts
+      .join(dupCanon, Seq("__g1", "__g2"))
+      .filter(!(col(idCol) === col("__canon.__cid") &&
+        col("__i") === col("__canon.__ci")))
       .select(col(idCol),
         explode(sequence(col("__i"), col("__i") + (n - 1))).as("__p"))
-      .distinct()
-    val kept = toks
-      .select(col(idCol), posexplode(col("__tok")).as(Seq("__p", "__t")))
-      .join(rmPos, Seq(idCol, "__p"), "left_anti")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("__n_kept"),
-        array_join(transform(
-          array_sort(collect_list(struct(col("__p"), col("__t")))),
-          s => s.getField("__t")), " ").as("cleaned_text"))
-    toks.select(col(idCol), size(col("__tok")).cast("long").as("n_tokens"))
-      .join(kept, Seq(idCol), "left")
-      .select(col(idCol), col("n_tokens"),
-        (col("n_tokens") - coalesce(col("__n_kept"), lit(0L)))
-          .as("n_removed"),
-        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+      .agg(sort_array(collect_set(col("__p"))).as("__rm"))
+    // rebuild by slicing __tok between consecutive removed positions:
+    // bounds [-1, r_0 … r_k, n_tokens]; each adjacent pair (lo, hi)
+    // with hi - lo > 1 keeps the 0-based positions lo+1 … hi-1
+    // (1-based slice start lo+2, length hi-lo-1)
+    toks.join(rm, Seq(idCol), "left")
+      .withColumn("__rm", coalesce(col("__rm"),
+        array().cast("array<int>")))
+      .withColumn("__bounds", concat(array(lit(-1)), col("__rm"),
+        array(size(col("__tok")))))
+      .withColumn("cleaned_text", array_join(flatten(transform(
+        filter(
+          arrays_zip(
+            slice(col("__bounds"), lit(1), size(col("__bounds")) - 1)
+              .as("__lo"),
+            slice(col("__bounds"), lit(2), size(col("__bounds")) - 1)
+              .as("__hi")),
+          p => p.getField("__hi") - p.getField("__lo") > 1),
+        p => slice(col("__tok"), p.getField("__lo") + lit(2),
+          p.getField("__hi") - p.getField("__lo") - lit(1)))), " "))
+      .select(col(idCol), size(col("__tok")).cast("long").as("n_tokens"),
+        size(col("__rm")).cast("long").as("n_removed"),
+        col("cleaned_text"))
   }
 }
 

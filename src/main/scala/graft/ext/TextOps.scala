@@ -244,17 +244,23 @@ object TextOps {
     // no bigram STRINGS are ever built and the shuffle keys are
     // longs. The left token of bigram i is token i, so the unigram
     // hash arrays sliced to the bigram count align positionally with
-    // the bigram hash arrays under one arrays_zip + explode. The
-    // counts attach via two count-only windows over the digests —
-    // each ONE hash shuffle of the instance frame — instead of
-    // groupBy count-frames joined back (which re-scans the corpus
-    // per count frame and shuffles the instances once more per
-    // join). Skew note: a stopword-grade left token concentrates its
-    // window partition; count-only windows tolerate that at this
-    // scale, and a skew-hardened variant would pre-aggregate per
-    // (doc, digest) before the window (same two-level fold as
-    // salted_agg) — the count frames stay vocabulary-sized either
-    // way.
+    // the bigram hash arrays under one arrays_zip + explode.
+    //
+    // Skew-hardened count attachment (the two-level fold): instances
+    // first pre-aggregate per (doc, bigram digest) — the key carries
+    // the doc id, so no gram is ever hot — then the model derives
+    // ENTIRELY from that frame: bigram counts by a combinable
+    // groupBy (a stopword bigram's 10⁸ occurrences fold to one row
+    // per input partition pre-shuffle), left-token counts by summing
+    // bigram counts (the bigram digest DETERMINES its left token's
+    // digest, so c1 folds from the vocabulary-sized model frame, not
+    // the corpus). Per-instance log-probs attach by joining the
+    // per-bigram model row back to the (doc, bigram) frame — hot
+    // probe partitions split under AQE skew handling; the count-only
+    // WINDOWS this replaces pinned every occurrence of one digest to
+    // a single unsplittable partition. The (doc, bigram) pre-agg
+    // exchange is shared by all three consumers (AQE stage reuse),
+    // so the corpus is still tokenized once.
     import graft.functions.native.ngram_hashes
     val inst = df
       .select(col(idCol), tokens(col(textCol)).as("__tok"))
@@ -270,18 +276,23 @@ object TextOps {
       .select(col(idCol),
         col("__z.__ba").as("__b1"), col("__z.__bb").as("__b2"),
         col("__z.__ha").as("__h1"), col("__z.__hb").as("__h2"))
-    val wB = org.apache.spark.sql.expressions.Window
-      .partitionBy("__b1", "__b2")
-    val wW = org.apache.spark.sql.expressions.Window
-      .partitionBy("__h1", "__h2")
-    inst.withColumn("__c2", count(lit(1)).over(wB))
-      .withColumn("__c1", count(lit(1)).over(wW))
+    val docGram = inst
+      .groupBy(col(idCol), col("__b1"), col("__b2"),
+        col("__h1"), col("__h2"))
+      .agg(count(lit(1)).as("__m"))
+    // (__b1,__b2) determines (__h1,__h2) — same grain as the bigram
+    val model = docGram.groupBy("__b1", "__b2", "__h1", "__h2")
+      .agg(sum(col("__m")).as("__c2"))
+    val c1 = model.groupBy("__h1", "__h2").agg(sum(col("__c2")).as("__c1"))
+    val modelLp = model.join(c1, Seq("__h1", "__h2"))
       .withColumn("__lp",
         round(log(col("__c2").cast("double") / col("__c1")), 6)
           .cast("decimal(20,6)"))
+      .select("__b1", "__b2", "__lp")
+    docGram.join(modelLp, Seq("__b1", "__b2"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum(col("__lp")).as("__lp_sum"))
+      .agg(sum(col("__m")).as("n_bigrams"),
+        sum(col("__lp") * col("__m")).as("__lp_sum"))
       .withColumn("lm_logprob",
         round(col("__lp_sum").cast("double") / col("n_bigrams"), 6))
       .drop("__lp_sum")
@@ -302,17 +313,21 @@ object TextOps {
     * the top-weight documents (or Gumbel-samples with these log
     * weights — compose with [[graft.ext.SamplingOps]]).
     *
-    * Scale design: the same shape as [[bigramLmScores]] — the feature
-    * space is 128-bit fused hash-chain digests
-    * ([[graft.functions.NgramHashes]], no n-gram strings anywhere),
-    * and the count models attach via ONE count-window over the
-    * digest-hash-shuffled instance frame (`c_target` is a conditional
-    * sum over the same window — no second shuffle). The three model
-    * scalars (N_t, N_raw, V) are a one-row aggregate cross-joined
-    * back (broadcast, no driver collect); V needs a distinct count,
-    * vocabulary-sized after partial aggregation. Total: two scans of
-    * the instance frame, one digest shuffle, one doc-grain shuffle —
-    * corpus-linear, no pairwise stage.
+    * Scale design: the same skew-hardened two-level fold as
+    * [[bigramLmScores]] — the feature space is 128-bit fused
+    * hash-chain digests ([[graft.functions.NgramHashes]], no n-gram
+    * strings anywhere); instances pre-aggregate per (doc, feature)
+    * (doc id in the key — no hot gram), the count model (`c_target`,
+    * `c_raw` per feature) folds combinably from that frame, and the
+    * three model scalars (N_t, N_raw, V) fold from the
+    * vocabulary-sized model frame itself (one tiny aggregate,
+    * broadcast back — V is its row count, no corpus-side distinct).
+    * Per-feature log-ratios join back to the (doc, feature) frame —
+    * hot probe partitions split under AQE skew handling, unlike the
+    * count-window form this replaces, which pinned every occurrence
+    * of a stopword feature to one unsplittable window partition.
+    * Corpus-linear, tokenized once (the pre-agg exchange is shared),
+    * no pairwise stage.
     *
     * Determinism: per-distinct-feature log-ratio rounded to 6
     * decimals, per-doc accumulation as exact DECIMAL (the
@@ -331,27 +346,30 @@ object TextOps {
         ngram_hashes(col("__tok"), 2, 1337L).as("__f2"))).as("__z"))
       .select(col(idCol), col("__t"),
         col("__z.__f1").as("__f1"), col("__z.__f2").as("__f2"))
-    // One-row model-size frame: target/raw instance totals + distinct
-    // feature count. Broadcast-joined to every instance (3 longs).
-    val stats = inst.agg(
-      sum(when(col("__t"), 1L).otherwise(0L)).as("__nt"),
-      count(lit(1)).as("__nr"),
-      count_distinct(col("__f1"), col("__f2")).as("__v"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("__f1", "__f2")
-    inst
-      .withColumn("__ct", sum(when(col("__t"), 1L).otherwise(0L)).over(w))
-      .withColumn("__cr", count(lit(1)).over(w))
-      .crossJoin(broadcast(stats))
+    val docFeat = inst
+      .groupBy(col(idCol), col("__t"), col("__f1"), col("__f2"))
+      .agg(count(lit(1)).as("__m"))
+    val model = docFeat.groupBy("__f1", "__f2")
+      .agg(sum(when(col("__t"), col("__m")).otherwise(0L)).as("__ct"),
+        sum(col("__m")).as("__cr"))
+    // model-size scalars fold from the vocabulary-sized model frame:
+    // N_t/N_raw are the count sums, V is the model's row count
+    val stats = model.agg(
+      sum(col("__ct")).as("__nt"),
+      sum(col("__cr")).as("__nr"),
+      count(lit(1)).as("__v"))
+    val modelLp = model.crossJoin(broadcast(stats))
       .withColumn("__lp",
         round(
           log((col("__ct") + 1).cast("double") / (col("__nt") + col("__v")))
             - log((col("__cr") + 1).cast("double")
               / (col("__nr") + col("__v"))), 6)
           .cast("decimal(20,6)"))
+      .select("__f1", "__f2", "__lp")
+    docFeat.join(modelLp, Seq("__f1", "__f2"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_feats"),
-        sum(col("__lp")).as("__lw"))
+      .agg(sum(col("__m")).as("n_feats"),
+        sum(col("__lp") * col("__m")).as("__lw"))
       .withColumn("dsir_logw", round(col("__lw").cast("double"), 6))
       .drop("__lw")
   }
@@ -369,12 +387,16 @@ object TextOps {
     * `ceil(nBuckets · rank / count)` over (rounded score desc,
     * doc-id) — NOT `ntile`, whose remainder-distribution rule differs
     * across engines; the formula is engine-portable and what the
-    * DuckDB oracle mirrors. Scale note: the rank window partitions by
-    * language — a skewed-language corpus concentrates one partition,
-    * and the scale-out variant cuts by per-language approximate score
-    * percentiles instead of a global per-lang sort (the
-    * `quality_percentile_gate` pattern); at bucket-accounting grain
-    * the output is identical when scores are distinct. */
+    * DuckDB oracle mirrors. Scale design: the per-language rank is
+    * the DISTRIBUTED rank of [[graft.ops.Relational.keyedRanks]] —
+    * score-bucketed parallel windows plus broadcast offsets — not a
+    * `PARTITION BY lang` row_number, which sorts each language's
+    * whole slice in one task (on a real corpus one language is
+    * 50–90 % of the data: the same single-partition trap
+    * `contiguousRowIds` exists to avoid, here in per-key form). The
+    * rank (hence the output) is EXACT and identical to the
+    * single-window form; QueryPlanSpec asserts no single-key rank
+    * window survives in the plan. */
   def ccnetBuckets(df: org.apache.spark.sql.DataFrame, idCol: String,
                    textCol: String, langCol: String,
                    nBuckets: Int): org.apache.spark.sql.DataFrame =
@@ -393,13 +415,16 @@ object TextOps {
     require(nBuckets >= 1, "nBuckets >= 1")
     val scores = lmScores
       .join(df.select(col(idCol), col(langCol).as("lang")), Seq(idCol))
-    val wRank = org.apache.spark.sql.expressions.Window
-      .partitionBy("lang")
-      .orderBy(col("lm_logprob").desc, col(idCol))
-    val wCnt = org.apache.spark.sql.expressions.Window.partitionBy("lang")
-    scores
-      .withColumn("__rn", row_number().over(wRank))
-      .withColumn("__n", count(lit(1)).over(wCnt))
+    // distributed per-language rank: negated score is the ascending
+    // bucket proxy for the descending leader (ties share a bucket,
+    // doc-id breaks them inside the per-bucket window)
+    val ranked = graft.ops.Relational.keyedRanks(scores, Seq("lang"),
+      negate(col("lm_logprob")),
+      Seq(col("lm_logprob").desc, col(idCol)), "__rn")
+    val counts = scores.groupBy("lang").agg(count(lit(1)).as("__n"))
+    ranked.join(broadcast(counts), Seq("lang"))
+      // __rn is LONG (bucket offset + row_number), so the rank·nBuckets
+      // product cannot overflow Int at corpus-scale language sizes
       .withColumn("bucket",
         ceil(col("__rn") * nBuckets / col("__n")).cast("int"))
       .groupBy(col("lang"), col("bucket"))

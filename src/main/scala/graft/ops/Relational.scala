@@ -209,7 +209,14 @@ object Relational {
     * across runs and partitionings. The per-key window carries the
     * usual per-key-fits-an-executor assumption; an unkeyed call
     * would be the single-partition global-window trap
-    * ([[globalRowIds]] note) — require at least one key. */
+    * ([[globalRowIds]] note) — require at least one key.
+    *
+    * CARDINALITY BOUND: this operator is for HIGH-cardinality keys
+    * (per-customer, per-session) whose slices are task-sized. A
+    * LOW-cardinality key over a large frame (per-language over a
+    * corpus, where one language is most of the data) concentrates
+    * the window into one task — use [[keyedRanks]] there, which
+    * ranks each key in parallel value buckets. */
   def rankTiers(df: DataFrame, keys: Seq[String], order: Seq[Column],
                 tiers: Int, outCol: String = "tier"): DataFrame = {
     require(keys.nonEmpty,
@@ -224,6 +231,51 @@ object Relational {
       floor(((row_number().over(w).cast("long") - lit(1L)) *
         lit(tiers.toLong)).cast("double") /
         count(lit(1)).over(wc).cast("double")).cast("long"))
+  }
+
+  /** Per-key contiguous ranks 1..count(key) under `order` — the keyed
+    * form of [[contiguousRowIds]], for LOW-cardinality keys whose
+    * per-key slices are corpus-scale (languages, datasets, sources):
+    * a bare `row_number() OVER (PARTITION BY key ORDER BY …)` sorts
+    * each key's ENTIRE slice in one task, and on a real corpus one
+    * language is 50–90 % of the data. Here rows land in ordered value
+    * BUCKETS via literal cut points over `bucketKey` (memoized sample
+    * quantiles — ANY cut set is correct; cuts only balance bucket
+    * sizes, the [[contiguousRowIds]] argument), are ranked per
+    * (key, bucket) in parallel windows, and add the (key, bucket)
+    * start offset — a keys×buckets-sized frame, broadcast back.
+    *
+    * Contract: `order` must be a TOTAL order within each key (unique
+    * tiebreak last); `bucketKey` must be an ascending atomic proxy
+    * for the leading order column (pass `negate(x)` for a descending
+    * leader) — rows equal on `bucketKey` get equal bucket ids, so
+    * order ties never straddle a bucket boundary; cardinality(keys)
+    * × ~1024 buckets must fit a broadcast. For high-cardinality keys
+    * with task-sized slices, [[rankTiers]]/[[topNPerKey]]'s plain
+    * per-key window is the right (cheaper) shape. */
+  def keyedRanks(df: DataFrame, keys: Seq[String], bucketKey: Column,
+                 order: Seq[Column],
+                 rankName: String = "rank"): DataFrame = {
+    require(keys.nonEmpty, "keyedRanks needs >=1 key column")
+    val n = math.min(1024,
+      df.sparkSession.sessionState.conf.numShufflePartitions)
+    val cuts = memoCuts(df, bucketKey, n)
+    val bucket = cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + when(bucketKey > lit(c), 1).otherwise(0) }
+    val bucketed = df.withColumn("__b", bucket)
+    val keyCols = keys.map(col)
+    val offsets = bucketed.groupBy((keyCols :+ col("__b")): _*)
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__offset",
+        coalesce(sum(col("__cnt")).over(
+          Window.partitionBy(keyCols: _*).orderBy("__b")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select((keyCols :+ col("__b") :+ col("__offset")): _*)
+    val w = Window.partitionBy((keyCols :+ col("__b")): _*)
+      .orderBy(order: _*)
+    bucketed.join(broadcast(offsets), keys :+ "__b")
+      .withColumn(rankName, col("__offset") + row_number().over(w))
+      .drop("__b", "__offset")
   }
 
   /** Contiguous global row ids 0..n-1 in `order` — WITHOUT the 100 TB
@@ -287,10 +339,7 @@ object Relational {
     // even colliding cache entries can only skew bucket BALANCE,
     // never ids. (VERDICT r8 wrong #2: the per-run sample job tripled
     // the query's standing wall.)
-    val cutsKey = (df.queryExecution.analyzed.semanticHash(),
-      order.head.toString, n)
-    val cuts = cutsCache.computeIfAbsent(cutsKey,
-      _ => sampleCuts(df, order.head, n))
+    val cuts = memoCuts(df, order.head, n)
     val bucket = cuts.foldLeft(lit(0)) { (acc, c) =>
       acc + when(order.head > lit(c), 1).otherwise(0) }
     val bucketed = df.withColumn("__b", bucket)
@@ -355,9 +404,18 @@ object Relational {
       sample(((i.toLong * (sample.length - 1)) / n).toInt)).distinct
   }
 
-  /** Session-lifetime cut memo for [[contiguousRowIds]] — see the
-    * safety argument at its use site. Bounded: one small Seq per
-    * distinct (plan, key, width) triple ever row-id'd. */
+  /** Session-lifetime cut memo for [[contiguousRowIds]] /
+    * [[keyedRanks]] — see the safety argument at the
+    * [[contiguousRowIds]] use site (stale/colliding entries can only
+    * skew bucket BALANCE, never results). Bounded: one small Seq per
+    * distinct (plan, key, width) triple ever ranked. */
+  private[graft] def memoCuts(df: DataFrame, orderKey: Column,
+                              n: Int): Seq[Any] = {
+    val k = (df.queryExecution.analyzed.semanticHash(),
+      orderKey.toString, n)
+    cutsCache.computeIfAbsent(k, _ => sampleCuts(df, orderKey, n))
+  }
+
   private val cutsCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, String, Int), Seq[Any]]()
 }

@@ -245,4 +245,98 @@ class CorpusSignalsSpec extends SparkSpec {
     val a = out.filter(_._1 == "A").map(_._4)
     assert(a.zip(a.tail).forall { case (hi, lo) => hi >= lo })
   }
+
+  // ---------------- hot-gram skew hardening ----------------
+
+  // Crafted degenerate corpus for the corpus-signal family: every doc
+  // opens with the SAME 20-token boilerplate passage, so each boiler
+  // 5-gram/bigram occurs in EVERY document — the shape that turns a
+  // count window over the gram digest into one straggler partition.
+  // The hardened ops never window on the digest (plan-asserted below);
+  // this case pins their OUTPUT on the degenerate corpus analytically
+  // and bounds their wall-time against an equal-size diverse corpus.
+  private val nHot = 1200
+  private def boiler = (0 until 20).map(j => s"b$j").mkString(" ")
+  private lazy val hotCorpus = (0 until nHot).map { i =>
+    (i.toLong, boiler + " " + (0 until 20).map(j => s"u${i}x$j")
+      .mkString(" "))
+  }.toDF("doc_id", "text")
+  private lazy val diverseCorpus = (0 until nHot).map { i =>
+    (i.toLong, (0 until 40).map(j => s"d${i}x$j").mkString(" "))
+  }.toDF("doc_id", "text")
+
+  private def timed[T](body: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = body
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  test("hot-gram corpus (one passage in every doc): span coverage and " +
+    "removal are analytically exact and wall-bounded vs a diverse " +
+    "corpus of the same size") {
+    // warm both paths once so JIT/codegen cost lands outside the clock
+    DedupOps.dupSpanCoverage(diverseCorpus.limit(50), "doc_id", "text", 5)
+      .count()
+    // Every doc: tokens 0..39; 5-gram starts 0..35; starts 0..15 are
+    // fully inside the shared boiler (duplicated corpus-wide, covering
+    // positions 0..19); starts 16+ touch per-doc-unique tokens.
+    val (cov, tDiv) = timed {
+      DedupOps.dupSpanCoverage(diverseCorpus, "doc_id", "text", 5)
+        .agg(sum("n_covered")).head.getLong(0)
+    }
+    assert(cov === 0L) // fully diverse corpus: nothing covered
+    val (hotRows, tHot) = timed {
+      DedupOps.dupSpanCoverage(hotCorpus, "doc_id", "text", 5)
+        .select("n_covered").as[Long].collect()
+    }
+    assert(hotRows.length === nHot && hotRows.forall(_ == 20L))
+    // the hot corpus must not degenerate into a straggler: bounded by
+    // a generous constant over the diverse run (same size, same op)
+    assert(tHot <= math.max(2.0, 8 * tDiv),
+      s"hot=$tHot diverse=$tDiv")
+    // removal: doc 0 owns every boiler gram's canonical occurrence →
+    // loses nothing; every other doc strips exactly the 20 boiler
+    // positions and keeps its 20 unique tokens
+    val strip = DedupOps.stripDupSpans(hotCorpus, "doc_id", "text", 5)
+      .select("doc_id", "n_removed").as[(Long, Long)].collect().toMap
+    assert(strip(0L) === 0L)
+    assert((1L until nHot.toLong).forall(strip(_) === 20L))
+  }
+
+  test("hot-gram corpus: bigram LM and DSIR stay windowless and " +
+    "bounded when one bigram dominates the instance stream") {
+    DedupOps.corpusDupNgramShare(diverseCorpus.limit(50), "doc_id",
+      "text", 2).count()
+    val (_, tDiv) = timed {
+      TextOps.bigramLmScores(diverseCorpus, "doc_id", "text")
+        .agg(count(lit(1))).head.getLong(0)
+    }
+    val (scored, tHot) = timed {
+      TextOps.bigramLmScores(hotCorpus, "doc_id", "text")
+        .select("n_bigrams").as[Long].collect()
+    }
+    assert(scored.length === nHot && scored.forall(_ == 39L))
+    assert(tHot <= math.max(2.0, 8 * tDiv), s"hot=$tHot diverse=$tDiv")
+    val w = TextOps.dsirWeights(hotCorpus, "doc_id", "text",
+      col("doc_id") % 2 === 0)
+    assert(w.count() === nHot.toLong)
+  }
+
+  test("corpus-signal plans contain no gram-digest window — the " +
+    "count/rank folds are groupBy aggregations (skew-splittable), " +
+    "not window partitions") {
+    val plans = Seq(
+      DedupOps.corpusDupNgramShare(hotCorpus, "doc_id", "text", 5),
+      DedupOps.dupSpanCoverage(hotCorpus, "doc_id", "text", 5),
+      DedupOps.stripDupSpans(hotCorpus, "doc_id", "text", 5),
+      TextOps.bigramLmScores(hotCorpus, "doc_id", "text"),
+      TextOps.dsirWeights(hotCorpus, "doc_id", "text",
+        col("doc_id") % 2 === 0))
+    for (df <- plans) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("windowspecdefinition"), p.take(2000))
+      // the count folds keep map-side partial aggregation
+      assert(p.contains("partial_"), p.take(2000))
+    }
+  }
 }

@@ -391,4 +391,30 @@ class QueryPlanSpec extends SparkSpec {
     assert(p.contains("Window"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("ccnet_buckets ranks inside per-(lang, score-bucket) windows " +
+    "with broadcast offsets — never a whole-language total-order " +
+    "sort in one window partition") {
+    val p = plan("ccnet_buckets")
+    // the rank window's partition spec carries the value-bucket
+    // column next to the language key (keyedRanks)
+    assert("windowspecdefinition\\(lang#\\d+, __b#\\d+, lm_logprob#"
+      .r.findFirstIn(p).isDefined, p)
+    // the single-key rank window this replaced must not reappear
+    assert("windowspecdefinition\\(lang#\\d+, lm_logprob#"
+      .r.findFirstIn(p).isEmpty, p)
+    // bucket offsets attach by broadcast, not a shuffled join
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("corpus-signal gram folds are windowless groupBy aggregations " +
+    "(skew-splittable) — a hot gram can never pin one window task") {
+    for (q <- Seq("corpus_dup_ngrams", "dup_span_coverage",
+        "dup_span_strip")) {
+      val p = plan(q)
+      assert(!p.contains("windowspecdefinition"),
+        s"$q:\n${p.take(1500)}")
+      assert(p.contains("partial_"), s"$q:\n${p.take(1500)}")
+    }
+  }
 }
