@@ -70,11 +70,16 @@ object VectorIndexOps {
     * — which is what the `ann_index_verified` oracle asserts; recall
     * at `nProbe < nCentroids` is asserted in VectorIndexSpec.
     *
-    * The postings join keys on centroid_id — the table's PARTITION
-    * column — so with a broadcastable probe side the scan is pruned
-    * to the probed centroids (the `dpp_partitioned_fact` plan shape,
-    * here arising naturally inside an operator). Self-pairs are
-    * excluded for brute-force parity. */
+    * The postings table is PARTITIONED BY centroid_id, and the union
+    * of probed centroids is driver-known and bounded at
+    * queries × nProbe BEFORE the candidate scan — so the probe set is
+    * folded into the read as a LITERAL partition filter
+    * ([[probedPostings]]): the scan provably touches only the probed
+    * `centroid_id=` partitions (static partition pruning, asserted on
+    * the scan's partition-count metric in VectorIndexSpec) rather
+    * than relying on DPP firing through the broadcast join. At 100 TB
+    * of postings that is the difference between a probe and a full
+    * scan. Self-pairs are excluded for brute-force parity. */
   def searchIndex(spark: SparkSession, queries: DataFrame, idCol: String,
                   vecCol: String, indexDir: String, k: Int,
                   nProbe: Int): DataFrame = {
@@ -88,7 +93,8 @@ object VectorIndexOps {
     val probes = Relational.topNPerKey(scored, Seq("query_id"),
         Seq(col("__sim").desc, col("centroid_id")), nProbe)
       .select(col("query_id"), col("__qvec"), col("centroid_id"))
-    val candidates = postings.join(broadcast(probes), Seq("centroid_id"))
+    val candidates = probedPostings(postings, probes)
+      .join(broadcast(probes), Seq("centroid_id"))
       .filter(col("doc_id") =!= col("query_id"))
       // replayed appends duplicate postings; collapse BEFORE the
       // rescore so at-least-once maintenance cannot change results
@@ -99,6 +105,20 @@ object VectorIndexOps {
         col("cosine_sim"))
     Relational.topNPerKey(candidates, Seq("query_id"),
       Seq(col("cosine_sim").desc, col("neighbor_id")), k)
+  }
+
+  /** Postings restricted to the probed centroids via a LITERAL
+    * `IN` partition filter. The probe-id collect is bounded at
+    * queries × nProbe rows (the probe frame's grain), the one place
+    * in the index family a driver collect is provably small; the
+    * literal filter lands in the scan's `PartitionFilters`, so
+    * pruning is static — guaranteed by Catalyst's partition-pruning
+    * rule rather than by the optimizer electing DPP. */
+  private def probedPostings(postings: DataFrame,
+                             probes: DataFrame): DataFrame = {
+    val probeIds = probes.select("centroid_id").distinct()
+      .collect().map(_.get(0)).toSeq
+    postings.filter(col("centroid_id").isin(probeIds: _*))
   }
 
   /** Fold one ingest batch into an SQ8-QUANTIZED IVF index — the
@@ -119,10 +139,23 @@ object VectorIndexOps {
     *     partitioned by centroid_id, appended per batch with the same
     *     zero-shuffle broadcast-assignment narrow map.
     * Append is at-least-once under replay; search dedupes candidates
-    * before scoring (spec-asserted replay idempotence). */
+    * before scoring (spec-asserted replay idempotence).
+    *
+    * DRIFT ACCOUNTING: "drift = rebuild" needs a drift METER, so the
+    * returned [[Sq8BatchStats]] carries the batch's clamped-component
+    * share — the fraction of vector components that fell OUTSIDE the
+    * frozen batch-0 `[lo, hi]` and clamped to code 0/255. Batch 0
+    * reports ~0 by construction; a rising share means later batches'
+    * geometry has left the codebook's range and quantized distances
+    * are saturating. Rule of thumb: sustained share beyond ~1 %
+    * (faiss-style SQ8 tolerates occasional outliers; percent-level
+    * saturation distorts ranking) → schedule a REBUILD into a fresh
+    * index dir. Computed in one aggregate over the batch (narrow map
+    * + scalar fold — no extra shuffle, no extra pass over postings).
+    */
   def updateIndexSq8(spark: SparkSession, batch: DataFrame, idCol: String,
                      vecCol: String, indexDir: String, nCentroids: Int,
-                     iters: Int = 2): Long = {
+                     iters: Int = 2): Sq8BatchStats = {
     val cents =
       if (graft.io.Staging.tableExists(spark, indexDir, "centroids"))
         graft.io.Staging.readTable(spark, indexDir, "centroids")
@@ -153,7 +186,31 @@ object VectorIndexOps {
       .select("centroid_id", "doc_id", "code")
     graft.io.Staging.appendPartitioned(postings, indexDir, "postings",
       Seq("centroid_id"))
-    postings.count()
+    val row = batch
+      .select(transform(col(vecCol), x => x.cast("double")).as("__v"))
+      .crossJoin(broadcast(ranges))
+      .select(size(col("__v")).cast("long").as("__d"),
+        size(filter(
+          arrays_zip(col("__v").as("v"), col("__lo").as("lo"),
+            col("__hi").as("hi")),
+          s => s.getField("v") < s.getField("lo") ||
+            s.getField("v") > s.getField("hi"))).cast("long").as("__c"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("__c")), lit(0L)).as("c"),
+        coalesce(sum(col("__d")), lit(0L)).as("d"))
+      .head()
+    Sq8BatchStats(row.getLong(0), row.getLong(1), row.getLong(2))
+  }
+
+  /** Per-batch SQ8 maintenance accounting from [[updateIndexSq8]]:
+    * posting count plus the clamped-component tally under the index's
+    * frozen quantization ranges — the drift meter of the
+    * frozen-geometry contract (see [[updateIndexSq8]]'s threshold
+    * note). */
+  final case class Sq8BatchStats(nPostings: Long, nClamped: Long,
+                                 nComponents: Long) {
+    def clampShare: Double =
+      if (nComponents == 0L) 0.0 else nClamped.toDouble / nComponents
   }
 
   /** Top-k search against the SQ8 index: probe selection is the same
@@ -187,7 +244,8 @@ object VectorIndexOps {
     val probes = Relational.topNPerKey(scored, Seq("query_id"),
         Seq(col("__sim").desc, col("centroid_id")), nProbe)
       .select(col("query_id"), col("__qrec"), col("centroid_id"))
-    val candidates = postings.join(broadcast(probes), Seq("centroid_id"))
+    val candidates = probedPostings(postings, probes)
+      .join(broadcast(probes), Seq("centroid_id"))
       .filter(col("doc_id") =!= col("query_id"))
       .dropDuplicates("query_id", "doc_id")
       .crossJoin(broadcast(ranges))

@@ -115,6 +115,77 @@ class VectorIndexSpec extends SparkSpec {
     assert(recall > 0.3, s"SQ8 index recall $recall suspiciously low")
   }
 
+  test("probe scans are partition-pruned to the probed centroids — " +
+    "the literal IN lands in PartitionFilters and the scan's " +
+    "partition-count metric stays at nProbe, not nCentroids") {
+    val dir = Files.createTempDirectory("graft-ivfprune").toString
+    val emb = Tables.embeddings(spark, d)
+    VectorIndexOps.updateIndex(spark, emb, "vec_id", "embedding", dir,
+      nCentroids = 8)
+    val oneQuery = emb.filter(col("vec_id") === 0)
+    val res = VectorIndexOps.searchIndex(spark, oneQuery, "vec_id",
+      "embedding", dir, k = 5, nProbe = 2)
+    // collect() drives THIS frame's queryExecution, so the scan
+    // metrics below belong to the executed plan
+    assert(res.collect().length === 5)
+    // the postings scan carries a partition filter on centroid_id
+    val planStr = res.queryExecution.executedPlan.toString
+    assert(
+      "PartitionFilters: \\[[^\\]]*centroid_id".r.findFirstIn(planStr)
+        .isDefined, planStr.take(2000))
+    // and the partitions-read metric says 2 of 8 (one query, nProbe=2)
+    val postingScans = fileScans(res.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(
+        _.toString.contains("postings")))
+    assert(postingScans.nonEmpty, planStr.take(2000))
+    val partsRead = postingScans.map(
+      _.metrics("numPartitions").value).max
+    assert(partsRead == 2L, s"read $partsRead of 8 partitions")
+    // exhaustive probe still reads everything and equals brute force
+    // (pruning is a restriction of the read, never of the semantics)
+    val all = VectorIndexOps.searchIndex(spark, oneQuery, "vec_id",
+      "embedding", dir, k = 5, nProbe = 8)
+    val exact = VectorOps.bruteForceTopK(emb, oneQuery, "vec_id",
+        "embedding", 5)
+      .select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    assert(all.select(col("query_id").cast("long"),
+        col("neighbor_id").cast("long"))
+      .as[(Long, Long)].collect().toSet === exact)
+  }
+
+  private def fileScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+    p.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => fileScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive
+          .QueryStageExec => fileScans(q.plan)
+    }.flatten
+
+  test("SQ8 clamp-share drift meter: the training batch reports zero, " +
+    "an out-of-range batch surfaces its boundary-clamped share") {
+    val dir = Files.createTempDirectory("graft-sq8drift").toString
+    val emb = Tables.embeddings(spark, d)
+    val s0 = VectorIndexOps.updateIndexSq8(spark,
+      emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+      "vec_id", "embedding", dir, nCentroids = 4)
+    // ranges trained on this batch cover it: nothing clamps
+    assert(s0.clampShare === 0.0, s0)
+    assert(s0.nPostings > 0 && s0.nComponents > 0)
+    // a drifted batch (components scaled 10x out of the frozen range)
+    // must surface a large clamped share — the rebuild signal
+    val drifted = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+      .withColumn("embedding",
+        transform(col("embedding"), x => x * lit(10.0f)))
+    val s1 = VectorIndexOps.updateIndexSq8(spark, drifted,
+      "vec_id", "embedding", dir, nCentroids = 4)
+    assert(s1.clampShare > 0.5,
+      s"drifted batch clamp share ${s1.clampShare}")
+    assert(s1.nClamped > 0 && s1.nClamped <= s1.nComponents)
+  }
+
   test("chooseNumCentroids follows the √n rule with [4, 65536] " +
     "clamps and is monotone in the corpus size") {
     import graft.ext.VectorOps.chooseNumCentroids
