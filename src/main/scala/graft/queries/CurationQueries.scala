@@ -33,15 +33,14 @@ object CurationQueries {
     * the snapshot store. Both frames are pair-/vertex-grain
     * (documents never enter), persisted MEMORY_AND_DISK. */
   private val e2eCache =
-    scala.collection.mutable.Map.empty[(org.apache.spark.sql.SparkSession,
+    new FixtureStore.KeyedOnce[(org.apache.spark.sql.SparkSession,
       String), (org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame)]
 
   private def e2eArtifacts(s: org.apache.spark.sql.SparkSession,
                            d: String): (org.apache.spark.sql.DataFrame,
                              org.apache.spark.sql.DataFrame) =
-    e2eCache.synchronized {
-      e2eCache.getOrElseUpdate((s, d), {
+    e2eCache((s, d)) {
         val docs = Tables.documents(s, d)
         val exact = CorpusPipeline.exactDedup(docs, "doc_id", "text")
         // near-dup pairs among exact survivors: band membership is a
@@ -60,7 +59,6 @@ object CurationQueries {
           .select(col("id").as("doc_id"), col("cluster_rep"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         (pairs, reps)
-      })
     }
 
   val defs: Map[String, QueryDef] = Map(

@@ -40,15 +40,14 @@ object Text3Queries {
     * [[TextQueries.storedSigs]]; the frame is doc-grain
     * (doc_id, n_bigrams, lm_logprob), persisted MEMORY_AND_DISK. */
   private val lmScoreCache =
-    scala.collection.mutable.Map.empty[(org.apache.spark.sql.SparkSession,
+    new FixtureStore.KeyedOnce[(org.apache.spark.sql.SparkSession,
       String), org.apache.spark.sql.DataFrame]
 
   private def lmScores(s: org.apache.spark.sql.SparkSession,
                        d: String): org.apache.spark.sql.DataFrame =
-    lmScoreCache.synchronized {
-      lmScoreCache.getOrElseUpdate((s, d),
-        TextOps.bigramLmScores(Tables.documents(s, d), "doc_id", "text")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    lmScoreCache((s, d)) {
+      TextOps.bigramLmScores(Tables.documents(s, d), "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
   /** Session-lifetime DSIR weight store — like [[lmScores]], the
@@ -57,16 +56,15 @@ object Text3Queries {
     * by both the weights query and the resampler; doc-grain
     * (doc_id, n_feats, dsir_logw). */
   private val dsirCache =
-    scala.collection.mutable.Map.empty[(org.apache.spark.sql.SparkSession,
+    new FixtureStore.KeyedOnce[(org.apache.spark.sql.SparkSession,
       String), org.apache.spark.sql.DataFrame]
 
   private def dsirStore(s: org.apache.spark.sql.SparkSession,
                         d: String): org.apache.spark.sql.DataFrame =
-    dsirCache.synchronized {
-      dsirCache.getOrElseUpdate((s, d),
-        TextOps.dsirWeights(Tables.documents(s, d), "doc_id", "text",
-            col("lang") === "en")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    dsirCache((s, d)) {
+      TextOps.dsirWeights(Tables.documents(s, d), "doc_id", "text",
+          col("lang") === "en")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
   val defs: Map[String, QueryDef] = Map(

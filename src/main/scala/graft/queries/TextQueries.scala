@@ -55,17 +55,16 @@ object TextQueries {
     * persisted by minhashNearDupPairsFromSigs and intentionally kept
     * for the session (a few hundred verification rows). */
   private val verifiedPairCache =
-    scala.collection.mutable.Map.empty[(org.apache.spark.sql.SparkSession,
+    new FixtureStore.KeyedOnce[(org.apache.spark.sql.SparkSession,
       String), org.apache.spark.sql.DataFrame]
 
   private[queries] def verifiedPairs(s: org.apache.spark.sql.SparkSession,
                             d: String): org.apache.spark.sql.DataFrame =
-    verifiedPairCache.synchronized {
-      verifiedPairCache.getOrElseUpdate((s, d),
-        DedupOps.minhashNearDupPairsFromSigs(
-          storedSigs(s, d).filter(col("doc_id") % 5 === 0),
-          bands = 16, rowsPerBand = 4,
-          threshold = 0.9, maxBucketSize = Int.MaxValue))
+    verifiedPairCache((s, d)) {
+      DedupOps.minhashNearDupPairsFromSigs(
+        storedSigs(s, d).filter(col("doc_id") % 5 === 0),
+        bands = 16, rowsPerBand = 4,
+        threshold = 0.9, maxBucketSize = Int.MaxValue)
     }
 
   /** The % 10 duplicate-cluster labels (connected components over
@@ -75,17 +74,16 @@ object TextQueries {
     * label-propagation loop runs once per (session, sf dir), not once
     * per consuming query. */
   private val verifiedClusterCache =
-    scala.collection.mutable.Map.empty[(org.apache.spark.sql.SparkSession,
+    new FixtureStore.KeyedOnce[(org.apache.spark.sql.SparkSession,
       String), org.apache.spark.sql.DataFrame]
 
   private[queries] def verifiedClusters(s: org.apache.spark.sql.SparkSession,
                             d: String): org.apache.spark.sql.DataFrame =
-    verifiedClusterCache.synchronized {
-      verifiedClusterCache.getOrElseUpdate((s, d),
-        DedupOps.duplicateClusters(
-          verifiedPairs(s, d)
-            .filter(col("id_a") % 10 === 0 && col("id_b") % 10 === 0))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    verifiedClusterCache((s, d)) {
+      DedupOps.duplicateClusters(
+        verifiedPairs(s, d)
+          .filter(col("id_a") % 10 === 0 && col("id_b") % 10 === 0))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
   val defs: Map[String, QueryDef] = Map(

@@ -19,26 +19,24 @@ object VectorQueries {
     * under test is the search against the maintained index, not the
     * (one-time, production-amortized) index build. */
   private val ivfIndexCache =
-    scala.collection.mutable.Map.empty[(org.apache.spark.sql.SparkSession,
+    new FixtureStore.KeyedOnce[(org.apache.spark.sql.SparkSession,
       String), String]
 
   private def ivfIndex(s: org.apache.spark.sql.SparkSession,
                        d: String): String =
-    ivfIndexCache.synchronized {
-      ivfIndexCache.getOrElseUpdate((s, d), {
-        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q_ivfidx_" +
-          java.lang.Integer.toHexString(d.hashCode)
-        val dp = new org.apache.hadoop.fs.Path(dir)
-        dp.getFileSystem(s.sparkContext.hadoopConfiguration)
-          .delete(dp, true)
-        val emb = Tables.embeddings(s, d)
-        (0 until 3).foreach { i =>
-          graft.ext.VectorIndexOps.updateIndex(s,
-            emb.filter(pmod(col("vec_id"), lit(3)) === i),
-            "vec_id", "embedding", dir, nCentroids = 8)
-        }
-        dir
-      })
+    ivfIndexCache((s, d)) {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q_ivfidx_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      val dp = new org.apache.hadoop.fs.Path(dir)
+      dp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(dp, true)
+      val emb = Tables.embeddings(s, d)
+      (0 until 3).foreach { i =>
+        graft.ext.VectorIndexOps.updateIndex(s,
+          emb.filter(pmod(col("vec_id"), lit(3)) === i),
+          "vec_id", "embedding", dir, nCentroids = 8)
+      }
+      dir
     }
 
   /** Persisted SQ8-quantized IVF index FIXTURE for `ann_index_sq8` —
@@ -46,26 +44,24 @@ object VectorQueries {
     * freeze on the first batch (vec_id % 3 == 0), which is what the
     * oracle re-derives. */
   private val sq8IndexCache =
-    scala.collection.mutable.Map.empty[(org.apache.spark.sql.SparkSession,
+    new FixtureStore.KeyedOnce[(org.apache.spark.sql.SparkSession,
       String), String]
 
   private def sq8Index(s: org.apache.spark.sql.SparkSession,
                        d: String): String =
-    sq8IndexCache.synchronized {
-      sq8IndexCache.getOrElseUpdate((s, d), {
-        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q_sq8idx_" +
-          java.lang.Integer.toHexString(d.hashCode)
-        val dp = new org.apache.hadoop.fs.Path(dir)
-        dp.getFileSystem(s.sparkContext.hadoopConfiguration)
-          .delete(dp, true)
-        val emb = Tables.embeddings(s, d)
-        (0 until 3).foreach { i =>
-          graft.ext.VectorIndexOps.updateIndexSq8(s,
-            emb.filter(pmod(col("vec_id"), lit(3)) === i),
-            "vec_id", "embedding", dir, nCentroids = 8)
-        }
-        dir
-      })
+    sq8IndexCache((s, d)) {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q_sq8idx_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      val dp = new org.apache.hadoop.fs.Path(dir)
+      dp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(dp, true)
+      val emb = Tables.embeddings(s, d)
+      (0 until 3).foreach { i =>
+        graft.ext.VectorIndexOps.updateIndexSq8(s,
+          emb.filter(pmod(col("vec_id"), lit(3)) === i),
+          "vec_id", "embedding", dir, nCentroids = 8)
+      }
+      dir
     }
 
   /** Session-lifetime SQ8 codebook for `ann_sq8_topk` — the 2·d-double
@@ -73,15 +69,14 @@ object VectorQueries {
     * to the dataset in production; quantization geometry must be the
     * same for every consumer), built once per (session, sf dir). */
   private val sq8RangesCache =
-    scala.collection.mutable.Map.empty[(org.apache.spark.sql.SparkSession,
+    new FixtureStore.KeyedOnce[(org.apache.spark.sql.SparkSession,
       String), org.apache.spark.sql.DataFrame]
 
   private def sq8RangesStore(s: org.apache.spark.sql.SparkSession,
                              d: String): org.apache.spark.sql.DataFrame =
-    sq8RangesCache.synchronized {
-      sq8RangesCache.getOrElseUpdate((s, d),
-        VectorOps.sq8Ranges(Tables.embeddings(s, d), "embedding")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    sq8RangesCache((s, d)) {
+      VectorOps.sq8Ranges(Tables.embeddings(s, d), "embedding")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
   val defs: Map[String, QueryDef] = Map(
