@@ -261,9 +261,23 @@ object TextOps {
     // a single unsplittable partition. The (doc, bigram) pre-agg
     // exchange is shared by all three consumers (AQE stage reuse),
     // so the corpus is still tokenized once.
+    val docGram = bigramDocGrams(df, idCol, textCol)
+    // (__b1,__b2) determines (__h1,__h2) — same grain as the bigram
+    val model = docGram.groupBy("__b1", "__b2", "__h1", "__h2")
+      .agg(sum(col("__m")).as("__c2"))
+    scoreDocGrams(docGram, idCol, model)
+  }
+
+  /** Per-(doc, bigram-digest) instance counts — the skew-safe
+    * pre-aggregation (doc id in the key, so no gram is ever hot)
+    * shared by the one-shot [[bigramLmScores]] and the incremental
+    * count-store path. Columns: idCol, __b1/__b2 (bigram digests),
+    * __h1/__h2 (left-unigram digests), __m (instance count). */
+  private def bigramDocGrams(df: org.apache.spark.sql.DataFrame,
+                             idCol: String, textCol: String)
+      : org.apache.spark.sql.DataFrame = {
     import graft.functions.native.ngram_hashes
-    val inst = df
-      .select(col(idCol), tokens(col(textCol)).as("__tok"))
+    df.select(col(idCol), tokens(col(textCol)).as("__tok"))
       .select(col(idCol),
         ngram_hashes(col("__tok"), 2, 42L).as("__ba"),
         ngram_hashes(col("__tok"), 2, 1337L).as("__bb"),
@@ -276,13 +290,23 @@ object TextOps {
       .select(col(idCol),
         col("__z.__ba").as("__b1"), col("__z.__bb").as("__b2"),
         col("__z.__ha").as("__h1"), col("__z.__hb").as("__h2"))
-    val docGram = inst
       .groupBy(col(idCol), col("__b1"), col("__b2"),
         col("__h1"), col("__h2"))
       .agg(count(lit(1)).as("__m"))
-    // (__b1,__b2) determines (__h1,__h2) — same grain as the bigram
-    val model = docGram.groupBy("__b1", "__b2", "__h1", "__h2")
-      .agg(sum(col("__m")).as("__c2"))
+  }
+
+  /** Score per-(doc, bigram) counts against a bigram count model
+    * (`__b1,__b2,__h1,__h2,__c2`): left-token counts fold from the
+    * model itself (the bigram digest determines its left token's),
+    * per-bigram log-probs join back, per-doc means accumulate as
+    * exact DECIMAL. Bigrams ABSENT from the model are excluded from
+    * both the score and `n_bigrams` (the inner join) — when the model
+    * covers the scored corpus, output is identical to
+    * [[bigramLmScores]]. */
+  private def scoreDocGrams(docGram: org.apache.spark.sql.DataFrame,
+                            idCol: String,
+                            model: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val c1 = model.groupBy("__h1", "__h2").agg(sum(col("__c2")).as("__c1"))
     val modelLp = model.join(c1, Seq("__h1", "__h2"))
       .withColumn("__lp",
@@ -297,6 +321,63 @@ object TextOps {
         round(col("__lp_sum").cast("double") / col("n_bigrams"), 6))
       .drop("__lp_sum")
   }
+
+  /** Fold one ingest batch into a PERSISTED bigram count store — the
+    * incremental form of [[bigramLmScores]]' model for a corpus that
+    * grows daily ([[graft.ext.DedupOps.incrementalMinhashDedup]]'s
+    * maintenance posture applied to the count model): a daily 100 TB
+    * pipeline re-scores only the new batch, it does not re-tokenize
+    * the whole corpus per day.
+    *
+    * The store is ONE parquet table `bigram_counts(__batch, __b1,
+    * __b2, __h1, __h2, __m)` of per-batch count DELTAS, append-only:
+    * an update writes the batch's (vocabulary-sized) delta and reads
+    * NOTHING back — O(batch) regardless of corpus size. Serving
+    * ([[bigramModelFromStore]]) folds the deltas; appends are
+    * at-least-once under replay, so serving first drops duplicate
+    * (batch, bigram) rows — a replayed batch (same `batchId`) cannot
+    * change any count (spec-asserted). When delta files accrete,
+    * compact by overwriting with the folded model under a fresh
+    * batch id — the usual log-structured store discipline.
+    *
+    * @return rows appended (the batch's distinct-bigram count). */
+  def updateBigramCounts(batch: org.apache.spark.sql.DataFrame,
+                         idCol: String, textCol: String,
+                         storeDir: String, batchId: Long): Long = {
+    val delta = bigramDocGrams(batch, idCol, textCol)
+      .groupBy("__b1", "__b2", "__h1", "__h2")
+      .agg(sum(col("__m")).as("__m"))
+      .withColumn("__batch", lit(batchId))
+    graft.io.Staging.appendParquet(delta, storeDir, "bigram_counts")
+    delta.count()
+  }
+
+  /** The bigram count model folded from a [[updateBigramCounts]]
+    * store: replay-safe (duplicate (batch, bigram) delta rows
+    * collapse before summing), vocabulary-sized output. With batches
+    * partitioning a corpus, this model is EQUAL to the one-shot
+    * model [[bigramLmScores]] derives — incremental ≡ one-shot by
+    * construction. */
+  def bigramModelFromStore(spark: org.apache.spark.sql.SparkSession,
+                           storeDir: String)
+      : org.apache.spark.sql.DataFrame =
+    graft.io.Staging.readTable(spark, storeDir, "bigram_counts")
+      .dropDuplicates("__batch", "__b1", "__b2", "__h1", "__h2")
+      .groupBy("__b1", "__b2", "__h1", "__h2")
+      .agg(sum(col("__m")).as("__c2"))
+
+  /** [[bigramLmScores]] served from a persisted count store: tokenize
+    * and score ONLY `df` (typically the new batch) against the
+    * store's accumulated model. Scoring is over in-model bigrams
+    * (see [[scoreDocGrams]]); when the store's batches cover the
+    * scored documents the output is bit-identical to the one-shot
+    * form. */
+  def bigramLmScoresFromStore(df: org.apache.spark.sql.DataFrame,
+                              idCol: String, textCol: String,
+                              storeDir: String)
+      : org.apache.spark.sql.DataFrame =
+    scoreDocGrams(bigramDocGrams(df, idCol, textCol), idCol,
+      bigramModelFromStore(df.sparkSession, storeDir))
 
   /** DSIR-style hashed-n-gram importance weights (Xie et al. 2023,
     * "Data Selection via Importance Resampling"): per document, the

@@ -116,6 +116,47 @@ object Text3Queries {
         |  round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS lm_logprob
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Incremental bigram-LM maintenance: the count store built from
+    // THREE batches (doc_id % 3) with batch 1 replayed (at-least-once
+    // append), then the whole corpus scored against the accumulated
+    // model. Batches partition the corpus and replay dedupes, so the
+    // result is BIT-IDENTICAL to the one-shot bigram_lm_score — the
+    // oracle is the same one-shot SQL, which is exactly the
+    // incremental ≡ one-shot contract under test.
+    "bigram_lm_incremental" -> QueryDef(
+      (s, d) => {
+        val store = FixtureStore.buildOnce(s, "bigram_counts", d) { dir =>
+          val docs = Tables.documents(s, d)
+          (0 until 3).foreach { i =>
+            TextOps.updateBigramCounts(
+              docs.filter(pmod(col("doc_id"), lit(3)) === i),
+              "doc_id", "text", dir, batchId = i)
+          }
+          TextOps.updateBigramCounts(
+            docs.filter(pmod(col("doc_id"), lit(3)) === 1),
+            "doc_id", "text", dir, batchId = 1)
+        }
+        TextOps.bigramLmScoresFromStore(Tables.documents(s, d),
+            "doc_id", "text", store)
+          .select("doc_id", "n_bigrams", "lm_logprob")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $tokSql AS tok FROM documents),
+        |bg AS (SELECT doc_id, array_to_string(tok[i:i+1], ' ') AS bigram,
+        |    tok[i] AS w1
+        |  FROM t, LATERAL (SELECT
+        |    unnest(generate_series(1, len(tok) - 1)) AS i) u
+        |  WHERE len(tok) >= 2),
+        |c2 AS (SELECT bigram, count(*) AS c2 FROM bg GROUP BY 1),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+        |j AS (SELECT bg.doc_id,
+        |    CAST(round(ln(CAST(c2.c2 AS DOUBLE) / c1.c1), 6)
+        |      AS DECIMAL(20,6)) AS lp
+        |  FROM bg JOIN c2 USING (bigram) JOIN c1 USING (w1))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS lm_logprob
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // DSIR hashed-bigram importance weights: target domain = English
     // documents, raw = the whole corpus, Laplace-smoothed bag-of-
     // bigram models. Docs with < 2 tokens yield no row.

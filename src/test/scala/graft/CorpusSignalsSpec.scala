@@ -322,6 +322,44 @@ class CorpusSignalsSpec extends SparkSpec {
     assert(w.count() === nHot.toLong)
   }
 
+  test("incremental bigram-count store: batched build ≡ one-shot " +
+    "model, and a replayed batch changes no score") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bgstore").toString
+    val docs = Seq(
+      (1L, "a b c a b"), (2L, "a c b"), (3L, "b c a b c"),
+      (4L, "a b"), (5L, "c a"), (6L, "x")
+    ).toDF("doc_id", "text")
+    (0 until 3).foreach { i =>
+      TextOps.updateBigramCounts(docs.filter(col("doc_id") % 3 === i),
+        "doc_id", "text", dir, batchId = i)
+    }
+    def served = TextOps
+      .bigramLmScoresFromStore(docs, "doc_id", "text", dir)
+      .orderBy("doc_id")
+      .select("doc_id", "n_bigrams", "lm_logprob")
+      .as[(Long, Long, Double)].collect().toSeq
+    val oneShot = TextOps.bigramLmScores(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_bigrams", "lm_logprob")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(served === oneShot)
+    // at-least-once maintenance: re-appending batch 1 under the same
+    // batch id dedups at serve time — nothing changes
+    TextOps.updateBigramCounts(docs.filter(col("doc_id") % 3 === 1),
+      "doc_id", "text", dir, batchId = 1)
+    assert(served === oneShot)
+    // scoring ONLY the new batch against the accumulated model is
+    // the daily-maintenance read shape: per-doc rows equal the
+    // one-shot scores of those docs
+    val batchOnly = TextOps.bigramLmScoresFromStore(
+        docs.filter(col("doc_id") % 3 === 2), "doc_id", "text", dir)
+      .orderBy("doc_id")
+      .select("doc_id", "n_bigrams", "lm_logprob")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(batchOnly === oneShot.filter(r => r._1 % 3 == 2))
+  }
+
   test("corpus-signal plans contain no gram-digest window — the " +
     "count/rank folds are groupBy aggregations (skew-splittable), " +
     "not window partitions") {
