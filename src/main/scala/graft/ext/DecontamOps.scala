@@ -80,22 +80,56 @@ object DecontamOps {
     * MATCHED instances — the leak minority — reach the dedupe/agg
     * exchange. The corpus is never shuffled, whatever its size. */
   def leakReport(corpus: DataFrame, evalSet: DataFrame,
-                 idCol: String, textCol: String, n: Int): DataFrame = {
+                 idCol: String, textCol: String, n: Int): DataFrame =
+    // no pre-dedupe of the instances: the distinct aggregates dedupe
+    // internally (one Expand + exchange instead of a distinct
+    // exchange + an agg one)
+    reportFromHits(leakInstances(corpus, evalSet, idCol, textCol, n),
+      evalSet, idCol)
+
+  /** Matched (eval_id, corpus_id, n-gram) leak INSTANCES — the probe
+    * shared by the one-shot [[leakReport]] and the streaming hits
+    * sink ([[leakHits]]): eval n-grams broadcast, corpus side a
+    * narrow explode, only matches survive. Not deduped. */
+  private def leakInstances(corpus: DataFrame, evalSet: DataFrame,
+                            idCol: String, textCol: String,
+                            n: Int): DataFrame = {
     val evalNg = evalSet
       .select(col(idCol).as("eval_id"),
         explode(TextOps.wordNgrams(col(textCol), n)).as("__ng"))
       .distinct()
-    // no pre-dedupe: the distinct aggregates dedupe internally (one
-    // Expand + exchange instead of a distinct exchange + an agg one)
-    val hits = corpus
-      .select(col(idCol).as("__cid"),
+    corpus
+      .select(col(idCol).as("corpus_id"),
         explode(TextOps.wordNgrams(col(textCol), n)).as("__ng"))
       .join(broadcast(evalNg), Seq("__ng"))
-      .groupBy("eval_id")
-      .agg(count_distinct(col("__cid")).as("n_contaminating_docs"),
+      .select("eval_id", "corpus_id", "__ng")
+  }
+
+  /** DISTINCT leak hits for a corpus batch — the append payload of
+    * the streaming leak audit ([[graft.streaming.StreamingOps
+    * .leakReportStream]]): (eval_id, corpus_id, __ng) rows, one per
+    * leaking combination. Hit-grain is the LEAK MINORITY (matched
+    * instances only), so the persisted audit log stays small however
+    * large the corpus; identical rows from a replayed batch collapse
+    * under the serve-side fold, making at-least-once appends
+    * idempotent WITHOUT batch ids. */
+  def leakHits(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+               textCol: String, n: Int): DataFrame =
+    leakInstances(corpus, evalSet, idCol, textCol, n).distinct()
+
+  /** Fold a frame of leak hit rows (shape of [[leakHits]], possibly
+    * with duplicates from at-least-once appends) into the per-eval
+    * report [[leakReport]] emits. With hits accumulated over corpus
+    * batches that partition a corpus, the folded report EQUALS the
+    * one-shot report over the whole corpus (StreamingSpec asserts
+    * the 2-micro-batch equality). */
+  def reportFromHits(hits: DataFrame, evalSet: DataFrame,
+                     idCol: String): DataFrame = {
+    val agg = hits.groupBy("eval_id")
+      .agg(count_distinct(col("corpus_id")).as("n_contaminating_docs"),
         count_distinct(col("__ng")).as("n_shared_ngrams"))
     evalSet.select(col(idCol).as("eval_id")).distinct()
-      .join(hits, Seq("eval_id"), "left")
+      .join(agg, Seq("eval_id"), "left")
       .select(col("eval_id"),
         coalesce(col("n_contaminating_docs"), lit(0L))
           .as("n_contaminating_docs"),

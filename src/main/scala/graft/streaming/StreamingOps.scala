@@ -261,6 +261,31 @@ object StreamingOps {
         ()
       }
 
+  /** Streaming twin of the per-eval leak audit
+    * ([[graft.ext.DecontamOps.leakReport]]): each micro-batch
+    * appends its DISTINCT matched (eval_id, corpus_id, n-gram) hit
+    * rows to `outDir/leak_hits` — stateless foreachBatch, the
+    * [[decontaminateStream]] shape; the report is served on demand
+    * by folding the hits store
+    * ([[graft.ext.DecontamOps.reportFromHits]]). The hit log is the
+    * leak MINORITY, so the audit state stays small however large the
+    * streamed corpus. Appends are at-least-once under replay, but a
+    * replayed batch re-appends bit-identical hit rows and the
+    * serve-side fold counts DISTINCT — replay-idempotent without
+    * batch-id bookkeeping (StreamingSpec asserts the 2-micro-batch
+    * report equals the one-shot batch report, replay included). */
+  def leakReportStream(stream: DataFrame, evalSet: DataFrame,
+                       idCol: String, textCol: String, n: Int,
+                       outDir: String): DataStreamWriter[Row] =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val hits = graft.ext.DecontamOps.leakHits(
+          batch, evalSet, idCol, textCol, n)
+        graft.io.Staging.appendParquet(hits, outDir, "leak_hits")
+        ()
+      }
+
   /** Streaming twin of the cross-table atomic mart publish
     * ([[graft.io.MartStore.publishAll]]): each micro-batch derives a
     * fresh table set from the arriving rows (`build` — e.g. the 11

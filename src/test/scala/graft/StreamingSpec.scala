@@ -391,6 +391,55 @@ class StreamingSpec extends SparkSpec {
     assert(kept == batchKept && kept == Seq(2L, 4L, 5L))
   }
 
+  test("leakReportStream's folded hits equal the one-shot leak " +
+    "report across micro-batches, and a replayed batch changes " +
+    "nothing") {
+    implicit val ctx = spark.sqlContext
+    val root = Files.createTempDirectory("graft-leak-stream")
+    val evalSet = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "to be or not to be that is the question"),
+      (102L, "entirely untouched benchmark prompt"))
+      .toDF("doc_id", "text")
+    val rows = Seq(
+      (1L, "a very quick brown fox jumps high today"),
+      (2L, "the dog jumps over a brown log quietly"),
+      (3L, "prefix to be or not to be that is the question suffix"),
+      (4L, "quick brown fox jumps over everything else"))
+    val docs = MemoryStream[(Long, String)]
+    def drain(): Unit = {
+      val q = StreamingOps.leakReportStream(
+        docs.toDF().toDF("doc_id", "text"), evalSet,
+        "doc_id", "text", 4, root.toString)
+        .option("checkpointLocation",
+          root.resolve("ckpt").toString).start()
+      q.awaitTermination()
+    }
+    docs.addData(rows.take(2): _*); drain()
+    docs.addData(rows.drop(2): _*); drain()
+    def served: Seq[(Long, Long, Long)] = graft.ext.DecontamOps
+      .reportFromHits(
+        graft.io.Staging.readTable(spark, root.toString, "leak_hits"),
+        evalSet, "doc_id")
+      .orderBy("eval_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    val oneShot = graft.ext.DecontamOps.leakReport(
+        rows.toDF("doc_id", "text"), evalSet, "doc_id", "text", 4)
+      .orderBy("eval_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(served === oneShot)
+    // the clean eval doc certifies with a zero row
+    assert(served.exists(r => r._1 == 102L && r._2 == 0L && r._3 == 0L))
+    // at-least-once replay: re-appending batch 2's hits directly
+    // (the failure-retry shape) leaves the folded report unchanged
+    graft.io.Staging.appendParquet(
+      graft.ext.DecontamOps.leakHits(
+        rows.drop(2).toDF("doc_id", "text"), evalSet,
+        "doc_id", "text", 4),
+      root.toString, "leak_hits")
+    assert(served === oneShot)
+  }
+
   test("train/test split and deterministic sampling apply to streams " +
     "unchanged (stateless narrow maps)") {
     implicit val ctx = spark.sqlContext
