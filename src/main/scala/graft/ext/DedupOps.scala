@@ -1182,19 +1182,21 @@ object DedupOps {
     * (`n_covered = 0` for docs shorter than `n` tokens).
     *
     * Scale design: gram digests are the fused 128-bit hash chains
-    * ([[graft.functions.NgramHashes]] — no gram strings exist);
-    * occurrence counts come from a map-side-combinable
-    * `groupBy(digest).count()` (all occurrences, not per-doc distinct
-    * — within-doc repeats must count), filtered to the duplicated
-    * digests and semi-joined back to the start frame — NOT a count
-    * window, whose hot-gram partitions are single-task stragglers at
-    * corpus scale (see [[corpusDupNgramShare]]'s scale note; the
-    * semi-join's hot probe partitions split under AQE skew handling,
-    * and at bench SF the duplicated-digest frame broadcasts). Covered
-    * positions are the exploded `[i, i+n-1]` windows of duplicated
-    * gram starts, distinct-counted per doc. The explode factor is the
-    * constant `n`, so every stage is corpus-linear; no pairwise stage
-    * exists.
+    * ([[graft.functions.NgramHashes]] — no gram strings exist), and
+    * the occurrence accounting is a TWO-LEVEL fold, never a window:
+    * starts first collapse per (doc, gram) — the doc id keys that
+    * shuffle, so no gram is hot and within-doc repetition (all
+    * occurrences count!) folds to one row — then total occurrence
+    * counts fold combinably per digest, and the duplicated-digest
+    * set semi-joins back at (doc, gram) grain, where a corpus-wide
+    * boilerplate gram contributes one row PER DOC (AQE-skew-
+    * splittable; at bench SF the dup frame broadcasts). The count
+    * window this replaces pinned every occurrence of a hot gram to
+    * one unsplittable partition. Covered positions are the exploded
+    * `[i, i+n-1]` windows of duplicated gram starts, re-keyed to the
+    * doc BEFORE the explode and distinct-counted per doc. The
+    * explode factor is the constant `n`, so every stage is
+    * corpus-linear; no pairwise stage exists.
     * Collision odds as [[corpusDupNgramShare]] (~1e-15; a binding
     * collision can only over-mark coverage, and the string-counting
     * DuckDB oracle doubles as the collision monitor at gate SF). */
@@ -1211,12 +1213,27 @@ object DedupOps {
           .as("__g2"))).as(Seq("__i", "__g")))
       .select(col(idCol), col("__i"),
         col("__g.__g1").as("__g1"), col("__g.__g2").as("__g2"))
-    val dupGrams = starts.groupBy("__g1", "__g2")
-      .agg(count(lit(1)).as("__occ"))
+    // two-level fold: starts first collapse per (doc, gram) — the doc
+    // id keys the shuffle, so no gram is ever hot and within-doc
+    // repetition (boilerplate repeated 200× in one doc) collapses to
+    // ONE row before anything gram-keyed happens
+    val docGram = starts.groupBy(col(idCol), col("__g1"), col("__g2"))
+      .agg(sort_array(collect_list(col("__i"))).as("__is"))
+    val dupGrams = docGram.groupBy("__g1", "__g2")
+      .agg(sum(size(col("__is"))).as("__occ"))
       .filter(col("__occ") > 1)
       .select("__g1", "__g2")
-    val covered = starts
+    val covered = docGram
       .join(dupGrams, Seq("__g1", "__g2"), "left_semi")
+      .select(col(idCol), col("__is"))
+      // re-key to the doc BEFORE the explodes: the join output is
+      // digest-clustered (a hot gram's rows concentrated in few
+      // partitions), so exploding there would re-create the straggler
+      // one stage later — and exchanging (doc, gram) rows ships n×
+      // fewer rows than positions. The per-doc fold below reuses this
+      // partitioning (no second exchange).
+      .repartition(col(idCol))
+      .select(col(idCol), explode(col("__is")).as("__i"))
       .select(col(idCol),
         explode(sequence(col("__i"), col("__i") + (n - 1))).as("__p"))
       .groupBy(col(idCol))
@@ -1241,20 +1258,21 @@ object DedupOps {
     * document: `(id, n_tokens, n_removed, cleaned_text)` with
     * `cleaned_text` the kept tokens rejoined on single spaces.
     *
-    * Scale shape: occurrence count AND canonical occurrence come from
-    * ONE map-side-combinable fold — `groupBy(digest).agg(count,
-    * min(struct(doc, start)))` — joined back to the start frame. The
-    * count-window + `row_number()`-window form this replaces put every
-    * occurrence of a hot gram (boilerplate repeated 10⁸ times) into a
-    * single window partition and then SORTED it in one task; the
-    * groupBy's partial aggregation folds each input partition's
-    * occurrences to one row pre-shuffle, min-of-struct is the rank's
-    * replacement (the canonical occurrence is exactly the
-    * (doc, start)-minimum — no total order is ever materialized), and
-    * the join-back's hot probe partitions split under AQE skew
-    * handling. Removal positions are a constant-factor (`n`) explode
-    * of non-canonical dup starts, folded per doc into a sorted
-    * position array (ints — NOT the kept-token structs of the
+    * Scale shape: the [[dupSpanCoverage]] two-level fold. Starts
+    * collapse per (doc, gram) under a doc-keyed shuffle (no hot
+    * gram); occurrence count AND canonical occurrence then come from
+    * ONE combinable digest fold — `agg(sum(sizes), min(struct(doc,
+    * first start)))` — joined back at (doc, gram) grain, where a hot
+    * gram is one row per doc (skew-splittable; broadcasts at bench
+    * SF). The count-window + `row_number()`-window form this
+    * replaces put every occurrence of a hot gram (boilerplate
+    * repeated 10⁸ times) into a single window partition and then
+    * SORTED it in one task; min-of-struct replaces the rank (the
+    * canonical occurrence is exactly the (doc, start)-minimum — no
+    * total order is ever materialized). Removal positions are a
+    * constant-factor (`n`) explode of non-canonical dup starts,
+    * re-keyed to the doc before exploding, folded per doc into a
+    * sorted position array (ints — NOT the kept-token structs of the
     * previous form, whose aggregation state held every token string
     * of the largest document); the cleaned text is rebuilt by slicing
     * the original token array between consecutive removed positions
@@ -1278,23 +1296,38 @@ object DedupOps {
           .as("__g2"))).as(Seq("__i", "__g")))
       .select(col(idCol), col("__i"),
         col("__g.__g1").as("__g1"), col("__g.__g2").as("__g2"))
+    // two-level fold (see [[dupSpanCoverage]]): per-(doc, gram) start
+    // lists first — doc id in the key, so within-doc repetition
+    // collapses before anything gram-keyed happens
+    val docGram = starts.groupBy(col(idCol), col("__g1"), col("__g2"))
+      .agg(sort_array(collect_list(col("__i"))).as("__is"))
     // one combinable fold per digest: total occurrences + the
-    // (doc, start)-minimal occurrence (the canonical survivor — the
-    // min-struct is the skew-safe replacement for ranking the
-    // digest's occurrences)
-    val dupCanon = starts.groupBy("__g1", "__g2")
-      .agg(count(lit(1)).as("__occ"),
-        min(struct(col(idCol).as("__cid"), col("__i").as("__ci")))
-          .as("__canon"))
+    // (doc, start)-minimal occurrence (= the min-id doc's first
+    // start — the min-struct is the skew-safe replacement for
+    // ranking the digest's occurrences)
+    val dupCanon = docGram.groupBy("__g1", "__g2")
+      .agg(sum(size(col("__is"))).as("__occ"),
+        min(struct(col(idCol).as("__cid"),
+          element_at(col("__is"), 1).as("__ci"))).as("__canon"))
       .filter(col("__occ") > 1)
       .select("__g1", "__g2", "__canon")
     // removed positions = the n-token windows of every NON-canonical
-    // occurrence of a duplicated gram, folded per doc into one sorted
-    // int array (collect_set dedups overlapping windows in the fold)
-    val rm = starts
+    // occurrence of a duplicated gram: the canonical doc drops its
+    // canonical start from its list (starts are distinct within a
+    // doc), every other doc keeps its whole list; positions fold per
+    // doc into one sorted int array (collect_set dedups overlaps)
+    val rm = docGram
       .join(dupCanon, Seq("__g1", "__g2"))
-      .filter(!(col(idCol) === col("__canon.__cid") &&
-        col("__i") === col("__canon.__ci")))
+      .withColumn("__is",
+        when(col(idCol) === col("__canon.__cid"),
+          array_remove(col("__is"), col("__canon.__ci")))
+          .otherwise(col("__is")))
+      .select(col(idCol), col("__is"))
+      // re-key to the doc BEFORE the explodes (same reasoning as
+      // [[dupSpanCoverage]]): never explode on the digest-clustered
+      // join output
+      .repartition(col(idCol))
+      .select(col(idCol), explode(col("__is")).as("__i"))
       .select(col(idCol),
         explode(sequence(col("__i"), col("__i") + (n - 1))).as("__p"))
       .groupBy(col(idCol))

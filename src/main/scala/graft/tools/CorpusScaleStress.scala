@@ -36,10 +36,49 @@ object CorpusScaleStress {
     def reset(): Unit = { read.set(0); write.set(0) }
   }
 
+  private class TaskMeter extends SparkListener {
+    private val durs =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Int, java.lang.Long)]()
+    private val stageNames =
+      new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    override def onTaskEnd(
+        t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      if (t.taskInfo != null) durs.add((t.stageId, t.taskInfo.duration))
+    override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+      val m = s.stageInfo.taskMetrics
+      val detail = if (m == null) "?" else
+        f"tasks=${s.stageInfo.numTasks} " +
+          f"in=${m.inputMetrics.bytesRead / 1e6}%.0fMB " +
+          f"sread=${m.shuffleReadMetrics.totalBytesRead / 1e6}%.0fMB " +
+          f"swrite=${m.shuffleWriteMetrics.bytesWritten / 1e6}%.0fMB"
+      stageNames.put(s.stageInfo.stageId, detail)
+    }
+    def reset(): Unit = { durs.clear(); stageNames.clear() }
+    /** (max, median) task duration ms since reset. */
+    def maxMed: (Long, Long) = {
+      val a = durs.toArray(Array.empty[(Int, java.lang.Long)])
+        .map(_._2.longValue).sorted
+      if (a.isEmpty) (0L, 0L) else (a.last, a(a.length / 2))
+    }
+    /** top-k stages by max task duration, with per-stage max. */
+    def topStages(k: Int): Seq[String] =
+      durs.toArray(Array.empty[(Int, java.lang.Long)])
+        .groupBy(_._1)
+        .map { case (sid, xs) => (sid, xs.map(_._2.longValue).max) }
+        .toSeq.sortBy(-_._2).take(k)
+        .map { case (sid, mx) =>
+          f"stage $sid (${stageNames.getOrDefault(sid, "?")}) " +
+            f"max ${mx / 1000.0}%.1f s"
+        }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.head
-    val multiples = if (args.length > 1) args.drop(1).map(_.toInt).toSeq
-                    else Seq(1, 2, 4, 8)
+    val hotgram = args.contains("hotgram")
+    val multiples = {
+      val ms = args.drop(1).filter(_ != "hotgram").map(_.toInt).toSeq
+      if (ms.nonEmpty) ms else Seq(1, 2, 4, 8)
+    }
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -72,6 +111,115 @@ object CorpusScaleStress {
       emb.select((col("vec_id") + lit(c.toLong * 10000000L)).as("vec_id"),
         col("embedding"))
     }.reduce(_ unionByName _)
+
+    // ---- hot-gram leg (args contains "hotgram"): the degenerate
+    // majority-one-passage corpus through the span/LM family,
+    // hardened groupBy-fold form vs the r9 count/rank-WINDOW form
+    // (inlined here as the before-twin), recording straggler task
+    // max/median. Every doc is prefixed with the SAME 6-token
+    // passage repeated 200× — ~1195 of each doc's gram instances
+    // collapse onto ~7 hot digests corpus-wide (x4 ≈ 24M instances,
+    // ~3.4M PER DIGEST), the shape that pins a digest window to a
+    // handful of unsplittable sort partitions while the hardened
+    // fold pre-collapses occurrences map-side (one row per (doc,
+    // digest) crosses the wire) and joins the model back.
+    if (hotgram) {
+      val tasks = new TaskMeter
+      spark.sparkContext.addSparkListener(tasks)
+      val boiler = Seq.fill(200)(
+        (0 until 6).map(i => s"bp$i").mkString(" ")).mkString(" ")
+      def hotX(m: Int) = docsX(m).select(col("doc_id"),
+        concat(lit(boiler), lit(" "), col("text")).as("text"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("__g1", "__g2")
+      val wr = org.apache.spark.sql.expressions.Window
+        .partitionBy("__g1", "__g2").orderBy(col("doc_id"), col("__i"))
+      multiples.foreach { m =>
+        // spread like a real many-split corpus: the single-file sf
+        // parquet otherwise pins the whole map side into one task,
+        // measuring the INPUT layout instead of the operators (the
+        // signature-store build does the same)
+        val d = hotX(m).repartition(32).persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = d.count()
+        def leg(label: String)(body: => Long): String = {
+          meter.reset(); tasks.reset()
+          val (rows, t) = timed(body)
+          val (mx, md) = tasks.maxMed
+          val top = tasks.topStages(2).mkString(" | ")
+          f"$label: $t%6.1f s task max/med ${mx / 1000.0}%5.1f/" +
+            f"${md / 1000.0}%4.1f s " +
+            f"${(meter.read.get + meter.write.get) / 1e6}%6.0f MB " +
+            f"($rows rows)\n    $top"
+        }
+        // shared start frame builder (tokenize + fused gram hashing)
+        def starts = d.select(col("doc_id"),
+            graft.ext.TextOps.tokens(col("text")).as("__tok"))
+          .select(col("doc_id"), posexplode(arrays_zip(
+            graft.functions.native.ngram_hashes(col("__tok"), 5, 42L)
+              .as("__g1"),
+            graft.functions.native.ngram_hashes(col("__tok"), 5, 1337L)
+              .as("__g2"))).as(Seq("__i", "__g")))
+          .select(col("doc_id"), col("__i"),
+            col("__g.__g1").as("__g1"), col("__g.__g2").as("__g2"))
+        // the removal-position DERIVATION is where the r9 skew lived;
+        // both twins end at the same per-doc removal counts so the
+        // legs differ ONLY in how occurrence counts + canonical rank
+        // attach. rm-hardened mirrors stripDupSpans' two-level fold;
+        // rm-window is the r9 form: count + row_number windows over
+        // the gram digest — every occurrence of a boiler gram in ONE
+        // partition, which that partition's task then SORTS.
+        val rmHardened = leg("rm-hardened ") {
+          val docGram = starts
+            .groupBy(col("doc_id"), col("__g1"), col("__g2"))
+            .agg(sort_array(collect_list(col("__i"))).as("__is"))
+          val dupCanon = docGram.groupBy("__g1", "__g2")
+            .agg(sum(size(col("__is"))).as("__occ"),
+              min(struct(col("doc_id").as("__cid"),
+                element_at(col("__is"), 1).as("__ci"))).as("__canon"))
+            .filter(col("__occ") > 1)
+            .select("__g1", "__g2", "__canon")
+          docGram.join(dupCanon, Seq("__g1", "__g2"))
+            .withColumn("__is",
+              when(col("doc_id") === col("__canon.__cid"),
+                array_remove(col("__is"), col("__canon.__ci")))
+                .otherwise(col("__is")))
+            .select(col("doc_id"), col("__is"))
+            .repartition(col("doc_id"))
+            .select(col("doc_id"), explode(col("__is")).as("__i"))
+            .select(col("doc_id"),
+              explode(sequence(col("__i"), col("__i") + 4)).as("__p"))
+            .groupBy("doc_id")
+            .agg(count_distinct(col("__p")).as("n_rm"))
+            .count()
+        }
+        val rmWindow = leg("rm-window   ") {
+          starts
+            .withColumn("__occ", count(lit(1)).over(w))
+            .withColumn("__rn", row_number().over(wr))
+            .filter(col("__occ") > 1 && col("__rn") > 1)
+            .select(col("doc_id"),
+              explode(sequence(col("__i"), col("__i") + 4)).as("__p"))
+            .groupBy("doc_id")
+            .agg(count_distinct(col("__p")).as("n_rm"))
+            .count()
+        }
+        val fullStrip = leg("strip-fullop") {
+          graft.ext.DedupOps.stripDupSpans(d, "doc_id", "text", 5)
+            .filter(col("n_removed") > 0).count()
+        }
+        val hardenedLm = leg("lm-hardened ") {
+          graft.ext.TextOps.bigramLmScores(d, "doc_id", "text").count()
+        }
+        println(f"hotgram x$m%-2d n=$n%7d | $rmHardened")
+        println(f"hotgram x$m%-2d n=$n%7d | $rmWindow")
+        println(f"hotgram x$m%-2d n=$n%7d | $fullStrip")
+        println(f"hotgram x$m%-2d n=$n%7d | $hardenedLm")
+        d.unpersist()
+      }
+      spark.stop()
+      return
+    }
 
     multiples.foreach { m =>
       val d = docsX(m).persist(
