@@ -501,9 +501,9 @@ object TextOps {
     // doc-id breaks them inside the per-bucket window)
     val ranked = graft.ops.Relational.keyedRanks(scores, Seq("lang"),
       negate(col("lm_logprob")),
-      Seq(col("lm_logprob").desc, col(idCol)), "__rn")
-    val counts = scores.groupBy("lang").agg(count(lit(1)).as("__n"))
-    ranked.join(broadcast(counts), Seq("lang"))
+      Seq(col("lm_logprob").desc, col(idCol)), "__rn",
+      totalName = "__n")
+    ranked
       // __rn is LONG (bucket offset + row_number), so the rank·nBuckets
       // product cannot overflow Int at corpus-scale language sizes
       .withColumn("bucket",

@@ -254,8 +254,8 @@ object Relational {
     * with task-sized slices, [[rankTiers]]/[[topNPerKey]]'s plain
     * per-key window is the right (cheaper) shape. */
   def keyedRanks(df: DataFrame, keys: Seq[String], bucketKey: Column,
-                 order: Seq[Column],
-                 rankName: String = "rank"): DataFrame = {
+                 order: Seq[Column], rankName: String = "rank",
+                 totalName: String = ""): DataFrame = {
     require(keys.nonEmpty, "keyedRanks needs >=1 key column")
     val n = math.min(1024,
       df.sparkSession.sessionState.conf.numShufflePartitions)
@@ -264,13 +264,20 @@ object Relational {
       acc + when(bucketKey > lit(c), 1).otherwise(0) }
     val bucketed = df.withColumn("__b", bucket)
     val keyCols = keys.map(col)
+    // per-key totals ride the SAME keys×buckets frame (a second tiny
+    // window over it, no extra exchange) when the caller asks — the
+    // common rank/count consumer pattern without a second data scan
+    val withTotal =
+      if (totalName.isEmpty) Seq.empty[Column]
+      else Seq(sum(col("__cnt")).over(
+        Window.partitionBy(keyCols: _*)).as(totalName))
     val offsets = bucketed.groupBy((keyCols :+ col("__b")): _*)
       .agg(count(lit(1)).as("__cnt"))
       .withColumn("__offset",
         coalesce(sum(col("__cnt")).over(
           Window.partitionBy(keyCols: _*).orderBy("__b")
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select((keyCols :+ col("__b") :+ col("__offset")): _*)
+      .select((keyCols :+ col("__b") :+ col("__offset")) ++ withTotal: _*)
     val w = Window.partitionBy((keyCols :+ col("__b")): _*)
       .orderBy(order: _*)
     bucketed.join(broadcast(offsets), keys :+ "__b")

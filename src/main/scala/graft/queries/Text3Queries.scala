@@ -67,6 +67,37 @@ object Text3Queries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
+  /** Store-served incremental LM scores for `bigram_lm_incremental`:
+    * the count store builds once per (session, sf dir) — three
+    * batches plus a replayed one, the at-least-once maintenance
+    * drill — and the served score frame is a session artifact like
+    * [[lmScores]] (the build/serve split again; in production the
+    * daily job scores only its new batch and persists the result
+    * next to the store). */
+  private val incLmCache =
+    new FixtureStore.KeyedOnce[(org.apache.spark.sql.SparkSession,
+      String), org.apache.spark.sql.DataFrame]
+
+  private def incrementalLmScores(s: org.apache.spark.sql.SparkSession,
+                                  d: String)
+      : org.apache.spark.sql.DataFrame =
+    incLmCache((s, d)) {
+      val store = FixtureStore.buildOnce(s, "bigram_counts", d) { dir =>
+        val docs = Tables.documents(s, d)
+        (0 until 3).foreach { i =>
+          TextOps.updateBigramCounts(
+            docs.filter(pmod(col("doc_id"), lit(3)) === i),
+            "doc_id", "text", dir, batchId = i)
+        }
+        TextOps.updateBigramCounts(
+          docs.filter(pmod(col("doc_id"), lit(3)) === 1),
+          "doc_id", "text", dir, batchId = 1)
+      }
+      TextOps.bigramLmScoresFromStore(Tables.documents(s, d),
+          "doc_id", "text", store)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   val defs: Map[String, QueryDef] = Map(
 
     // Corpus-level duplicated-n-gram share, n=5: the digest-shuffled
@@ -124,23 +155,9 @@ object Text3Queries {
     // oracle is the same one-shot SQL, which is exactly the
     // incremental ≡ one-shot contract under test.
     "bigram_lm_incremental" -> QueryDef(
-      (s, d) => {
-        val store = FixtureStore.buildOnce(s, "bigram_counts", d) { dir =>
-          val docs = Tables.documents(s, d)
-          (0 until 3).foreach { i =>
-            TextOps.updateBigramCounts(
-              docs.filter(pmod(col("doc_id"), lit(3)) === i),
-              "doc_id", "text", dir, batchId = i)
-          }
-          TextOps.updateBigramCounts(
-            docs.filter(pmod(col("doc_id"), lit(3)) === 1),
-            "doc_id", "text", dir, batchId = 1)
-        }
-        TextOps.bigramLmScoresFromStore(Tables.documents(s, d),
-            "doc_id", "text", store)
-          .select("doc_id", "n_bigrams", "lm_logprob")
-          .orderBy("doc_id")
-      },
+      (s, d) => incrementalLmScores(s, d)
+        .select("doc_id", "n_bigrams", "lm_logprob")
+        .orderBy("doc_id"),
       Some(s"""WITH t AS (SELECT doc_id, $tokSql AS tok FROM documents),
         |bg AS (SELECT doc_id, array_to_string(tok[i:i+1], ' ') AS bigram,
         |    tok[i] AS w1

@@ -134,11 +134,28 @@ object PlanAudit {
     *    small-block prune (droppedBlockStats scaladoc), so the only
     *    new exchange moves #blocks rows (hundreds), not pairs.
     *    containment_dedup absorbed the same fold inside the family
-    *    budget (2→3). */
+    *    budget (2→3).
+    *
+    *  - `dup_span_coverage` / `dup_span_strip` (5 vs corpus 4): the
+    *    r10 hot-gram skew hardening replaced the single digest
+    *    count/rank window (one exchange, one unsplittable straggler
+    *    partition per hot gram) with the two-level fold: a (doc,
+    *    gram) pre-aggregation exchange (doc id in the key — no hot
+    *    key, within-doc repeats collapse), the digest-grain model
+    *    fold, the join-back probe exchange (skew-SPLITTABLE, unlike
+    *    the window; broadcast-elided only when the dup frame is
+    *    small), and a re-key-to-doc exchange placed BEFORE the ×n
+    *    position explode (ships starts, not positions). The extra
+    *    exchange vs the window form is exactly the price of removing
+    *    the straggler no budget can fix — SCALING.md r10 octave
+    *    table measures the window form's max task doubling per
+    *    corpus octave while the fold's tracks partition size. */
   val overrides: Map[String, Int] = Map(
     "asof_join_bucketed" -> 5,
     "sql_q15" -> 4,
-    "ngram_jaccard_topk" -> 4
+    "ngram_jaccard_topk" -> 4,
+    "dup_span_coverage" -> 5,
+    "dup_span_strip" -> 5
   )
 
   /** Shuffle-exchange count of the AQE-FINAL plan, walked on the
