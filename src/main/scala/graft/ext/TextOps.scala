@@ -337,8 +337,8 @@ object TextOps {
     * at-least-once under replay, so serving first drops duplicate
     * (batch, bigram) rows — a replayed batch (same `batchId`) cannot
     * change any count (spec-asserted). When delta files accrete,
-    * compact by overwriting with the folded model under a fresh
-    * batch id — the usual log-structured store discipline.
+    * [[compactBigramCounts]] folds the out-of-replay-window tail —
+    * the usual log-structured store discipline.
     *
     * @return rows appended (the batch's distinct-bigram count). */
   def updateBigramCounts(batch: org.apache.spark.sql.DataFrame,
@@ -365,6 +365,47 @@ object TextOps {
       .dropDuplicates("__batch", "__b1", "__b2", "__h1", "__h2")
       .groupBy("__b1", "__b2", "__h1", "__h2")
       .agg(sum(col("__m")).as("__c2"))
+
+  /** Compact a [[updateBigramCounts]] store: physically dedupe replay
+    * duplicates, then FOLD every batch older than the `keepBatches`
+    * most recent into one snapshot row-set per bigram (written under
+    * the oldest folded batch id), and rewrite the table. Counts are
+    * unchanged by construction — the serve-side fold is associative —
+    * so scoring before and after compaction is bit-identical
+    * (spec-asserted, replay included).
+    *
+    * REPLAY WINDOW CONTRACT (the [[graft.streaming.StreamingOps
+    * .martPublishStream]] `keepCommits` discipline): batches inside
+    * the window keep their identity, so their at-least-once replays
+    * still collapse; a batch older than the window can no longer
+    * replay legitimately — fold it. Size `keepBatches` ≥ the deepest
+    * plausible replay (with AvailableNow + restart-on-failure that
+    * window is 1). */
+  def compactBigramCounts(spark: org.apache.spark.sql.SparkSession,
+                          storeDir: String, keepBatches: Int = 2): Unit = {
+    val deltas = graft.io.Staging.readTable(spark, storeDir,
+        "bigram_counts")
+      .dropDuplicates("__batch", "__b1", "__b2", "__h1", "__h2")
+    val ids = deltas.select("__batch").distinct()
+      .orderBy(col("__batch").desc)
+      .collect().map(_.getLong(0))
+    if (ids.length > keepBatches) {
+      val keepIds = ids.take(keepBatches).toSeq
+      val snapshotId = ids.last
+      val folded = deltas
+        .filter(!col("__batch").isin(keepIds: _*))
+        .groupBy("__b1", "__b2", "__h1", "__h2")
+        .agg(sum(col("__m")).as("__m"))
+        .withColumn("__batch", lit(snapshotId))
+      val compacted = folded.unionByName(
+          deltas.filter(col("__batch").isin(keepIds: _*)))
+        .select("__b1", "__b2", "__h1", "__h2", "__m", "__batch")
+        // the rewrite reads what it overwrites — materialize first
+        .localCheckpoint(true)
+      graft.io.Staging.overwriteParquet(compacted, storeDir,
+        "bigram_counts")
+    }
+  }
 
   /** [[bigramLmScores]] served from a persisted count store: tokenize
     * and score ONLY `df` (typically the new batch) against the

@@ -360,6 +360,45 @@ class CorpusSignalsSpec extends SparkSpec {
     assert(batchOnly === oneShot.filter(r => r._1 % 3 == 2))
   }
 
+  test("count-store compaction folds the out-of-window tail without " +
+    "changing any score; in-window replays still collapse") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bgcompact").toString
+    val docs = Seq(
+      (1L, "a b c a b"), (2L, "a c b"), (3L, "b c a b c"),
+      (4L, "a b"), (5L, "c a"), (6L, "b c"), (7L, "c b a"),
+      (8L, "a c")
+    ).toDF("doc_id", "text")
+    (0 until 4).foreach { i =>
+      TextOps.updateBigramCounts(docs.filter(col("doc_id") % 4 === i),
+        "doc_id", "text", dir, batchId = i)
+    }
+    def served = TextOps
+      .bigramLmScoresFromStore(docs, "doc_id", "text", dir)
+      .orderBy("doc_id")
+      .select("doc_id", "n_bigrams", "lm_logprob")
+      .as[(Long, Long, Double)].collect().toSeq
+    val before = served
+    TextOps.compactBigramCounts(spark, dir, keepBatches = 2)
+    assert(served === before)
+    // batches 0 and 1 folded under the oldest id; 2 and 3 keep theirs
+    val ids = graft.io.Staging.readTable(spark, dir, "bigram_counts")
+      .select("__batch").distinct().as[Long].collect().toSet
+    assert(ids === Set(0L, 2L, 3L))
+    // an in-window replay (batch 3) still collapses at serve time
+    TextOps.updateBigramCounts(docs.filter(col("doc_id") % 4 === 3),
+      "doc_id", "text", dir, batchId = 3)
+    assert(served === before)
+    // and maintenance continues over the compacted store
+    TextOps.updateBigramCounts(
+      Seq((9L, "a b extra")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, batchId = 4)
+    val after = TextOps
+      .bigramLmScoresFromStore(docs, "doc_id", "text", dir)
+      .count()
+    assert(after === docs.filter(length(col("text")) > 1).count())
+  }
+
   test("corpus-signal plans contain no gram-digest window — the " +
     "count/rank folds are groupBy aggregations (skew-splittable), " +
     "not window partitions") {
