@@ -459,21 +459,42 @@ object TextOps {
   def dsirWeights(df: org.apache.spark.sql.DataFrame, idCol: String,
                   textCol: String,
                   targetFlag: Column): org.apache.spark.sql.DataFrame = {
+    val docFeat = dsirDocFeats(df, idCol, textCol, targetFlag)
+    val model = docFeat.groupBy("__f1", "__f2")
+      .agg(sum(when(col("__t"), col("__m")).otherwise(0L)).as("__ct"),
+        sum(col("__m")).as("__cr"))
+    scoreDsirFeats(docFeat, idCol, model)
+  }
+
+  /** Per-(doc, target-flag, feature-digest) instance counts — the
+    * skew-safe pre-aggregation shared by the one-shot [[dsirWeights]]
+    * and the incremental count-store path ([[updateDsirCounts]]). */
+  private def dsirDocFeats(df: org.apache.spark.sql.DataFrame,
+                           idCol: String, textCol: String,
+                           targetFlag: Column)
+      : org.apache.spark.sql.DataFrame = {
     import graft.functions.native.ngram_hashes
-    val inst = df
-      .select(col(idCol), targetFlag.cast("boolean").as("__t"),
+    df.select(col(idCol), targetFlag.cast("boolean").as("__t"),
         tokens(col(textCol)).as("__tok"))
       .select(col(idCol), col("__t"), explode(arrays_zip(
         ngram_hashes(col("__tok"), 2, 42L).as("__f1"),
         ngram_hashes(col("__tok"), 2, 1337L).as("__f2"))).as("__z"))
       .select(col(idCol), col("__t"),
         col("__z.__f1").as("__f1"), col("__z.__f2").as("__f2"))
-    val docFeat = inst
       .groupBy(col(idCol), col("__t"), col("__f1"), col("__f2"))
       .agg(count(lit(1)).as("__m"))
-    val model = docFeat.groupBy("__f1", "__f2")
-      .agg(sum(when(col("__t"), col("__m")).otherwise(0L)).as("__ct"),
-        sum(col("__m")).as("__cr"))
+  }
+
+  /** Score per-(doc, feature) counts against a DSIR count model
+    * (`__f1,__f2,__ct,__cr`). The three model scalars (N_t, N_raw, V)
+    * fold from the model frame itself; features absent from the model
+    * are excluded from both the weight and `n_feats` (inner join) —
+    * when the model covers the scored corpus, output is identical to
+    * [[dsirWeights]]. */
+  private def scoreDsirFeats(docFeat: org.apache.spark.sql.DataFrame,
+                             idCol: String,
+                             model: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     // model-size scalars fold from the vocabulary-sized model frame:
     // N_t/N_raw are the count sums, V is the model's row count
     val stats = model.agg(
@@ -495,6 +516,56 @@ object TextOps {
       .withColumn("dsir_logw", round(col("__lw").cast("double"), 6))
       .drop("__lw")
   }
+
+  /** Fold one ingest batch into a persisted DSIR count store — the
+    * [[updateBigramCounts]] maintenance posture applied to the two
+    * smoothed DSIR count models: the append-only delta table
+    * `dsir_counts(__batch, __f1, __f2, __mt, __m)` carries per-batch
+    * target and raw instance counts per feature (vocabulary-sized,
+    * reads nothing back — O(batch)); serving folds deltas
+    * replay-safely and both model scalars plus V re-derive from the
+    * folded frame, so incremental ≡ one-shot by construction when
+    * batches partition a corpus. The replay window / compaction
+    * discipline is [[compactBigramCounts]]'s (the same shape; a
+    * compaction twin would fold the out-of-window tail identically).
+    *
+    * @return rows appended (the batch's distinct-feature count). */
+  def updateDsirCounts(batch: org.apache.spark.sql.DataFrame,
+                       idCol: String, textCol: String,
+                       targetFlag: Column, storeDir: String,
+                       batchId: Long): Long = {
+    val delta = dsirDocFeats(batch, idCol, textCol, targetFlag)
+      .groupBy("__f1", "__f2")
+      .agg(sum(when(col("__t"), col("__m")).otherwise(0L)).as("__mt"),
+        sum(col("__m")).as("__m"))
+      .withColumn("__batch", lit(batchId))
+    graft.io.Staging.appendParquet(delta, storeDir, "dsir_counts")
+    delta.count()
+  }
+
+  /** The DSIR count model folded from a [[updateDsirCounts]] store —
+    * replay-safe (duplicate (batch, feature) rows collapse before
+    * summing). */
+  def dsirModelFromStore(spark: org.apache.spark.sql.SparkSession,
+                         storeDir: String)
+      : org.apache.spark.sql.DataFrame =
+    graft.io.Staging.readTable(spark, storeDir, "dsir_counts")
+      .dropDuplicates("__batch", "__f1", "__f2")
+      .groupBy("__f1", "__f2")
+      .agg(sum(col("__mt")).as("__ct"), sum(col("__m")).as("__cr"))
+
+  /** [[dsirWeights]] served from a persisted count store: tokenize
+    * and score ONLY `df` (typically the new batch) against the
+    * store's accumulated target/raw models. `targetFlag` here only
+    * shapes the doc-feature frame's grain — the models come entirely
+    * from the store. Bit-identical to the one-shot form when the
+    * store's batches cover the scored documents. */
+  def dsirWeightsFromStore(df: org.apache.spark.sql.DataFrame,
+                           idCol: String, textCol: String,
+                           targetFlag: Column, storeDir: String)
+      : org.apache.spark.sql.DataFrame =
+    scoreDsirFeats(dsirDocFeats(df, idCol, textCol, targetFlag), idCol,
+      dsirModelFromStore(df.sparkSession, storeDir))
 
   /** CCNet-style per-language fluency buckets: rank each language's
     * documents by their self-trained bigram-LM score

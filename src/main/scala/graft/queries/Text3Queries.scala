@@ -98,7 +98,64 @@ object Text3Queries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
+  /** Store-served incremental DSIR weights for
+    * `dsir_weights_incremental` — the [[incrementalLmScores]] split
+    * applied to the DSIR count store (same 3-batch + replay drill). */
+  private val incDsirCache =
+    new FixtureStore.KeyedOnce[(org.apache.spark.sql.SparkSession,
+      String), org.apache.spark.sql.DataFrame]
+
+  private def incrementalDsirWeights(s: org.apache.spark.sql.SparkSession,
+                                     d: String)
+      : org.apache.spark.sql.DataFrame =
+    incDsirCache((s, d)) {
+      val store = FixtureStore.buildOnce(s, "dsir_counts", d) { dir =>
+        val docs = Tables.documents(s, d)
+        (0 until 3).foreach { i =>
+          TextOps.updateDsirCounts(
+            docs.filter(pmod(col("doc_id"), lit(3)) === i),
+            "doc_id", "text", col("lang") === "en", dir, batchId = i)
+        }
+        TextOps.updateDsirCounts(
+          docs.filter(pmod(col("doc_id"), lit(3)) === 2),
+          "doc_id", "text", col("lang") === "en", dir, batchId = 2)
+      }
+      TextOps.dsirWeightsFromStore(Tables.documents(s, d),
+          "doc_id", "text", col("lang") === "en", store)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   val defs: Map[String, QueryDef] = Map(
+
+    // Incremental DSIR maintenance: the target/raw count store built
+    // from THREE batches with batch 2 replayed, the whole corpus then
+    // scored against the accumulated models. Batches partition the
+    // corpus and replay dedupes, so the result is BIT-IDENTICAL to
+    // the one-shot dsir_weights — same oracle SQL, which IS the
+    // incremental ≡ one-shot contract.
+    "dsir_weights_incremental" -> QueryDef(
+      (s, d) => incrementalDsirWeights(s, d).orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, lang = 'en' AS tgt,
+        |    $tokSql AS tok FROM documents),
+        |bg AS (SELECT doc_id, tgt, array_to_string(tok[i:i+1], ' ') AS f
+        |  FROM t, LATERAL (SELECT
+        |    unnest(generate_series(1, len(tok) - 1)) AS i) u
+        |  WHERE len(tok) >= 2),
+        |st AS (SELECT sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS nt,
+        |    count(*) AS nr, count(DISTINCT f) AS v FROM bg),
+        |wc AS (SELECT doc_id,
+        |    sum(CASE WHEN tgt THEN 1 ELSE 0 END) OVER (PARTITION BY f)
+        |      AS ct,
+        |    count(*) OVER (PARTITION BY f) AS cr
+        |  FROM bg),
+        |lp AS (SELECT doc_id,
+        |    CAST(round(ln(CAST(ct + 1 AS DOUBLE) / (nt + v))
+        |      - ln(CAST(cr + 1 AS DOUBLE) / (nr + v)), 6)
+        |      AS DECIMAL(20,6)) AS lp
+        |  FROM wc CROSS JOIN st)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+        |  round(CAST(sum(lp) AS DOUBLE), 6) AS dsir_logw
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // Corpus-level duplicated-n-gram share, n=5: the digest-shuffled
     // document-frequency fold over every doc's distinct 5-gram set.

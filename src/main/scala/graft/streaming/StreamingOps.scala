@@ -286,6 +286,29 @@ object StreamingOps {
         ()
       }
 
+  /** Streaming twin of the incremental bigram-LM count maintenance
+    * ([[graft.ext.TextOps.updateBigramCounts]]): each micro-batch
+    * appends its vocabulary-sized count delta under the EPOCH id as
+    * the batch id, so a replayed epoch (foreachBatch is
+    * at-least-once) re-appends a bit-identical delta that the
+    * serve-side fold collapses — exactly-once counts with no extra
+    * bookkeeping (StreamingSpec asserts the streamed store scores ≡
+    * one-shot, replay included). Epoch ids restart when the
+    * checkpoint is reset, so scope `storeDir` to the checkpoint's
+    * lineage exactly as [[martPublishStream]]'s `lineageId` note
+    * prescribes — a fresh checkpoint gets a fresh store (or a
+    * [[graft.ext.TextOps.compactBigramCounts]]-compacted copy). */
+  def bigramCountStream(stream: DataFrame, idCol: String,
+                        textCol: String,
+                        storeDir: String): DataStreamWriter[Row] =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        graft.ext.TextOps.updateBigramCounts(batch, idCol, textCol,
+          storeDir, batchId = epoch)
+        ()
+      }
+
   /** Streaming twin of the cross-table atomic mart publish
     * ([[graft.io.MartStore.publishAll]]): each micro-batch derives a
     * fresh table set from the arriving rows (`build` — e.g. the 11

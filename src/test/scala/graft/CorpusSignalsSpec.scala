@@ -360,6 +360,33 @@ class CorpusSignalsSpec extends SparkSpec {
     assert(batchOnly === oneShot.filter(r => r._1 % 3 == 2))
   }
 
+  test("incremental DSIR count store: batched build ≡ one-shot " +
+    "weights, and a replayed batch changes nothing") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-dsirstore").toString
+    val docs = Seq(
+      (1L, "a b c a b", true), (2L, "a c b", false),
+      (3L, "b c a b c", true), (4L, "a b", false),
+      (5L, "c a", true), (6L, "x", false)
+    ).toDF("doc_id", "text", "tgt")
+    (0 until 3).foreach { i =>
+      TextOps.updateDsirCounts(docs.filter(col("doc_id") % 3 === i),
+        "doc_id", "text", col("tgt"), dir, batchId = i)
+    }
+    def served = TextOps.dsirWeightsFromStore(docs, "doc_id", "text",
+        col("tgt"), dir)
+      .orderBy("doc_id").select("doc_id", "n_feats", "dsir_logw")
+      .as[(Long, Long, Double)].collect().toSeq
+    val oneShot = TextOps.dsirWeights(docs, "doc_id", "text",
+        col("tgt"))
+      .orderBy("doc_id").select("doc_id", "n_feats", "dsir_logw")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(served === oneShot)
+    TextOps.updateDsirCounts(docs.filter(col("doc_id") % 3 === 1),
+      "doc_id", "text", col("tgt"), dir, batchId = 1)
+    assert(served === oneShot)
+  }
+
   test("count-store compaction folds the out-of-window tail without " +
     "changing any score; in-window replays still collapse") {
     val dir = java.nio.file.Files

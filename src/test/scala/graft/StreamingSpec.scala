@@ -440,6 +440,43 @@ class StreamingSpec extends SparkSpec {
     assert(served === oneShot)
   }
 
+  test("bigramCountStream maintains the count store epoch-keyed: " +
+    "streamed scores equal the one-shot model, replayed epoch " +
+    "changes nothing") {
+    implicit val ctx = spark.sqlContext
+    val root = Files.createTempDirectory("graft-bgstream")
+    val rows = Seq(
+      (1L, "a b c a b"), (2L, "a c b"), (3L, "b c a b c"),
+      (4L, "a b"))
+    val docs = MemoryStream[(Long, String)]
+    def drain(): Unit = {
+      val q = StreamingOps.bigramCountStream(
+        docs.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        root.toString)
+        .option("checkpointLocation",
+          root.resolve("ckpt").toString).start()
+      q.awaitTermination()
+    }
+    docs.addData(rows.take(2): _*); drain()
+    docs.addData(rows.drop(2): _*); drain()
+    def served = graft.ext.TextOps
+      .bigramLmScoresFromStore(rows.toDF("doc_id", "text"),
+        "doc_id", "text", root.toString)
+      .orderBy("doc_id").select("doc_id", "n_bigrams", "lm_logprob")
+      .as[(Long, Long, Double)].collect().toSeq
+    val oneShot = graft.ext.TextOps
+      .bigramLmScores(rows.toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("doc_id").select("doc_id", "n_bigrams", "lm_logprob")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(served === oneShot)
+    // the duplicated-epoch drill: a replayed epoch re-appends its
+    // delta under the SAME epoch id — the serve-side fold collapses
+    graft.ext.TextOps.updateBigramCounts(
+      rows.drop(2).toDF("doc_id", "text"), "doc_id", "text",
+      root.toString, batchId = 1)
+    assert(served === oneShot)
+  }
+
   test("train/test split and deterministic sampling apply to streams " +
     "unchanged (stateless narrow maps)") {
     implicit val ctx = spark.sqlContext
