@@ -153,15 +153,19 @@ object SearchOps {
     * BOUNDED at every stage: the first aggregate collapses to
     * (token, doc) grain (per-doc tf — partial agg keeps the shuffle
     * at one partial row per partition×group), df/total_tf are then
-    * plain counts/sums over that grain, and the posting sample ranks
-    * doc ids per token with a window and keeps only `sampleK` BEFORE
-    * any list is materialized — no aggregation buffer ever holds a
-    * hot token's full posting set (a stopword's postings are
-    * corpus-sized; a collect-then-slice would OOM the buffer at
-    * scale). The sample is the first `sampleK` ids ascending —
-    * deterministic, and the shape a real index shard stores (full
-    * posting lists live partitioned by token range; the sample is
-    * the catalog/statistics row). */
+    * plain counts/sums over that grain, and the posting sample is a
+    * bounded k-smallest AGGREGATE ([[graft.functions.MinKLong]] for
+    * integral ids — partial state ≤ sampleK longs per group, no
+    * window): the rank-window form this replaces pinned a hot
+    * token's ENTIRE posting set into one sorted partition (a
+    * stopword's postings are corpus-sized — one straggler task at
+    * any cluster width), the same class of hot-key window the
+    * corpus-signal family shed in r10. Non-integral id columns fall
+    * back to that window form (documented hot-token bound) — the
+    * engine's synthetic ids are longs. The sample is the first
+    * `sampleK` ids ascending — deterministic, and the shape a real
+    * index shard stores (full posting lists live partitioned by
+    * token range; the sample is the catalog/statistics row). */
   def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
                     minDf: Long, sampleK: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -172,13 +176,29 @@ object SearchOps {
     val stats = perDoc.groupBy("token")
       .agg(count(lit(1)).as("df"), sum("__tf").as("total_tf"))
       .filter(col("df") >= minDf)
-    val sample = perDoc
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy("token").orderBy(col(idCol))))
-      .filter(col("__rn") <= sampleK)
-      .groupBy("token")
-      .agg(array_join(sort_array(collect_list(col(idCol)))
-        .cast("array<string>"), ",").as("posting_sample"))
+    val integralId = docs.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    val sample =
+      if (integralId)
+        perDoc.groupBy("token")
+          .agg(array_join(
+            transform(
+              graft.functions.MinKLong.column(
+                col(idCol).cast("long"), sampleK),
+              _.cast("string")), ",").as("posting_sample"))
+      else
+        perDoc
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy("token").orderBy(col(idCol))))
+          .filter(col("__rn") <= sampleK)
+          .groupBy("token")
+          .agg(array_join(sort_array(collect_list(col(idCol)))
+            .cast("array<string>"), ",").as("posting_sample"))
     stats.join(sample, "token")
       .select("token", "df", "total_tf", "posting_sample")
   }

@@ -123,3 +123,66 @@ object CmsUnion extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
   def column(sketch: Column): Column =
     udaf(this, Encoders.BINARY).apply(sketch)
 }
+
+/** Bounded k-smallest aggregate over a LONG column — the hot-key-safe
+  * replacement for the `row_number() OVER (PARTITION BY key ORDER BY
+  * id) <= k` sampling window: the window form pins EVERY row of a hot
+  * key into one sorted partition (a stopword token's postings are the
+  * whole corpus — one straggler task at any cluster width), while
+  * this aggregate's partial state never exceeds `k` longs per group
+  * per input partition — map-side combinable, merge = two-pointer
+  * sorted merge capped at `k`. Output is the group's `k` smallest
+  * values ascending (duplicates retained — feed distinct rows for a
+  * distinct sample). The same shape serves any bounded-statistics
+  * fold over a skewed key (catalog rows, shard samples, first-k
+  * audits). */
+final class MinKLong(k: Int)
+    extends Aggregator[Long, Array[Long], Seq[Long]] {
+  require(k >= 1, "k >= 1")
+
+  override def zero: Array[Long] = Array.emptyLongArray
+
+  override def reduce(b: Array[Long], a: Long): Array[Long] =
+    if (b.length >= k && a >= b(b.length - 1)) b
+    else {
+      val p0 = java.util.Arrays.binarySearch(b, a)
+      val pos = if (p0 >= 0) p0 else -p0 - 1
+      val n = math.min(k, b.length + 1)
+      val out = new Array[Long](n)
+      System.arraycopy(b, 0, out, 0, math.min(pos, n))
+      if (pos < n) {
+        out(pos) = a
+        System.arraycopy(b, pos, out, pos + 1, n - pos - 1)
+      }
+      out
+    }
+
+  override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+    if (x.isEmpty) y
+    else if (y.isEmpty) x
+    else {
+      val out = new Array[Long](math.min(k, x.length + y.length))
+      var i = 0; var j = 0; var o = 0
+      while (o < out.length) {
+        if (i < x.length && (j >= y.length || x(i) <= y(j))) {
+          out(o) = x(i); i += 1
+        } else { out(o) = y(j); j += 1 }
+        o += 1
+      }
+      out
+    }
+  }
+
+  override def finish(b: Array[Long]): Seq[Long] = b.toSeq
+
+  override def bufferEncoder: Encoder[Array[Long]] =
+    ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Seq[Long]] =
+    ExpressionEncoder[Seq[Long]]()
+}
+
+object MinKLong {
+  /** Column form for untyped DataFrame aggregation. */
+  def column(c: Column, k: Int): Column =
+    udaf(new MinKLong(k), Encoders.scalaLong).apply(c)
+}

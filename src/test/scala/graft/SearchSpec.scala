@@ -52,6 +52,27 @@ class SearchSpec extends SparkSpec {
     assert(out("beta") == (2L, 3L, "10,12"))    // df 2, tf 3 (1+2)
   }
 
+  test("posting sample is a bounded min-k AGGREGATE for integral " +
+    "ids — no token-partitioned rank window in the plan, and the " +
+    "sample equals sort-take on a hot-token corpus") {
+    import spark.implicits._
+    // one stopword-grade token in every doc + per-doc unique tokens
+    val docs = (1L to 200L).map(i => (i, s"the u$i")).toDF("doc_id", "text")
+    val idx = graft.ext.SearchOps.invertedIndex(docs, "doc_id", "text",
+      minDf = 1, sampleK = 5)
+    val p = idx.queryExecution.executedPlan.toString
+    assert(!p.contains("windowspecdefinition"), p.take(1500))
+    val hot = idx.filter($"token" === "the")
+      .select("df", "posting_sample").as[(Long, String)].head()
+    assert(hot === ((200L, "1,2,3,4,5")))
+    // MinKLong semantics: k smallest ascending for any input order
+    val vals = Seq(9L, 3L, 7L, 1L, 8L, 2L, 2L, 10L, 4L)
+    val got = vals.toDF("v")
+      .agg(graft.functions.MinKLong.column(col("v"), 4))
+      .as[Seq[Long]].head()
+    assert(got === vals.sorted.take(4))
+  }
+
   test("containmentPairs: a short doc quoted inside a long one has " +
     "containment 1.0 on the short side but low Jaccard-style overlap " +
     "on the long side") {
