@@ -348,8 +348,13 @@ object TextOps {
       .groupBy("__b1", "__b2", "__h1", "__h2")
       .agg(sum(col("__m")).as("__m"))
       .withColumn("__batch", lit(batchId))
-    graft.io.Staging.appendParquet(delta, storeDir, "bigram_counts")
-    delta.count()
+    // row accounting from the SAME job that writes (the loadIfNew
+    // Observation discipline — no second tokenize pass)
+    val obs = new org.apache.spark.sql.Observation()
+    graft.io.Staging.appendParquet(
+      delta.observe(obs, count(lit(1)).as("n")),
+      storeDir, "bigram_counts")
+    obs.get("n").asInstanceOf[Long]
   }
 
   /** The bigram count model folded from a [[updateBigramCounts]]
@@ -539,8 +544,11 @@ object TextOps {
       .agg(sum(when(col("__t"), col("__m")).otherwise(0L)).as("__mt"),
         sum(col("__m")).as("__m"))
       .withColumn("__batch", lit(batchId))
-    graft.io.Staging.appendParquet(delta, storeDir, "dsir_counts")
-    delta.count()
+    val obs = new org.apache.spark.sql.Observation()
+    graft.io.Staging.appendParquet(
+      delta.observe(obs, count(lit(1)).as("n")),
+      storeDir, "dsir_counts")
+    obs.get("n").asInstanceOf[Long]
   }
 
   /** The DSIR count model folded from a [[updateDsirCounts]] store —

@@ -57,9 +57,13 @@ object VectorIndexOps {
       .withColumn("centroid_id",
         graft.functions.native.nearest_centroid(col("vec"), col("__cs")))
       .select("centroid_id", "doc_id", "vec")
-    graft.io.Staging.appendPartitioned(postings, indexDir, "postings",
-      Seq("centroid_id"))
-    postings.count()
+    // posting count from the SAME job that writes (Observation — the
+    // old count() re-ran assignment over the whole batch)
+    val obs = new org.apache.spark.sql.Observation()
+    graft.io.Staging.appendPartitioned(
+      postings.observe(obs, count(lit(1)).as("n")),
+      indexDir, "postings", Seq("centroid_id"))
+    obs.get("n").asInstanceOf[Long]
   }
 
   /** Top-k cosine search against the persisted index: queries score
@@ -175,31 +179,33 @@ object VectorIndexOps {
       }
     val centArr = cents.agg(array_sort(collect_list(struct(
       col("centroid_id"), col("centroid")))).as("__cs"))
-    val postings = batch
+    // posting count AND the clamp tallies ride the SAME job that
+    // writes (the loadIfNew Observation discipline) — the clamp
+    // columns exist mid-plan before the final projection, so drift
+    // accounting costs no extra pass over the batch
+    val coded = batch
       .select(col(idCol).as("doc_id"), col(vecCol).as("vec"))
       .crossJoin(broadcast(centArr))
       .withColumn("centroid_id",
         graft.functions.native.nearest_centroid(col("vec"), col("__cs")))
       .crossJoin(broadcast(ranges))
+      .withColumn("__vd", transform(col("vec"), x => x.cast("double")))
+      .withColumn("__cl", size(filter(
+        arrays_zip(col("__vd").as("v"), col("__lo").as("lo"),
+          col("__hi").as("hi")),
+        s => s.getField("v") < s.getField("lo") ||
+          s.getField("v") > s.getField("hi"))).cast("long"))
       .withColumn("code",
         VectorOps.sq8Code(col("vec"), col("__lo"), col("__hi")))
-      .select("centroid_id", "doc_id", "code")
-    graft.io.Staging.appendPartitioned(postings, indexDir, "postings",
-      Seq("centroid_id"))
-    val row = batch
-      .select(transform(col(vecCol), x => x.cast("double")).as("__v"))
-      .crossJoin(broadcast(ranges))
-      .select(size(col("__v")).cast("long").as("__d"),
-        size(filter(
-          arrays_zip(col("__v").as("v"), col("__lo").as("lo"),
-            col("__hi").as("hi")),
-          s => s.getField("v") < s.getField("lo") ||
-            s.getField("v") > s.getField("hi"))).cast("long").as("__c"))
-      .agg(count(lit(1)).as("n"),
-        coalesce(sum(col("__c")), lit(0L)).as("c"),
-        coalesce(sum(col("__d")), lit(0L)).as("d"))
-      .head()
-    Sq8BatchStats(row.getLong(0), row.getLong(1), row.getLong(2))
+    val obs = new org.apache.spark.sql.Observation()
+    graft.io.Staging.appendPartitioned(
+      coded.observe(obs, count(lit(1)).as("n"),
+          coalesce(sum(col("__cl")), lit(0L)).as("c"),
+          coalesce(sum(size(col("__vd")).cast("long")), lit(0L)).as("d"))
+        .select("centroid_id", "doc_id", "code"),
+      indexDir, "postings", Seq("centroid_id"))
+    Sq8BatchStats(obs.get("n").asInstanceOf[Long],
+      obs.get("c").asInstanceOf[Long], obs.get("d").asInstanceOf[Long])
   }
 
   /** Per-batch SQ8 maintenance accounting from [[updateIndexSq8]]:
