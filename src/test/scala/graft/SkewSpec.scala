@@ -37,6 +37,37 @@ class SkewSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("keyedRanks on a 90%-one-language corpus: exact per-key ranks " +
+    "from parallel (key, bucket) windows, ties intact — never a " +
+    "whole-key sort partition") {
+    val n = 20000
+    // deterministic scores with heavy duplication (ties must not
+    // straddle bucket cuts) and one key holding 90% of the rows
+    val df = spark.range(n).select(
+      when($"id" % 10 =!= 0, lit("en")).otherwise(lit("de")).as("lang"),
+      ($"id" % 997).cast("double").as("score"),
+      $"id".as("doc"))
+    val ranked = Relational.keyedRanks(df, Seq("lang"), col("score"),
+      Seq(col("score"), col("doc")), "rnk")
+    val got = ranked.select("lang", "doc", "rnk")
+      .as[(String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val truth = df.select("lang", "score", "doc")
+      .as[(String, Double, Long)].collect()
+      .groupBy(_._1).toSeq.flatMap { case (lang, rows) =>
+        rows.sortBy(r => (r._2, r._3)).zipWithIndex
+          .map { case (r, i) => (lang, r._3) -> (i + 1L) }.toSeq
+      }.toMap
+    assert(got === truth)
+    // the rank window's partition spec carries the value bucket next
+    // to the key; a bare per-key rank window must not appear
+    val p = ranked.queryExecution.executedPlan.toString
+    assert("windowspecdefinition\\(lang#\\d+, __b#\\d+, score#"
+      .r.findFirstIn(p).isDefined, p.take(1500))
+    assert("windowspecdefinition\\(lang#\\d+, score#"
+      .r.findFirstIn(p).isEmpty, p.take(1500))
+  }
+
   test("AQE splits the skewed partition of a sort-merge anti-join") {
     val conf = spark.conf
     val saved = Seq(
