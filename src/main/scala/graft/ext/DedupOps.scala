@@ -1151,16 +1151,22 @@ object DedupOps {
           .as("__g2")))).as("__g"))
       .select(col(idCol), col("__g.__g1").as("__g1"),
         col("__g.__g2").as("__g2"))
-    // grams are distinct per doc, so count(*) per digest == document
-    // frequency, and a df=1 gram has exactly one owner (= min doc id);
-    // unique-gram counts fold from this vocabulary-sized frame —
-    // no instance-grain join-back (see scale note)
-    val uniqPerDoc = grams.groupBy("__g1", "__g2")
+    // one (doc, gram)-keyed pre-agg exchange feeds BOTH per-doc
+    // totals and the digest fold (AQE stage reuse — the corpus is
+    // tokenized and hashed once, not once per consumer); grams are
+    // distinct per doc, so count(*) per digest == document frequency,
+    // and a df=1 gram has exactly one owner (= min doc id) — unique
+    // counts fold from the vocabulary-sized frame, no instance-grain
+    // join-back (see scale note)
+    val docGram = grams
+      .groupBy(col(idCol), col("__g1"), col("__g2")).count()
+      .drop("count")
+    val uniqPerDoc = docGram.groupBy("__g1", "__g2")
       .agg(count(lit(1)).as("__df"), min(col(idCol)).as("__owner"))
       .filter(col("__df") === 1)
       .groupBy(col("__owner").as(idCol))
       .agg(count(lit(1)).as("__n_uniq"))
-    grams.groupBy(col(idCol))
+    docGram.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"))
       .join(uniqPerDoc, Seq(idCol), "left")
       .withColumn("n_dup_grams",

@@ -185,7 +185,11 @@ object SearchOps {
     }
     val sample =
       if (integralId)
-        perDoc.groupBy("token")
+        // null ids are excluded up front: the typed aggregate takes
+        // primitive longs (the window form silently skipped nulls in
+        // its collect_list — same outcome, made explicit here)
+        perDoc.filter(col(idCol).isNotNull)
+          .groupBy("token")
           .agg(array_join(
             transform(
               graft.functions.MinKLong.column(

@@ -385,9 +385,28 @@ object TextOps {
     * still collapse; a batch older than the window can no longer
     * replay legitimately — fold it. Size `keepBatches` ≥ the deepest
     * plausible replay (with AvailableNow + restart-on-failure that
-    * window is 1). */
+    * window is 1).
+    *
+    * CRASH SAFETY (single maintenance writer, the store family's
+    * posture): the compacted table is written BESIDE the live one,
+    * then swapped in by rename — an in-place overwrite would delete
+    * the only copy of months of deltas before its own write commits.
+    * Every crash point is recoverable: a dead `__compacting` dir is
+    * simply overwritten by the next attempt, and a crash between the
+    * two renames leaves the compacted copy to be re-installed on the
+    * next entry (the recovery step below) — which is CORRECT to
+    * serve either way, because compaction changes no count. */
   def compactBigramCounts(spark: org.apache.spark.sql.SparkSession,
                           storeDir: String, keepBatches: Int = 2): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val live = new org.apache.hadoop.fs.Path(s"$storeDir/bigram_counts")
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$storeDir/bigram_counts__compacting")
+    val bak = new org.apache.hadoop.fs.Path(
+      s"$storeDir/bigram_counts__replaced")
+    val fs = live.getFileSystem(hconf)
+    // recovery: a previous attempt died between its two renames
+    if (!fs.exists(live) && fs.exists(tmp)) fs.rename(tmp, live)
     val deltas = graft.io.Staging.readTable(spark, storeDir,
         "bigram_counts")
       .dropDuplicates("__batch", "__b1", "__b2", "__h1", "__h2")
@@ -405,10 +424,12 @@ object TextOps {
       val compacted = folded.unionByName(
           deltas.filter(col("__batch").isin(keepIds: _*)))
         .select("__b1", "__b2", "__h1", "__h2", "__m", "__batch")
-        // the rewrite reads what it overwrites — materialize first
-        .localCheckpoint(true)
       graft.io.Staging.overwriteParquet(compacted, storeDir,
-        "bigram_counts")
+        "bigram_counts__compacting")
+      fs.delete(bak, true)
+      fs.rename(live, bak)
+      fs.rename(tmp, live)
+      fs.delete(bak, true)
     }
   }
 

@@ -97,8 +97,10 @@ object VectorIndexOps {
     val probes = Relational.topNPerKey(scored, Seq("query_id"),
         Seq(col("__sim").desc, col("centroid_id")), nProbe)
       .select(col("query_id"), col("__qvec"), col("centroid_id"))
-    val candidates = probedPostings(postings, probes)
-      .join(broadcast(probes), Seq("centroid_id"))
+    val (probeIds, localProbes) = collectedProbes(probes)
+    val candidates = postings
+      .filter(col("centroid_id").isin(probeIds: _*))
+      .join(broadcast(localProbes), Seq("centroid_id"))
       .filter(col("doc_id") =!= col("query_id"))
       // replayed appends duplicate postings; collapse BEFORE the
       // rescore so at-least-once maintenance cannot change results
@@ -111,18 +113,24 @@ object VectorIndexOps {
       Seq(col("cosine_sim").desc, col("neighbor_id")), k)
   }
 
-  /** Postings restricted to the probed centroids via a LITERAL
-    * `IN` partition filter. The probe-id collect is bounded at
-    * queries × nProbe rows (the probe frame's grain), the one place
-    * in the index family a driver collect is provably small; the
-    * literal filter lands in the scan's `PartitionFilters`, so
-    * pruning is static — guaranteed by Catalyst's partition-pruning
-    * rule rather than by the optimizer electing DPP. */
-  private def probedPostings(postings: DataFrame,
-                             probes: DataFrame): DataFrame = {
-    val probeIds = probes.select("centroid_id").distinct()
-      .collect().map(_.get(0)).toSeq
-    postings.filter(col("centroid_id").isin(probeIds: _*))
+  /** The probe frame collected ONCE (bounded at queries × nProbe
+    * rows — the one place in the index family a driver collect is
+    * provably small), re-served two ways: the distinct centroid ids
+    * become a LITERAL `IN` partition filter on the postings read
+    * (static pruning in the scan's `PartitionFilters` — guaranteed
+    * by Catalyst's partition-pruning rule rather than by the
+    * optimizer electing DPP), and the rows themselves become a
+    * LOCAL frame for the broadcast join, so the probe-selection
+    * pipeline (centroid scoring + top-nProbe) runs exactly one job
+    * per search instead of once for the collect and again for the
+    * broadcast build. */
+  private def collectedProbes(probes: DataFrame)
+      : (Seq[Any], DataFrame) = {
+    val rows = probes.collect()
+    val ids = rows.map(_.getAs[Any]("centroid_id")).distinct.toSeq
+    val local = probes.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), probes.schema)
+    (ids, local)
   }
 
   /** Fold one ingest batch into an SQ8-QUANTIZED IVF index — the
@@ -250,8 +258,10 @@ object VectorIndexOps {
     val probes = Relational.topNPerKey(scored, Seq("query_id"),
         Seq(col("__sim").desc, col("centroid_id")), nProbe)
       .select(col("query_id"), col("__qrec"), col("centroid_id"))
-    val candidates = probedPostings(postings, probes)
-      .join(broadcast(probes), Seq("centroid_id"))
+    val (probeIds, localProbes) = collectedProbes(probes)
+    val candidates = postings
+      .filter(col("centroid_id").isin(probeIds: _*))
+      .join(broadcast(localProbes), Seq("centroid_id"))
       .filter(col("doc_id") =!= col("query_id"))
       .dropDuplicates("query_id", "doc_id")
       .crossJoin(broadcast(ranges))

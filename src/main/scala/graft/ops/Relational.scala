@@ -257,6 +257,13 @@ object Relational {
                  order: Seq[Column], rankName: String = "rank",
                  totalName: String = ""): DataFrame = {
     require(keys.nonEmpty, "keyedRanks needs >=1 key column")
+    // internal working columns and the output names must not clobber
+    // caller columns — silent replacement would drop caller data
+    for (c <- Seq("__b", "__offset", rankName) ++
+        (if (totalName.isEmpty) Nil else Seq(totalName)))
+      require(!df.columns.contains(c),
+        s"keyedRanks: input already has a '$c' column — rename it " +
+          "or pick different rankName/totalName")
     val n = math.min(1024,
       df.sparkSession.sessionState.conf.numShufflePartitions)
     val cuts = memoCuts(df, bucketKey, n)

@@ -296,14 +296,32 @@ object StreamingOps {
     * one-shot, replay included). Epoch ids restart when the
     * checkpoint is reset, so scope `storeDir` to the checkpoint's
     * lineage exactly as [[martPublishStream]]'s `lineageId` note
-    * prescribes — a fresh checkpoint gets a fresh store (or a
-    * [[graft.ext.TextOps.compactBigramCounts]]-compacted copy). */
+    * prescribes — and the contract is ENFORCED, not just documented:
+    * an epoch BELOW the store's recorded maximum means a new
+    * checkpoint lineage is writing into an old store (its delta
+    * would collide with a different batch's rows and the dedupe
+    * would silently keep an arbitrary one), so the batch FAILS
+    * instead of corrupting counts. A replay of the latest epoch
+    * (the at-least-once case) and normal progression both pass; the
+    * guard reads only the column-pruned `__batch` column. */
   def bigramCountStream(stream: DataFrame, idCol: String,
                         textCol: String,
                         storeDir: String): DataStreamWriter[Row] =
     stream.writeStream
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val spark = batch.sparkSession
+        if (graft.io.Staging.tableExists(spark, storeDir,
+            "bigram_counts")) {
+          val maxId = graft.io.Staging.readTable(spark, storeDir,
+              "bigram_counts")
+            .agg(max(col("__batch"))).head().getLong(0)
+          if (epoch < maxId) sys.error(
+            s"bigramCountStream epoch $epoch < store max batch " +
+              s"$maxId: a reset checkpoint is writing into an " +
+              "existing store — use a fresh store dir per " +
+              "checkpoint lineage (see scaladoc)")
+        }
         graft.ext.TextOps.updateBigramCounts(batch, idCol, textCol,
           storeDir, batchId = epoch)
         ()

@@ -291,8 +291,11 @@ class CorpusSignalsSpec extends SparkSpec {
     }
     assert(hotRows.length === nHot && hotRows.forall(_ == 20L))
     // the hot corpus must not degenerate into a straggler: bounded by
-    // a generous constant over the diverse run (same size, same op)
-    assert(tHot <= math.max(2.0, 8 * tDiv),
+    // a VERY generous margin over the diverse run (same size, same
+    // op) — the structural guarantee is the windowless-plan test
+    // below; this clock only catches order-of-magnitude collapse, so
+    // host-load noise cannot red the suite
+    assert(tHot <= math.max(10.0, 10 * tDiv),
       s"hot=$tHot diverse=$tDiv")
     // removal: doc 0 owns every boiler gram's canonical occurrence →
     // loses nothing; every other doc strips exactly the 20 boiler
@@ -316,7 +319,7 @@ class CorpusSignalsSpec extends SparkSpec {
         .select("n_bigrams").as[Long].collect()
     }
     assert(scored.length === nHot && scored.forall(_ == 39L))
-    assert(tHot <= math.max(2.0, 8 * tDiv), s"hot=$tHot diverse=$tDiv")
+    assert(tHot <= math.max(10.0, 10 * tDiv), s"hot=$tHot diverse=$tDiv")
     val w = TextOps.dsirWeights(hotCorpus, "doc_id", "text",
       col("doc_id") % 2 === 0)
     assert(w.count() === nHot.toLong)
