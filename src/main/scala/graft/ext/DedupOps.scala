@@ -1101,6 +1101,59 @@ object DedupOps {
     survivors
   }
 
+  /** Incremental EXACT dedup: drop new-batch documents whose text
+    * digest already exists in the persisted digest index, or appears
+    * under a smaller id WITHIN the batch — the continuous form of
+    * [[exactDedupByHash]] for a corpus that grows daily, and the
+    * EXACT-equality sibling of [[incrementalMinhashDedup]]. Survivor
+    * semantics are FIRST-ARRIVAL-WINS across batches (the only
+    * causal choice a streaming pipeline can make: an already-
+    * accepted doc is never retroactively evicted by a
+    * smaller-id duplicate arriving later) and min-id within a batch
+    * — so with batches processed in a known order, the surviving set
+    * equals ranking each text group by (arrival batch, id) and
+    * keeping the first, which is what the registry oracle encodes.
+    *
+    * Scale shape: the batch shuffles once on its 32-byte sha2-256
+    * digest (text never shuffles) for the within-batch fold; the
+    * cross-batch check anti-joins against the index SEMI-FILTERED by
+    * the batch's digest set (broadcast when the batch is small, the
+    * [[incrementalMinhashDedup]] gate) — the index is scanned
+    * narrowly but only |index ∩ batch| rows ever shuffle, so day-N
+    * maintenance shuffles O(batch + matched), not O(corpus).
+    * Surviving digests append to `digest_index`; a REPLAYED batch
+    * dedups entirely against its own earlier append and appends
+    * nothing — idempotent by construction (spec-asserted).
+    *
+    * @return surviving new docs (original columns). */
+  def incrementalExactDedup(newDocs: DataFrame, idCol: String,
+                            textCol: String,
+                            indexDir: String): DataFrame = {
+    val spark = newDocs.sparkSession
+    val hashed = newDocs.withColumn("__h", sha2(col(textCol), 256))
+    val batchKept = Relational.dedupeByKeyOrdered(hashed, Seq("__h"),
+        Seq(col(idCol)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val survivors =
+      if (graft.io.Staging.tableExists(spark, indexDir, "digest_index")) {
+        val batchDigests = batchKept.select(col("__h")).distinct()
+        val side =
+          if (batchKept.count() <= 1000000L) broadcast(batchDigests)
+          else batchDigests
+        val touched = graft.io.Staging
+          .readTable(spark, indexDir, "digest_index")
+          .join(side, Seq("__h"), "left_semi")
+        batchKept.join(touched, Seq("__h"), "left_anti")
+      } else batchKept
+    // freeze the answer before the append refreshes the index path
+    // (the incrementalMinhashDedup lineage argument)
+    val out = survivors.localCheckpoint(true)
+    graft.io.Staging.appendParquet(out.select("__h"), indexDir,
+      "digest_index")
+    batchKept.unpersist()
+    out.drop("__h")
+  }
+
   // ------------------------------------------------------------------
   // Corpus-level duplicated-n-gram share (exact-substring dedup signal)
   // ------------------------------------------------------------------

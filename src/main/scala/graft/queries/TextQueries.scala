@@ -86,6 +86,32 @@ object TextQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
+  /** Survivors of the 3-batch incremental exact-dedup drill for
+    * `dedup_exact_incremental` — session artifact (the op
+    * localCheckpoints each batch's answer; the union is stable). */
+  private val incExactCache =
+    new FixtureStore.KeyedOnce[(org.apache.spark.sql.SparkSession,
+      String), org.apache.spark.sql.DataFrame]
+
+  private def incrementalExactSurvivors(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    incExactCache((s, d)) {
+      val dir = FixtureStore.clearedScratchDir(s, "exact_digest_idx", d)
+      val docs = Tables.documents(s, d)
+      def batch(i: Int) = docs.filter(pmod(col("doc_id"), lit(3)) === i)
+      val parts = (0 until 3).map(i =>
+        DedupOps.incrementalExactDedup(batch(i), "doc_id", "text", dir))
+      // replayed batch: everything dedups against its own earlier
+      // append — must contribute nothing
+      val replay = DedupOps.incrementalExactDedup(batch(1), "doc_id",
+        "text", dir)
+      require(replay.isEmpty,
+        "replayed batch must fully dedup against the index")
+      parts.reduce(_ unionByName _)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   val defs: Map[String, QueryDef] = Map(
 
     // Exact dedup groups (hash-groupBy; survivor = min doc_id).
@@ -95,6 +121,21 @@ object TextQueries {
         .orderBy("keep_id"),
       Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin)),
+
+    // Incremental exact dedup: three batches (doc_id % 3) folded
+    // through the persisted digest index in order, batch 1 replayed
+    // (idempotent — contributes nothing). First-arrival-wins across
+    // batches, min-id within a batch ⇒ survivors are exactly the
+    // rank-1 rows per text under ORDER BY (doc_id % 3, doc_id),
+    // which the oracle encodes.
+    "dedup_exact_incremental" -> QueryDef(
+      (s, d) => incrementalExactSurvivors(s, d)
+        .select("doc_id", "lang").orderBy("doc_id"),
+      Some("""SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (
+        |    PARTITION BY text ORDER BY doc_id % 3, doc_id) AS rn
+        |  FROM documents) WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin)),
 
     // Token statistics per document.
     "text_metrics" -> QueryDef(

@@ -360,4 +360,34 @@ class DedupSpec extends SparkSpec {
       .select("jaccard").as[Double].head()
     assert(j14 == 1.0)
   }
+
+  test("incrementalExactDedup: first-arrival-wins across batches, " +
+    "min-id within a batch, replay appends nothing") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-incexact").toString
+    val b1 = Seq(
+      (10L, "alpha beta gamma"),
+      (12L, "alpha beta gamma"),     // within-batch dup → 10 survives
+      (11L, "delta epsilon")
+    ).toDF("doc_id", "text")
+    val b2 = Seq(
+      (2L, "alpha beta gamma"),      // SMALLER id but LATER arrival →
+                                     // dropped (10 already accepted)
+      (3L, "zeta eta")
+    ).toDF("doc_id", "text")
+    val s1 = DedupOps.incrementalExactDedup(b1, "doc_id", "text", dir)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(s1 === Seq(10L, 11L))
+    val s2 = DedupOps.incrementalExactDedup(b2, "doc_id", "text", dir)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(s2 === Seq(3L))
+    val idxAfter = graft.io.Staging
+      .readTable(spark, dir, "digest_index").count()
+    assert(idxAfter === 3L) // alpha…, delta…, zeta…
+    // replayed batch 2: everything dedups, index unchanged
+    val s2r = DedupOps.incrementalExactDedup(b2, "doc_id", "text", dir)
+    assert(s2r.isEmpty)
+    assert(graft.io.Staging.readTable(spark, dir, "digest_index")
+      .count() === 3L)
+  }
 }
