@@ -1,0 +1,74 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift monitoring between corpus snapshots — the
+  * accounting a daily 100 TB pipeline alarms on: yesterday's corpus
+  * is the BASE distribution, today's batch is CURRENT, and a large
+  * population-stability index (PSI) on a signal (token count,
+  * quality score, LM log-prob) means the incoming data no longer
+  * looks like what the models/thresholds were tuned on.
+  *
+  * Scale shape: one narrow scan per snapshot folding to BUCKET grain
+  * (map-side combinable counts over literal cut points — a pure row
+  * function, so both sides bucket identically regardless of
+  * partitioning), then a buckets-sized join. Nothing row-grained is
+  * ever joined or windowed; cost is two corpus scans, full stop.
+  */
+object DriftOps {
+
+  /** Per-bucket PSI report between `base` and `current` over literal
+    * `cuts` (bucket i = values in (cuts(i-1), cuts(i)], open-ended at
+    * both extremes — `B = cuts.length + 1` buckets). Shares are
+    * Laplace-smoothed — `p_i = (c_i + 1) / (N + B)` — so empty
+    * buckets on either side contribute finitely instead of ±∞ (the
+    * standard guard; with B fixed and N large the smoothing is
+    * negligible). Output per bucket: both counts, both smoothed
+    * shares (rounded 6), the PSI contribution
+    * `(p−q)·ln(p/q)` (rounded 6), and `psi_total` (the contribution
+    * sum, same on every row — the alarm scalar). Conventional read:
+    * < 0.1 stable, 0.1–0.25 moderate drift, > 0.25 retune/rebuild —
+    * the same thresholds credit-scoring monitoring uses.
+    *
+    * Cut points are LITERALS by design (derive them once from the
+    * base snapshot — e.g. [[graft.ops.Relational.sampleCuts]] — and
+    * freeze them): re-deriving cuts per comparison would make drift
+    * partially self-masking, and literals keep the report a pure
+    * function of the two snapshots (oracle-checkable). Every bucket
+    * gets a row even when empty on both sides. */
+  def psiReport(base: DataFrame, current: DataFrame, valueCol: Column,
+                cuts: Seq[Double]): DataFrame = {
+    require(cuts.nonEmpty && cuts == cuts.sorted && cuts.distinct == cuts,
+      "cuts must be non-empty, ascending, distinct")
+    val nBuckets = cuts.length + 1
+    val bucket = cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + when(valueCol > lit(c), 1).otherwise(0) }
+    def sideCounts(df: DataFrame, name: String): DataFrame =
+      df.select(bucket.as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as(name))
+    val spark = base.sparkSession
+    val allBuckets = spark.range(nBuckets.toLong)
+      .select(col("id").cast("int").as("bucket"))
+    val joined = allBuckets
+      .join(sideCounts(base, "n_base"), Seq("bucket"), "left")
+      .join(sideCounts(current, "n_cur"), Seq("bucket"), "left")
+      .withColumn("n_base", coalesce(col("n_base"), lit(0L)))
+      .withColumn("n_cur", coalesce(col("n_cur"), lit(0L)))
+    val totals = joined.agg(sum(col("n_base")).as("__nb"),
+      sum(col("n_cur")).as("__nc"))
+    joined.crossJoin(broadcast(totals))
+      .withColumn("p_base", round((col("n_base") + 1).cast("double")
+        / (col("__nb") + nBuckets), 6))
+      .withColumn("p_cur", round((col("n_cur") + 1).cast("double")
+        / (col("__nc") + nBuckets), 6))
+      .withColumn("psi_contrib", round(
+        (col("p_base") - col("p_cur"))
+          * log(col("p_base") / col("p_cur")), 6))
+      .withColumn("psi_total", round(sum(col("psi_contrib")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(1))), 6))
+      .select("bucket", "n_base", "n_cur", "p_base", "p_cur",
+        "psi_contrib", "psi_total")
+  }
+}

@@ -157,6 +157,52 @@ object Text3Queries {
         |  round(CAST(sum(lp) AS DOUBLE), 6) AS dsir_logw
         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Corpus drift PSI over token counts: the even-doc half is the
+    // BASE snapshot, the odd-doc half CURRENT, literal token-count
+    // cuts (10/50/100/500), Laplace-smoothed shares. Every bucket
+    // gets a row; psi_total repeats the alarm scalar on each.
+    "corpus_drift_psi" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.ext.DriftOps.psiReport(
+            docs.filter(col("doc_id") % 2 === 0),
+            docs.filter(col("doc_id") % 2 === 1),
+            TextOps.tokenCount(col("text")),
+            Seq(10.0, 50.0, 100.0, 500.0))
+          .orderBy("bucket")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, len($tokSql) AS tc
+        |  FROM documents),
+        |bk AS (SELECT doc_id,
+        |    (CASE WHEN tc > 10 THEN 1 ELSE 0 END
+        |     + CASE WHEN tc > 50 THEN 1 ELSE 0 END
+        |     + CASE WHEN tc > 100 THEN 1 ELSE 0 END
+        |     + CASE WHEN tc > 500 THEN 1 ELSE 0 END) AS bucket
+        |  FROM t),
+        |b AS (SELECT bucket, count(*) AS n_base FROM bk
+        |  WHERE doc_id % 2 = 0 GROUP BY 1),
+        |c AS (SELECT bucket, count(*) AS n_cur FROM bk
+        |  WHERE doc_id % 2 = 1 GROUP BY 1),
+        |g AS (SELECT u.bucket, coalesce(b.n_base, 0) AS n_base,
+        |    coalesce(c.n_cur, 0) AS n_cur
+        |  FROM (SELECT unnest(generate_series(0, 4)) AS bucket) u
+        |  LEFT JOIN b USING (bucket) LEFT JOIN c USING (bucket)),
+        |tt AS (SELECT sum(n_base) AS nb, sum(n_cur) AS nc FROM g),
+        |p AS (SELECT g.bucket, g.n_base, g.n_cur,
+        |    round(CAST(g.n_base + 1 AS DOUBLE) / (tt.nb + 5), 6)
+        |      AS p_base,
+        |    round(CAST(g.n_cur + 1 AS DOUBLE) / (tt.nc + 5), 6)
+        |      AS p_cur
+        |  FROM g CROSS JOIN tt)
+        |SELECT CAST(bucket AS INT) AS bucket,
+        |  CAST(n_base AS BIGINT) AS n_base,
+        |  CAST(n_cur AS BIGINT) AS n_cur, p_base, p_cur,
+        |  round((p_base - p_cur) * ln(p_base / p_cur), 6)
+        |    AS psi_contrib,
+        |  round(sum(round((p_base - p_cur) * ln(p_base / p_cur), 6))
+        |    OVER (), 6) AS psi_total
+        |FROM p ORDER BY bucket""".stripMargin)),
+
     // Corpus-level duplicated-n-gram share, n=5: the digest-shuffled
     // document-frequency fold over every doc's distinct 5-gram set.
     // Docs shorter than 5 tokens yield no row (no 5-grams) — mirrored

@@ -246,6 +246,39 @@ class CorpusSignalsSpec extends SparkSpec {
     assert(a.zip(a.tail).forall { case (hi, lo) => hi >= lo })
   }
 
+  // ---------------- drift PSI ----------------
+
+  test("psiReport: identical snapshots score 0; a mass shift matches " +
+    "the hand-computed PSI; empty buckets smooth finitely") {
+    import graft.ext.DriftOps
+    val base = Seq.fill(40)(5.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) } // all in bucket 0
+      .toDF("id", "v")
+    val same = DriftOps.psiReport(base, base, col("v"), Seq(10.0, 20.0))
+      .select("psi_total").distinct().as[Double].head()
+    assert(same === 0.0)
+    // shift: base 40 in bucket 0; current 10 in bucket 0, 30 in
+    // bucket 2 — hand-computed with Laplace (+1 / N+3) smoothing
+    val cur = (Seq.fill(10)(5.0) ++ Seq.fill(30)(25.0)).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val rep = DriftOps.psiReport(base, cur, col("v"), Seq(10.0, 20.0))
+      .orderBy("bucket")
+      .select("bucket", "n_base", "n_cur", "psi_contrib", "psi_total")
+      .as[(Int, Long, Long, Double, Double)].collect().toSeq
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val pb = Seq(41.0 / 43, 1.0 / 43, 1.0 / 43).map(r6)
+    val pc = Seq(11.0 / 43, 1.0 / 43, 31.0 / 43).map(r6)
+    val contribs = pb.zip(pc).map { case (p, q) =>
+      r6((p - q) * math.log(p / q)) }
+    val total = r6(contribs.sum)
+    assert(rep.map(_._1) === Seq(0, 1, 2))
+    assert(rep.map(_._2) === Seq(40L, 0L, 0L))
+    assert(rep.map(_._3) === Seq(10L, 0L, 30L))
+    assert(rep.map(_._4) === contribs)
+    assert(rep.forall(_._5 == total))
+    assert(total > 0.25) // a 75% mass shift is an alarm-grade PSI
+  }
+
   // ---------------- hot-gram skew hardening ----------------
 
   // Crafted degenerate corpus for the corpus-signal family: every doc
