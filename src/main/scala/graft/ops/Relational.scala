@@ -195,6 +195,31 @@ object Relational {
       .drop("__rn")
   }
 
+  /** Hot-key-safe top-N per key — [[topNPerKey]] for LOW-cardinality
+    * keys whose slices are corpus-scale (top n-grams per language,
+    * top domains per source): the plain per-key window sorts a hot
+    * key's ENTIRE slice in one task. Here candidates first fold to
+    * top-N within (key, hash-bucket) windows — each bucket holds
+    * ~1/buckets of the key's rows, ranked in parallel — and only the
+    * bucket winners (≤ buckets·n rows per key, a constant) meet in
+    * the final per-key window. EXACT for any input: a global top-N
+    * row is necessarily top-N within its own bucket, so no winner is
+    * ever lost (spec-asserted against the plain form).
+    *
+    * `bucketOn` should be a high-cardinality row expression (the
+    * ranked entity's id/value — NOT the order key, whose duplicates
+    * would concentrate buckets). `order` must totally order rows
+    * within a key (unique tiebreak last), as in [[topNPerKey]]. */
+  def topNPerKeyBucketed(df: DataFrame, keys: Seq[String],
+                         order: Seq[Column], n: Int, bucketOn: Column,
+                         buckets: Int = 32): DataFrame = {
+    require(buckets >= 1, "buckets >= 1")
+    val local = topNPerKey(
+      df.withColumn("__tb", pmod(xxhash64(bucketOn), lit(buckets))),
+      keys :+ "__tb", order, n)
+    topNPerKey(local.drop("__tb"), keys, order, n)
+  }
+
   /** Rank-based tier assignment: tier k (0..tiers-1) holds the rows
     * whose rank under `order` falls in the k-th equal slice of the
     * key's row count — `tier = ((rank-1) * tiers) div count`, pure

@@ -157,6 +157,39 @@ object Text3Queries {
         |  round(CAST(sum(lp) AS DOUBLE), 6) AS dsir_logw
         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Top-5 trigrams per language — the corpus-statistics view every
+    // curation run eyeballs (boilerplate and stopword phrases show up
+    // here first). Counts are a combinable (lang, gram) fold; the
+    // per-language top-k runs through the bucketed two-level topN
+    // (Relational.topNPerKeyBucketed) so a dominant language's
+    // vocabulary never sorts in one window task.
+    "top_ngrams" -> QueryDef(
+      (s, d) => {
+        val grams = Tables.documents(s, d)
+          .select(col("lang"),
+            explode(TextOps.wordNgrams(col("text"), 3)).as("gram"))
+          .groupBy("lang", "gram")
+          .agg(count(lit(1)).as("n_occurrences"))
+        graft.ops.Relational.topNPerKeyBucketed(grams, Seq("lang"),
+            Seq(col("n_occurrences").desc, col("gram")), 5,
+            bucketOn = col("gram"))
+          .orderBy(col("lang"), col("n_occurrences").desc, col("gram"))
+      },
+      Some(s"""WITH t AS (SELECT lang, $tokSql AS tok FROM documents),
+        |g AS (SELECT lang, array_to_string(tok[i:i+2], ' ') AS gram
+        |  FROM t, LATERAL (SELECT
+        |    unnest(generate_series(1, len(tok) - 2)) AS i) u
+        |  WHERE len(tok) >= 3),
+        |c AS (SELECT lang, gram, count(*) AS n_occurrences
+        |  FROM g GROUP BY 1, 2),
+        |r AS (SELECT lang, gram, n_occurrences, row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY n_occurrences DESC, gram) AS rn FROM c)
+        |SELECT lang, gram, CAST(n_occurrences AS BIGINT)
+        |    AS n_occurrences
+        |FROM r WHERE rn <= 5
+        |ORDER BY lang, n_occurrences DESC, gram""".stripMargin)),
+
     // Corpus drift PSI over token counts: the even-doc half is the
     // BASE snapshot, the odd-doc half CURRENT, literal token-count
     // cuts (10/50/100/500), Laplace-smoothed shares. Every bucket

@@ -114,6 +114,24 @@ class RelationalSpec extends SparkSpec {
       .collect().toSet == Set(1, 2))
   }
 
+  test("topNPerKeyBucketed equals the plain per-key window for any " +
+    "bucket count, ties included — bucket winners never lose a " +
+    "global top row") {
+    val df = spark.range(5000).select(
+      (col("id") % 3).cast("string").as("k"),
+      (col("id") % 97).as("score"),          // heavy ties
+      col("id").as("item"))
+    val order = Seq(col("score").desc, col("item"))
+    val plain = topNPerKey(df, Seq("k"), order, 7)
+      .select("k", "item").as[(String, Long)].collect().toSet
+    for (b <- Seq(1, 2, 32)) {
+      val bucketed = topNPerKeyBucketed(df, Seq("k"), order,
+          7, bucketOn = col("item"), buckets = b)
+        .select("k", "item").as[(String, Long)].collect().toSet
+      assert(bucketed === plain, s"buckets=$b")
+    }
+  }
+
   test("contiguousRowIds cuts cover the full key range and balance " +
     "buckets on ingest-ordered input (per-partition reservoir)") {
     // key correlated with partition order: partition 0 holds the
