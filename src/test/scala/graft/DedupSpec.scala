@@ -382,12 +382,20 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(s2 === Seq(3L))
     val idxAfter = graft.io.Staging
-      .readTable(spark, dir, "digest_index").count()
+      .readTable(spark, dir, "digest_index").distinct().count()
     assert(idxAfter === 3L) // alpha…, delta…, zeta…
-    // replayed batch 2: everything dedups, index unchanged
+    // replayed batch 2: a survivor matches only its OWN index row
+    // (self-exclusion), so the replay re-emits exactly the original
+    // survivors — a crashed run reproduces its output instead of
+    // losing it — and the duplicate appends change no decision
     val s2r = DedupOps.incrementalExactDedup(b2, "doc_id", "text", dir)
-    assert(s2r.isEmpty)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(s2r === s2)
     assert(graft.io.Staging.readTable(spark, dir, "digest_index")
-      .count() === 3L)
+      .distinct().count() === 3L)
+    // and a LATER duplicate of a replayed survivor still drops
+    val b3 = Seq((99L, "zeta eta")).toDF("doc_id", "text")
+    assert(DedupOps.incrementalExactDedup(b3, "doc_id", "text", dir)
+      .isEmpty)
   }
 }

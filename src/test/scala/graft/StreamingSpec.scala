@@ -440,6 +440,47 @@ class StreamingSpec extends SparkSpec {
     assert(served === oneShot)
   }
 
+  test("exactDedupStream accepts first arrivals across micro-batches " +
+    "and absorbs BOTH crash windows: replay after acceptance, and " +
+    "killed-after-index-append-before-acceptance") {
+    implicit val ctx = spark.sqlContext
+    val root = Files.createTempDirectory("graft-exactstream")
+    val idx = root.resolve("idx").toString
+    val out = root.resolve("out").toString
+    val rows = Seq(
+      (10L, "alpha beta gamma"),
+      (11L, "delta epsilon"),
+      (2L, "alpha beta gamma"),   // later arrival, smaller id → drop
+      (3L, "zeta eta"))
+    val docs = MemoryStream[(Long, String)]
+    def drain(): Unit = {
+      val q = StreamingOps.exactDedupStream(
+        docs.toDF().toDF("doc_id", "text"), "doc_id", "text", idx, out)
+        .option("checkpointLocation",
+          root.resolve("ckpt").toString).start()
+      q.awaitTermination()
+    }
+    docs.addData(rows.take(2): _*); drain()
+    docs.addData(rows.drop(2): _*); drain()
+    def accepted = graft.io.Staging.readTable(spark, out, "accepted")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(accepted === Seq(3L, 10L, 11L))
+    // duplicated-epoch replay AFTER acceptance: the id anti-join
+    // absorbs it — nothing re-appends
+    StreamingOps.exactDedupBatch(rows.drop(2).toDF("doc_id", "text"),
+      "doc_id", "text", idx, out)
+    assert(accepted === Seq(3L, 10L, 11L))
+    // killed-after-index-append drill: a new batch's digests reach
+    // the index, but the acceptance write dies (simulated by calling
+    // the op directly); the replayed epoch must still ACCEPT the doc
+    // — its indexed digest is its own (self-exclusion), not a loss
+    val late = Seq((20L, "theta iota")).toDF("doc_id", "text")
+    graft.ext.DedupOps.incrementalExactDedup(late, "doc_id", "text",
+      idx).count()
+    StreamingOps.exactDedupBatch(late, "doc_id", "text", idx, out)
+    assert(accepted === Seq(3L, 10L, 11L, 20L))
+  }
+
   test("bigramCountStream maintains the count store epoch-keyed: " +
     "streamed scores equal the one-shot model, replayed epoch " +
     "changes nothing") {
