@@ -18,6 +18,44 @@ import org.apache.spark.sql.functions._
   */
 object DriftOps {
 
+  /** Robust per-key outlier gate: flag rows whose `valueCol` deviates
+    * from the key's LOWER MEDIAN by more than `k` × MAD (median
+    * absolute deviation) — the monitoring gate that survives the
+    * heavy-tailed signals mean/stddev gates drown in (one 10⁸-token
+    * document moves a mean; it cannot move a median). Returns the
+    * input plus `__med`/`__mad`/`outCol`.
+    *
+    * Both medians are RANK-based (value at rank ⌈n/2⌉ — the lower
+    * median): no interpolation rule for engines to disagree over,
+    * and each runs through
+    * [[graft.ops.Relational.keyedOrderStatistic]], which folds
+    * per-(key, bucket) counts combinably and sorts ONLY the single
+    * bucket holding the median rank — a key holding 90 % of the
+    * corpus never sorts in one task, and ~(buckets−1)/buckets of its
+    * rows never sort at all. The value at the median rank is
+    * invariant to tie order, so no unique tiebreak is needed. The
+    * per-key (median, MAD) frames are key-cardinality-sized and
+    * broadcast back — nothing row-grained joins on a hot key. */
+  def madOutlierGate(df: DataFrame, keys: Seq[String], valueCol: Column,
+                     k: Double,
+                     outCol: String = "is_outlier"): DataFrame = {
+    import graft.ops.Relational
+    // lower-median rank ⌈n/2⌉, cast so the row_number equality inside
+    // keyedOrderStatistic compares long-to-long, not long-to-double
+    val lowerMedianRank: Column => Column =
+      n => ceil(n / 2.0).cast("long")
+    val withVal = df.withColumn("__val", valueCol)
+    val med = Relational.keyedOrderStatistic(
+      withVal, keys, col("__val"), lowerMedianRank, "__med")
+    val withMed = withVal.join(broadcast(med), keys)
+      .withColumn("__dev", abs(col("__val") - col("__med")))
+    val mad = Relational.keyedOrderStatistic(
+      withMed, keys, col("__dev"), lowerMedianRank, "__mad")
+    withMed.join(broadcast(mad), keys)
+      .withColumn(outCol, col("__dev") > lit(k) * col("__mad"))
+      .drop("__val", "__dev")
+  }
+
   /** Per-bucket PSI report between `base` and `current` over literal
     * `cuts` (bucket i = values in (cuts(i-1), cuts(i)], open-ended at
     * both extremes — `B = cuts.length + 1` buckets). Shares are

@@ -317,6 +317,56 @@ object Relational {
       .drop("__b", "__offset")
   }
 
+  /** EXACT order statistic per key — the value at rank
+    * `targetRank(n)` (1-based, e.g. `n ⇒ ⌈n/2⌉` for the lower
+    * median) — WITHOUT ranking every row: per-(key, value-bucket)
+    * counts fold combinably (one exchange, no hot key), a tiny
+    * cumsum over the keys×buckets frame locates the single bucket
+    * containing the target rank, and ONLY that bucket's rows are
+    * ranked — ≈ 1/buckets of the key's data, in parallel per-key
+    * windows. The selected VALUE is invariant to tie order, so
+    * `valueCol` needs no unique tiebreak. Buckets come from the
+    * memoized literal cuts ([[contiguousRowIds]]' safety argument:
+    * any cut set selects the same value). Output: one row per key,
+    * `(keys…, name)`. Keys-cardinality × buckets must fit a
+    * broadcast — the same bound as [[keyedRanks]]. */
+  def keyedOrderStatistic(df: DataFrame, keys: Seq[String],
+                          valueCol: Column,
+                          targetRank: Column => Column,
+                          name: String): DataFrame = {
+    require(keys.nonEmpty, "keyedOrderStatistic needs >=1 key column")
+    val n = math.min(1024,
+      df.sparkSession.sessionState.conf.numShufflePartitions)
+    val keyCols = keys.map(col)
+    val slim = df.select((keyCols :+ valueCol.as("__v")): _*)
+    val cuts = memoCuts(slim, col("__v"), n)
+    val bucket = cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + when(col("__v") > lit(c), 1).otherwise(0) }
+    val bucketed = slim.withColumn("__b", bucket)
+    val wKey = Window.partitionBy(keyCols: _*)
+    val target = bucketed.groupBy((keyCols :+ col("__b")): _*)
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__start",
+        coalesce(sum(col("__cnt")).over(
+          wKey.orderBy("__b")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__t", targetRank(sum(col("__cnt")).over(wKey)))
+      .filter(col("__t") > col("__start") &&
+        col("__t") <= col("__start") + col("__cnt"))
+      .select((keyCols :+ col("__b") :+ col("__start") :+
+        col("__t")): _*)
+    // the rank filter keeps EXACTLY one row per key: row_number is a
+    // permutation 1..cnt within the joined bucket and the bucket
+    // filter above guarantees __t-__start lands in [1, cnt] — so a
+    // plain select suffices, no defensive dedup exchange
+    bucketed.join(broadcast(target), keys :+ "__b")
+      .withColumn("__r", row_number().over(
+        Window.partitionBy((keyCols :+ col("__b")): _*)
+          .orderBy(col("__v"))))
+      .filter(col("__r") === col("__t") - col("__start"))
+      .select((keyCols :+ col("__v").as(name)): _*)
+  }
+
   /** Contiguous global row ids 0..n-1 in `order` — WITHOUT the 100 TB
     * trap: a bare `row_number() OVER (ORDER BY …)` has an empty
     * partition spec, so Spark moves the ENTIRE dataset to one

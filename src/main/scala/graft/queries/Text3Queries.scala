@@ -157,6 +157,45 @@ object Text3Queries {
         |  round(CAST(sum(lp) AS DOUBLE), 6) AS dsir_logw
         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Robust per-language outlier gate: token-count deviation beyond
+    // 3 x MAD from the language's lower median — rank-based medians
+    // (no interpolation rule to disagree over), located via
+    // keyedOrderStatistic's single-bucket rank so no language ever
+    // sorts whole in one task. Per-language accounting output.
+    "mad_outlier_gate" -> QueryDef(
+      (s, d) => graft.ext.DriftOps.madOutlierGate(
+          Tables.documents(s, d).select(col("doc_id"), col("lang"),
+            TextOps.tokenCount(col("text")).as("n_tokens")),
+          Seq("lang"), col("n_tokens"), 3.0)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("__med")).cast("long").as("med_tokens"),
+          max(col("__mad")).cast("long").as("mad_tokens"),
+          sum(when(col("is_outlier"), 1L).otherwise(0L))
+            .as("n_outliers"))
+        .orderBy("lang"),
+      Some(s"""WITH t AS (SELECT doc_id, lang, len($tokSql) AS tc
+        |  FROM documents),
+        |r AS (SELECT lang, tc, row_number() OVER (
+        |    PARTITION BY lang ORDER BY tc) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n FROM t),
+        |m AS (SELECT lang, min(tc) AS med FROM r
+        |  WHERE rn = CAST(ceil(n / 2.0) AS BIGINT) GROUP BY lang),
+        |d AS (SELECT t.lang, t.tc, m.med,
+        |    abs(t.tc - m.med) AS dev FROM t JOIN m USING (lang)),
+        |r2 AS (SELECT lang, dev, row_number() OVER (
+        |    PARTITION BY lang ORDER BY dev) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n FROM d),
+        |m2 AS (SELECT lang, min(dev) AS mad FROM r2
+        |  WHERE rn = CAST(ceil(n / 2.0) AS BIGINT) GROUP BY lang)
+        |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(max(d.med) AS BIGINT) AS med_tokens,
+        |  CAST(max(m2.mad) AS BIGINT) AS mad_tokens,
+        |  CAST(sum(CASE WHEN d.dev > 3.0 * m2.mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM d JOIN m2 USING (lang)
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin)),
+
     // Top-5 trigrams per language — the corpus-statistics view every
     // curation run eyeballs (boilerplate and stopword phrases show up
     // here first). Counts are a combinable (lang, gram) fold; the

@@ -157,14 +157,31 @@ object PlanAudit {
     *    exchange vs the window form is exactly the price of removing
     *    the straggler no budget can fix — SCALING.md r10 octave
     *    table measures the window form's max task doubling per
-    *    corpus octave while the fold's tracks partition size. */
+    *    corpus octave while the fold's tracks partition size.
+    *
+    *  - `mad_outlier_gate` (8 vs core 4): a two-PHASE robust
+    *    statistic — the MAD is the median of deviations FROM the
+    *    median, so the second pass cannot start before the first
+    *    finishes; each phase is one `keyedOrderStatistic` costing 3
+    *    exchanges whose grains are all bounded: a map-side-combinable
+    *    (key, value-bucket) count fold (wire bytes = keys×buckets,
+    *    not rows), a cumsum window over that same keys×buckets
+    *    frame, and a rank window over ONLY the single bucket holding
+    *    the target rank (≈ 1/buckets of one key's rows — the whole
+    *    point; the 4-exchange alternative ranks every row of every
+    *    key, and the naive 1-exchange form sorts a 90 %-of-corpus
+    *    language in one task). Plus the surface accounting
+    *    groupBy + orderBy = 8. Row-grain data crosses the wire only
+    *    in the target-bucket rank exchanges (1/buckets of the data);
+    *    everything else combines map-side or is keys×buckets-sized. */
   val overrides: Map[String, Int] = Map(
     "asof_join_bucketed" -> 5,
     "sql_q15" -> 4,
     "ngram_jaccard_topk" -> 4,
     "corpus_dup_ngrams" -> 5,
     "dup_span_coverage" -> 5,
-    "dup_span_strip" -> 5
+    "dup_span_strip" -> 5,
+    "mad_outlier_gate" -> 8
   )
 
   /** Shuffle-exchange count of the AQE-FINAL plan, walked on the

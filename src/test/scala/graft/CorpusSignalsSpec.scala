@@ -279,6 +279,30 @@ class CorpusSignalsSpec extends SparkSpec {
     assert(total > 0.25) // a 75% mass shift is an alarm-grade PSI
   }
 
+  test("madOutlierGate: lower-median + MAD flag exactly the hand-" +
+    "computed outliers per key; a heavy tail cannot move the gate") {
+    import graft.ext.DriftOps
+    // key A: values 1..9 (med 5) plus an extreme 1000 → n=10,
+    // lower median = rank 5 = value 5; dev = |v−5|, lower MAD =
+    // rank-5 dev = 2 → gate at 3·2 = 6 → outliers: 1000 only...
+    // dev values: 4,3,2,1,0,1,2,3,4,995 sorted 0,1,1,2,2,3,3,4,4,995
+    // rank ⌈10/2⌉=5 → 2; 3·2=6 → |v−5|>6 ⇒ only 1000.
+    val a = (1 to 9).map(v => ("A", v.toLong)) :+ (("A", 1000L))
+    // key B: constant values → MAD 0, nothing flagged (0 > 0 false)
+    val b = (1 to 5).map(_ => ("B", 7L))
+    val df = (a ++ b).toDF("k", "v")
+    val out = DriftOps.madOutlierGate(df, Seq("k"), col("v"), 3.0)
+    val flagged = out.filter(col("is_outlier"))
+      .select("k", "v").as[(String, Long)].collect().toSet
+    assert(flagged === Set(("A", 1000L)))
+    assert(out.filter(col("k") === "A").select("__med")
+      .distinct().as[Long].head() === 5L)
+    assert(out.filter(col("k") === "A").select("__mad")
+      .distinct().as[Long].head() === 2L)
+    assert(out.filter(col("k") === "B").select("__mad")
+      .distinct().as[Long].head() === 0L)
+  }
+
   // ---------------- hot-gram skew hardening ----------------
 
   // Crafted degenerate corpus for the corpus-signal family: every doc
