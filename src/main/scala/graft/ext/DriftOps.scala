@@ -56,6 +56,71 @@ object DriftOps {
       .drop("__val", "__dev")
   }
 
+  /** [[madOutlierGate]] for DISCRETE signals (token counts, integer
+    * scores, anything on a grid) — bit-identical output, strictly
+    * cheaper plan: ONE map-side-combinable (key, value) histogram
+    * fold is the only corpus-grain aggregation, and both medians are
+    * then read off the histogram. The lower median is the first
+    * value whose cumulative count reaches ⌈n/2⌉, and the DEVIATION
+    * histogram is just the value histogram folded around the median
+    * (|v−med| re-keyed, counts summed) — so the MAD costs nothing
+    * row-grained at all, where the generic gate's second phase
+    * re-scans the data. Total corpus passes: the fold and the final
+    * gate join — 2, vs the generic form's 3.
+    *
+    * Contract: per-key DISTINCT-value cardinality must be
+    * task-bounded — each key's histogram rows cumsum in one window
+    * task (fine for discrete signals: a 10¹⁰-row language with token
+    * counts < 10⁶ folds to < 10⁶ histogram rows). For continuous
+    * values use [[madOutlierGate]], whose bucketed order statistic
+    * carries no per-key distinct bound. */
+  def madOutlierGateDiscrete(df: DataFrame, keys: Seq[String],
+                             valueCol: Column, k: Double,
+                             outCol: String = "is_outlier"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyCols = keys.map(col)
+    val wKey = Window.partitionBy(keyCols: _*)
+    // lower median of a (key, …, count) histogram, read off a cumsum
+    // in value order: rank ⌈n/2⌉ falls in the single row whose
+    // cumulative interval (__start, __start+__cnt] contains it
+    def medianMark(h: DataFrame, vCol: String): DataFrame =
+      h.withColumn("__start",
+          coalesce(sum(col("__cnt")).over(
+            wKey.orderBy(col(vCol))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("__t",
+          ceil(sum(col("__cnt")).over(wKey) / 2.0).cast("long"))
+        .withColumn("__hit", col("__t") > col("__start") &&
+          col("__t") <= col("__start") + col("__cnt"))
+    // the stats chain is deliberately LINEAR — hist → med annotation
+    // → dev re-key → mad — so the histogram is planned (and its fold
+    // paid) exactly once; a join-back formulation re-plans the hist
+    // subtree under every broadcast branch
+    val withVal = df.withColumn("__val", valueCol)
+    val hist = withVal.groupBy((keyCols :+ col("__val")): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    // med rides the SAME key-partitioned window as the cumsum (max of
+    // the one marked row) — every histogram row learns its key's
+    // median with no join and no extra exchange
+    val withMed = medianMark(hist, "__val")
+      .withColumn("__med",
+        max(when(col("__hit"), col("__val"))).over(wKey))
+      .drop("__start", "__t", "__hit")
+    val devHist = withMed
+      .withColumn("__dev", abs(col("__val") - col("__med")))
+      .groupBy((keyCols :+ col("__med") :+ col("__dev")): _*)
+      .agg(sum(col("__cnt")).as("__cnt"))
+    // exactly one marked row per key survives → (key, med, mad)
+    val stats = medianMark(devHist, "__dev")
+      .filter(col("__hit"))
+      .select((keyCols :+ col("__med") :+
+        col("__dev").as("__mad")): _*)
+    withVal.join(broadcast(stats), keys)
+      .withColumn("__devr", abs(col("__val") - col("__med")))
+      .withColumn(outCol, col("__devr") > lit(k) * col("__mad"))
+      .drop("__val", "__devr")
+  }
+
   /** Per-bucket PSI report between `base` and `current` over literal
     * `cuts` (bucket i = values in (cuts(i-1), cuts(i)], open-ended at
     * both extremes — `B = cuts.length + 1` buckets). Shares are
@@ -93,19 +158,22 @@ object DriftOps {
       .join(sideCounts(current, "n_cur"), Seq("bucket"), "left")
       .withColumn("n_base", coalesce(col("n_base"), lit(0L)))
       .withColumn("n_cur", coalesce(col("n_cur"), lit(0L)))
-    val totals = joined.agg(sum(col("n_base")).as("__nb"),
-      sum(col("n_cur")).as("__nc"))
-    joined.crossJoin(broadcast(totals))
+    // totals ride a window over the SAME buckets-sized frame (one
+    // tiny single-partition exchange serves them and psi_total) —
+    // a separate agg + join would re-plan the two side folds under
+    // its own subtree (the duplication shows when the inputs are
+    // cached frames, where exchange reuse does not collapse it)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    joined
       .withColumn("p_base", round((col("n_base") + 1).cast("double")
-        / (col("__nb") + nBuckets), 6))
+        / (sum(col("n_base")).over(wAll) + nBuckets), 6))
       .withColumn("p_cur", round((col("n_cur") + 1).cast("double")
-        / (col("__nc") + nBuckets), 6))
+        / (sum(col("n_cur")).over(wAll) + nBuckets), 6))
       .withColumn("psi_contrib", round(
         (col("p_base") - col("p_cur"))
           * log(col("p_base") / col("p_cur")), 6))
-      .withColumn("psi_total", round(sum(col("psi_contrib")).over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(lit(1))), 6))
+      .withColumn("psi_total", round(sum(col("psi_contrib")).over(wAll), 6))
       .select("bucket", "n_base", "n_cur", "p_base", "p_cur",
         "psi_contrib", "psi_total")
   }

@@ -159,29 +159,21 @@ object PlanAudit {
     *    table measures the window form's max task doubling per
     *    corpus octave while the fold's tracks partition size.
     *
-    *  - `mad_outlier_gate` (8 vs core 4): a two-PHASE robust
-    *    statistic — the MAD is the median of deviations FROM the
-    *    median, so the second pass cannot start before the first
-    *    finishes; each phase is one `keyedOrderStatistic` costing 3
-    *    exchanges whose grains are all bounded: a map-side-combinable
-    *    (key, value-bucket) count fold (wire bytes = keys×buckets,
-    *    not rows), a cumsum window over that same keys×buckets
-    *    frame, and a rank window over ONLY the single bucket holding
-    *    the target rank (≈ 1/buckets of one key's rows — the whole
-    *    point; the 4-exchange alternative ranks every row of every
-    *    key, and the naive 1-exchange form sorts a 90 %-of-corpus
-    *    language in one task). Plus the surface accounting
-    *    groupBy + orderBy = 8. Row-grain data crosses the wire only
-    *    in the target-bucket rank exchanges (1/buckets of the data);
-    *    everything else combines map-side or is keys×buckets-sized. */
+    * (`mad_outlier_gate` needed no entry: the registry uses the
+    * DISCRETE histogram form of the gate, whose linear stats chain —
+    * one combinable (key, value) fold, median/MAD read off the
+    * histogram in key-partitioned windows, one stats broadcast —
+    * fits the core budget. The generic `madOutlierGate`, whose two
+    * `keyedOrderStatistic` phases cost ~8 exchanges, exists for
+    * continuous signals and is pinned equivalent by
+    * CorpusSignalsSpec rather than benched.) */
   val overrides: Map[String, Int] = Map(
     "asof_join_bucketed" -> 5,
     "sql_q15" -> 4,
     "ngram_jaccard_topk" -> 4,
     "corpus_dup_ngrams" -> 5,
     "dup_span_coverage" -> 5,
-    "dup_span_strip" -> 5,
-    "mad_outlier_gate" -> 8
+    "dup_span_strip" -> 5
   )
 
   /** Shuffle-exchange count of the AQE-FINAL plan, walked on the

@@ -303,6 +303,31 @@ class CorpusSignalsSpec extends SparkSpec {
       .distinct().as[Long].head() === 0L)
   }
 
+  test("madOutlierGateDiscrete ≡ madOutlierGate row-for-row: the " +
+    "histogram fold and the bucketed order statistic pick the same " +
+    "medians, MADs, and flags — including on ties and a heavy tail") {
+    import graft.ext.DriftOps
+    // values with heavy TIES (the histogram's reason to exist) plus
+    // the tail outlier; key C exercises an even-n tie-straddling
+    // median (values 2,2,4,4 → rank 2 → med 2; devs 0,0,2,2 → mad 0)
+    val rows = (1 to 9).map(v => ("A", v.toLong)) ++
+      Seq(("A", 1000L), ("A", 5L), ("A", 5L)) ++
+      (1 to 5).map(_ => ("B", 7L)) ++
+      Seq(("C", 2L), ("C", 2L), ("C", 4L), ("C", 4L))
+    val df = rows.toDF("k", "v")
+    val cols = Seq("k", "v", "__med", "__mad", "is_outlier")
+    val gen = DriftOps.madOutlierGate(df, Seq("k"), col("v"), 3.0)
+      .select(cols.map(col): _*)
+    val disc = DriftOps.madOutlierGateDiscrete(df, Seq("k"), col("v"), 3.0)
+      .select(cols.map(col): _*)
+    assert(gen.exceptAll(disc).isEmpty && disc.exceptAll(gen).isEmpty)
+    // C's tie-straddling lower median and zero MAD, concretely
+    assert(disc.filter(col("k") === "C").select("__med")
+      .distinct().as[Long].head() === 2L)
+    assert(disc.filter(col("k") === "C").select("__mad")
+      .distinct().as[Long].head() === 0L)
+  }
+
   // ---------------- hot-gram skew hardening ----------------
 
   // Crafted degenerate corpus for the corpus-signal family: every doc
