@@ -143,6 +143,86 @@ object TextOps {
         i => concat_ws(" ", slice(t, i, lit(n)))))
   }
 
+  /** EXACT top-`k` word `n`-grams per key by occurrence count —
+    * `(keys…, gram, n_occurrences)` — without ever shuffling gram
+    * STRINGS at corpus grain. A naive `explode(wordNgrams)` +
+    * `groupBy(key, gram)` builds a ~20-byte string per token
+    * INSTANCE and shuffles string keys; here the count pass runs on
+    * the fused 128-bit digest kernel ([[graft.functions.NgramHashes]]
+    * — no gram strings exist at all, fixed-width shuffle keys), and
+    * strings are materialized only for the winners in a second,
+    * candidate-pruned scan.
+    *
+    * Tie-exactness argument: the final order is (count desc, gram
+    * asc), but pass 1 cannot compare gram strings. It doesn't need
+    * to — a TIES-INCLUSIVE bucket-local rank on counts alone yields
+    * a candidate superset of the true top-k under ANY string
+    * tiebreak (see the inline argument). Pass 2 recovers candidate
+    * strings: instances re-derive digests, a broadcast semi-join
+    * prunes to candidates BEFORE any gram string is built (the
+    * explode→filter→concat chain stays inside one codegen stage —
+    * the token array is never copied per instance), and the exact
+    * (count desc, gram) top-k runs on the candidates-sized frame.
+    * Both heavy stages are hot-key-safe: counting is a combinable
+    * fold, ranking happens in parallel per-bucket windows. Digest
+    * identity is the module-wide 128-bit two-seed assumption
+    * ([[DedupOps.corpusDupNgramShare]]). */
+  def topNgrams(df: org.apache.spark.sql.DataFrame, keys: Seq[String],
+                textCol: Column, n: Int,
+                k: Int): org.apache.spark.sql.DataFrame = {
+    import graft.functions.native.ngram_hashes
+    require(n >= 1 && k >= 1, "n >= 1, k >= 1")
+    val keyCols = keys.map(col)
+    val toks = df.select((keyCols :+ tokens(textCol).as("__tok")): _*)
+    def h(seed: Long) = ngram_hashes(col("__tok"), n, seed)
+    val counts = toks
+      .select((keyCols :+ explode(arrays_zip(h(42L).as("__g1"),
+        h(1337L).as("__g2"))).as("__g")): _*)
+      .select((keyCols :+ col("__g.__g1").as("__g1") :+
+        col("__g.__g2").as("__g2")): _*)
+      .groupBy((keyCols :+ col("__g1") :+ col("__g2")): _*)
+      .agg(count(lit(1)).as("n_occurrences"))
+    // candidates = TIES-INCLUSIVE bucket-local top-k: rank() — not
+    // row_number — over (key, digest-hash-bucket) windows keeps
+    // every digest tied at its bucket's rank-k count. Superset
+    // argument: if k digests in g's own bucket beat g STRICTLY on
+    // count, g is below global rank k under ANY tiebreak; equal
+    // counts are kept — so no possible (count desc, gram) winner is
+    // lost. Each bucket ranks ~1/buckets of the vocabulary in
+    // parallel (hot-key-safe), counts has a single consumer (no
+    // re-planned fold), and candidates ≤ buckets·(k + boundary
+    // ties) per key — degenerate all-tied corpora inflate the
+    // candidate set, never the answer.
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy((keyCols :+ col("__tb")): _*)
+      .orderBy(col("n_occurrences").desc)
+    val cands = counts
+      .withColumn("__tb",
+        pmod(xxhash64(struct(col("__g1"), col("__g2"))), lit(32)))
+      .withColumn("__r", rank().over(wB))
+      .filter(col("__r") <= k)
+      .drop("__tb", "__r")
+    val candKeys = cands
+      .select((keyCols :+ col("__g1") :+ col("__g2")): _*)
+    val grams = toks
+      .select((keyCols :+ col("__tok") :+
+        posexplode(arrays_zip(h(42L).as("__g1"), h(1337L).as("__g2")))
+          .as(Seq("__i", "__g"))): _*)
+      .select((keyCols :+ col("__tok") :+ col("__i") :+
+        col("__g.__g1").as("__g1") :+ col("__g.__g2").as("__g2")): _*)
+      .join(broadcast(candKeys), keys ++ Seq("__g1", "__g2"),
+        "left_semi")
+      .select((keyCols :+ col("__g1") :+ col("__g2") :+
+        concat_ws(" ",
+          slice(col("__tok"), col("__i") + 1, lit(n))).as("gram")): _*)
+      .distinct()
+    val named = cands
+      .join(broadcast(grams), keys ++ Seq("__g1", "__g2"))
+      .select((keyCols :+ col("gram") :+ col("n_occurrences")): _*)
+    graft.ops.Relational.topNPerKey(named, keys,
+      Seq(col("n_occurrences").desc, col("gram")), k)
+  }
+
   /** PII patterns in both Java-regex and RE2 (DuckDB) common syntax —
     * no lookarounds, so the same pattern string runs identically in
     * either engine. Order matters: EMAIL first (its local part may

@@ -220,22 +220,15 @@ object Text3Queries {
 
     // Top-5 trigrams per language — the corpus-statistics view every
     // curation run eyeballs (boilerplate and stopword phrases show up
-    // here first). Counts are a combinable (lang, gram) fold; the
-    // per-language top-k runs through the bucketed two-level topN
-    // (Relational.topNPerKeyBucketed) so a dominant language's
-    // vocabulary never sorts in one window task.
+    // here first). TextOps.topNgrams counts at 128-bit digest grain
+    // (no gram strings shuffle at corpus scale), prunes to a
+    // ties-inclusive bucket-local top-k candidate set, and recovers
+    // strings only for the winners — a dominant language's
+    // vocabulary only ever ranks in parallel 1/32 slices.
     "top_ngrams" -> QueryDef(
-      (s, d) => {
-        val grams = Tables.documents(s, d)
-          .select(col("lang"),
-            explode(TextOps.wordNgrams(col("text"), 3)).as("gram"))
-          .groupBy("lang", "gram")
-          .agg(count(lit(1)).as("n_occurrences"))
-        graft.ops.Relational.topNPerKeyBucketed(grams, Seq("lang"),
-            Seq(col("n_occurrences").desc, col("gram")), 5,
-            bucketOn = col("gram"))
-          .orderBy(col("lang"), col("n_occurrences").desc, col("gram"))
-      },
+      (s, d) => TextOps.topNgrams(Tables.documents(s, d), Seq("lang"),
+          col("text"), 3, 5)
+        .orderBy(col("lang"), col("n_occurrences").desc, col("gram")),
       Some(s"""WITH t AS (SELECT lang, $tokSql AS tok FROM documents),
         |g AS (SELECT lang, array_to_string(tok[i:i+2], ' ') AS gram
         |  FROM t, LATERAL (SELECT

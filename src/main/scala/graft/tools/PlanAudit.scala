@@ -66,7 +66,7 @@ object PlanAudit {
       n == "bm25_rank" || n == "bm25_indexed" ||
       n == "inverted_index" || n == "dsir_weights" ||
       n == "dsir_resample" || n == "ccnet_buckets" ||
-      n == "decontam_report"                                => "text"
+      n == "decontam_report" || n == "top_ngrams"           => "text"
     case _                                                  => "core"
   }
 

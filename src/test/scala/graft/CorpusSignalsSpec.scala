@@ -328,6 +328,39 @@ class CorpusSignalsSpec extends SparkSpec {
       .distinct().as[Long].head() === 0L)
   }
 
+  test("topNgrams ≡ naive string explode+count+window, including a " +
+    "count tie AT the rank-k boundary where the string tiebreak " +
+    "decides which grams survive") {
+    import graft.ext.TextOps
+    // one trigram per doc (3-token docs); counts via duplication.
+    // lang L: a=4, b=3, zc=2, zd=2, ze=2, f=1 → top-4 by (count
+    // desc, gram) = a,b,zc,zd — ze ties zd at the boundary and must
+    // lose on the STRING, which pass 1 (digest-only) cannot see;
+    // the candidate superset has to carry all three 2-count grams.
+    def docs(lang: String, gram: String, m: Int) =
+      Seq.fill(m)((lang, gram))
+    val corpus = (docs("L", "a a a", 4) ++ docs("L", "b b b", 3) ++
+      docs("L", "zc c c", 2) ++ docs("L", "zd d d", 2) ++
+      docs("L", "ze e e", 2) ++ docs("L", "f f f", 1) ++
+      // second language so per-key isolation is exercised — "a a a"
+      // deliberately shared with L under different counts
+      docs("M", "a a a", 1) ++ docs("M", "q q q", 5)).zipWithIndex
+      .map { case ((l, t), i) => (i.toLong, l, t) }
+    val df = corpus.toDF("doc_id", "lang", "text")
+    val fast = TextOps.topNgrams(df, Seq("lang"), col("text"), 3, 4)
+    val naive = graft.ops.Relational.topNPerKey(
+      df.select(col("lang"),
+          explode(TextOps.wordNgrams(col("text"), 3)).as("gram"))
+        .groupBy("lang", "gram").agg(count(lit(1)).as("n_occurrences")),
+      Seq("lang"), Seq(col("n_occurrences").desc, col("gram")), 4)
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+    val l = fast.filter(col("lang") === "L")
+      .orderBy(col("n_occurrences").desc, col("gram"))
+      .select("gram").as[String].collect().toSeq
+    assert(l.head === "a a a" && l.contains("zc c c") &&
+      !l.contains("ze e e"))
+  }
+
   // ---------------- hot-gram skew hardening ----------------
 
   // Crafted degenerate corpus for the corpus-signal family: every doc
