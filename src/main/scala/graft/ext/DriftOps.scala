@@ -142,22 +142,110 @@ object DriftOps {
     * gets a row even when empty on both sides. */
   def psiReport(base: DataFrame, current: DataFrame, valueCol: Column,
                 cuts: Seq[Double]): DataFrame = {
-    require(cuts.nonEmpty && cuts == cuts.sorted && cuts.distinct == cuts,
-      "cuts must be non-empty, ascending, distinct")
-    val nBuckets = cuts.length + 1
-    val bucket = cuts.foldLeft(lit(0)) { (acc, c) =>
-      acc + when(valueCol > lit(c), 1).otherwise(0) }
+    val bucket = psiBucket(valueCol, cuts)
     def sideCounts(df: DataFrame, name: String): DataFrame =
       df.select(bucket.as("bucket"))
         .groupBy("bucket").agg(count(lit(1)).as(name))
-    val spark = base.sparkSession
-    val allBuckets = spark.range(nBuckets.toLong)
+    psiFromCounts(base.sparkSession,
+      sideCounts(base, "n_base"), sideCounts(current, "n_cur"),
+      cuts.length + 1)
+  }
+
+  /** The literal-cut bucket id [[psiReport]] and the histogram store
+    * share — a pure row function, so every writer buckets
+    * identically regardless of partitioning or engine. */
+  def psiBucket(valueCol: Column, cuts: Seq[Double]): Column = {
+    require(cuts.nonEmpty && cuts == cuts.sorted && cuts.distinct == cuts,
+      "cuts must be non-empty, ascending, distinct")
+    cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + when(valueCol > lit(c), 1).otherwise(0) }
+  }
+
+  /** O(batch) maintenance of a per-bucket value histogram — the
+    * PSI's count side as a STORE: a daily 100 TB pipeline cannot
+    * re-scan the whole corpus to re-bucket it, so each batch appends
+    * its own bucket-grain count DELTA (≤ nBuckets rows, from one
+    * combinable fold over the batch) to a delta log, and the serve
+    * side folds the log. The [[graft.ext.TextOps.updateBigramCounts]]
+    * posture exactly: append-only, nothing read back on the write
+    * path, replay-safe because duplicate (batch, bucket) delta rows
+    * collapse before summing. Returns the batch's row count,
+    * observed on the write job itself (no second pass). */
+  def updateValueHistogram(batch: DataFrame, valueCol: Column,
+                           cuts: Seq[Double], storeDir: String,
+                           batchId: Long): Long = {
+    val delta = batch.select(psiBucket(valueCol, cuts).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("__n"))
+      .withColumn("__batch", lit(batchId))
+    val obs = new org.apache.spark.sql.Observation()
+    graft.io.Staging.appendParquet(
+      delta.observe(obs, coalesce(sum(col("__n")), lit(0L)).as("n")),
+      storeDir, "value_hist")
+    obs.get("n").asInstanceOf[Long]
+  }
+
+  /** The bucket histogram folded from a [[updateValueHistogram]]
+    * store — replay-safe (duplicate (batch, bucket) rows collapse),
+    * ≤ nBuckets × batches rows read. With batches partitioning a
+    * snapshot this EQUALS the one-shot bucketing — incremental ≡
+    * one-shot by construction. */
+  def histogramFromStore(spark: org.apache.spark.sql.SparkSession,
+                         storeDir: String): DataFrame =
+    graft.io.Staging.readTable(spark, storeDir, "value_hist")
+      .dropDuplicates("__batch", "bucket")
+      .groupBy("bucket").agg(sum(col("__n")).as("__n"))
+
+  /** [[psiReport]] served from two [[updateValueHistogram]] stores —
+    * the daily drift alarm without re-scanning either snapshot:
+    * freeze the BASE store when its snapshot closes, keep appending
+    * batch deltas to the CURRENT store, and this report costs two
+    * histogram-log reads, full stop. Same output, same thresholds.
+    * Both logs fold in ONE side-tagged pass (dedupe + pivot to the
+    * two count columns), so the plan carries a single dedupe/fold
+    * pair however many batches the logs hold. */
+  def psiReportFromStores(spark: org.apache.spark.sql.SparkSession,
+                          baseStoreDir: String, curStoreDir: String,
+                          cuts: Seq[Double]): DataFrame = {
+    require(cuts.nonEmpty && cuts == cuts.sorted && cuts.distinct == cuts,
+      "cuts must be non-empty, ascending, distinct")
+    val nBuckets = cuts.length + 1
+    def read(dir: String, side: String): DataFrame =
+      graft.io.Staging.readTable(spark, dir, "value_hist")
+        .withColumn("__side", lit(side))
+    val folded = read(baseStoreDir, "b")
+      .unionByName(read(curStoreDir, "c"))
+      .dropDuplicates("__side", "__batch", "bucket")
+      .groupBy("bucket")
+      .agg(sum(when(col("__side") === "b", col("__n"))
+          .otherwise(0L)).as("n_base"),
+        sum(when(col("__side") === "c", col("__n"))
+          .otherwise(0L)).as("n_cur"))
+    psiFinish(allBuckets(spark, nBuckets)
+      .join(folded, Seq("bucket"), "left")
+      .withColumn("n_base", coalesce(col("n_base"), lit(0L)))
+      .withColumn("n_cur", coalesce(col("n_cur"), lit(0L))), nBuckets)
+  }
+
+  private def allBuckets(spark: org.apache.spark.sql.SparkSession,
+                         nBuckets: Int): DataFrame =
+    spark.range(nBuckets.toLong)
       .select(col("id").cast("int").as("bucket"))
-    val joined = allBuckets
-      .join(sideCounts(base, "n_base"), Seq("bucket"), "left")
-      .join(sideCounts(current, "n_cur"), Seq("bucket"), "left")
+
+  /** The PSI report tail shared by the inline and store-backed
+    * forms: complete the bucket axis, Laplace-smooth, contributions
+    * + total (see [[psiReport]] for the semantics). */
+  private def psiFromCounts(spark: org.apache.spark.sql.SparkSession,
+                            baseCounts: DataFrame, curCounts: DataFrame,
+                            nBuckets: Int): DataFrame = {
+    val joined = allBuckets(spark, nBuckets)
+      .join(baseCounts, Seq("bucket"), "left")
+      .join(curCounts, Seq("bucket"), "left")
       .withColumn("n_base", coalesce(col("n_base"), lit(0L)))
       .withColumn("n_cur", coalesce(col("n_cur"), lit(0L)))
+    psiFinish(joined, nBuckets)
+  }
+
+  private def psiFinish(joined: DataFrame, nBuckets: Int): DataFrame = {
     // totals ride a window over the SAME buckets-sized frame (one
     // tiny single-partition exchange serves them and psi_total) —
     // a separate agg + join would re-plan the two side folds under

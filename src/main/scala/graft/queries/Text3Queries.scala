@@ -290,6 +290,72 @@ object Text3Queries {
         |    OVER (), 6) AS psi_total
         |FROM p ORDER BY bucket""".stripMargin)),
 
+    // Store-served incremental drift: the SAME report as
+    // corpus_drift_psi, but both count sides come from persisted
+    // per-bucket histogram delta logs — base built in 2 batches,
+    // current in 3 with batch 1 REPLAYED (the at-least-once drill;
+    // the serve fold collapses it). The oracle is corpus_drift_psi's
+    // one-shot SQL: incremental ≡ one-shot IS the contract.
+    "corpus_drift_incremental" -> QueryDef(
+      (s, d) => {
+        import graft.ext.DriftOps
+        val cuts = Seq(10.0, 50.0, 100.0, 500.0)
+        val sig = tokenSignals(s, d)
+        val baseDir = FixtureStore.buildOnce(s, "drift_base", d) {
+          dir =>
+            (0 until 2).foreach { i =>
+              DriftOps.updateValueHistogram(
+                sig.filter(col("doc_id") % 2 === 0 &&
+                  pmod(col("doc_id"), lit(4)) === 2 * i),
+                col("n_tokens"), cuts, dir, batchId = i) }
+        }
+        val curDir = FixtureStore.buildOnce(s, "drift_cur", d) {
+          dir =>
+            (0 until 3).foreach { i =>
+              DriftOps.updateValueHistogram(
+                sig.filter(col("doc_id") % 2 === 1 &&
+                  pmod(col("doc_id"), lit(6)) === 2 * i + 1),
+                col("n_tokens"), cuts, dir, batchId = i) }
+            DriftOps.updateValueHistogram(
+              sig.filter(col("doc_id") % 2 === 1 &&
+                pmod(col("doc_id"), lit(6)) === 3),
+              col("n_tokens"), cuts, dir, batchId = 1)
+        }
+        DriftOps.psiReportFromStores(s, baseDir, curDir, cuts)
+          .orderBy("bucket")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, len($tokSql) AS tc
+        |  FROM documents),
+        |bk AS (SELECT doc_id,
+        |    (CASE WHEN tc > 10 THEN 1 ELSE 0 END
+        |     + CASE WHEN tc > 50 THEN 1 ELSE 0 END
+        |     + CASE WHEN tc > 100 THEN 1 ELSE 0 END
+        |     + CASE WHEN tc > 500 THEN 1 ELSE 0 END) AS bucket
+        |  FROM t),
+        |b AS (SELECT bucket, count(*) AS n_base FROM bk
+        |  WHERE doc_id % 2 = 0 GROUP BY 1),
+        |c AS (SELECT bucket, count(*) AS n_cur FROM bk
+        |  WHERE doc_id % 2 = 1 GROUP BY 1),
+        |g AS (SELECT u.bucket, coalesce(b.n_base, 0) AS n_base,
+        |    coalesce(c.n_cur, 0) AS n_cur
+        |  FROM (SELECT unnest(generate_series(0, 4)) AS bucket) u
+        |  LEFT JOIN b USING (bucket) LEFT JOIN c USING (bucket)),
+        |tt AS (SELECT sum(n_base) AS nb, sum(n_cur) AS nc FROM g),
+        |p AS (SELECT g.bucket, g.n_base, g.n_cur,
+        |    round(CAST(g.n_base + 1 AS DOUBLE) / (tt.nb + 5), 6)
+        |      AS p_base,
+        |    round(CAST(g.n_cur + 1 AS DOUBLE) / (tt.nc + 5), 6)
+        |      AS p_cur
+        |  FROM g CROSS JOIN tt)
+        |SELECT CAST(bucket AS INT) AS bucket,
+        |  CAST(n_base AS BIGINT) AS n_base,
+        |  CAST(n_cur AS BIGINT) AS n_cur, p_base, p_cur,
+        |  round((p_base - p_cur) * ln(p_base / p_cur), 6)
+        |    AS psi_contrib,
+        |  round(sum(round((p_base - p_cur) * ln(p_base / p_cur), 6))
+        |    OVER (), 6) AS psi_total
+        |FROM p ORDER BY bucket""".stripMargin)),
+
     // Corpus-level duplicated-n-gram share, n=5: the digest-shuffled
     // document-frequency fold over every doc's distinct 5-gram set.
     // Docs shorter than 5 tokens yield no row (no 5-grams) — mirrored

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 import org.apache.spark.sql.Row
@@ -364,6 +364,40 @@ object StreamingOps {
         }
         graft.ext.TextOps.updateBigramCounts(batch, idCol, textCol,
           storeDir, batchId = epoch)
+        ()
+      }
+
+  /** Streaming twin of the incremental drift-histogram maintenance
+    * ([[graft.ext.DriftOps.updateValueHistogram]]) — the CURRENT
+    * side of the PSI drift alarm fed by the live ingest: each
+    * micro-batch appends its ≤ nBuckets-row bucket-count delta under
+    * the epoch id; a replayed epoch re-appends a bit-identical delta
+    * the serve-side fold collapses — exactly-once counts, no
+    * bookkeeping. The epoch-vs-store-max lineage guard is
+    * [[bigramCountStream]]'s, for the same reason: a reset
+    * checkpoint writing into an old store would collide batch ids.
+    * `DriftOps.psiReportFromStores(base, this store)` serves the
+    * alarm at any point without scanning either snapshot. */
+  def valueHistogramStream(stream: DataFrame, valueCol: Column,
+                           cuts: Seq[Double],
+                           storeDir: String): DataStreamWriter[Row] =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val spark = batch.sparkSession
+        if (graft.io.Staging.tableExists(spark, storeDir,
+            "value_hist")) {
+          val maxId = graft.io.Staging.readTable(spark, storeDir,
+              "value_hist")
+            .agg(max(col("__batch"))).head().getLong(0)
+          if (epoch < maxId) sys.error(
+            s"valueHistogramStream epoch $epoch < store max batch " +
+              s"$maxId: a reset checkpoint is writing into an " +
+              "existing store — use a fresh store dir per " +
+              "checkpoint lineage (see bigramCountStream scaladoc)")
+        }
+        graft.ext.DriftOps.updateValueHistogram(batch, valueCol,
+          cuts, storeDir, batchId = epoch)
         ()
       }
 

@@ -440,6 +440,47 @@ class CorpusSignalsSpec extends SparkSpec {
     assert(w.count() === nHot.toLong)
   }
 
+  test("incremental drift-histogram store: batched build ≡ the " +
+    "inline psiReport, a replayed batch changes nothing, and the " +
+    "write job reports the batch row count") {
+    import graft.ext.DriftOps
+    val baseDir = java.nio.file.Files
+      .createTempDirectory("graft-driftbase").toString
+    val curDir = java.nio.file.Files
+      .createTempDirectory("graft-driftcur").toString
+    val cuts = Seq(2.0, 5.0)
+    val base = Seq(1L, 2L, 3L, 4L, 6L, 7L).toDF("v")
+    val cur = Seq(1L, 3L, 4L, 6L, 7L).toDF("v")
+    // base in two batches, current in two — the serve fold must be
+    // indifferent to how the snapshot was batched
+    assert(DriftOps.updateValueHistogram(base.filter(col("v") <= 3),
+      col("v"), cuts, baseDir, 0L) === 3L)
+    assert(DriftOps.updateValueHistogram(base.filter(col("v") > 3),
+      col("v"), cuts, baseDir, 1L) === 3L)
+    DriftOps.updateValueHistogram(cur.filter(col("v") <= 4),
+      col("v"), cuts, curDir, 0L)
+    DriftOps.updateValueHistogram(cur.filter(col("v") > 4),
+      col("v"), cuts, curDir, 1L)
+    def report(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("bucket")
+      .select("bucket", "n_base", "n_cur", "p_base", "p_cur",
+        "psi_contrib", "psi_total")
+      .as[(Int, Long, Long, Double, Double, Double, Double)]
+      .collect().toSeq
+    val inline = report(DriftOps.psiReport(base, cur, col("v"), cuts))
+    assert(report(DriftOps.psiReportFromStores(spark, baseDir,
+      curDir, cuts)) === inline)
+    // at-least-once replay: batch 1 re-appended verbatim collapses
+    DriftOps.updateValueHistogram(cur.filter(col("v") > 4),
+      col("v"), cuts, curDir, 1L)
+    assert(report(DriftOps.psiReportFromStores(spark, baseDir,
+      curDir, cuts)) === inline)
+    // the single-store fold agrees with a direct bucket count
+    val hist = DriftOps.histogramFromStore(spark, curDir)
+      .orderBy("bucket").as[(Int, Long)].collect().toSeq
+    assert(hist === Seq((0, 1), (1, 2), (2, 2)))
+  }
+
   test("incremental bigram-count store: batched build ≡ one-shot " +
     "model, and a replayed batch changes no score") {
     val dir = java.nio.file.Files

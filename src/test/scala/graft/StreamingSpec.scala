@@ -518,6 +518,53 @@ class StreamingSpec extends SparkSpec {
     assert(served === oneShot)
   }
 
+  test("valueHistogramStream maintains the drift histogram " +
+    "epoch-keyed: the store-served PSI equals the inline report, " +
+    "replayed epoch changes nothing") {
+    import org.apache.spark.sql.functions.col
+    implicit val ctx = spark.sqlContext
+    val root = Files.createTempDirectory("graft-histstream")
+    val cuts = Seq(2.0, 5.0)
+    val baseRows = Seq(1L, 2L, 3L, 4L, 6L, 7L)
+    val curRows = Seq(1L, 3L, 4L, 6L, 7L)
+    // frozen base store written by the batch maintenance op; the
+    // stream feeds only the CURRENT side — the production split
+    graft.ext.DriftOps.updateValueHistogram(baseRows.toDF("v"),
+      col("v"), cuts, root.resolve("base").toString, 0L)
+    val vals = MemoryStream[Long]
+    def drain(): Unit = {
+      val q = StreamingOps.valueHistogramStream(
+        vals.toDF().toDF("v"), col("v"), cuts,
+        root.resolve("cur").toString)
+        .option("checkpointLocation",
+          root.resolve("ckpt").toString).start()
+      q.awaitTermination()
+    }
+    vals.addData(curRows.take(3): _*); drain()
+    vals.addData(curRows.drop(3): _*); drain()
+    def served = graft.ext.DriftOps.psiReportFromStores(spark,
+        root.resolve("base").toString, root.resolve("cur").toString,
+        cuts)
+      .orderBy("bucket")
+      .select("bucket", "n_base", "n_cur", "p_base", "p_cur",
+        "psi_contrib", "psi_total")
+      .as[(Int, Long, Long, Double, Double, Double, Double)]
+      .collect().toSeq
+    val inline = graft.ext.DriftOps.psiReport(baseRows.toDF("v"),
+        curRows.toDF("v"), col("v"), cuts)
+      .orderBy("bucket")
+      .select("bucket", "n_base", "n_cur", "p_base", "p_cur",
+        "psi_contrib", "psi_total")
+      .as[(Int, Long, Long, Double, Double, Double, Double)]
+      .collect().toSeq
+    assert(served === inline)
+    // duplicated-epoch drill: epoch 1's delta re-appended verbatim
+    graft.ext.DriftOps.updateValueHistogram(
+      curRows.drop(3).toDF("v"), col("v"), cuts,
+      root.resolve("cur").toString, batchId = 1L)
+    assert(served === inline)
+  }
+
   test("train/test split and deterministic sampling apply to streams " +
     "unchanged (stateless narrow maps)") {
     implicit val ctx = spark.sqlContext
