@@ -40,6 +40,7 @@ object DriftOps {
                      k: Double,
                      outCol: String = "is_outlier"): DataFrame = {
     import graft.ops.Relational
+    gateGuard(df, outCol)
     // lower-median rank ⌈n/2⌉, cast so the row_number equality inside
     // keyedOrderStatistic compares long-to-long, not long-to-double
     val lowerMedianRank: Column => Column =
@@ -47,13 +48,37 @@ object DriftOps {
     val withVal = df.withColumn("__val", valueCol)
     val med = Relational.keyedOrderStatistic(
       withVal, keys, col("__val"), lowerMedianRank, "__med")
-    val withMed = withVal.join(broadcast(med), keys)
+    val withMed = keyedBroadcastJoin(withVal, med, keys)
       .withColumn("__dev", abs(col("__val") - col("__med")))
     val mad = Relational.keyedOrderStatistic(
       withMed, keys, col("__dev"), lowerMedianRank, "__mad")
-    withMed.join(broadcast(mad), keys)
+    keyedBroadcastJoin(withMed, mad, keys)
       .withColumn(outCol, col("__dev") > lit(k) * col("__mad"))
       .drop("__val", "__dev")
+  }
+
+  /** The gates' working/output columns must not clobber caller data
+    * (the [[graft.ops.Relational.keyedRanks]] discipline — silent
+    * replacement would drop caller columns, and chaining two gates
+    * would produce ambiguous `__med`/`__mad`). */
+  private def gateGuard(df: DataFrame, outCol: String): Unit =
+    for (c <- Seq("__val", "__med", "__mad", "__dev", "__devr", outCol))
+      require(!df.columns.contains(c),
+        s"madOutlierGate: input already has a '$c' column — rename " +
+          "it or pick a different outCol")
+
+  /** Broadcast equi-join on `keys` with NULL-SAFE equality: a plain
+    * USING join drops every null-key row (null never equals null),
+    * which in a gate whose contract is "returns the input plus …"
+    * is silent row loss — a NULL language is a GROUP (grouping and
+    * windows already treat it as one), not a discard. */
+  private def keyedBroadcastJoin(left: DataFrame, right: DataFrame,
+                                 keys: Seq[String]): DataFrame = {
+    val renamed = keys.foldLeft(right)((r, k) =>
+      r.withColumnRenamed(k, s"__rk_$k"))
+    val cond = keys.map(k => col(k) <=> col(s"__rk_$k")).reduce(_ && _)
+    left.join(broadcast(renamed), cond)
+      .drop(keys.map(k => s"__rk_$k"): _*)
   }
 
   /** [[madOutlierGate]] for DISCRETE signals (token counts, integer
@@ -78,6 +103,7 @@ object DriftOps {
                              valueCol: Column, k: Double,
                              outCol: String = "is_outlier"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    gateGuard(df, outCol)
     val keyCols = keys.map(col)
     val wKey = Window.partitionBy(keyCols: _*)
     // lower median of a (key, …, count) histogram, read off a cumsum
@@ -115,7 +141,7 @@ object DriftOps {
       .filter(col("__hit"))
       .select((keyCols :+ col("__med") :+
         col("__dev").as("__mad")): _*)
-    withVal.join(broadcast(stats), keys)
+    keyedBroadcastJoin(withVal, stats, keys)
       .withColumn("__devr", abs(col("__val") - col("__med")))
       .withColumn(outCol, col("__devr") > lit(k) * col("__mad"))
       .drop("__val", "__devr")
@@ -174,14 +200,35 @@ object DriftOps {
   def updateValueHistogram(batch: DataFrame, valueCol: Column,
                            cuts: Seq[Double], storeDir: String,
                            batchId: Long): Long = {
+    // every delta row carries the cut-set tag, and serving REQUIRES
+    // a single tag matching the reader's cuts: a store silently
+    // accumulating deltas bucketed under two different cut sets
+    // would still produce a plausible-looking PSI — the
+    // bigramCountStream posture, enforced rather than documented
     val delta = batch.select(psiBucket(valueCol, cuts).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("__n"))
       .withColumn("__batch", lit(batchId))
+      .withColumn("__cuts", lit(cutsTag(cuts)))
     val obs = new org.apache.spark.sql.Observation()
     graft.io.Staging.appendParquet(
       delta.observe(obs, coalesce(sum(col("__n")), lit(0L)).as("n")),
       storeDir, "value_hist")
     obs.get("n").asInstanceOf[Long]
+  }
+
+  private def cutsTag(cuts: Seq[Double]): String = cuts.mkString(",")
+
+  /** Require every delta in `hist` to carry `expected`'s cut tag —
+    * the frame is delta-log-sized, so the probe is a tiny job. */
+  private def assertCuts(hist: DataFrame, expected: Seq[Double],
+                         what: String): Unit = {
+    val tags = hist.select("__cuts").distinct()
+      .collect().map(_.getString(0))
+    require(tags.forall(_ == cutsTag(expected)),
+      s"$what holds deltas bucketed under cut set(s) " +
+        s"[${tags.mkString(" | ")}], but the report asked for " +
+        s"[${cutsTag(expected)}] — rebuild the store, the bucket " +
+        "ids are not comparable")
   }
 
   /** The bucket histogram folded from a [[updateValueHistogram]]
@@ -190,10 +237,13 @@ object DriftOps {
     * snapshot this EQUALS the one-shot bucketing — incremental ≡
     * one-shot by construction. */
   def histogramFromStore(spark: org.apache.spark.sql.SparkSession,
-                         storeDir: String): DataFrame =
-    graft.io.Staging.readTable(spark, storeDir, "value_hist")
-      .dropDuplicates("__batch", "bucket")
+                         storeDir: String,
+                         cuts: Option[Seq[Double]] = None): DataFrame = {
+    val raw = graft.io.Staging.readTable(spark, storeDir, "value_hist")
+    cuts.foreach(c => assertCuts(raw, c, s"histogram store $storeDir"))
+    raw.dropDuplicates("__batch", "bucket")
       .groupBy("bucket").agg(sum(col("__n")).as("__n"))
+  }
 
   /** [[psiReport]] served from two [[updateValueHistogram]] stores —
     * the daily drift alarm without re-scanning either snapshot:
@@ -209,9 +259,11 @@ object DriftOps {
     require(cuts.nonEmpty && cuts == cuts.sorted && cuts.distinct == cuts,
       "cuts must be non-empty, ascending, distinct")
     val nBuckets = cuts.length + 1
-    def read(dir: String, side: String): DataFrame =
-      graft.io.Staging.readTable(spark, dir, "value_hist")
-        .withColumn("__side", lit(side))
+    def read(dir: String, side: String): DataFrame = {
+      val raw = graft.io.Staging.readTable(spark, dir, "value_hist")
+      assertCuts(raw, cuts, s"histogram store $dir")
+      raw.withColumn("__side", lit(side))
+    }
     val folded = read(baseStoreDir, "b")
       .unionByName(read(curStoreDir, "c"))
       .dropDuplicates("__side", "__batch", "bucket")

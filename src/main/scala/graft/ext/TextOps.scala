@@ -166,12 +166,27 @@ object TextOps {
     * Both heavy stages are hot-key-safe: counting is a combinable
     * fold, ranking happens in parallel per-bucket windows. Digest
     * identity is the module-wide 128-bit two-seed assumption
-    * ([[DedupOps.corpusDupNgramShare]]). */
+    * ([[DedupOps.corpusDupNgramShare]]).
+    *
+    * CARDINALITY CONTRACT: `keys` is a LOW-cardinality grouping
+    * (language, source, dataset) — the candidate set
+    * (≤ keys × buckets × (k + boundary ties)) and the winner gram
+    * strings are BROADCAST, the [[graft.ops.Relational.keyedRanks]]
+    * bound. Over high-cardinality keys with mostly-unique grams the
+    * rank-k count is 1 and every count-1 gram ties at the boundary,
+    * so candidates approach the whole vocabulary and the broadcast
+    * is the wrong shape — use the naive explode + groupBy +
+    * [[graft.ops.Relational.topNPerKey]] form there (per-key slices
+    * are task-sized, so its window is fine). */
   def topNgrams(df: org.apache.spark.sql.DataFrame, keys: Seq[String],
-                textCol: Column, n: Int,
-                k: Int): org.apache.spark.sql.DataFrame = {
+                textCol: Column, n: Int, k: Int,
+                buckets: Int = 32): org.apache.spark.sql.DataFrame = {
     import graft.functions.native.ngram_hashes
-    require(n >= 1 && k >= 1, "n >= 1, k >= 1")
+    require(n >= 1 && k >= 1 && buckets >= 1, "n, k, buckets >= 1")
+    for (c <- Seq("__tok", "__g", "__g1", "__g2", "__tb", "__r",
+        "__i", "gram", "n_occurrences"))
+      require(!df.columns.contains(c),
+        s"topNgrams: input already has a '$c' column — rename it")
     val keyCols = keys.map(col)
     val toks = df.select((keyCols :+ tokens(textCol).as("__tok")): _*)
     def h(seed: Long) = ngram_hashes(col("__tok"), n, seed)
@@ -198,26 +213,35 @@ object TextOps {
       .orderBy(col("n_occurrences").desc)
     val cands = counts
       .withColumn("__tb",
-        pmod(xxhash64(struct(col("__g1"), col("__g2"))), lit(32)))
+        pmod(xxhash64(struct(col("__g1"), col("__g2"))), lit(buckets)))
       .withColumn("__r", rank().over(wB))
       .filter(col("__r") <= k)
       .drop("__tb", "__r")
-    val candKeys = cands
-      .select((keyCols :+ col("__g1") :+ col("__g2")): _*)
+    // joins on the keys are NULL-SAFE: a null key (undetected
+    // language) is a GROUP to the count fold and the rank window,
+    // and a USING join would silently drop its top-k — diverging
+    // from the naive form this op is pinned equivalent to
+    def renameJoinCols(r: org.apache.spark.sql.DataFrame) =
+      (keys ++ Seq("__g1", "__g2")).foldLeft(r)((d, c) =>
+        d.withColumnRenamed(c, s"__rk_$c"))
+    def joinCond = (keys.map(kc => col(kc) <=> col(s"__rk_$kc")) ++
+      Seq(col("__g1") === col("__rk___g1"),
+        col("__g2") === col("__rk___g2"))).reduce(_ && _)
+    val candKeys = renameJoinCols(cands
+      .select((keyCols :+ col("__g1") :+ col("__g2")): _*))
     val grams = toks
       .select((keyCols :+ col("__tok") :+
         posexplode(arrays_zip(h(42L).as("__g1"), h(1337L).as("__g2")))
           .as(Seq("__i", "__g"))): _*)
       .select((keyCols :+ col("__tok") :+ col("__i") :+
         col("__g.__g1").as("__g1") :+ col("__g.__g2").as("__g2")): _*)
-      .join(broadcast(candKeys), keys ++ Seq("__g1", "__g2"),
-        "left_semi")
+      .join(broadcast(candKeys), joinCond, "left_semi")
       .select((keyCols :+ col("__g1") :+ col("__g2") :+
         concat_ws(" ",
           slice(col("__tok"), col("__i") + 1, lit(n))).as("gram")): _*)
       .distinct()
     val named = cands
-      .join(broadcast(grams), keys ++ Seq("__g1", "__g2"))
+      .join(broadcast(renameJoinCols(grams)), joinCond)
       .select((keyCols :+ col("gram") :+ col("n_occurrences")): _*)
     graft.ops.Relational.topNPerKey(named, keys,
       Seq(col("n_occurrences").desc, col("gram")), k)

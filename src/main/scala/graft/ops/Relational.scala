@@ -335,6 +335,12 @@ object Relational {
                           targetRank: Column => Column,
                           name: String): DataFrame = {
     require(keys.nonEmpty, "keyedOrderStatistic needs >=1 key column")
+    // working columns and the output name must not clobber caller
+    // columns (the keyedRanks discipline)
+    for (c <- Seq("__v", "__b", "__cnt", "__start", "__t", "__r", name))
+      require(!df.columns.contains(c),
+        s"keyedOrderStatistic: input already has a '$c' column — " +
+          "rename it or pick a different output name")
     val n = math.min(1024,
       df.sparkSession.sessionState.conf.numShufflePartitions)
     val keyCols = keys.map(col)
@@ -358,8 +364,14 @@ object Relational {
     // the rank filter keeps EXACTLY one row per key: row_number is a
     // permutation 1..cnt within the joined bucket and the bucket
     // filter above guarantees __t-__start lands in [1, cnt] — so a
-    // plain select suffices, no defensive dedup exchange
-    bucketed.join(broadcast(target), keys :+ "__b")
+    // plain select suffices, no defensive dedup exchange. The join
+    // is NULL-SAFE on the keys: grouping and windows treat a null
+    // key as a group, and a USING join here would silently drop it.
+    val targetR = (keys :+ "__b").foldLeft(target)((t, c) =>
+      t.withColumnRenamed(c, s"__rk_$c"))
+    val joinCond = (keys.map(k => col(k) <=> col(s"__rk_$k")) :+
+      (col("__b") === col("__rk___b"))).reduce(_ && _)
+    bucketed.join(broadcast(targetR), joinCond)
       .withColumn("__r", row_number().over(
         Window.partitionBy((keyCols :+ col("__b")): _*)
           .orderBy(col("__v"))))

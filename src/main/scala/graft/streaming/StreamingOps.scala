@@ -355,7 +355,8 @@ object StreamingOps {
             "bigram_counts")) {
           val maxId = graft.io.Staging.readTable(spark, storeDir,
               "bigram_counts")
-            .agg(max(col("__batch"))).head().getLong(0)
+            .agg(coalesce(max(col("__batch")),
+              lit(Long.MinValue))).head().getLong(0)
           if (epoch < maxId) sys.error(
             s"bigramCountStream epoch $epoch < store max batch " +
               s"$maxId: a reset checkpoint is writing into an " +
@@ -389,7 +390,8 @@ object StreamingOps {
             "value_hist")) {
           val maxId = graft.io.Staging.readTable(spark, storeDir,
               "value_hist")
-            .agg(max(col("__batch"))).head().getLong(0)
+            .agg(coalesce(max(col("__batch")),
+              lit(Long.MinValue))).head().getLong(0)
           if (epoch < maxId) sys.error(
             s"valueHistogramStream epoch $epoch < store max batch " +
               s"$maxId: a reset checkpoint is writing into an " +

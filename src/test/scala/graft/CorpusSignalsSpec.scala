@@ -328,6 +328,34 @@ class CorpusSignalsSpec extends SparkSpec {
       .distinct().as[Long].head() === 0L)
   }
 
+  test("the gates keep NULL-key rows as their own group and reject " +
+    "colliding input columns instead of clobbering them") {
+    import graft.ext.DriftOps
+    val df = (Seq(("A", 1L), ("A", 2L), ("A", 3L)) ++
+      Seq((null, 5L), (null, 5L), (null, 100L)))
+      .toDF("k", "v")
+    for (out <- Seq(
+        DriftOps.madOutlierGate(df, Seq("k"), col("v"), 3.0),
+        DriftOps.madOutlierGateDiscrete(df, Seq("k"), col("v"), 3.0))) {
+      // contract: returns the INPUT plus the gate columns — null-key
+      // rows included (med 5, mad 0 → 100 flagged)
+      assert(out.count() === 6L)
+      val nullG = out.filter(col("k").isNull)
+      assert(nullG.count() === 3L)
+      assert(nullG.filter(col("is_outlier")).select("v")
+        .as[Long].collect().toSeq === Seq(100L))
+    }
+    intercept[IllegalArgumentException] {
+      DriftOps.madOutlierGateDiscrete(
+        df.withColumnRenamed("v", "__med"), Seq("k"), col("__med"), 3.0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.Relational.keyedOrderStatistic(
+        df.withColumnRenamed("v", "__v"), Seq("k"), col("__v"),
+        n => n, "med")
+    }
+  }
+
   test("topNgrams ≡ naive string explode+count+window, including a " +
     "count tie AT the rank-k boundary where the string tiebreak " +
     "decides which grams survive") {
@@ -347,18 +375,35 @@ class CorpusSignalsSpec extends SparkSpec {
       docs("M", "a a a", 1) ++ docs("M", "q q q", 5)).zipWithIndex
       .map { case ((l, t), i) => (i.toLong, l, t) }
     val df = corpus.toDF("doc_id", "lang", "text")
-    val fast = TextOps.topNgrams(df, Seq("lang"), col("text"), 3, 4)
+      // a NULL key is a GROUP (undetected language), not a discard —
+      // the gate and the naive form must both rank it
+      .union(Seq((900L, null, "n n n"), (901L, null, "n n n"))
+        .toDF("doc_id", "lang", "text"))
     val naive = graft.ops.Relational.topNPerKey(
       df.select(col("lang"),
           explode(TextOps.wordNgrams(col("text"), 3)).as("gram"))
         .groupBy("lang", "gram").agg(count(lit(1)).as("n_occurrences")),
       Seq("lang"), Seq(col("n_occurrences").desc, col("gram")), 4)
-    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+    // buckets=1 forces every gram of a key into ONE rank window, so
+    // the rank() <= k pruning actually drops grams (with 32 buckets
+    // over this tiny vocabulary every gram ranks 1 in its own bucket
+    // and the filter would be a no-op — untested pruning)
+    for (buckets <- Seq(1, 32)) {
+      val fast = TextOps.topNgrams(df, Seq("lang"), col("text"), 3, 4,
+        buckets = buckets)
+      assert(fast.exceptAll(naive).isEmpty &&
+        naive.exceptAll(fast).isEmpty,
+        s"buckets=$buckets diverges from the naive form")
+    }
+    val fast = TextOps.topNgrams(df, Seq("lang"), col("text"), 3, 4)
     val l = fast.filter(col("lang") === "L")
       .orderBy(col("n_occurrences").desc, col("gram"))
       .select("gram").as[String].collect().toSeq
     assert(l.head === "a a a" && l.contains("zc c c") &&
       !l.contains("ze e e"))
+    assert(fast.filter(col("lang").isNull)
+      .select("gram", "n_occurrences").as[(String, Long)]
+      .collect().toSeq === Seq(("n n n", 2L)))
   }
 
   // ---------------- hot-gram skew hardening ----------------
@@ -479,6 +524,24 @@ class CorpusSignalsSpec extends SparkSpec {
     val hist = DriftOps.histogramFromStore(spark, curDir)
       .orderBy("bucket").as[(Int, Long)].collect().toSeq
     assert(hist === Seq((0, 1), (1, 2), (2, 2)))
+    // an EMPTY batch (quiet day / empty micro-batch) appends a 0-row
+    // delta that must poison nothing: reports unchanged, and the
+    // streaming lineage guard's max-batch read stays null-safe
+    assert(DriftOps.updateValueHistogram(cur.filter(col("v") < 0),
+      col("v"), cuts, curDir, 2L) === 0L)
+    assert(report(DriftOps.psiReportFromStores(spark, baseDir,
+      curDir, cuts)) === inline)
+    // a store written under DIFFERENT cuts must refuse to serve —
+    // mixed bucket ids would yield a plausible but meaningless PSI
+    DriftOps.updateValueHistogram(cur, col("v"), Seq(3.0, 8.0),
+      curDir, 3L)
+    intercept[IllegalArgumentException] {
+      DriftOps.psiReportFromStores(spark, baseDir, curDir, cuts)
+        .collect()
+    }
+    intercept[IllegalArgumentException] {
+      DriftOps.histogramFromStore(spark, curDir, Some(cuts)).collect()
+    }
   }
 
   test("incremental bigram-count store: batched build ≡ one-shot " +
