@@ -73,11 +73,12 @@ object DriftOps {
     * is silent row loss — a NULL language is a GROUP (grouping and
     * windows already treat it as one), not a discard. */
   private def keyedBroadcastJoin(left: DataFrame, right: DataFrame,
-                                 keys: Seq[String]): DataFrame = {
+                                 keys: Seq[String],
+                                 joinType: String = "inner"): DataFrame = {
     val renamed = keys.foldLeft(right)((r, k) =>
       r.withColumnRenamed(k, s"__rk_$k"))
     val cond = keys.map(k => col(k) <=> col(s"__rk_$k")).reduce(_ && _)
-    left.join(broadcast(renamed), cond)
+    left.join(broadcast(renamed), cond, joinType)
       .drop(keys.map(k => s"__rk_$k"): _*)
   }
 
@@ -102,8 +103,42 @@ object DriftOps {
   def madOutlierGateDiscrete(df: DataFrame, keys: Seq[String],
                              valueCol: Column, k: Double,
                              outCol: String = "is_outlier"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     gateGuard(df, outCol)
+    applyRobustStats(df, robustStatsDiscrete(df, keys, valueCol),
+      keys, valueCol, k, outCol)
+  }
+
+  /** Flag `df` against an EXISTING per-key robust model — the
+    * production monitoring split: the (key, __med, __mad) frame is
+    * yesterday's frozen model ([[robustStatsDiscrete]] on the closed
+    * snapshot, persisted beside it), today's batch is gated against
+    * it, and today's data CANNOT move its own gate — a poisoned or
+    * drifted batch is flagged, not absorbed. One broadcast join, one
+    * batch scan; keys present in the batch but absent from the model
+    * (a brand-new language) come back with NULL med/mad and a NULL
+    * flag — surfaced for model refresh, not silently dropped or
+    * silently passed. */
+  def applyRobustStats(df: DataFrame, stats: DataFrame,
+                       keys: Seq[String], valueCol: Column, k: Double,
+                       outCol: String = "is_outlier"): DataFrame = {
+    gateGuard(df, outCol)
+    keyedBroadcastJoin(df.withColumn("__val", valueCol), stats, keys,
+        joinType = "left")
+      .withColumn("__devr", abs(col("__val") - col("__med")))
+      .withColumn(outCol, col("__devr") > lit(k) * col("__mad"))
+      .drop("__val", "__devr")
+  }
+
+  /** The per-key robust model behind [[madOutlierGateDiscrete]] —
+    * one row per key, `(keys…, __med, __mad)`, lower median and
+    * lower-median absolute deviation read off a single combinable
+    * (key, value) histogram fold (the discrete-signal contract and
+    * the linear-chain plan rationale are documented on the gate).
+    * Persist this frame beside a closed snapshot and gate later
+    * batches with [[applyRobustStats]]. */
+  def robustStatsDiscrete(df: DataFrame, keys: Seq[String],
+                          valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val keyCols = keys.map(col)
     val wKey = Window.partitionBy(keyCols: _*)
     // lower median of a (key, …, count) histogram, read off a cumsum
@@ -137,14 +172,10 @@ object DriftOps {
       .groupBy((keyCols :+ col("__med") :+ col("__dev")): _*)
       .agg(sum(col("__cnt")).as("__cnt"))
     // exactly one marked row per key survives → (key, med, mad)
-    val stats = medianMark(devHist, "__dev")
+    medianMark(devHist, "__dev")
       .filter(col("__hit"))
       .select((keyCols :+ col("__med") :+
         col("__dev").as("__mad")): _*)
-    keyedBroadcastJoin(withVal, stats, keys)
-      .withColumn("__devr", abs(col("__val") - col("__med")))
-      .withColumn(outCol, col("__devr") > lit(k) * col("__mad"))
-      .drop("__val", "__devr")
   }
 
   /** Per-bucket PSI report between `base` and `current` over literal

@@ -218,6 +218,55 @@ object Text3Queries {
         |FROM d JOIN m2 USING (lang)
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin)),
 
+    // The production monitoring split: the robust model (per-lang
+    // lower median + MAD of token counts) is FROZEN on the even-doc
+    // snapshot, and the odd-doc batch is gated against it — a
+    // drifted batch is flagged, it cannot move its own gate. Keys
+    // unseen by the model come back unscored (NULL flag), counted
+    // as non-outliers here, never dropped.
+    "mad_gate_frozen" -> QueryDef(
+      (s, d) => {
+        import graft.ext.DriftOps
+        val sig = tokenSignals(s, d)
+        val stats = DriftOps.robustStatsDiscrete(
+          sig.filter(col("doc_id") % 2 === 0), Seq("lang"),
+          col("n_tokens"))
+        DriftOps.applyRobustStats(
+            sig.filter(col("doc_id") % 2 === 1), stats, Seq("lang"),
+            col("n_tokens"), 3.0)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            max(col("__med")).cast("long").as("med_tokens"),
+            max(col("__mad")).cast("long").as("mad_tokens"),
+            sum(when(col("is_outlier"), 1L).otherwise(0L))
+              .as("n_outliers"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, lang, len($tokSql) AS tc
+        |  FROM documents),
+        |e AS (SELECT lang, tc FROM t WHERE doc_id % 2 = 0),
+        |r AS (SELECT lang, tc, row_number() OVER (
+        |    PARTITION BY lang ORDER BY tc) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n FROM e),
+        |m AS (SELECT lang, min(tc) AS med FROM r
+        |  WHERE rn = CAST(ceil(n / 2.0) AS BIGINT) GROUP BY lang),
+        |d2 AS (SELECT e.lang, abs(e.tc - m.med) AS dev
+        |  FROM e JOIN m USING (lang)),
+        |r2 AS (SELECT lang, dev, row_number() OVER (
+        |    PARTITION BY lang ORDER BY dev) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n FROM d2),
+        |m2 AS (SELECT lang, min(dev) AS mad FROM r2
+        |  WHERE rn = CAST(ceil(n / 2.0) AS BIGINT) GROUP BY lang),
+        |o AS (SELECT t.lang, t.tc, m.med, m2.mad FROM t
+        |  LEFT JOIN m USING (lang) LEFT JOIN m2 USING (lang)
+        |  WHERE t.doc_id % 2 = 1)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(max(med) AS BIGINT) AS med_tokens,
+        |  CAST(max(mad) AS BIGINT) AS mad_tokens,
+        |  CAST(sum(CASE WHEN abs(tc - med) > 3.0 * mad
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM o GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // Top-5 trigrams per language — the corpus-statistics view every
     // curation run eyeballs (boilerplate and stopword phrases show up
     // here first). TextOps.topNgrams counts at 128-bit digest grain

@@ -328,6 +328,31 @@ class CorpusSignalsSpec extends SparkSpec {
       .distinct().as[Long].head() === 0L)
   }
 
+  test("applyRobustStats gates a batch against a FROZEN model: the " +
+    "batch cannot move its own gate, and keys unseen by the model " +
+    "come back unscored, not dropped") {
+    import graft.ext.DriftOps
+    val snapshot = (1 to 9).map(v => ("A", v.toLong)).toDF("k", "v")
+    val stats = DriftOps.robustStatsDiscrete(snapshot, Seq("k"),
+      col("v"))
+    assert(stats.select("k", "__med", "__mad")
+      .as[(String, Long, Long)].collect().toSeq === Seq(("A", 5L, 2L)))
+    // a pathological batch: 3 copies of an extreme value. The
+    // self-computed gate would absorb them (its own median moves);
+    // the frozen gate flags all three. |1000−5| > 3·2.
+    val batch = (Seq(("A", 4L), ("A", 6L)) ++
+      Seq.fill(3)(("A", 1000L)) :+ (("NEW", 7L))).toDF("k", "v")
+    val gated = DriftOps.applyRobustStats(batch, stats, Seq("k"),
+      col("v"), 3.0)
+    assert(gated.count() === 6L)
+    assert(gated.filter(col("is_outlier") === true).count() === 3L)
+    // the unseen key survives with a NULL score — model-refresh
+    // signal, not a silent pass or a silent drop
+    val unseen = gated.filter(col("k") === "NEW")
+    assert(unseen.count() === 1L &&
+      unseen.filter(col("is_outlier").isNull).count() === 1L)
+  }
+
   test("the gates keep NULL-key rows as their own group and reject " +
     "colliding input columns instead of clobbering them") {
     import graft.ext.DriftOps
