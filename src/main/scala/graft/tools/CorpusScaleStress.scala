@@ -75,8 +75,11 @@ object CorpusScaleStress {
   def main(args: Array[String]): Unit = {
     val sfDir = args.head
     val hotgram = args.contains("hotgram")
+    val topngrams = args.contains("topngrams")
     val multiples = {
-      val ms = args.drop(1).filter(_ != "hotgram").map(_.toInt).toSeq
+      val ms = args.drop(1)
+        .filter(a => a != "hotgram" && a != "topngrams")
+        .map(_.toInt).toSeq
       if (ms.nonEmpty) ms else Seq(1, 2, 4, 8)
     }
     val spark = SparkSession.builder().master("local[32]")
@@ -111,6 +114,55 @@ object CorpusScaleStress {
       emb.select((col("vec_id") + lit(c.toLong * 10000000L)).as("vec_id"),
         col("embedding"))
     }.reduce(_ unionByName _)
+
+    // ---- top-ngrams leg (args contains "topngrams"): a 90 %-one-
+    // language corpus through the two top-trigrams-per-language
+    // forms — the digest-count/winner-recovery TextOps.topNgrams vs
+    // the naive string-explode + count + per-language window. The
+    // naive form both shuffles ~20-byte gram strings at instance
+    // grain AND sorts the hot language's whole vocabulary in one
+    // window task; the digest form shuffles two longs and ranks
+    // 1/32 vocabulary slices in parallel.
+    if (topngrams) {
+      val tasks = new TaskMeter
+      spark.sparkContext.addSparkListener(tasks)
+      def langX(m: Int) = docsX(m).withColumn("lang",
+        when(pmod(col("doc_id"), lit(10)) < 9, lit("en"))
+          .otherwise(lit("de")))
+      multiples.foreach { m =>
+        val d = langX(m).repartition(32).persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = d.count()
+        def leg(label: String)(body: => Long): String = {
+          meter.reset(); tasks.reset()
+          val (rows, t) = timed(body)
+          val (mx, md) = tasks.maxMed
+          f"$label: $t%6.1f s task max/med ${mx / 1000.0}%5.1f/" +
+            f"${md / 1000.0}%4.1f s " +
+            f"${(meter.read.get + meter.write.get) / 1e6}%6.0f MB " +
+            f"($rows rows)"
+        }
+        val digest = leg("ngrams-digest") {
+          graft.ext.TextOps.topNgrams(d, Seq("lang"), col("text"),
+            3, 5).count()
+        }
+        val naive = leg("ngrams-naive ") {
+          graft.ops.Relational.topNPerKey(
+            d.select(col("lang"), explode(
+                graft.ext.TextOps.wordNgrams(col("text"), 3))
+              .as("gram"))
+              .groupBy("lang", "gram")
+              .agg(count(lit(1)).as("n_occurrences")),
+            Seq("lang"),
+            Seq(col("n_occurrences").desc, col("gram")), 5).count()
+        }
+        println(f"topngrams x$m%-2d n=$n%7d | $digest")
+        println(f"topngrams x$m%-2d n=$n%7d | $naive")
+        d.unpersist()
+      }
+      spark.stop()
+      return
+    }
 
     // ---- hot-gram leg (args contains "hotgram"): the degenerate
     // majority-one-passage corpus through the span/LM family,
