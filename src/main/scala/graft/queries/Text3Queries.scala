@@ -218,6 +218,28 @@ object Text3Queries {
         |FROM d JOIN m2 USING (lang)
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin)),
 
+    // EXACT per-language p90 token count (lower percentile, rank
+    // ⌈0.9·n⌉) through keyedOrderStatistic: a combinable bucket-
+    // count fold locates the ONE value bucket holding the target
+    // rank and only that bucket's rows sort — the exact-order-
+    // statistic machinery for signals too continuous to histogram,
+    // under its own oracle (approx_percentile_check is the sketch
+    // twin; this is exact).
+    "keyed_p90_exact" -> QueryDef(
+      (s, d) => graft.ops.Relational.keyedOrderStatistic(
+          tokenSignals(s, d), Seq("lang"), col("n_tokens"),
+          n => ceil(n * 0.9).cast("long"), "p90_tokens")
+        .withColumn("p90_tokens", col("p90_tokens").cast("long"))
+        .orderBy("lang"),
+      Some(s"""WITH t AS (SELECT lang, len($tokSql) AS tc
+        |  FROM documents),
+        |r AS (SELECT lang, tc, row_number() OVER (
+        |    PARTITION BY lang ORDER BY tc) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n FROM t)
+        |SELECT lang, CAST(min(tc) AS BIGINT) AS p90_tokens FROM r
+        |WHERE rn = CAST(ceil(n * 0.9) AS BIGINT)
+        |GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // The production monitoring split: the robust model (per-lang
     // lower median + MAD of token counts) is FROZEN on the even-doc
     // snapshot, and the odd-doc batch is gated against it — a
