@@ -417,4 +417,41 @@ class QueryPlanSpec extends SparkSpec {
       assert(p.contains("partial_"), s"$q:\n${p.take(1500)}")
     }
   }
+
+  test("top_ngrams counts at digest grain and ranks in bucket-local " +
+    "windows — gram strings never key a corpus-grain shuffle and no " +
+    "language's vocabulary sorts in one task") {
+    val p = plan("top_ngrams")
+    // the vocabulary rank window carries the hash bucket next to the
+    // language key (ties-inclusive bucket-local rank)
+    assert("windowspecdefinition\\(lang#\\d+, __tb#\\d+"
+      .r.findFirstIn(p).isDefined, p)
+    // the naive form's (lang, gram) string-keyed count shuffle must
+    // not reappear (the winner-grain distinct keys on digests first,
+    // so this regex cannot match it)
+    assert("hashpartitioning\\(lang#\\d+, gram#"
+      .r.findFirstIn(p).isEmpty, p)
+    // candidate pruning reaches the instances as a broadcast semi
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+  }
+
+  test("mad_outlier_gate's only corpus-grain aggregation is the " +
+    "(lang, value) histogram fold, map-side combined; the gate " +
+    "attaches stats by broadcast") {
+    val p = plan("mad_outlier_gate")
+    assert("hashpartitioning\\(lang#\\d+, __val#\\d+"
+      .r.findFirstIn(p).isDefined, p)
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("keyed_p90_exact ranks ONLY the single target bucket: the " +
+    "rank window carries the value bucket next to the key, and no " +
+    "whole-key rank window exists") {
+    val p = plan("keyed_p90_exact")
+    assert("windowspecdefinition\\(lang#\\d+, __b#\\d+, __v#"
+      .r.findFirstIn(p).isDefined, p)
+    assert("windowspecdefinition\\(lang#\\d+, __v#"
+      .r.findFirstIn(p).isEmpty, p)
+  }
 }
