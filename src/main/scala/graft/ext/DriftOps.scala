@@ -39,8 +39,20 @@ object DriftOps {
   def madOutlierGate(df: DataFrame, keys: Seq[String], valueCol: Column,
                      k: Double,
                      outCol: String = "is_outlier"): DataFrame = {
-    import graft.ops.Relational
     gateGuard(df, outCol)
+    applyRobustStats(df, robustStats(df, keys, valueCol), keys,
+      valueCol, k, outCol)
+  }
+
+  /** [[robustStatsDiscrete]] for CONTINUOUS signals — the same
+    * (keys…, __med, __mad) model frame, each median located by
+    * [[graft.ops.Relational.keyedOrderStatistic]]'s single-bucket
+    * rank instead of a value histogram (no per-key distinct-value
+    * bound). Two dependent passes by nature: the MAD is the median
+    * of deviations FROM the median. */
+  def robustStats(df: DataFrame, keys: Seq[String],
+                  valueCol: Column): DataFrame = {
+    import graft.ops.Relational
     // lower-median rank ⌈n/2⌉, cast so the row_number equality inside
     // keyedOrderStatistic compares long-to-long, not long-to-double
     val lowerMedianRank: Column => Column =
@@ -50,11 +62,13 @@ object DriftOps {
       withVal, keys, col("__val"), lowerMedianRank, "__med")
     val withMed = keyedBroadcastJoin(withVal, med, keys)
       .withColumn("__dev", abs(col("__val") - col("__med")))
-    val mad = Relational.keyedOrderStatistic(
-      withMed, keys, col("__dev"), lowerMedianRank, "__mad")
-    keyedBroadcastJoin(withMed, mad, keys)
-      .withColumn(outCol, col("__dev") > lit(k) * col("__mad"))
-      .drop("__val", "__dev")
+    // both one-row-per-key frames; null-safe so a null-key group's
+    // model row survives assembly
+    keyedBroadcastJoin(
+        Relational.keyedOrderStatistic(
+          withMed, keys, col("__dev"), lowerMedianRank, "__mad"),
+        med, keys)
+      .select((keys.map(col) :+ col("__med") :+ col("__mad")): _*)
   }
 
   /** The gates' working/output columns must not clobber caller data
