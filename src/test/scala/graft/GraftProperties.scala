@@ -376,4 +376,22 @@ object GraftProperties extends Properties("graft") {
           implied && ordered
         }
     }
+
+  property("keyedOrderStatistic == the sorted-seq rank element for " +
+    "any rank function, duplicates included") =
+    forAll(tableGen, Gen.choose(1, 10)) { (rows, num) =>
+      // values with heavy duplication (alphaLowerStr lengths 0..6);
+      // rank r(n) = ceil(n*num/10) spans min..max order statistics
+      val df = rows.toDF("id", "v")
+        .select(col("id"), length(col("v")).as("n"))
+      val got = Relational.keyedOrderStatistic(df, Seq("id"),
+          col("n"), c => ceil(c * num / 10.0).cast("long"), "stat")
+        .as[(Int, Int)].collect().sorted.toList
+      val want = rows.groupBy(_._1).map { case (k, rs) =>
+        val sorted = rs.map(_._2.length).sorted
+        val r = math.ceil(sorted.length * num / 10.0).toInt
+        (k, sorted(math.max(r, 1) - 1))
+      }.toList.sorted
+      got == want
+    }
 }
