@@ -283,9 +283,13 @@ object DriftOps {
     * one-shot by construction. */
   def histogramFromStore(spark: org.apache.spark.sql.SparkSession,
                          storeDir: String,
-                         cuts: Option[Seq[Double]] = None): DataFrame = {
+                         cuts: Seq[Double]): DataFrame = {
+    // the cut set is REQUIRED: an optional check made it possible to
+    // serve a histogram silently mixing deltas bucketed under
+    // different cut sets — the exact plausible-looking-PSI failure
+    // the __cuts tag enforces against in psiReportFromStores
     val raw = graft.io.Staging.readTable(spark, storeDir, "value_hist")
-    cuts.foreach(c => assertCuts(raw, c, s"histogram store $storeDir"))
+    assertCuts(raw, cuts, s"histogram store $storeDir")
     raw.dropDuplicates("__batch", "bucket")
       .groupBy("bucket").agg(sum(col("__n")).as("__n"))
   }
@@ -350,15 +354,22 @@ object DriftOps {
     // cached frames, where exchange reuse does not collapse it)
     val wAll = org.apache.spark.sql.expressions.Window
       .partitionBy(lit(1))
+    // contributions come from the UNROUNDED smoothed shares: a
+    // low-count bucket on a multi-million-row snapshot has share
+    // ~(c+1)/(N+B) < 5e-7, which round(…,6) flattens to 0.0 and the
+    // log then turns into NaN/±inf — the exact case the smoothing
+    // exists to guard. round(…,6) is display-only, applied last.
     joined
-      .withColumn("p_base", round((col("n_base") + 1).cast("double")
-        / (sum(col("n_base")).over(wAll) + nBuckets), 6))
-      .withColumn("p_cur", round((col("n_cur") + 1).cast("double")
-        / (sum(col("n_cur")).over(wAll) + nBuckets), 6))
-      .withColumn("psi_contrib", round(
-        (col("p_base") - col("p_cur"))
-          * log(col("p_base") / col("p_cur")), 6))
-      .withColumn("psi_total", round(sum(col("psi_contrib")).over(wAll), 6))
+      .withColumn("__pb", (col("n_base") + 1).cast("double")
+        / (sum(col("n_base")).over(wAll) + nBuckets))
+      .withColumn("__pc", (col("n_cur") + 1).cast("double")
+        / (sum(col("n_cur")).over(wAll) + nBuckets))
+      .withColumn("__contrib",
+        (col("__pb") - col("__pc")) * log(col("__pb") / col("__pc")))
+      .withColumn("p_base", round(col("__pb"), 6))
+      .withColumn("p_cur", round(col("__pc"), 6))
+      .withColumn("psi_contrib", round(col("__contrib"), 6))
+      .withColumn("psi_total", round(sum(col("__contrib")).over(wAll), 6))
       .select("bucket", "n_base", "n_cur", "p_base", "p_cur",
         "psi_contrib", "psi_total")
   }

@@ -312,9 +312,19 @@ object Relational {
       .select((keyCols :+ col("__b") :+ col("__offset")) ++ withTotal: _*)
     val w = Window.partitionBy((keyCols :+ col("__b")): _*)
       .orderBy(order: _*)
-    bucketed.join(broadcast(offsets), keys :+ "__b")
+    // NULL-SAFE key join (the keyedOrderStatistic discipline): the
+    // per-key windows treat a null key as a group, so a USING join
+    // here would silently drop null-key rows from the ranking. __b
+    // itself is never null (the cut fold bottoms out at 0), so it
+    // joins with plain equality.
+    val offsetsR = (keys :+ "__b").foldLeft(offsets)((t, c) =>
+      t.withColumnRenamed(c, s"__rk_$c"))
+    val joinCond = (keys.map(k => col(k) <=> col(s"__rk_$k")) :+
+      (col("__b") === col("__rk___b"))).reduce(_ && _)
+    bucketed.join(broadcast(offsetsR), joinCond)
       .withColumn(rankName, col("__offset") + row_number().over(w))
       .drop("__b", "__offset")
+      .drop((keys :+ "__b").map(c => s"__rk_$c"): _*)
   }
 
   /** EXACT order statistic per key — the value at rank

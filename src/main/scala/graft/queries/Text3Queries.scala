@@ -347,17 +347,15 @@ object Text3Queries {
         |  LEFT JOIN b USING (bucket) LEFT JOIN c USING (bucket)),
         |tt AS (SELECT sum(n_base) AS nb, sum(n_cur) AS nc FROM g),
         |p AS (SELECT g.bucket, g.n_base, g.n_cur,
-        |    round(CAST(g.n_base + 1 AS DOUBLE) / (tt.nb + 5), 6)
-        |      AS p_base,
-        |    round(CAST(g.n_cur + 1 AS DOUBLE) / (tt.nc + 5), 6)
-        |      AS p_cur
+        |    CAST(g.n_base + 1 AS DOUBLE) / (tt.nb + 5) AS pb,
+        |    CAST(g.n_cur + 1 AS DOUBLE) / (tt.nc + 5) AS pc
         |  FROM g CROSS JOIN tt)
         |SELECT CAST(bucket AS INT) AS bucket,
         |  CAST(n_base AS BIGINT) AS n_base,
-        |  CAST(n_cur AS BIGINT) AS n_cur, p_base, p_cur,
-        |  round((p_base - p_cur) * ln(p_base / p_cur), 6)
-        |    AS psi_contrib,
-        |  round(sum(round((p_base - p_cur) * ln(p_base / p_cur), 6))
+        |  CAST(n_cur AS BIGINT) AS n_cur,
+        |  round(pb, 6) AS p_base, round(pc, 6) AS p_cur,
+        |  round((pb - pc) * ln(pb / pc), 6) AS psi_contrib,
+        |  round(sum((pb - pc) * ln(pb / pc))
         |    OVER (), 6) AS psi_total
         |FROM p ORDER BY bucket""".stripMargin)),
 
@@ -413,17 +411,15 @@ object Text3Queries {
         |  LEFT JOIN b USING (bucket) LEFT JOIN c USING (bucket)),
         |tt AS (SELECT sum(n_base) AS nb, sum(n_cur) AS nc FROM g),
         |p AS (SELECT g.bucket, g.n_base, g.n_cur,
-        |    round(CAST(g.n_base + 1 AS DOUBLE) / (tt.nb + 5), 6)
-        |      AS p_base,
-        |    round(CAST(g.n_cur + 1 AS DOUBLE) / (tt.nc + 5), 6)
-        |      AS p_cur
+        |    CAST(g.n_base + 1 AS DOUBLE) / (tt.nb + 5) AS pb,
+        |    CAST(g.n_cur + 1 AS DOUBLE) / (tt.nc + 5) AS pc
         |  FROM g CROSS JOIN tt)
         |SELECT CAST(bucket AS INT) AS bucket,
         |  CAST(n_base AS BIGINT) AS n_base,
-        |  CAST(n_cur AS BIGINT) AS n_cur, p_base, p_cur,
-        |  round((p_base - p_cur) * ln(p_base / p_cur), 6)
-        |    AS psi_contrib,
-        |  round(sum(round((p_base - p_cur) * ln(p_base / p_cur), 6))
+        |  CAST(n_cur AS BIGINT) AS n_cur,
+        |  round(pb, 6) AS p_base, round(pc, 6) AS p_cur,
+        |  round((pb - pc) * ln(pb / pc), 6) AS psi_contrib,
+        |  round(sum((pb - pc) * ln(pb / pc))
         |    OVER (), 6) AS psi_total
         |FROM p ORDER BY bucket""".stripMargin)),
 

@@ -265,12 +265,16 @@ class CorpusSignalsSpec extends SparkSpec {
       .orderBy("bucket")
       .select("bucket", "n_base", "n_cur", "psi_contrib", "psi_total")
       .as[(Int, Long, Long, Double, Double)].collect().toSeq
+    // shares feed the log UNROUNDED (rounding first would zero any
+    // share < 5e-7 on a big snapshot and inf/NaN the log); round(…,6)
+    // applies only to the reported columns — mirrored here
     def r6(x: Double) = math.rint(x * 1e6) / 1e6
-    val pb = Seq(41.0 / 43, 1.0 / 43, 1.0 / 43).map(r6)
-    val pc = Seq(11.0 / 43, 1.0 / 43, 31.0 / 43).map(r6)
-    val contribs = pb.zip(pc).map { case (p, q) =>
-      r6((p - q) * math.log(p / q)) }
-    val total = r6(contribs.sum)
+    val pb = Seq(41.0 / 43, 1.0 / 43, 1.0 / 43)
+    val pc = Seq(11.0 / 43, 1.0 / 43, 31.0 / 43)
+    val rawContribs = pb.zip(pc).map { case (p, q) =>
+      (p - q) * math.log(p / q) }
+    val contribs = rawContribs.map(r6)
+    val total = r6(rawContribs.sum)
     assert(rep.map(_._1) === Seq(0, 1, 2))
     assert(rep.map(_._2) === Seq(40L, 0L, 0L))
     assert(rep.map(_._3) === Seq(10L, 0L, 30L))
@@ -546,7 +550,7 @@ class CorpusSignalsSpec extends SparkSpec {
     assert(report(DriftOps.psiReportFromStores(spark, baseDir,
       curDir, cuts)) === inline)
     // the single-store fold agrees with a direct bucket count
-    val hist = DriftOps.histogramFromStore(spark, curDir)
+    val hist = DriftOps.histogramFromStore(spark, curDir, cuts)
       .orderBy("bucket").as[(Int, Long)].collect().toSeq
     assert(hist === Seq((0, 1), (1, 2), (2, 2)))
     // an EMPTY batch (quiet day / empty micro-batch) appends a 0-row
@@ -565,8 +569,28 @@ class CorpusSignalsSpec extends SparkSpec {
         .collect()
     }
     intercept[IllegalArgumentException] {
-      DriftOps.histogramFromStore(spark, curDir, Some(cuts)).collect()
+      DriftOps.histogramFromStore(spark, curDir, cuts).collect()
     }
+  }
+
+  test("psi contributions stay finite when a bucket share rounds " +
+    "below 1e-6: smoothing feeds the log unrounded") {
+    import graft.ext.DriftOps
+    // 3M rows per side, each side's mass entirely in one bucket: the
+    // empty side's smoothed share is (0+1)/(3e6+2) ≈ 3.3e-7, which
+    // round(…,6) flattens to 0.0 — rounding BEFORE the log made
+    // psi_contrib ±inf/NaN on any multi-million-row snapshot. The
+    // shares must hit ln() unrounded; round(…,6) is display-only.
+    val base = spark.range(3000000L).select(lit(0.0).as("v"))
+    val cur = spark.range(3000000L).select(lit(1.0).as("v"))
+    val rep = DriftOps.psiReport(base, cur, col("v"), Seq(0.5))
+      .select("bucket", "psi_contrib", "psi_total")
+      .as[(Int, Double, Double)].collect().toSeq.sortBy(_._1)
+    assert(rep.size === 2)
+    assert(rep.forall { case (_, c, t) =>
+      !c.isNaN && !c.isInfinite && !t.isNaN && !t.isInfinite }, rep)
+    // total ≈ 2 × ln(3e6) ≈ 29.8: a massive—but finite—alarm
+    assert(rep.head._3 > 10.0 && rep.head._3 < 100.0, rep)
   }
 
   test("incremental bigram-count store: batched build ≡ one-shot " +

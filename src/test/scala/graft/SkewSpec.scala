@@ -42,9 +42,13 @@ class SkewSpec extends SparkSpec {
     "whole-key sort partition") {
     val n = 20000
     // deterministic scores with heavy duplication (ties must not
-    // straddle bucket cuts) and one key holding 90% of the rows
+    // straddle bucket cuts), one key holding 90% of the rows, and a
+    // NULL key group — grouping/windows rank null-lang docs as a
+    // group, so the offset join must be null-safe or they vanish
     val df = spark.range(n).select(
-      when($"id" % 10 =!= 0, lit("en")).otherwise(lit("de")).as("lang"),
+      when($"id" % 10 =!= 0, lit("en"))
+        .when($"id" % 20 === 0, lit("de"))
+        .otherwise(lit(null).cast("string")).as("lang"),
       ($"id" % 997).cast("double").as("score"),
       $"id".as("doc"))
     val ranked = Relational.keyedRanks(df, Seq("lang"), col("score"),
