@@ -915,6 +915,108 @@ object DedupOps {
         col("containment_a") :+ col("containment_b")): _*)
   }
 
+  /** EXACT corpus-global containment pair join via ASYMMETRIC prefix
+    * filtering — [[containmentPairs]] without blocking keys, block
+    * caps, or data drops: every (a < b) pair whose rounded
+    * containment reaches `minContainment` in EITHER direction, over
+    * the whole input. The scale path the blocked form lacks: its
+    * cap DROPS oversized blocks (accounted, but dropped); this form
+    * is complete by the same published bound family as
+    * [[prefixFilterJaccardPairs]] (Bayardo et al. WWW'07), adapted to
+    * the asymmetric measure.
+    *
+    * The asymmetric bound: `|A∩B|/|A| ≥ t` forces `|A∩B| ≥ ⌈t·|A|⌉`,
+    * so B must hold at least one of A's first `|A| − ⌈t·|A|⌉ + 1`
+    * rarity-ordered tokens (miss them all and the overlap tops out at
+    * `⌈t·|A|⌉ − 1 < t·|A|`). Only the DENOMINATOR side's prefix is
+    * bounded — the containing side contributes its FULL token list to
+    * the index (any of its tokens can be the shared rare one). Each
+    * doc therefore probes with its prefix against every doc's full
+    * postings; the union over both probe directions covers the OR of
+    * the two containments, and candidates prune on the necessary size
+    * condition `|B| ≥ t·|A|` (the containing side cannot be shorter
+    * than the required overlap) before the pair-dedup shuffle.
+    *
+    * Scale shape: candidate width is Σ_tokens |prefixPosting| ×
+    * |fullPosting| — corpus-linear when prefixes hold only rare
+    * tokens (high t), and OUTPUT-bound in the degenerate case (a
+    * 1-token doc's prefix is its whole self; its true containment
+    * fan-out IS every doc sharing that token — exactness has no
+    * smaller answer). Tokens never ride the candidate shuffle (ids +
+    * sizes only; the minhashCandidates slimness rule); verification
+    * joins token sets for surviving pairs only.
+    *
+    * @return (id_a, id_b, containment_a, containment_b) with
+    *         id_a < id_b, both rounded to 6 dp and filtered on the
+    *         rounded values (oracle discipline). */
+  def containmentPairsPrefix(df: DataFrame, idCol: String,
+                             textCol: String,
+                             minContainment: Double): DataFrame = {
+    require(minContainment > 0 && minContainment <= 1,
+      s"minContainment=$minContainment")
+    // relaxed candidate threshold: the final filter accepts the
+    // 6-dp-ROUNDED containment ≥ t, so a pair at true value t − 5e-7
+    // can pass — prefix length and size pruning must not lose it
+    val tEff = minContainment - 1e-6
+    val sets = df.select(col(idCol).as("doc_id"),
+      transform(array_distinct(TextOps.tokens(col(textCol))),
+        t => xxhash64(t)).as("__tok"))
+      .withColumn("__n", size(col("__tok")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val toks = sets.select(col("doc_id"), col("__n"),
+      explode(col("__tok")).as("__t"))
+    val dfreq = toks.groupBy("__t").agg(count(lit(1)).as("__df"))
+    // rarity order (df asc, token asc) — the prefixFilterJaccardPairs
+    // total order; sorting is per-row inside the rebuilt array
+    val ranked = toks.join(dfreq, "__t")
+      .groupBy("doc_id")
+      .agg(transform(sort_array(collect_list(
+        struct(col("__df"), col("__t")))), s => s.getField("__t"))
+        .as("__sorted"))
+    // prefix length |A| − ⌈t·|A|⌉ + 1 (1e-9 slack: an exactly-
+    // representable t·n must not ceil UP on float noise and shorten
+    // the prefix — the completeness bound's edge)
+    val pref = ranked.withColumn("__n", size(col("__sorted")))
+      .withColumn("__p", (col("__n") -
+        ceil(lit(tEff) * col("__n") - lit(1e-9)) + 1).cast("int"))
+      .select(col("doc_id").as("__probe"), col("__n").as("__np"),
+        explode(slice(col("__sorted"), lit(1),
+          greatest(col("__p"), lit(0)))).as("__pt"))
+    // the index is the FULL token stream in principle, but a token in
+    // nobody's prefix can never seed a candidate — semi-joining the
+    // stream down to the distinct prefix vocabulary drops the bulk of
+    // every doc's common tokens before the candidate shuffle (the
+    // prefix vocabulary is the corpus's rare tail by construction)
+    val prefVocab = pref.select(col("__pt").as("__t")).distinct()
+    val index = toks.join(prefVocab, Seq("__t"))
+      .select(col("doc_id").as("__idx"), col("__n").as("__ni"),
+        col("__t"))
+    val cand = pref.join(index, col("__pt") === col("__t"))
+      .filter(col("__probe") =!= col("__idx") &&
+        // c_probe = i/np ≥ t needs i ≥ t·np and i ≤ min(np, ni),
+        // so the indexed side must be at least t·np tokens
+        col("__ni") + lit(1e-9) >= col("__np") * lit(tEff))
+      .select(least(col("__probe"), col("__idx")).as("id_a"),
+        greatest(col("__probe"), col("__idx")).as("id_b"))
+      .distinct()
+    val sa = sets.select(col("doc_id").as("id_a"), col("__tok").as("__ta"))
+    val sb = sets.select(col("doc_id").as("id_b"), col("__tok").as("__tb"))
+    val out = cand.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+      .withColumn("__i",
+        size(array_intersect(col("__ta"), col("__tb"))))
+      .withColumn("containment_a",
+        round(col("__i").cast("double") / size(col("__ta")), 6))
+      .withColumn("containment_b",
+        round(col("__i").cast("double") / size(col("__tb")), 6))
+      .filter(col("containment_a") >= minContainment ||
+        col("containment_b") >= minContainment)
+      .select("id_a", "id_b", "containment_a", "containment_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize, then release the corpus-scale set cache
+    sets.unpersist()
+    out
+  }
+
   // ------------------------------------------------------------------
   // Incremental cross-batch dedup (continuous corpus curation)
   // ------------------------------------------------------------------

@@ -151,6 +151,38 @@ object SearchQueries {
         |SELECT lang, id_a, id_b, containment_a, containment_b,
         |  dropped_blocks, dropped_docs
         |FROM p, o WHERE containment_a >= 0.9 OR containment_b >= 0.9
-        |ORDER BY lang, id_a, id_b""".stripMargin))
+        |ORDER BY lang, id_a, id_b""".stripMargin)),
+
+    // EXACT corpus-global containment via the asymmetric prefix
+    // filter (DedupOps.containmentPairsPrefix): no blocking keys, no
+    // block caps, no dropped data — the 100 TB completion of
+    // containment_dedup, whose cap drops oversized blocks. Run on
+    // the doc_id % 8 = 1 subset (the corpus's dup cluster makes the
+    // full exact pair listing inherently quadratic in OUTPUT — the
+    // jaccard_pairs_prefix subsetting rationale) under a genuine
+    // all-pairs DuckDB ground truth: set equality at the threshold
+    // proves the asymmetric completeness bound (prefix on the
+    // denominator side, full postings on the containing side) and
+    // that the size prune drops nothing.
+    "containment_pairs_prefix" -> QueryDef(
+      (s, d) => graft.ext.DedupOps.containmentPairsPrefix(
+          Tables.documents(s, d).filter(col("doc_id") % 8 === 1)
+            .repartition(32),
+          "doc_id", "text", minContainment = 0.9)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH t AS (SELECT doc_id,
+        |  list_distinct(CASE WHEN length(trim(text)) = 0
+        |    THEN []::VARCHAR[]
+        |    ELSE regexp_split_to_array(lower(trim(text)), '\s+') END)
+        |    AS tok FROM documents WHERE doc_id % 8 = 1),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
+        |    len(a.tok), 6) AS containment_a,
+        |  round(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
+        |    len(b.tok), 6) AS containment_b
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, containment_a, containment_b
+        |FROM p WHERE containment_a >= 0.9 OR containment_b >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin))
   )
 }

@@ -187,6 +187,86 @@ class DedupSpec extends SparkSpec {
       s"capped run: expected only the rare pair, got $capped")
   }
 
+  test("containmentPairsPrefix equals the exhaustive all-pairs exact " +
+    "containment — set equality, including the doc-in-doc pairs " +
+    "Jaccard misses") {
+    // mixed corpus: a short doc wholly contained in a long one
+    // (Jaccard ≈ 0), near-dup cluster, disjoint docs, a 1-token doc
+    // (the output-bound degenerate fan-out case), and docs sharing
+    // only COMMON tokens (exercises the rare-first prefix order)
+    val corpus = (
+      (1 to 5).map(i => (i.toLong,
+        "alpha beta gamma delta epsilon zeta eta theta iota " +
+          (if (i % 2 == 0) "kappa" else "lambda"))) ++
+      Seq(
+        (20L, "alpha beta gamma"),          // contained in 1..5 and 21
+        (21L, "alpha beta gamma delta epsilon zeta eta theta iota " +
+          "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"),
+        (30L, "totally different words about query planning fun"),
+        (31L, "planning"),                   // 1-token, contained in 30
+        (40L, "the and of to in a is it"))
+    ).toDF("doc_id", "text")
+    for (t <- Seq(0.6, 0.9)) {
+      val ts = corpus.select($"doc_id",
+        array_distinct(graft.ext.TextOps.tokens($"text")).as("ts"))
+      val exact = ts.as("a").join(ts.as("b"),
+          col("a.doc_id") < col("b.doc_id"))
+        .withColumn("__i",
+          size(array_intersect($"a.ts", $"b.ts")).cast("double"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          round($"__i" / size($"a.ts"), 6).as("ca"),
+          round($"__i" / size($"b.ts"), 6).as("cb"))
+        .filter($"ca" >= t || $"cb" >= t)
+        .select("id_a", "id_b", "ca", "cb")
+        .as[(Long, Long, Double, Double)].collect().toSet
+      val got = DedupOps.containmentPairsPrefix(
+          corpus, "doc_id", "text", minContainment = t)
+        .select("id_a", "id_b", "containment_a", "containment_b")
+        .as[(Long, Long, Double, Double)].collect().toSet
+      assert(got == exact,
+        s"t=$t: got=${got.size} exact=${exact.size}; " +
+          s"missing=${(exact -- got).take(5)} extra=${(got -- exact).take(5)}")
+      assert(exact.nonEmpty, s"t=$t ground truth empty — weak corpus")
+      // the doc-in-doc pair is the one the measure exists for
+      assert(got.exists(p => p._1 == 20L || p._2 == 20L), got)
+    }
+    // borderline exactness: containment 2/3 = 0.666667 after rounding
+    // meets the 0.666667 threshold — the relaxed candidate threshold
+    // must let verification see the round-up
+    val edge = Seq(
+      (1L, "a b c"), (2L, "a b d e f")).toDF("doc_id", "text")
+    val hit = DedupOps.containmentPairsPrefix(
+        edge, "doc_id", "text", minContainment = 0.666667)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(hit == Set((1L, 2L)))
+  }
+
+  test("containmentPairsPrefix finds the pair the block-capped form " +
+    "provably drops — the uncapped scale path") {
+    // one (lang, source) block of 3 docs with the cap at 2: the
+    // capped form drops the WHOLE block (accounted, but dropped);
+    // the prefix form has no blocks and no caps, so the doc-in-doc
+    // pair must surface
+    val d = Seq(
+      (1L, "en", "web", "alpha beta gamma delta epsilon zeta"),
+      (2L, "en", "web", "alpha beta gamma delta epsilon zeta eta " +
+        "theta iota kappa"),
+      (3L, "en", "web", "unrelated totally different words entirely")
+    ).toDF("doc_id", "lang", "source", "text")
+    val capped = DedupOps.containmentPairs(d, "doc_id", "text",
+        Seq("lang", "source"), minContainment = 0.9, maxBlockSize = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped.isEmpty)
+    val stats = DedupOps.droppedBlockStats(d, Seq("lang", "source"),
+        maxBlockSize = 2)
+      .as[(Long, Long)].head()
+    assert(stats == ((1L, 3L))) // the drop is accounted, not silent
+    val exact = DedupOps.containmentPairsPrefix(d, "doc_id", "text",
+        minContainment = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact == Set((1L, 2L))) // containment_a = 6/6 = 1.0
+  }
+
   test("duplicateClusters finds transitive components with min-id reps") {
     // components: {1,2,3,7} via chain 1-2, 2-3, 3-7; {5,9}; pair list
     // never contains (1,7) etc. — only the closure connects them
