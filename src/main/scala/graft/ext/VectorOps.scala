@@ -411,7 +411,10 @@ object VectorOps {
     * vector that has a lower-id cluster-mate with cosine ≥ `threshold`
     * (min-id survivor — the same survivor rule as the text dedup
     * family). Returns per-cluster accounting:
-    * (cluster, n_assigned, n_dropped, n_kept).
+    * (cluster, n_assigned, n_dropped, n_kept, capped) — `capped`
+    * marks clusters over `maxClusterSize`, whose pair stage was
+    * skipped (all members kept, n_dropped = 0): the cartesian-bomb
+    * guard with its coverage loss visible, never silent.
     *
     * Scale design — the whole point of SemDeDup: the quadratic
     * pairwise stage runs only WITHIN clusters, so with k sized to keep
@@ -429,7 +432,8 @@ object VectorOps {
     */
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
                     centroids: DataFrame, clusterCol: String,
-                    threshold: Double): DataFrame = {
+                    threshold: Double,
+                    maxClusterSize: Int = Int.MaxValue): DataFrame = {
     val vecs = corpus.filter(col(vecCol).isNotNull)
       .select(col(idCol), col(vecCol))
     val scored = vecs.crossJoin(broadcast(centroids))
@@ -449,9 +453,24 @@ object VectorOps {
           struct(col("__cs"), -col(clusterCol))).as("__cluster"),
         first(col(vecCol)).as(vecCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = asg.select(col("__cluster"), col(idCol).as("__id_a"),
+    // HOT-CLUSTER guard: the within-cluster self-join is linear only
+    // while chooseNumCentroids keeps clusters ~10³–10⁴ — a dense
+    // embedding region (near-dup-heavy web corpus, exactly SemDeDup's
+    // input) can hand one centroid a mega-cluster and a quadratic
+    // task. Clusters over `maxClusterSize` SKIP the pair stage (their
+    // members all survive) and the skip is ACCOUNTED in the output's
+    // `capped` column — the droppedBlockStats no-silent-caps
+    // discipline. The size census is the same subtree as the output's
+    // n_assigned fold, so Catalyst reuses the exchange.
+    val paired =
+      if (maxClusterSize == Int.MaxValue) asg
+      else asg.join(
+        asg.groupBy("__cluster").agg(count(lit(1)).as("__csz"))
+          .filter(col("__csz") <= maxClusterSize).select("__cluster"),
+        Seq("__cluster"))
+    val a = paired.select(col("__cluster"), col(idCol).as("__id_a"),
       col(vecCol).as("__va"))
-    val b = asg.select(col("__cluster"), col(idCol).as("__id_b"),
+    val b = paired.select(col("__cluster"), col(idCol).as("__id_b"),
       col(vecCol).as("__vb"))
     val dropped = a.join(b, Seq("__cluster"))
       .filter(col("__id_a") < col("__id_b"))
@@ -463,7 +482,8 @@ object VectorOps {
       .na.fill(0L, Seq("n_dropped"))
       .select(col("__cluster").as("cluster"), col("n_assigned"),
         col("n_dropped"),
-        (col("n_assigned") - col("n_dropped")).as("n_kept"))
+        (col("n_assigned") - col("n_dropped")).as("n_kept"),
+        (col("n_assigned") > maxClusterSize).as("capped"))
       // k-row accounting frame: freeze it eagerly so the corpus-scale
       // assignment cache can be released before returning
       .localCheckpoint(true)

@@ -690,7 +690,7 @@ object Text3Queries {
         VectorOps.semanticDedup(emb, "vec_id", "embedding",
             VectorOps.meanCentroids(emb, "embedding", "label")
               .withColumnRenamed("label", "cluster"),
-            "cluster", threshold = 0.2)
+            "cluster", threshold = 0.2, maxClusterSize = 10000)
           .orderBy("cluster")
       },
       Some("""WITH comp AS (SELECT label, u.dim, u.component
@@ -711,9 +711,12 @@ object Text3Queries {
         |    SELECT vec_id, cluster, row_number() OVER (
         |      PARTITION BY vec_id ORDER BY cs DESC, cluster) AS rn
         |    FROM a) WHERE rn = 1),
+        |sc AS (SELECT cluster FROM asg GROUP BY 1
+        |  HAVING count(*) <= 10000),
         |pairs AS (SELECT DISTINCT x.cluster, y.vec_id AS drop_id
         |  FROM asg x JOIN asg y
         |    ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+        |  JOIN sc ON x.cluster = sc.cluster
         |  JOIN embeddings ex ON ex.vec_id = x.vec_id
         |  JOIN embeddings ey ON ey.vec_id = y.vec_id
         |  WHERE round(list_cosine_similarity(
@@ -724,7 +727,8 @@ object Text3Queries {
         |SELECT asg.cluster, CAST(count(*) AS BIGINT) AS n_assigned,
         |  CAST(coalesce(max(drp.n_dropped), 0) AS BIGINT) AS n_dropped,
         |  CAST(count(*) - coalesce(max(drp.n_dropped), 0) AS BIGINT)
-        |    AS n_kept
+        |    AS n_kept,
+        |  count(*) > 10000 AS capped
         |FROM asg LEFT JOIN drp ON asg.cluster = drp.cluster
         |GROUP BY asg.cluster ORDER BY asg.cluster""".stripMargin))
   )

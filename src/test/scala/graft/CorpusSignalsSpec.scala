@@ -120,6 +120,39 @@ class CorpusSignalsSpec extends SparkSpec {
     assert(out === Seq((0, 4L, 2L, 2L), (1, 2L, 1L, 1L)))
   }
 
+  test("semanticDedup maxClusterSize: a mega-cluster skips the pair " +
+    "stage with the skip accounted in `capped`, never silently") {
+    // a dense region hands centroid 0 a 60-vector near-dup cluster
+    // (the web-corpus hazard SemDeDup targets: the within-cluster
+    // self-join is 60²/2 there, unbounded in general); centroid 1
+    // keeps a well-sized cluster that must still dedup normally
+    val hot = (1L to 60L).map(i =>
+      (i, Seq(1.0f, (i % 7).toFloat / 1000f)))
+    val cold = Seq(
+      (100L, Seq(0.0f, 1.0f)), (101L, Seq(0.01f, 0.99f)),
+      (102L, Seq(0.6f, 0.8f)))
+    val vecs = (hot ++ cold).toDF("id", "vec")
+    val centroids = Seq(
+      (0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0))
+    ).toDF("cluster", "centroid")
+    def run(cap: Int) = VectorOps.semanticDedup(vecs, "id", "vec",
+        centroids, "cluster", threshold = 0.995, maxClusterSize = cap)
+      .orderBy("cluster")
+      .select("cluster", "n_assigned", "n_dropped", "n_kept", "capped")
+      .as[(Int, Long, Long, Long, Boolean)].collect().toSeq
+    // capped run: the hot cluster's quadratic stage is SKIPPED — all
+    // members kept, the skip visible in `capped`; the cold cluster
+    // still dedups (101 ~ 100 at cosine ≥ .995; 102 survives)
+    assert(run(50) === Seq(
+      (0, 60L, 0L, 60L, true), (1, 3L, 1L, 2L, false)))
+    // uncapped run on the same data: the hot cluster's near-dups DO
+    // drop (min-id survivors per 7-way direction family) — the capped
+    // form trades exactly that work for the bounded pair stage
+    val un = run(Int.MaxValue)
+    assert(un.map(r => (r._1, r._5)) === Seq((0, false), (1, false)))
+    assert(un.head._3 > 40L, un) // most of the mega-cluster drops
+  }
+
   test("semanticDedup accounting invariants on the real corpus: " +
     "every vector is assigned exactly once, kept = assigned - dropped") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
