@@ -55,6 +55,52 @@ object TextOps {
           .as("n_chunk_tokens"))
   }
 
+  /** Unicode normalization of a text column (UAX #15, default NFC)
+    * via the native codegen'd [[graft.functions.UnicodeNormalize]]
+    * expression — the standard curation pre-pass BEFORE
+    * fingerprinting/dedup: composed vs decomposed accents (é vs
+    * e+U+0301) and fullwidth vs ASCII forms are the same text to a
+    * reader but hash apart without it. Narrow map, no shuffle; pure
+    * ASCII passes through the JDK quick-check at near-no-op cost.
+    * Pass the normalized column to [[fingerprint]] /
+    * [[graft.ext.DedupOps.exactDedupByHash]] (they take a column /
+    * column name — normalize first, dedupe on the result). */
+  def normalizeUnicode(text: Column, form: String = "NFC"): Column =
+    graft.functions.native.unicode_normalize(text, form)
+
+  /** The zero-width / invisible codepoints a curation pass strips
+    * before fingerprinting: ZWSP, ZWNJ, ZWJ, WORD JOINER, ZWNBSP
+    * (BOM). Written in the Java-regex ∩ RE2 subset so the identical
+    * class runs in both engines (the PII-pattern discipline). */
+  val zeroWidthClass: String =
+    "[\u200B\u200C\u200D\u2060\uFEFF]"
+
+  /** `text` with zero-width codepoints removed. */
+  def stripZeroWidth(text: Column): Column =
+    regexp_replace(text, zeroWidthClass, "")
+
+  /** Count of zero-width codepoints (a strip-delta, no regex count
+    * function needed — identical arithmetic cross-engine). */
+  def zeroWidthCount(text: Column): Column =
+    length(text) - length(stripZeroWidth(text))
+
+  /** Mojibake tell-tale characters: the UTF-8-read-as-Latin-1 lead
+    * bytes Ã (U+00C3) and Â (U+00C2) — every Latin-1/Latin-ish
+    * codepoint mis-decoded that way starts with one of them — plus
+    * the replacement character U+FFFD a lossy decode leaves behind. */
+  val mojibakeClass: String = "[\u00C3\u00C2\uFFFD]"
+
+  /** Count of mojibake tell-tale characters in `text`. */
+  def mojibakeHits(text: Column): Column =
+    length(text) - length(regexp_replace(text, mojibakeClass, ""))
+
+  /** Heuristic mojibake flag: any tell-tale present. (Ã/Â do occur in
+    * legitimate text — "Ângelo" — but essentially always followed by
+    * a letter, while mis-decoded UTF-8 pairs them with symbols; at
+    * curation scale the cheap flag routes docs to a re-decode pass,
+    * it does not delete them.) */
+  def isMojibake(text: Column): Column = mojibakeHits(text) > 0
+
   /** BPE-ish subword count: word-piece regex splits on whitespace AND
     * punctuation boundaries, counting punctuation runs as tokens —
     * a cheap stand-in for a real tokenizer's token count. */

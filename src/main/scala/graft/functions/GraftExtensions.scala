@@ -51,6 +51,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       Bridge.functionInfo("bloom_might_contain",
         "bloom_might_contain(filter, item) - membership probe for a bigint item against a serialized bloom filter"),
       (exprs: Seq[Expression]) => BloomMightContain(exprs(0), exprs(1))))
+    e.injectFunction((Bridge.functionId("unicode_normalize"),
+      Bridge.functionInfo("unicode_normalize",
+        "unicode_normalize(text, 'NFC'|'NFD'|'NFKC'|'NFKD') - UAX #15 Unicode normalization"),
+      (exprs: Seq[Expression]) => UnicodeNormalize(exprs(0),
+        GraftExtensions.strLiteral(exprs(1), "unicode_normalize", "form"))))
   }
 }
 
@@ -62,6 +67,16 @@ object GraftExtensions {
     case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
     case other => throw new IllegalArgumentException(
       s"$fn: argument '$arg' must be an integer literal, got $other")
+  }
+
+  /** The normalization form is part of the plan (it selects the
+    * generated code), so it must be a string literal too. */
+  private[functions] def strLiteral(e: Expression, fn: String,
+                                    arg: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String,
+        org.apache.spark.sql.types.StringType) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument '$arg' must be a string literal, got $other")
   }
 
   /** Register the same functions on an already-built session (the
@@ -85,5 +100,8 @@ object GraftExtensions {
       exprs => CmsEstimate(exprs(0), exprs(1)))
     Bridge.registerFunction(spark, "bloom_might_contain",
       exprs => BloomMightContain(exprs(0), exprs(1)))
+    Bridge.registerFunction(spark, "unicode_normalize",
+      exprs => UnicodeNormalize(exprs(0),
+        strLiteral(exprs(1), "unicode_normalize", "form")))
   }
 }

@@ -434,6 +434,45 @@ case class TokenSetJaccard(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Unicode normalization (UAX #15) as a native codegen'd expression —
+  * Spark ships no normalization function, and a Scala UDF would fence
+  * whole-stage codegen on the corpus scan where this runs (the
+  * standard curation pre-pass before fingerprinting/dedup: two texts
+  * differing only in composed vs decomposed accents or fullwidth vs
+  * ASCII forms hash apart without it). The form is fixed at plan
+  * time; the generated code is one JDK `java.text.Normalizer` call,
+  * whose quick-check fast path makes already-normalized (e.g. pure
+  * ASCII) input a near-no-op. Cross-engine contract: the JDK
+  * implements the same UAX #15 normalization as DuckDB's
+  * `nfc_normalize` — asserted byte-exact by the `text_normalize`
+  * oracle (NFC directly; NFKC via mapped compatibility pairs). */
+case class UnicodeNormalize(child: Expression, form: String)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  require(Seq("NFC", "NFD", "NFKC", "NFKD").contains(form),
+    s"unknown normalization form $form")
+
+  override def nullIntolerant: Boolean = true
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "unicode_normalize"
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      input.asInstanceOf[UTF8String].toString,
+      java.text.Normalizer.Form.valueOf(form)))
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"java.text.Normalizer.normalize($c.toString(), " +
+        s"java.text.Normalizer.Form.$form))")
+
+  override protected def withNewChildInternal(c: Expression): UnicodeNormalize =
+    copy(child = c)
+}
+
 /** Point query against a serialized count-min sketch (the binary
   * produced by Spark's built-in `count_min_sketch` aggregate,
   * `org.apache.spark.util.sketch.CountMinSketch` wire format):
@@ -530,6 +569,10 @@ case class BloomMightContain(left: Expression, right: Expression)
 object native {
   def ngram_hashes(tokens: Column, n: Int, seed: Long): Column =
     Bridge.column(NgramHashes(Bridge.expression(tokens), n, seed))
+
+  def unicode_normalize(text: Column, form: String): Column =
+    Bridge.column(UnicodeNormalize(
+      Bridge.expression(text.cast("string")), form))
 
   def cms_estimate(sketch: Column, item: Column): Column =
     Bridge.column(CmsEstimate(

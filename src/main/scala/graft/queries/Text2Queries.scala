@@ -159,6 +159,71 @@ object Text2Queries {
            |FROM p ORDER BY doc_id""".stripMargin
       }),
 
+    // Unicode normalization battery: the corpus text is ASCII by
+    // construction, so both sides append the same deterministic
+    // Unicode mess (combining accent, fullwidth letters/digit, the
+    // fi-ligature, zero-width chars, mojibake tell-tales on every
+    // third doc, U+FFFD on every fifth) and then normalize — the
+    // pii_redaction synthetic-block pattern. NFC is checked against
+    // DuckDB's native nfc_normalize; NFKC via mapped compatibility
+    // pairs (fullwidth→ASCII, ligature→fi) composed with
+    // nfc_normalize — exactly NFKC for this block since the base
+    // text has no other compatibility codepoints. md5s keep the
+    // check byte-exact without dumping strings.
+    "text_normalize" -> QueryDef(
+      (s, d) => {
+        val aug = concat(col("text"),
+          lit(" e\u0301 \uFF21\uFF22\uFF23\uFF10 \uFB01" +
+            " zw\u200B\u200C\uFEFFsp"),
+          when(col("doc_id") % 3 === 0, lit(" \u00C3\u00A9"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit(" \uFFFD"))
+            .otherwise(lit("")))
+        Tables.documents(s, d)
+          .select(col("doc_id"), aug.as("t"))
+          .select(col("doc_id"),
+            md5(TextOps.normalizeUnicode(col("t"))).as("nfc_md5"),
+            md5(TextOps.normalizeUnicode(col("t"), "NFKC"))
+              .as("nfkc_md5"),
+            TextOps.zeroWidthCount(col("t")).as("n_zero_width"),
+            md5(TextOps.stripZeroWidth(
+              TextOps.normalizeUnicode(col("t"), "NFKC")))
+              .as("clean_md5"),
+            TextOps.mojibakeHits(col("t")).as("n_mojibake"),
+            TextOps.isMojibake(col("t")).as("mojibake_flag"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (SELECT doc_id,
+        |  text || ' e' || chr(769) || ' ' || chr(65313) ||
+        |    chr(65314) || chr(65315) || chr(65296) || ' ' ||
+        |    chr(64257) || ' zw' || chr(8203) || chr(8204) ||
+        |    chr(65279) || 'sp' ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' ' || chr(195) || chr(169)
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' ' || chr(65533)
+        |         ELSE '' END AS t
+        |  FROM documents),
+        |n AS (SELECT doc_id, t, nfc_normalize(t) AS nfc,
+        |  nfc_normalize(replace(replace(replace(replace(replace(t,
+        |    chr(65313), 'A'), chr(65314), 'B'), chr(65315), 'C'),
+        |    chr(65296), '0'), chr(64257), 'fi')) AS nfkc
+        |  FROM p)
+        |SELECT doc_id, md5(nfc) AS nfc_md5, md5(nfkc) AS nfkc_md5,
+        |  CAST(length(t) - length(regexp_replace(t,
+        |    '[' || chr(8203) || chr(8204) || chr(8205) ||
+        |    chr(8288) || chr(65279) || ']', '', 'g')) AS INT)
+        |    AS n_zero_width,
+        |  md5(regexp_replace(nfkc, '[' || chr(8203) || chr(8204) ||
+        |    chr(8205) || chr(8288) || chr(65279) || ']', '', 'g'))
+        |    AS clean_md5,
+        |  CAST(length(t) - length(regexp_replace(t,
+        |    '[' || chr(195) || chr(194) || chr(65533) || ']', '',
+        |    'g')) AS INT) AS n_mojibake,
+        |  length(t) - length(regexp_replace(t,
+        |    '[' || chr(195) || chr(194) || chr(65533) || ']', '',
+        |    'g')) > 0 AS mojibake_flag
+        |FROM n ORDER BY doc_id""".stripMargin)),
+
     // Gopher-style repetition signals per doc: repeated-token
     // fraction, most-frequent-bigram share, duplicated-trigram
     // fraction, and the composite gate a curation pipeline filters

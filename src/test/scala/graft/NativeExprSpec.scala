@@ -60,6 +60,33 @@ class NativeExprSpec extends SparkSpec {
     assert(r.getLong(1) != 0L)
   }
 
+  test("unicode_normalize: codegen path == interpreted eval == JDK " +
+    "reference, and SQL-callable with a literal form") {
+    GraftExtensions.register(spark)
+    // decomposed accent + fullwidth + ligature on real corpus text
+    val mess = "\u0301 \uFF21\uFB01 "
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(concat(lit("e"), lit(mess), col("text")).as("t"))
+    for (form <- Seq("NFC", "NFKC")) {
+      val f = java.text.Normalizer.Form.valueOf(form)
+      val mismatches = docs.select(col("t"),
+          graft.functions.native.unicode_normalize(col("t"), form)
+            .as("n"))
+        .collect()
+        .count(r => r.getString(1) !=
+          java.text.Normalizer.normalize(r.getString(0), f))
+      assert(mismatches === 0, form)
+    }
+    val viaSql = spark.sql(
+      "SELECT unicode_normalize('e\u0301', 'NFC') n")
+      .head().getString(0)
+    assert(viaSql === "\u00e9")
+    // non-literal form is rejected loudly, not mis-planned
+    intercept[Exception] {
+      spark.sql("SELECT unicode_normalize('x', lower('NFC'))").collect()
+    }
+  }
+
   test("native SRP buckets == higher-order SRP buckets, bitwise") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val diffs = emb.select(

@@ -18,6 +18,66 @@ class TextSpec extends SparkSpec {
     assert(one[Int](TextOps.tokenCount(lit(""))) == 0)
   }
 
+  test("normalizeUnicode: NFC composes, NFKC maps compatibility " +
+    "forms, both agree with java.text.Normalizer") {
+    // decomposed e + combining acute -> composed e-acute under NFC
+    assert(one[String](TextOps.normalizeUnicode(lit("cafe\u0301")))
+      === "caf\u00e9")
+    // NFC leaves compatibility forms; NFKC folds them to ASCII
+    val compat = "\uFF21\uFF22\uFF23\uFF10 \uFB01n"
+    assert(one[String](TextOps.normalizeUnicode(lit(compat))) === compat)
+    assert(one[String](TextOps.normalizeUnicode(lit(compat), "NFKC"))
+      === "ABC0 fin")
+    // agreement with the JDK reference on a mixed string
+    val mixed = "e\u0301\uFF41\uFB01 plain"
+    for (form <- Seq("NFC", "NFD", "NFKC", "NFKD"))
+      assert(one[String](TextOps.normalizeUnicode(lit(mixed), form)) ===
+        java.text.Normalizer.normalize(mixed,
+          java.text.Normalizer.Form.valueOf(form)), form)
+    // pure ASCII is untouched
+    assert(one[String](TextOps.normalizeUnicode(lit("plain text")))
+      === "plain text")
+  }
+
+  test("zero-width strip and mojibake heuristics count and clean the " +
+    "invisible/mis-decoded characters") {
+    val dirty = "a\u200Bb\u200Cc\u200Dd\u2060e\uFEFFf"
+    assert(one[String](TextOps.stripZeroWidth(lit(dirty))) === "abcdef")
+    assert(one[Int](TextOps.zeroWidthCount(lit(dirty))) === 5)
+    assert(one[Int](TextOps.zeroWidthCount(lit("clean"))) === 0)
+    // the classic UTF-8-as-Latin-1 e-acute plus a replacement char
+    assert(one[Int](TextOps.mojibakeHits(
+      lit("caf\u00C3\u00A9 x\uFFFD"))) === 2)
+    assert(one[Boolean](TextOps.isMojibake(
+      lit("caf\u00C3\u00A9"))) === true)
+    assert(one[Boolean](TextOps.isMojibake(lit("caf\u00e9"))) === false)
+  }
+
+  test("normalization feeds dedup: composed and decomposed spellings " +
+    "collapse to one survivor over the normalized column") {
+    import graft.ext.DedupOps
+    val docs = Seq(
+      (1L, "caf\u00e9 menu"),        // composed e-acute
+      (2L, "cafe\u0301 menu"),       // decomposed e + U+0301
+      (3L, "caf\u00e9\u200B menu"), // composed + zero-width sneak
+      (4L, "other text entirely")
+    ).toDF("doc_id", "text")
+    // raw text: all four hash apart
+    assert(DedupOps.exactDedupByHash(docs, "doc_id", "text")
+      .count() === 4)
+    // normalized + zero-width-stripped: 1, 2, 3 collapse to min-id 1
+    val normed = docs.withColumn("text_norm",
+      TextOps.stripZeroWidth(TextOps.normalizeUnicode(col("text"))))
+    val kept = DedupOps.exactDedupByHash(normed, "doc_id", "text_norm")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 4L))
+    // fingerprint agrees over the normalized column
+    val fps = normed.orderBy("doc_id")
+      .select(TextOps.fingerprint(col("text_norm")).as("fp"))
+      .collect().map(_.get(0))
+    assert(fps(0) == fps(1) && fps(0) == fps(2) && fps(0) != fps(3))
+  }
+
   test("langId picks the marker-heavy language") {
     assert(one[String](TextOps.langId(
       lit("the cat and the dog is in the house"))) == "en")
