@@ -788,8 +788,13 @@ object DedupOps {
         (size(col("__ta")) + size(col("__tb")) - col("__i")), 6))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count() // materialize, then release the corpus-scale set cache
+      // eager localCheckpoint, not persist: the result must
+      // materialize before the corpus-scale set cache is released,
+      // and checkpoint storage is reclaimed by the context cleaner
+      // when the frame is no longer referenced — a persist here had
+      // no unpersist path, so long sessions calling the operator
+      // repeatedly accumulated cached partitions forever
+      .localCheckpoint(true)
     sets.unpersist()
     out
   }
@@ -1011,8 +1016,10 @@ object DedupOps {
       .filter(col("containment_a") >= minContainment ||
         col("containment_b") >= minContainment)
       .select("id_a", "id_b", "containment_a", "containment_b")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count() // materialize, then release the corpus-scale set cache
+      // eager localCheckpoint (see prefixFilterJaccardPairs): result
+      // materializes before the set cache releases, and its storage
+      // is context-cleaned on GC instead of leaking per call
+      .localCheckpoint(true)
     sets.unpersist()
     out
   }

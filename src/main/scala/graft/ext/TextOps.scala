@@ -94,12 +94,21 @@ object TextOps {
   def mojibakeHits(text: Column): Column =
     length(text) - length(regexp_replace(text, mojibakeClass, ""))
 
-  /** Heuristic mojibake flag: any tell-tale present. (Ã/Â do occur in
-    * legitimate text — "Ângelo" — but essentially always followed by
-    * a letter, while mis-decoded UTF-8 pairs them with symbols; at
-    * curation scale the cheap flag routes docs to a re-decode pass,
-    * it does not delete them.) */
-  def isMojibake(text: Column): Column = mojibakeHits(text) > 0
+  /** Heuristic mojibake flag with the letter-follows guard: U+FFFD
+    * always flags (a lossy decode already happened), while the
+    * Latin-1 lead tell-tales Ã/Â flag only when followed by a
+    * NON-letter or end-of-text — mis-decoded UTF-8 pairs them with
+    * symbols/signs ("Ã©" for é, "Â«" for «), whereas in legitimate
+    * text ("Ângelo") they are word-initial letters followed by
+    * letters. Written in the Java-regex ∩ RE2 subset (no lookahead;
+    * `\p{L}` classes run identically in both engines) so the oracle
+    * evaluates the same predicate. Contract: the flag ROUTES docs to
+    * a re-decode pass, it must never gate deletion — a heuristic
+    * with a known FP/FN floor (TextSpec pins the legitimate-accent
+    * case) only ever earns a second look, not a drop. */
+  def isMojibake(text: Column): Column =
+    regexp_like(text,
+      lit("[\\u00C3\\u00C2]([^\\p{L}]|$)|\\uFFFD"))
 
   /** BPE-ish subword count: word-piece regex splits on whitespace AND
     * punctuation boundaries, counting punctuation runs as tokens —

@@ -15,51 +15,26 @@ import org.apache.spark.sql.graft.Bridge
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((Bridge.functionId("minhash_sig"),
-      Bridge.functionInfo("minhash_sig",
-        "minhash_sig(shingle_hashes, n) - n-element MinHash signature of a bigint array"),
-      (exprs: Seq[Expression]) =>
-        MinhashSig(exprs(0), GraftExtensions.intLiteral(exprs(1), "minhash_sig", "n"))))
-    e.injectFunction((Bridge.functionId("srp_buckets"),
-      Bridge.functionInfo("srp_buckets",
-        "srp_buckets(vec, bits, tables) - per-table sign-random-projection LSH buckets"),
-      (exprs: Seq[Expression]) => SrpBuckets(exprs(0),
-        GraftExtensions.intLiteral(exprs(1), "srp_buckets", "bits"),
-        GraftExtensions.intLiteral(exprs(2), "srp_buckets", "tables"))))
-    e.injectFunction((Bridge.functionId("nearest_centroid"),
-      Bridge.functionInfo("nearest_centroid",
-        "nearest_centroid(vec, centroids) - argmax-cosine centroid id over an array of (centroid_id, centroid) structs"),
-      (exprs: Seq[Expression]) => NearestCentroid(exprs(0), exprs(1))))
-    e.injectFunction((Bridge.functionId("cosine_similarity"),
-      Bridge.functionInfo("cosine_similarity",
-        "cosine_similarity(a, b) - double-precision cosine of two float arrays"),
-      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
-    e.injectFunction((Bridge.functionId("simhash64"),
-      Bridge.functionInfo("simhash64",
-        "simhash64(tokens) - 64-bit SimHash of a string array"),
-      (exprs: Seq[Expression]) => Simhash64(exprs.head)))
-    e.injectFunction((Bridge.functionId("token_set_jaccard"),
-      Bridge.functionInfo("token_set_jaccard",
-        "token_set_jaccard(a, b) - set-semantics Jaccard of two string arrays"),
-      (exprs: Seq[Expression]) => TokenSetJaccard(exprs(0), exprs(1))))
-    e.injectFunction((Bridge.functionId("cms_estimate"),
-      Bridge.functionInfo("cms_estimate",
-        "cms_estimate(sketch, item) - count estimate for a bigint item from a count_min_sketch binary"),
-      (exprs: Seq[Expression]) => CmsEstimate(exprs(0), exprs(1))))
-    e.injectFunction((Bridge.functionId("bloom_might_contain"),
-      Bridge.functionInfo("bloom_might_contain",
-        "bloom_might_contain(filter, item) - membership probe for a bigint item against a serialized bloom filter"),
-      (exprs: Seq[Expression]) => BloomMightContain(exprs(0), exprs(1))))
-    e.injectFunction((Bridge.functionId("unicode_normalize"),
-      Bridge.functionInfo("unicode_normalize",
-        "unicode_normalize(text, 'NFC'|'NFD'|'NFKC'|'NFKD') - UAX #15 Unicode normalization"),
-      (exprs: Seq[Expression]) => UnicodeNormalize(exprs(0),
-        GraftExtensions.strLiteral(exprs(1), "unicode_normalize", "form"))))
-  }
+  def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.builders.foreach { case (name, usage, build) =>
+      e.injectFunction((Bridge.functionId(name),
+        Bridge.functionInfo(name, usage), build))
+    }
 }
 
 object GraftExtensions {
+  /** Arity gate for the registered builders: a short SQL call like
+    * `unicode_normalize('x')` must fail as an analysis-time
+    * IllegalArgumentException naming the function and its expected
+    * signature, not as an IndexOutOfBoundsException from `exprs(1)`. */
+  private[functions] def arity(exprs: Seq[Expression], n: Int,
+                               fn: String): Seq[Expression] = {
+    if (exprs.length != n) throw new IllegalArgumentException(
+      s"$fn expects $n argument(s), got ${exprs.length} — see the " +
+        "function's usage string")
+    exprs
+  }
+
   /** Scalar params (hash counts, table counts) must be constants — a
     * per-row value would make the output schema row-dependent. */
   private[functions] def intLiteral(e: Expression, fn: String,
@@ -79,29 +54,56 @@ object GraftExtensions {
       s"$fn: argument '$arg' must be a string literal, got $other")
   }
 
+  /** One (name, usage, arity-checked builder) row per SQL-exposed
+    * native expression — the single table both the extension path
+    * ([[GraftExtensions.apply]]) and the already-built-session path
+    * ([[register]]) install, so the two registrations cannot drift. */
+  private[functions] val builders
+      : Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("minhash_sig",
+      "minhash_sig(shingle_hashes, n) - n-element MinHash signature of a bigint array",
+      exprs => { arity(exprs, 2, "minhash_sig")
+        MinhashSig(exprs(0), intLiteral(exprs(1), "minhash_sig", "n")) }),
+    ("srp_buckets",
+      "srp_buckets(vec, bits, tables) - per-table sign-random-projection LSH buckets",
+      exprs => { arity(exprs, 3, "srp_buckets")
+        SrpBuckets(exprs(0),
+          intLiteral(exprs(1), "srp_buckets", "bits"),
+          intLiteral(exprs(2), "srp_buckets", "tables")) }),
+    ("nearest_centroid",
+      "nearest_centroid(vec, centroids) - argmax-cosine centroid id over an array of (centroid_id, centroid) structs",
+      exprs => { arity(exprs, 2, "nearest_centroid")
+        NearestCentroid(exprs(0), exprs(1)) }),
+    ("cosine_similarity",
+      "cosine_similarity(a, b) - double-precision cosine of two float arrays",
+      exprs => { arity(exprs, 2, "cosine_similarity")
+        CosineSimilarity(exprs(0), exprs(1)) }),
+    ("simhash64",
+      "simhash64(tokens) - 64-bit SimHash of a string array",
+      exprs => { arity(exprs, 1, "simhash64")
+        Simhash64(exprs.head) }),
+    ("token_set_jaccard",
+      "token_set_jaccard(a, b) - set-semantics Jaccard of two string arrays",
+      exprs => { arity(exprs, 2, "token_set_jaccard")
+        TokenSetJaccard(exprs(0), exprs(1)) }),
+    ("cms_estimate",
+      "cms_estimate(sketch, item) - count estimate for a bigint item from a count_min_sketch binary",
+      exprs => { arity(exprs, 2, "cms_estimate")
+        CmsEstimate(exprs(0), exprs(1)) }),
+    ("bloom_might_contain",
+      "bloom_might_contain(filter, item) - membership probe for a bigint item against a serialized bloom filter",
+      exprs => { arity(exprs, 2, "bloom_might_contain")
+        BloomMightContain(exprs(0), exprs(1)) }),
+    ("unicode_normalize",
+      "unicode_normalize(text, 'NFC'|'NFD'|'NFKC'|'NFKD') - UAX #15 Unicode normalization",
+      exprs => { arity(exprs, 2, "unicode_normalize")
+        UnicodeNormalize(exprs(0),
+          strLiteral(exprs(1), "unicode_normalize", "form")) }))
+
   /** Register the same functions on an already-built session (the
     * driver owns the session in the Verify/Bench contract). */
-  def register(spark: SparkSession): Unit = {
-    Bridge.registerFunction(spark, "cosine_similarity",
-      exprs => CosineSimilarity(exprs(0), exprs(1)))
-    Bridge.registerFunction(spark, "simhash64",
-      exprs => Simhash64(exprs.head))
-    Bridge.registerFunction(spark, "token_set_jaccard",
-      exprs => TokenSetJaccard(exprs(0), exprs(1)))
-    Bridge.registerFunction(spark, "nearest_centroid",
-      exprs => NearestCentroid(exprs(0), exprs(1)))
-    Bridge.registerFunction(spark, "minhash_sig",
-      exprs => MinhashSig(exprs(0), intLiteral(exprs(1), "minhash_sig", "n")))
-    Bridge.registerFunction(spark, "srp_buckets",
-      exprs => SrpBuckets(exprs(0),
-        intLiteral(exprs(1), "srp_buckets", "bits"),
-        intLiteral(exprs(2), "srp_buckets", "tables")))
-    Bridge.registerFunction(spark, "cms_estimate",
-      exprs => CmsEstimate(exprs(0), exprs(1)))
-    Bridge.registerFunction(spark, "bloom_might_contain",
-      exprs => BloomMightContain(exprs(0), exprs(1)))
-    Bridge.registerFunction(spark, "unicode_normalize",
-      exprs => UnicodeNormalize(exprs(0),
-        strLiteral(exprs(1), "unicode_normalize", "form")))
-  }
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, _, build) =>
+      Bridge.registerFunction(spark, name, build)
+    }
 }

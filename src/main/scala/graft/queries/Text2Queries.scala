@@ -219,9 +219,8 @@ object Text2Queries {
         |  CAST(length(t) - length(regexp_replace(t,
         |    '[' || chr(195) || chr(194) || chr(65533) || ']', '',
         |    'g')) AS INT) AS n_mojibake,
-        |  length(t) - length(regexp_replace(t,
-        |    '[' || chr(195) || chr(194) || chr(65533) || ']', '',
-        |    'g')) > 0 AS mojibake_flag
+        |  regexp_matches(t, '[' || chr(195) || chr(194) ||
+        |    ']([^\p{L}]|$)|' || chr(65533)) AS mojibake_flag
         |FROM n ORDER BY doc_id""".stripMargin)),
 
     // Gopher-style repetition signals per doc: repeated-token

@@ -51,6 +51,21 @@ class TextSpec extends SparkSpec {
     assert(one[Boolean](TextOps.isMojibake(
       lit("caf\u00C3\u00A9"))) === true)
     assert(one[Boolean](TextOps.isMojibake(lit("caf\u00e9"))) === false)
+    // letter-follows guard: legitimate accented names carry the
+    // tell-tale FOLLOWED BY A LETTER and must NOT be flagged —
+    // the ADVICE-pinned false-positive class ("\u00C2ngelo",
+    // multilingual block with word-initial \u00C3/\u00C2)
+    assert(one[Boolean](TextOps.isMojibake(
+      lit("\u00C2ngelo moved to S\u00E3o Paulo"))) === false)
+    assert(one[Boolean](TextOps.isMojibake(
+      lit("\u00C3ngstr\u00F6m units"))) === false)
+    // tell-tale at end-of-text is the mis-decode shape, not a name
+    assert(one[Boolean](TextOps.isMojibake(lit("caf\u00C3"))) === true)
+    // U+FFFD always flags: the lossy decode already happened
+    assert(one[Boolean](TextOps.isMojibake(lit("x\uFFFDy"))) === true)
+    // and the flag routes, never deletes: hits count stays available
+    assert(one[Int](TextOps.mojibakeHits(
+      lit("\u00C2ngelo"))) === 1)
   }
 
   test("normalization feeds dedup: composed and decomposed spellings " +
