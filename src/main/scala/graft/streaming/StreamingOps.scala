@@ -26,6 +26,52 @@ final case class FunnelProgress(user_id: Long, t1: Option[Long],
   */
 object StreamingOps {
 
+  /** The RocksDB state store provider shipped in Spark's own jars —
+    * the 100 TB answer for the STATEFUL twins below
+    * ([[runningUserProfile]], [[funnelStream]], and the built-in
+    * windowed/dedup state): the default HDFS-backed provider keeps
+    * every key's state in executor HEAP (O(entities) in memory — at
+    * corpus scale, an OOM wall), while RocksDB keeps it on local SSD
+    * with a bounded block cache and ships versioned
+    * snapshots/changelogs to the checkpoint exactly like the default
+    * provider. Same commit/rollback contract, same checkpoint layout
+    * discipline — a pure config switch, which is why the operators
+    * themselves carry no provider code. StreamingSpec runs the
+    * kill-mid-epoch restart drills on BOTH providers. */
+  val RocksDBStateStoreProvider: String =
+    "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider"
+
+  /** The default executor-heap provider (Spark's default when the
+    * conf is unset) — named so specs/config can switch explicitly. */
+  val HDFSBackedStateStoreProvider: String =
+    "org.apache.spark.sql.execution.streaming.state." +
+      "HDFSBackedStateStoreProvider"
+
+  private val ProviderConfKey =
+    "spark.sql.streaming.stateStore.providerClass"
+
+  /** Run `body` with the session's state store provider switched to
+    * `providerClass`, restoring the prior setting after. The conf is
+    * read once at STREAMING QUERY START and pinned into the
+    * checkpoint lineage, so this scopes provider choice to the
+    * queries started inside `body`; an already-running query is
+    * unaffected. A checkpoint written under one provider must be
+    * resumed under the same provider (the state files are
+    * provider-formatted) — Spark enforces this, so flipping the conf
+    * mid-lineage fails fast rather than corrupting state. */
+  def withStateStoreProvider[T](
+      spark: org.apache.spark.sql.SparkSession,
+      providerClass: String)(body: => T): T = {
+    val prev = spark.conf.getOption(ProviderConfKey)
+    spark.conf.set(ProviderConfKey, providerClass)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(ProviderConfKey, v)
+      case None    => spark.conf.unset(ProviderConfKey)
+    }
+  }
+
   /** Streaming dedup with bounded state: first row per key wins;
     * state for keys older than the watermark is dropped. */
   def dedupStream(events: DataFrame, tsCol: String, watermark: String,
@@ -83,7 +129,11 @@ object StreamingOps {
     * profile (event count, value sum, last-seen) maintained across
     * micro-batches — the building block for any bespoke streaming
     * state the built-in windows can't express. State is dropped after
-    * `idleTimeout` without events (processing-time timeout). */
+    * `idleTimeout` without events (processing-time timeout). State is
+    * O(entities) — at 100 TB / 10⁹ users that does not fit executor
+    * heap: run under [[RocksDBStateStoreProvider]]
+    * (config-switched; StreamingSpec drills the kill-restart path on
+    * both providers — see SCALING.md, streaming state). */
   def runningUserProfile(events: org.apache.spark.sql.Dataset[UserEvent],
                          idleTimeout: Option[String] = None)
       : org.apache.spark.sql.Dataset[UserProfile] = {
@@ -128,7 +178,10 @@ object StreamingOps {
     * this is the low-latency approximation, equal under in-order
     * delivery; StreamingSpec asserts the equality). State is 3
     * optional longs per entity — O(entities), independent of event
-    * volume. */
+    * volume; at corpus scale run under
+    * [[RocksDBStateStoreProvider]] so entity state lives on local
+    * SSD, not executor heap (kill-restart drilled on both providers
+    * in StreamingSpec). */
   def funnelStream(events: org.apache.spark.sql.Dataset[UserEvent],
                    steps: (String, String, String))
       : org.apache.spark.sql.Dataset[FunnelProgress] = {

@@ -722,6 +722,151 @@ class StreamingSpec extends SparkSpec {
     assert(batch(3L)._2.nonEmpty && batch(3L)._3.isEmpty)
   }
 
+  test("stateful twins (runningUserProfile, funnelStream) survive a " +
+    "kill AFTER the state commit, BEFORE the epoch commit, and " +
+    "restart — config-switched onto BOTH state store providers") {
+    import graft.streaming.{StreamingOps, UserEvent, UserProfile,
+      FunnelProgress}
+    implicit val ctx = spark.sqlContext
+    // conf.getOption surfaces the registered DEFAULT for unset SQL
+    // confs, so "restored" means "back to this", not "empty"
+    val confBefore = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    for ((provName, prov) <- Seq(
+        "hdfs" -> StreamingOps.HDFSBackedStateStoreProvider,
+        "rocksdb" -> StreamingOps.RocksDBStateStoreProvider)) {
+      StreamingOps.withStateStoreProvider(spark, prov) {
+        val root = Files.createTempDirectory(s"graft-state-$provName")
+
+        // ---- runningUserProfile: count/sum state must roll back ----
+        val ms = MemoryStream[UserEvent]
+        val ckpt = root.resolve("profile-ckpt").toString
+        val acc =
+          new scala.collection.concurrent.TrieMap[Long, (Long, Double)]()
+        def drain(): Unit = {
+          val q = StreamingOps.runningUserProfile(ms.toDS())
+            .writeStream.outputMode("update")
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch {
+              (b: org.apache.spark.sql.Dataset[UserProfile], _: Long) =>
+                b.collect().foreach(p =>
+                  acc.put(p.user_id, (p.n_events, p.total_value)))
+                ()
+            }
+            .option("checkpointLocation", ckpt).start()
+          q.awaitTermination()
+        }
+        ms.addData(UserEvent(t(0), 1, "click", 2.0),
+          UserEvent(t(1), 2, "view", 3.0))
+        drain()
+        // epoch 2 arrives: the state store version COMMITS task-side
+        // (b.collect() runs the micro-batch plan), then the sink dies
+        // before the epoch commit — the replayed epoch must re-run
+        // against the ROLLED-BACK state version, not the committed
+        // one, or user 1's count double-counts
+        ms.addData(UserEvent(t(2), 1, "click", 5.0))
+        @volatile var killed = false
+        val crash = StreamingOps.runningUserProfile(ms.toDS())
+          .writeStream.outputMode("update")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[UserProfile], _: Long) =>
+              b.collect()
+              killed = true
+              throw new RuntimeException(
+                "killed after state commit, before epoch commit")
+          }
+          .option("checkpointLocation", ckpt).start()
+        intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          crash.awaitTermination()
+        }
+        assert(killed, provName)
+        drain() // replayed epoch, then a genuinely new one
+        ms.addData(UserEvent(t(3), 1, "view", 1.0))
+        drain()
+        assert(acc(1L) == ((3L, 8.0)),
+          s"$provName: replayed epoch must not double-count")
+        assert(acc(2L) == ((1L, 3.0)), provName)
+
+        // ---- funnelStream: reach-time state must roll back ----
+        val fs = MemoryStream[UserEvent]
+        val fckpt = root.resolve("funnel-ckpt").toString
+        val facc = new scala.collection.concurrent.TrieMap[Long,
+          (Option[Long], Option[Long], Option[Long])]()
+        def fdrain(): Unit = {
+          val q = StreamingOps.funnelStream(fs.toDS(),
+              ("view", "click", "purchase"))
+            .writeStream.outputMode("update")
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch {
+              (b: org.apache.spark.sql.Dataset[FunnelProgress], _: Long) =>
+                b.collect().foreach(p =>
+                  facc.put(p.user_id, (p.t1, p.t2, p.t3)))
+                ()
+            }
+            .option("checkpointLocation", fckpt).start()
+          q.awaitTermination()
+        }
+        fs.addData(UserEvent(t(0), 1, "view", 0.0))
+        fdrain()
+        fs.addData(UserEvent(t(1), 1, "click", 0.0))
+        val fcrash = StreamingOps.funnelStream(fs.toDS(),
+            ("view", "click", "purchase"))
+          .writeStream.outputMode("update")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[FunnelProgress], _: Long) =>
+              b.collect()
+              throw new RuntimeException(
+                "killed after state commit, before epoch commit")
+          }
+          .option("checkpointLocation", fckpt).start()
+        intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          fcrash.awaitTermination()
+        }
+        fdrain() // replay absorbs
+        fs.addData(UserEvent(t(5), 1, "purchase", 0.0))
+        fdrain()
+        // equal to the batch ground truth over ALL events — a
+        // double-applied click would NOT change t2 (set-once), so
+        // assert the full reach-time triple, not just presence
+        assert(facc(1L) ==
+          ((Some(t(0).getTime), Some(t(1).getTime), Some(t(5).getTime))),
+          provName)
+
+        // the provider switch genuinely engaged: the checkpoint's
+        // state dir carries provider-formatted files (RocksDB ships
+        // zipped snapshots/changelogs; the default provider writes
+        // .delta files)
+        def stateFiles(dir: String): Seq[String] = {
+          val d = java.nio.file.Paths.get(dir, "state")
+          if (!Files.exists(d)) Seq.empty
+          else {
+            val s = Files.walk(d)
+            try {
+              import scala.jdk.CollectionConverters._
+              s.iterator().asScala.filter(Files.isRegularFile(_))
+                .map(_.getFileName.toString).toList
+            } finally s.close()
+          }
+        }
+        val files = stateFiles(ckpt) ++ stateFiles(fckpt)
+        assert(files.nonEmpty, provName)
+        if (provName == "rocksdb")
+          assert(files.exists(f => f.endsWith(".zip") ||
+            f.endsWith(".changelog")),
+            s"rocksdb state files expected, got: ${files.take(10)}")
+        else
+          assert(files.exists(_.endsWith(".delta")),
+            s"hdfs-backed .delta state files expected, got: " +
+              files.take(10).toString)
+      }
+    }
+    // the scoped switch restored the session default
+    assert(spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass") == confBefore)
+  }
+
   test("incrementalLoadStream is the streaming form of load-if-new") {
     implicit val ctx = spark.sqlContext
     val store = Files.createTempDirectory("graft-stream-store").toString
