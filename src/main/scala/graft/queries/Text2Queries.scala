@@ -223,6 +223,55 @@ object Text2Queries {
         |    ']([^\p{L}]|$)|' || chr(65533)) AS mojibake_flag
         |FROM n ORDER BY doc_id""".stripMargin)),
 
+    // Normalization-FIRST exact dedup — the wiring the
+    // normalizeUnicode scaladoc prescribes, as a checked query: the
+    // corpus is doubled into two raw VARIANTS of every doc (composed
+    // e-acute + ASCII suffix vs decomposed e+U+0301 + fullwidth
+    // suffix — same text to a reader, different bytes), and dedup
+    // groups on sha2(NFKC(text)) so the digest shuffle carries
+    // 32-byte hashes of the NORMALIZED form. Every group's
+    // n_raw_variants = 2 IS the missed-pair class: unnormalized
+    // exact dedup (dedup_exact's groupBy text) would keep both
+    // variants — n_copies here is exactly 2× dedup_exact's, which
+    // the oracle (DuckDB nfc_normalize + mapped compatibility
+    // pairs + md5) re-derives independently. Scale shape =
+    // exactDedupByHash: one narrow normalize+digest map, one
+    // digest-grain shuffle; raw variants are counted as distinct
+    // md5s so no raw text rides the aggregation either.
+    "dedup_exact_normalized" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val a = docs.select(col("doc_id"),
+          concat(col("text"), lit(" caf\u00e9 No1")).as("t"))
+        val b = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"),
+            lit(" cafe\u0301 \uFF2E\uFF4F\uFF11")).as("t"))
+        a.unionByName(b)
+          .groupBy(sha2(TextOps.normalizeUnicode(col("t"), "NFKC"),
+            256).as("__h"))
+          .agg(min(col("doc_id")).as("keep_id"),
+            count(lit(1)).as("n_copies"),
+            countDistinct(md5(col("t"))).as("n_raw_variants"))
+          .select("keep_id", "n_copies", "n_raw_variants")
+          .orderBy("keep_id")
+      },
+      Some("""WITH aug AS (
+        |  SELECT doc_id, text || ' caf' || chr(233) || ' No1' AS t
+        |    FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |      text || ' cafe' || chr(769) || ' ' || chr(65326) ||
+        |      chr(65359) || chr(65297) AS t
+        |    FROM documents),
+        |n AS (SELECT doc_id, t,
+        |  nfc_normalize(replace(replace(replace(t,
+        |    chr(65326), 'N'), chr(65359), 'o'), chr(65297), '1'))
+        |    AS nt
+        |  FROM aug)
+        |SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
+        |  CAST(count(DISTINCT md5(t)) AS BIGINT) AS n_raw_variants
+        |FROM n GROUP BY nt ORDER BY keep_id""".stripMargin)),
+
     // Gopher-style repetition signals per doc: repeated-token
     // fraction, most-frequent-bigram share, duplicated-trigram
     // fraction, and the composite gate a curation pipeline filters
