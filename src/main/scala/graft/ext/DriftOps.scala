@@ -151,7 +151,21 @@ object DriftOps {
     * Persist this frame beside a closed snapshot and gate later
     * batches with [[applyRobustStats]]. */
   def robustStatsDiscrete(df: DataFrame, keys: Seq[String],
-                          valueCol: Column): DataFrame = {
+                          valueCol: Column): DataFrame =
+    statsFromValueHistogram(
+      df.withColumn("__val", valueCol)
+        .groupBy((keys.map(col) :+ col("__val")): _*)
+        .agg(count(lit(1)).as("__cnt")),
+      keys)
+
+  /** The (keys…, __med, __mad) model read off an EXISTING
+    * (keys…, __val, __cnt) value histogram — the tail of
+    * [[robustStatsDiscrete]], exposed so a persisted histogram store
+    * ([[updateKeyedValueHistogram]]) can re-fit the model in
+    * O(histogram) without ever re-scanning a snapshot (the
+    * [[rollingMadGate]] path). */
+  def statsFromValueHistogram(hist: DataFrame,
+                              keys: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val keyCols = keys.map(col)
     val wKey = Window.partitionBy(keyCols: _*)
@@ -171,9 +185,6 @@ object DriftOps {
     // → dev re-key → mad — so the histogram is planned (and its fold
     // paid) exactly once; a join-back formulation re-plans the hist
     // subtree under every broadcast branch
-    val withVal = df.withColumn("__val", valueCol)
-    val hist = withVal.groupBy((keyCols :+ col("__val")): _*)
-      .agg(count(lit(1)).as("__cnt"))
     // med rides the SAME key-partitioned window as the cumsum (max of
     // the one marked row) — every histogram row learns its key's
     // median with no join and no extra exchange
@@ -190,6 +201,100 @@ object DriftOps {
       .filter(col("__hit"))
       .select((keyCols :+ col("__med") :+
         col("__dev").as("__mad")): _*)
+  }
+
+  /** O(batch) maintenance of the per-KEY discrete value histogram —
+    * the rolling MAD gate's model substrate as a STORE: each day's
+    * batch appends its (key, value)-grain count delta (one
+    * map-side-combinable fold over the batch; ≤ Σ per-key distinct
+    * values rows) under its batch id. The
+    * [[updateValueHistogram]] posture exactly: append-only, nothing
+    * read back on the write path, replay-safe because duplicate
+    * (batch, key, value) delta rows collapse before summing on
+    * serve. Discrete-signal contract as [[robustStatsDiscrete]]:
+    * per-key distinct-value cardinality must be task-bounded.
+    * Returns the batch's row count, observed on the write job
+    * itself. */
+  def updateKeyedValueHistogram(batch: DataFrame, keys: Seq[String],
+                                valueCol: Column, storeDir: String,
+                                batchId: Long): Long = {
+    val delta = batch
+      .groupBy((keys.map(col) :+ valueCol.as("__val")): _*)
+      .agg(sum(lit(1L)).as("__cnt"))
+      .withColumn("__batch", lit(batchId))
+    val obs = new org.apache.spark.sql.Observation()
+    graft.io.Staging.appendParquet(
+      delta.observe(obs, coalesce(sum(col("__cnt")), lit(0L)).as("n")),
+      storeDir, "keyed_value_hist")
+    obs.get("n").asInstanceOf[Long]
+  }
+
+  /** The per-key value histogram folded from an
+    * [[updateKeyedValueHistogram]] store, restricted to batches
+    * STRICTLY BEFORE `beforeBatch` — replay-safe (duplicate
+    * (batch, key, value) rows collapse) and frozen by construction:
+    * however late the fold is evaluated, deltas appended at or after
+    * `beforeBatch` cannot leak into it. With batches partitioning a
+    * snapshot this EQUALS the one-shot histogram — incremental ≡
+    * one-shot. */
+  def keyedHistogramFromStore(spark: org.apache.spark.sql.SparkSession,
+                              storeDir: String, keys: Seq[String],
+                              beforeBatch: Long = Long.MaxValue)
+      : DataFrame =
+    graft.io.Staging.readTable(spark, storeDir, "keyed_value_hist")
+      .filter(col("__batch") < beforeBatch)
+      .dropDuplicates("__batch" +: keys :+ "__val")
+      .groupBy((keys.map(col) :+ col("__val")): _*)
+      .agg(sum(col("__cnt")).as("__cnt"))
+
+  /** Multi-day FROZEN-gate chaining without snapshot re-scans: gate
+    * day `batchId`'s batch against the robust model re-fit from the
+    * histogram STORE over days < `batchId` — so N days of
+    * [[applyRobustStats]] chain at O(delta log) model cost per day
+    * instead of O(corpus), and today's data still cannot move its
+    * own gate (the fold's strict `__batch < batchId` bound holds
+    * even for a gate replayed AFTER its own delta was appended).
+    *
+    * `maxStaleness` is the EXPLICIT staleness bound: the freshest
+    * model day must be within `maxStaleness` batches of the gated
+    * batch, or the call fails — a gate silently chained off a store
+    * whose maintenance stalled a month ago would pass drifted data
+    * against an antique model, the monitoring failure this exists to
+    * alarm on. The probe reads only the column-pruned `__batch`
+    * column of the delta log (the [[assertCuts]] tiny-job
+    * discipline).
+    *
+    * Daily protocol: `rollingMadGate(day k)` THEN
+    * `updateKeyedValueHistogram(day k, batchId = k)` — gate first,
+    * append after, so day k+1's model includes day k. Keys unseen by
+    * the model surface with NULL med/mad/flag, as
+    * [[applyRobustStats]]. */
+  def rollingMadGate(batch: DataFrame, keys: Seq[String],
+                     valueCol: Column, k: Double, storeDir: String,
+                     batchId: Long, maxStaleness: Long,
+                     outCol: String = "is_outlier"): DataFrame = {
+    require(maxStaleness >= 1, s"maxStaleness=$maxStaleness")
+    gateGuard(batch, outCol)
+    val spark = batch.sparkSession
+    val modelMax = graft.io.Staging
+      .readTable(spark, storeDir, "keyed_value_hist")
+      .filter(col("__batch") < batchId)
+      .agg(max(col("__batch"))).head()
+    require(!modelMax.isNullAt(0),
+      s"rollingMadGate: no batch earlier than $batchId in histogram " +
+        s"store $storeDir — seed the store before gating")
+    val freshest = modelMax.getLong(0)
+    require(batchId - freshest <= maxStaleness,
+      s"rollingMadGate: model is stale — freshest store batch " +
+        s"$freshest is ${batchId - freshest} behind gated batch " +
+        s"$batchId (bound $maxStaleness); resume histogram " +
+        "maintenance before trusting the gate")
+    // model is key-cardinality-sized; materialize it once so the
+    // broadcast join does not re-read/re-fold the delta log per action
+    val model = statsFromValueHistogram(
+        keyedHistogramFromStore(spark, storeDir, keys, batchId), keys)
+      .localCheckpoint(true)
+    applyRobustStats(batch, model, keys, valueCol, k, outCol)
   }
 
   /** Per-bucket PSI report between `base` and `current` over literal

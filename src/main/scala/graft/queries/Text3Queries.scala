@@ -289,6 +289,68 @@ object Text3Queries {
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM o GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // Multi-day FROZEN-gate chaining (the rolling production
+    // monitoring protocol): three "days" partition the corpus
+    // (doc_id % 3); days 0 and 1 append (lang, n_tokens) histogram
+    // deltas to the store — day 1 REPLAYED verbatim (the
+    // at-least-once drill; the serve fold collapses it) — and day 2
+    // is gated against the model re-fit from the STORE, O(delta log)
+    // not O(corpus), under the explicit staleness bound. The oracle
+    // re-derives day 2's gate from days 0∪1's raw rows: store-fit ≡
+    // snapshot-fit IS the contract (the corpus_drift_incremental
+    // posture). Day-2 langs unseen on days 0–1 come back NULL-scored,
+    // never dropped.
+    "mad_gate_rolling" -> QueryDef(
+      (s, d) => {
+        import graft.ext.DriftOps
+        val sig = tokenSignals(s, d)
+        def day(i: Int) = sig.filter(col("doc_id") % 3 === i)
+        val store = FixtureStore.buildOnce(s, "mad_roll_store", d) {
+          dir =>
+            DriftOps.updateKeyedValueHistogram(day(0), Seq("lang"),
+              col("n_tokens"), dir, batchId = 0L)
+            DriftOps.updateKeyedValueHistogram(day(1), Seq("lang"),
+              col("n_tokens"), dir, batchId = 1L)
+            // replayed day: bit-identical delta under the same id
+            DriftOps.updateKeyedValueHistogram(day(1), Seq("lang"),
+              col("n_tokens"), dir, batchId = 1L)
+            ()
+        }
+        DriftOps.rollingMadGate(day(2), Seq("lang"), col("n_tokens"),
+            3.0, store, batchId = 2L, maxStaleness = 1L)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            max(col("__med")).cast("long").as("med_tokens"),
+            max(col("__mad")).cast("long").as("mad_tokens"),
+            sum(when(col("is_outlier"), 1L).otherwise(0L))
+              .as("n_outliers"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, lang, len($tokSql) AS tc
+        |  FROM documents),
+        |e AS (SELECT lang, tc FROM t WHERE doc_id % 3 IN (0, 1)),
+        |r AS (SELECT lang, tc, row_number() OVER (
+        |    PARTITION BY lang ORDER BY tc) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n FROM e),
+        |m AS (SELECT lang, min(tc) AS med FROM r
+        |  WHERE rn = CAST(ceil(n / 2.0) AS BIGINT) GROUP BY lang),
+        |d2 AS (SELECT e.lang, abs(e.tc - m.med) AS dev
+        |  FROM e JOIN m USING (lang)),
+        |r2 AS (SELECT lang, dev, row_number() OVER (
+        |    PARTITION BY lang ORDER BY dev) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n FROM d2),
+        |m2 AS (SELECT lang, min(dev) AS mad FROM r2
+        |  WHERE rn = CAST(ceil(n / 2.0) AS BIGINT) GROUP BY lang),
+        |o AS (SELECT t.lang, t.tc, m.med, m2.mad FROM t
+        |  LEFT JOIN m USING (lang) LEFT JOIN m2 USING (lang)
+        |  WHERE t.doc_id % 3 = 2)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(max(med) AS BIGINT) AS med_tokens,
+        |  CAST(max(mad) AS BIGINT) AS mad_tokens,
+        |  CAST(sum(CASE WHEN abs(tc - med) > 3.0 * mad
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM o GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // Top-5 trigrams per language — the corpus-statistics view every
     // curation run eyeballs (boilerplate and stopword phrases show up
     // here first). TextOps.topNgrams counts at 128-bit digest grain

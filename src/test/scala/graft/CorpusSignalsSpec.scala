@@ -390,6 +390,69 @@ class CorpusSignalsSpec extends SparkSpec {
       unseen.filter(col("is_outlier").isNull).count() === 1L)
   }
 
+  test("rollingMadGate chains days off the histogram STORE: " +
+    "store-fit ≡ snapshot-fit, a replayed day changes nothing, a " +
+    "replayed GATE stays frozen, and the staleness bound trips") {
+    import graft.ext.DriftOps
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-rollgate").toString
+    def day(rows: (String, Long)*) = rows.toDF("k", "v")
+    val d0 = day(("A", 1L), ("A", 2L), ("A", 3L), ("B", 10L))
+    val d1 = day(("A", 4L), ("A", 5L), ("B", 12L))
+    val d2 = day(("A", 4L), ("A", 100L), ("NEW", 7L))
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "v", "__med", "__mad", "is_outlier")
+        .collect().map(_.toSeq).toSet
+
+    DriftOps.updateKeyedValueHistogram(d0, Seq("k"), col("v"), root, 0L)
+    // day 1 gated against day 0's model (the daily protocol: gate
+    // first, append after) — equals the snapshot-fit frozen gate
+    val g1 = DriftOps.rollingMadGate(d1, Seq("k"), col("v"), 3.0,
+      root, batchId = 1L, maxStaleness = 1L)
+    val f1 = DriftOps.applyRobustStats(d1,
+      DriftOps.robustStatsDiscrete(d0, Seq("k"), col("v")),
+      Seq("k"), col("v"), 3.0)
+    assert(snap(g1) === snap(f1))
+    DriftOps.updateKeyedValueHistogram(d1, Seq("k"), col("v"), root, 1L)
+    // replayed day 1: bit-identical delta under the SAME id — the
+    // serve fold collapses it, day 2's model is unmoved
+    DriftOps.updateKeyedValueHistogram(d1, Seq("k"), col("v"), root, 1L)
+    val g2 = DriftOps.rollingMadGate(d2, Seq("k"), col("v"), 3.0,
+      root, batchId = 2L, maxStaleness = 1L)
+    val f2 = DriftOps.applyRobustStats(d2,
+      DriftOps.robustStatsDiscrete(d0.unionByName(d1), Seq("k"),
+        col("v")),
+      Seq("k"), col("v"), 3.0)
+    assert(snap(g2) === snap(f2))
+    // the gate itself: A's model over days 0∪1 is med 3 / mad 1 —
+    // 100 flags, 4 passes; the day-2-only key is unscored, not
+    // dropped (model-refresh signal)
+    assert(g2.filter(col("is_outlier") === true).select("v")
+      .as[Long].collect().toSeq === Seq(100L))
+    assert(g2.filter(col("k") === "NEW")
+      .filter(col("is_outlier").isNull).count() === 1L)
+    // a gate replayed AFTER its own delta was appended stays frozen:
+    // the fold's strict __batch < batchId bound keeps day 2's own
+    // rows out of day 2's model
+    DriftOps.updateKeyedValueHistogram(d2, Seq("k"), col("v"), root, 2L)
+    val g2replay = DriftOps.rollingMadGate(d2, Seq("k"), col("v"),
+      3.0, root, batchId = 2L, maxStaleness = 1L)
+    assert(snap(g2replay) === snap(g2))
+    // staleness bound: gating batch 5 off a store whose freshest day
+    // is 2 fails at bound 2 (3 behind), passes at bound 3
+    intercept[IllegalArgumentException] {
+      DriftOps.rollingMadGate(d2, Seq("k"), col("v"), 3.0, root,
+        batchId = 5L, maxStaleness = 2L)
+    }
+    assert(DriftOps.rollingMadGate(d2, Seq("k"), col("v"), 3.0, root,
+      batchId = 5L, maxStaleness = 3L).count() === 3L)
+    // an unseeded gate (no batch earlier than batchId) fails fast
+    intercept[IllegalArgumentException] {
+      DriftOps.rollingMadGate(d0, Seq("k"), col("v"), 3.0, root,
+        batchId = 0L, maxStaleness = 1L)
+    }
+  }
+
   test("the gates keep NULL-key rows as their own group and reject " +
     "colliding input columns instead of clobbering them") {
     import graft.ext.DriftOps
