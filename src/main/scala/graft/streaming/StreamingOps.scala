@@ -456,6 +456,85 @@ object StreamingOps {
         ()
       }
 
+  /** Streaming twin of the rolling MAD monitoring gate
+    * ([[graft.ext.DriftOps.rollingMadGate]]): each micro-batch is
+    * gated against the robust model re-fit from the keyed histogram
+    * store over STRICTLY EARLIER epochs (frozen — a batch cannot
+    * move its own gate, even when replayed after its own delta
+    * landed), the gated rows land under `outDir/gated` PARTITIONED
+    * BY epoch with dynamic overwrite (a replayed epoch rewrites its
+    * own partition — idempotent without row ids), and the batch's
+    * histogram delta is appended AFTER the gate so the next epoch's
+    * model includes it (replay re-appends a bit-identical delta the
+    * serve fold collapses). Cold start: the FIRST epoch has no
+    * earlier model, so its rows land unscored (NULL med/mad/flag —
+    * the applyRobustStats unseen-key convention, routed not
+    * dropped) and seed the store. Epoch-lineage guard as
+    * [[bigramCountStream]]; `maxStaleness` bounds how far store
+    * maintenance may lag before the gate refuses (the DriftOps
+    * staleness contract). */
+  def rollingMadGateStream(stream: DataFrame, keys: Seq[String],
+                           valueCol: Column, k: Double,
+                           storeDir: String, outDir: String,
+                           maxStaleness: Long): DataStreamWriter[Row] =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        rollingGateBatch(batch, keys, valueCol, k, storeDir, outDir,
+          maxStaleness, epoch)
+      }
+
+  /** One micro-batch of [[rollingMadGateStream]] — package-visible
+    * so StreamingSpec's kill-mid-batch drill can run the IDENTICAL
+    * mutation and die before the epoch commits. */
+  private[graft] def rollingGateBatch(batch: DataFrame,
+                                      keys: Seq[String],
+                                      valueCol: Column, k: Double,
+                                      storeDir: String, outDir: String,
+                                      maxStaleness: Long,
+                                      epoch: Long): Unit = {
+    import graft.ext.DriftOps
+    val spark = batch.sparkSession
+    // one tiny column-pruned probe serves both the lineage guard and
+    // the cold-start test
+    val hasEarlier =
+      if (!graft.io.Staging.tableExists(spark, storeDir,
+          "keyed_value_hist")) false
+      else {
+        val probe = graft.io.Staging
+          .readTable(spark, storeDir, "keyed_value_hist")
+          .agg(max(when(col("__batch") < epoch, col("__batch")))
+              .as("m_earlier"),
+            coalesce(max(col("__batch")), lit(Long.MinValue))
+              .as("m_all")).head()
+        if (epoch < probe.getLong(1)) sys.error(
+          s"rollingMadGateStream epoch $epoch < store max batch " +
+            s"${probe.getLong(1)}: a reset checkpoint is writing " +
+            "into an existing store — use a fresh store dir per " +
+            "checkpoint lineage (see bigramCountStream scaladoc)")
+        !probe.isNullAt(0)
+      }
+    // freeze the batch: the gate and the delta append below must see
+    // the same rows exactly once each
+    val frozen = batch.localCheckpoint(true)
+    val gated =
+      if (hasEarlier)
+        DriftOps.rollingMadGate(frozen, keys, valueCol, k, storeDir,
+          epoch, maxStaleness)
+      else {
+        val vType = frozen.select(valueCol).schema.head.dataType
+        frozen.withColumn("__med", lit(null).cast(vType))
+          .withColumn("__mad", lit(null).cast(vType))
+          .withColumn("is_outlier", lit(null).cast("boolean"))
+      }
+    graft.io.Staging.overwritePartitionsDynamic(
+      gated.withColumn("__batch", lit(epoch)), outDir, "gated",
+      Seq("__batch"))
+    DriftOps.updateKeyedValueHistogram(frozen, keys, valueCol,
+      storeDir, epoch)
+    ()
+  }
+
   /** Streaming twin of the cross-table atomic mart publish
     * ([[graft.io.MartStore.publishAll]]): each micro-batch derives a
     * fresh table set from the arriving rows (`build` — e.g. the 11

@@ -39,7 +39,8 @@ object PlanAudit {
       n == "containment_dedup" || n == "chunk_dedup" ||
       n == "ngram_jaccard_topk" || n == "fuzzy_link_blocked" ||
       n == "leakage_safe_split" || n == "decontaminate" ||
-      n == "jaccard_pairs_prefix"                           => "neardup"
+      n == "jaccard_pairs_prefix" ||
+      n == "containment_pairs_prefix"                       => "neardup"
     case n if n.startsWith("ann_") || n.startsWith("vector_") ||
       n == "semantic_dedup"                                 => "vector"
     case n if n.startsWith("incremental_") ||

@@ -722,6 +722,80 @@ class StreamingSpec extends SparkSpec {
     assert(batch(3L)._2.nonEmpty && batch(3L)._3.isEmpty)
   }
 
+  test("rollingMadGateStream: cold-start epoch lands unscored and " +
+    "seeds the store, later epochs gate against the FROZEN earlier-" +
+    "epoch model, and a duplicated epoch (killed after the " +
+    "mutations, before the commit) is absorbed") {
+    implicit val ctx = spark.sqlContext
+    import graft.ext.DriftOps
+    import graft.streaming.StreamingOps
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft-rollstream")
+    val (store, out, ckpt) = (root.resolve("store").toString,
+      root.resolve("out").toString, root.resolve("ckpt").toString)
+    val vals = MemoryStream[(String, Long)]
+    def drain(): Unit = {
+      val q = StreamingOps.rollingMadGateStream(
+        vals.toDF().toDF("k", "v"), Seq("k"), col("v"), 3.0,
+        store, out, maxStaleness = 10L)
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+    }
+    val e0 = Seq(("A", 1L), ("A", 2L), ("A", 3L))
+    val e1 = Seq(("A", 4L), ("A", 100L))
+    val e2 = Seq(("A", 5L), ("B", 7L))
+    def gatedRows = graft.io.Staging.readTable(spark, out, "gated")
+    vals.addData(e0: _*); drain()
+    // cold start: no earlier model — rows land UNSCORED (routed, not
+    // dropped) and the store is seeded
+    assert(gatedRows.filter(col("__batch") === 0)
+      .filter(col("is_outlier").isNull).count() === 3)
+    // epoch 1 gates against epoch 0's model (med 2, mad 1)
+    vals.addData(e1: _*); drain()
+    assert(gatedRows.filter(col("__batch") === 1 &&
+        col("is_outlier") === true)
+      .select("v").as[Long].collect().toSeq === Seq(100L))
+    // epoch 2 arrives: the sink runs the FULL mutation (gated
+    // partition write + histogram delta append) and dies BEFORE the
+    // epoch commit — the at-least-once window
+    vals.addData(e2: _*)
+    @volatile var killed = false
+    val crash = vals.toDF().toDF("k", "v").writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, e: Long) =>
+        StreamingOps.rollingGateBatch(b, Seq("k"), col("v"), 3.0,
+          store, out, 10L, e)
+        killed = true
+        throw new RuntimeException(
+          "killed after mutations, before commit")
+      }
+      .option("checkpointLocation", ckpt).start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      crash.awaitTermination()
+    }
+    assert(killed)
+    assert(gatedRows.filter(col("__batch") === 2).count() === 2)
+    // restart: the replayed epoch REWRITES its own partition (no
+    // duplicate rows) and stays frozen — the strict __batch < epoch
+    // fold keeps its own already-appended delta out of its model
+    drain()
+    val p2 = gatedRows.filter(col("__batch") === 2)
+    assert(p2.count() === 2)
+    // ≡ the batch gate against the epochs-0∪1 snapshot model —
+    // med 3 / mad 1, so A's 5 passes; B is unseen → NULL-scored
+    val truth = DriftOps.applyRobustStats(e2.toDF("k", "v"),
+      DriftOps.robustStatsDiscrete((e0 ++ e1).toDF("k", "v"),
+        Seq("k"), col("v")),
+      Seq("k"), col("v"), 3.0)
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "v", "__med", "__mad", "is_outlier")
+        .collect().map(_.toSeq).toSet
+    assert(snap(p2) === snap(truth))
+    // and the stream keeps going afterwards
+    vals.addData(("A", 6L)); drain()
+    assert(gatedRows.filter(col("__batch") === 3).count() === 1)
+  }
+
   test("stateful twins (runningUserProfile, funnelStream) survive a " +
     "kill AFTER the state commit, BEFORE the epoch commit, and " +
     "restart — config-switched onto BOTH state store providers") {
