@@ -423,7 +423,11 @@ object VectorOps {
     * at fixed cluster size. Assignment is a broadcast of k centroids
     * against a single corpus scan (n·k fused-loop cosines, no
     * shuffle), then one shuffle each for the argmax group-fold and the
-    * within-cluster self-join. Determinism: cosines are rounded to 6
+    * within-cluster self-join. The self-join is salted when the model
+    * has fewer clusters than the session has cores (salt width
+    * cores/k, zero replication at production k) and pinned at a fixed
+    * partition width so AQE's byte-based coalescing cannot collapse
+    * the compute-dense pair stage onto a single task. Determinism: cosines are rounded to 6
     * decimals BEFORE the argmax and the threshold test, with cluster
     * id as the explicit tiebreak, so the assignment — and hence the
     * output — is a pure function of the data, not of float summation
@@ -453,6 +457,15 @@ object VectorOps {
           struct(col("__cs"), -col(clusterCol))).as("__cluster"),
         first(col(vecCol)).as(vecCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Per-cluster size census: k rows (centroids are broadcast-able
+    // by contract). Materialized once and reused three ways — the
+    // hot-cluster cap filter, the driver-side salt-width choice, and
+    // the output's n_assigned column (so the accounting fold never
+    // re-shuffles the corpus-scale assignment).
+    val sizes = asg.groupBy(col("__cluster"))
+      .agg(count(lit(1)).as("n_assigned"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nClusters = sizes.count() // k-row bounded materialization
     // HOT-CLUSTER guard: the within-cluster self-join is linear only
     // while chooseNumCentroids keeps clusters ~10³–10⁴ — a dense
     // embedding region (near-dup-heavy web corpus, exactly SemDeDup's
@@ -460,24 +473,48 @@ object VectorOps {
     // task. Clusters over `maxClusterSize` SKIP the pair stage (their
     // members all survive) and the skip is ACCOUNTED in the output's
     // `capped` column — the droppedBlockStats no-silent-caps
-    // discipline. The size census is the same subtree as the output's
-    // n_assigned fold, so Catalyst reuses the exchange.
+    // discipline.
     val paired =
       if (maxClusterSize == Int.MaxValue) asg
-      else asg.join(
-        asg.groupBy("__cluster").agg(count(lit(1)).as("__csz"))
-          .filter(col("__csz") <= maxClusterSize).select("__cluster"),
+      else asg.join(broadcast(
+          sizes.filter(col("n_assigned") <= maxClusterSize)
+            .select("__cluster")),
         Seq("__cluster"))
+    // PAIR-STAGE PARALLELISM is #clusters × salt, never the scan's
+    // partition count: with few clusters (k < cores — the registry's
+    // 8-label model, or any small-k deployment) a plain equi-join on
+    // __cluster runs its quadratic work on k tasks at best, and AQE's
+    // BYTE-based coalescing makes it worse — a few MB of vectors look
+    // "small" and collapse to one task doing hundreds of millions of
+    // cosines (measured: 3.98 s → 15.7 s at sf1, a 20-minute single
+    // task at sf4). Salt width adapts to k (cores/k, so a large-k
+    // production model pays zero replication), and the explicit
+    // fixed-width repartition on the join keys is the AQE-coalesce
+    // opt-out for this compute-dense exchange.
+    val par = vecs.sparkSession.sparkContext.defaultParallelism
+    val nSalts = math.max(1L, math.min(64L,
+      par.toLong / math.max(1L, nClusters))).toInt
     val a = paired.select(col("__cluster"), col(idCol).as("__id_a"),
       col(vecCol).as("__va"))
     val b = paired.select(col("__cluster"), col(idCol).as("__id_b"),
       col(vecCol).as("__vb"))
-    val dropped = a.join(b, Seq("__cluster"))
+    val joined =
+      if (nSalts <= 1) a.repartition(par, col("__cluster"))
+        .join(b, Seq("__cluster"))
+      else {
+        val aS = a.withColumn("__salt",
+          pmod(xxhash64(col("__id_a")), lit(nSalts.toLong)))
+          .repartition(par, col("__cluster"), col("__salt"))
+        val bS = b.withColumn("__salt",
+          explode(sequence(lit(0L), lit(nSalts - 1L))))
+        aS.join(bS, Seq("__cluster", "__salt"))
+      }
+    val dropped = joined
       .filter(col("__id_a") < col("__id_b"))
       .filter(round(cosine(col("__va"), col("__vb")), 6) >= threshold)
       .select(col("__cluster"), col("__id_b")).distinct()
       .groupBy("__cluster").agg(count(lit(1)).as("n_dropped"))
-    val out = asg.groupBy("__cluster").agg(count(lit(1)).as("n_assigned"))
+    val out = sizes
       .join(dropped, Seq("__cluster"), "left")
       .na.fill(0L, Seq("n_dropped"))
       .select(col("__cluster").as("cluster"), col("n_assigned"),
@@ -487,6 +524,7 @@ object VectorOps {
       // k-row accounting frame: freeze it eagerly so the corpus-scale
       // assignment cache can be released before returning
       .localCheckpoint(true)
+    sizes.unpersist()
     asg.unpersist()
     out
   }
