@@ -864,7 +864,10 @@ object DedupOps {
     val a = base.toDF(("id_a" +: "__ta" +: blockCols): _*)
       .join(smallBlocks, blockCols)
     val b = base.toDF(("id_b" +: "__tb" +: blockCols): _*)
-    a.join(b, blockCols)
+    // pinned-width pair join (Relational.computeDensePairJoin): MBs
+    // of token arrays are byte-small but intersect-dense, so AQE's
+    // byte-advisory coalescing would collapse the quadratic stage
+    Relational.computeDensePairJoin(a, b, blockCols)
       .filter(col("id_a") < col("id_b"))
       // size-arithmetic union (see minhashNearDupPairs note): the
       // verify math is one intersect per pair, no union array build
@@ -906,7 +909,9 @@ object DedupOps {
     val a = base.toDF(("id_a" +: "__ta" +: blockCols): _*)
       .join(smallBlocks, blockCols)
     val b = base.toDF(("id_b" +: "__tb" +: blockCols): _*)
-    a.join(b, blockCols)
+    // pinned-width pair join — same AQE-coalesce guard as
+    // ngramJaccardPairs (see computeDensePairJoin)
+    Relational.computeDensePairJoin(a, b, blockCols)
       .filter(col("id_a") < col("id_b"))
       .withColumn("__i",
         size(array_intersect(col("__ta"), col("__tb"))))

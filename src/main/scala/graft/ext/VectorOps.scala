@@ -336,7 +336,8 @@ object VectorOps {
   def cosineNearDupPairsBlocked(corpus: DataFrame, idCol: String,
                                 vecCol: String, blockCols: Seq[String],
                                 threshold: Double,
-                                maxBlockSize: Int = 10000): DataFrame = {
+                                maxBlockSize: Int = 10000,
+                                nSalts: Int = 1): DataFrame = {
     val base = corpus.select(
       (col(idCol) +: col(vecCol) +: blockCols.map(col)): _*)
     val smallBlocks = corpus.groupBy(blockCols.map(col): _*)
@@ -346,7 +347,10 @@ object VectorOps {
     val a = base.toDF(("id_a" +: "__va" +: blockCols): _*)
       .join(smallBlocks, blockCols)
     val b = base.toDF(("id_b" +: "__vb" +: blockCols): _*)
-    a.join(b, blockCols)
+    // pinned-width, optionally salted: see computeDensePairJoin — an
+    // enum-small block key (label) otherwise caps parallelism at
+    // #blocks, and AQE byte-coalescing can collapse it entirely
+    Relational.computeDensePairJoin(a, b, blockCols, nSalts)
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine_sim", cosine(col("__va"), col("__vb")))
       .filter(col("cosine_sim") >= threshold)
@@ -480,35 +484,7 @@ object VectorOps {
           sizes.filter(col("n_assigned") <= maxClusterSize)
             .select("__cluster")),
         Seq("__cluster"))
-    // PAIR-STAGE PARALLELISM is #clusters × salt, never the scan's
-    // partition count: with few clusters (k < cores — the registry's
-    // 8-label model, or any small-k deployment) a plain equi-join on
-    // __cluster runs its quadratic work on k tasks at best, and AQE's
-    // BYTE-based coalescing makes it worse — a few MB of vectors look
-    // "small" and collapse to one task doing hundreds of millions of
-    // cosines (measured: 3.98 s → 15.7 s at sf1, a 20-minute single
-    // task at sf4). Salt width adapts to k (cores/k, so a large-k
-    // production model pays zero replication), and the explicit
-    // fixed-width repartition on the join keys is the AQE-coalesce
-    // opt-out for this compute-dense exchange.
-    val par = vecs.sparkSession.sparkContext.defaultParallelism
-    val nSalts = math.max(1L, math.min(64L,
-      par.toLong / math.max(1L, nClusters))).toInt
-    val a = paired.select(col("__cluster"), col(idCol).as("__id_a"),
-      col(vecCol).as("__va"))
-    val b = paired.select(col("__cluster"), col(idCol).as("__id_b"),
-      col(vecCol).as("__vb"))
-    val joined =
-      if (nSalts <= 1) a.repartition(par, col("__cluster"))
-        .join(b, Seq("__cluster"))
-      else {
-        val aS = a.withColumn("__salt",
-          pmod(xxhash64(col("__id_a")), lit(nSalts.toLong)))
-          .repartition(par, col("__cluster"), col("__salt"))
-        val bS = b.withColumn("__salt",
-          explode(sequence(lit(0L), lit(nSalts - 1L))))
-        aS.join(bS, Seq("__cluster", "__salt"))
-      }
+    val joined = clusterPairJoin(paired, idCol, vecCol, nClusters)
     val dropped = joined
       .filter(col("__id_a") < col("__id_b"))
       .filter(round(cosine(col("__va"), col("__vb")), 6) >= threshold)
@@ -527,6 +503,34 @@ object VectorOps {
     sizes.unpersist()
     asg.unpersist()
     out
+  }
+
+  /** The within-cluster (a < b before filtering) pair join of
+    * [[semanticDedup]], exposed for plan-shape assertions.
+    *
+    * PAIR-STAGE PARALLELISM is #clusters × salt, never the scan's
+    * partition count: with few clusters (k < cores — the registry's
+    * 8-label model, or any small-k deployment) a plain equi-join on
+    * __cluster runs its quadratic work on k tasks at best, and AQE's
+    * BYTE-based coalescing makes it worse — a few MB of vectors look
+    * "small" and collapse to one task doing hundreds of millions of
+    * cosines (measured: 3.98 s → 15.7 s at sf1, a 20-minute single
+    * task at sf4). Salt width adapts to k (cores/k, so a large-k
+    * production model pays zero replication), and the explicit
+    * fixed-width repartition on the join keys (REPARTITION_BY_NUM in
+    * the plan — QueryPlanSpec pins it) is the AQE-coalesce opt-out
+    * for this compute-dense exchange. */
+  private[graft] def clusterPairJoin(paired: DataFrame, idCol: String,
+                                     vecCol: String,
+                                     nClusters: Long): DataFrame = {
+    val par = paired.sparkSession.sparkContext.defaultParallelism
+    val nSalts = math.max(1L, math.min(64L,
+      par.toLong / math.max(1L, nClusters))).toInt
+    val a = paired.select(col("__cluster"), col(idCol).as("__id_a"),
+      col(vecCol).as("__va"))
+    val b = paired.select(col("__cluster"), col(idCol).as("__id_b"),
+      col(vecCol).as("__vb"))
+    Relational.computeDensePairJoin(a, b, Seq("__cluster"), nSalts)
   }
 
   /** Per-dimension SQ8 scalar-quantization ranges over the corpus:

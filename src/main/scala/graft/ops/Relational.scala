@@ -167,6 +167,44 @@ object Relational {
     left.join(right, keys :+ salt, joinType).drop(salt)
   }
 
+  /** Inner equi-join for COMPUTE-DENSE pair stages (within-block
+    * quadratic self-joins: pairwise cosines, token-set intersects),
+    * result-identical to `a.join(b, keys)`. Two scale guards the
+    * plain join lacks:
+    *
+    *   1. The left exchange is pinned at a fixed width
+    *      (`repartition(defaultParallelism, keys)`, REPARTITION_BY_NUM
+    *      in the plan) — AQE coalesces post-shuffle partitions by
+    *      BYTES, and a pair stage's input is small in bytes but
+    *      enormous in compute (a few MB of vectors → hundreds of
+    *      millions of cosines), so byte-advisory coalescing hands the
+    *      whole quadratic workload to one task (measured: 3.98 →
+    *      15.7 s at sf1, a 20-minute single task at sf4 on
+    *      semanticDedup's pair stage before this guard).
+    *   2. With `nSalts > 1` the right side is replicated across salt
+    *      values ([[saltedJoin]]'s scheme), so parallelism is
+    *      #keys × nSalts — for stages whose blocking key is
+    *      enum-small (labels, clusters: k < cores). Leave 1 when the
+    *      key cardinality is ≥ cores (zero replication cost).
+    */
+  def computeDensePairJoin(a: DataFrame, b: DataFrame,
+                           keys: Seq[String],
+                           nSalts: Int = 1): DataFrame = {
+    val par = a.sparkSession.sparkContext.defaultParallelism
+    if (nSalts <= 1)
+      a.repartition(par, keys.map(col): _*).join(b, keys)
+    else {
+      val salt = "__salt"
+      val aS = a.withColumn(salt,
+          pmod(xxhash64(struct(a.columns.map(col): _*)),
+            lit(nSalts.toLong)))
+        .repartition(par, (keys :+ salt).map(col): _*)
+      val bS = b.withColumn(salt,
+        explode(sequence(lit(0L), lit(nSalts - 1L))))
+      aS.join(bS, keys :+ salt).drop(salt)
+    }
+  }
+
   /** R8 — union-all aligning by name, null-filling missing columns
     * (reference pd.concat semantics, utils.py:44). */
   def unionAll(dfs: Seq[DataFrame]): DataFrame =

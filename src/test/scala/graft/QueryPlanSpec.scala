@@ -454,4 +454,30 @@ class QueryPlanSpec extends SparkSpec {
     assert("windowspecdefinition\\(lang#\\d+, __v#"
       .r.findFirstIn(p).isEmpty, p)
   }
+
+  test("semanticDedup's pair join pins a fixed-width repartition " +
+    "(REPARTITION_BY_NUM) so AQE's byte-based coalescing cannot " +
+    "collapse the compute-dense quadratic stage, and salts when " +
+    "clusters are fewer than cores") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array, lit}
+    val paired = Seq((0L, 1L), (0L, 2L), (1L, 3L)).toDF("__cluster", "id")
+      .withColumn("vec", array(lit(1.0), lit(0.0)))
+    // 2 clusters on a local[>2] session → salted path
+    val salted = graft.ext.VectorOps
+      .clusterPairJoin(paired, "id", "vec", nClusters = 2L)
+    val ps = salted.queryExecution.executedPlan.toString
+    assert(ps.contains("REPARTITION_BY_NUM"), ps)
+    assert(ps.contains("__salt"), ps)
+    // k ≥ cores → plain path, still width-pinned
+    val plain = graft.ext.VectorOps.clusterPairJoin(paired, "id", "vec",
+      nClusters = 10000L)
+    val pp = plain.queryExecution.executedPlan.toString
+    assert(pp.contains("REPARTITION_BY_NUM"), pp)
+    assert(!pp.contains("__salt"), pp)
+    // salted and plain joins produce the same (a, b) pair set
+    val key = (df: org.apache.spark.sql.DataFrame) => df
+      .select("__id_a", "__id_b").as[(Long, Long)].collect().toSet
+    assert(key(salted) == key(plain))
+  }
 }
