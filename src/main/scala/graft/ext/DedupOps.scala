@@ -667,6 +667,172 @@ object DedupOps {
   }
 
   // ------------------------------------------------------------------
+  // Shared set-grain machinery for the exact pair joins
+  // ------------------------------------------------------------------
+
+  /** Above this many distinct token sets the dense all-pairs core
+    * ([[bitmaskJaccardSetPairs]]) is not attempted: its work is
+    * M²/2 fused popcount comparisons, ~3 ns each under codegen, so
+    * 200k groups ≈ 20 B comparisons ≈ a couple of seconds per task at
+    * local[32] — the knee of the curve. Beyond it the prefix-filter
+    * core takes over. */
+  private val denseCoreMaxGroups = 200000L
+
+  /** DISTINCT-TOKEN-SET groups: `(__tok sorted array<long>, __gid =
+    * min member id, __members sorted, __n = set size)`. The
+    * exact-duplicate collapse every quadratic set-similarity stage
+    * should run behind: docs with identical distinct-token sets are
+    * indistinguishable to any set measure, so candidate generation,
+    * verification, and (in the dense core) the pair loop all run at
+    * GROUP grain — on a boilerplate-heavy web corpus the group count
+    * is far below the doc count, and the savings are quadratic.
+    * Sets are canonicalized by sorting the hashed tokens (tokenizer
+    * order is first-occurrence, which would split equal sets). */
+  private def tokenSetGroups(df: DataFrame, idCol: String,
+                             textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        sort_array(transform(array_distinct(TextOps.tokens(col(textCol))),
+          t => xxhash64(t))).as("__tok"))
+      .groupBy("__tok")
+      .agg(min("doc_id").as("__gid"),
+        sort_array(collect_list("doc_id")).as("__members"))
+      .withColumn("__n", size(col("__tok")))
+
+  /** The corpus's distinct hashed-token vocabulary IF it fits a
+    * 63-bit mask (≤ 62 tokens — bit 63 stays clear so masks are
+    * non-negative longs), else None. The census is one token-grain
+    * distinct with `limit(63)` — the limit makes the collect bounded
+    * by construction, and 63 returned rows already prove the universe
+    * is too big. Tiny-universe corpora are not exotic at 100 TB:
+    * tag/label sets, categorical feature baskets, template-generated
+    * boilerplate — exactly the corpora where "rare-token" prefix
+    * postings degenerate to corpus-hot (measured: a 28-token corpus
+    * put 34k docs in its rarest posting — 3.4 B candidate pairs where
+    * the true answer was 46 M). */
+  private def smallUniverse(groups: DataFrame): Option[Array[Long]] = {
+    val v = groups.select(explode(col("__tok")).as("__t")).distinct()
+      .limit(63).collect().map(_.getLong(0))
+    if (v.length <= 62) Some(v.sorted) else None
+  }
+
+  /** OR-fold of `1 << bitIndex(token)` over a hashed-token set —
+    * the whole set as ONE long, so a pair comparison is two popcounts
+    * instead of an array intersect, and the pair join shuffles 8-byte
+    * masks instead of token arrays. */
+  private def maskOf(tok: Column, vocab: Array[Long]): Column = {
+    val vocabLit = array(vocab.map(lit(_)): _*)
+    aggregate(tok, lit(0L), (acc, t) =>
+      acc.bitwiseOR(call_function("shiftleft", lit(1L),
+        (array_position(vocabLit, t) - 1).cast("int"))))
+  }
+
+  /** Dense all-pairs Jaccard over distinct-set groups encoded as
+    * bitmasks: a broadcast nested-loop join whose condition is pure
+    * fused arithmetic (id order + size-ratio prune), jaccard from
+    * popcounts. The streamed side is width-pinned
+    * (`repartition(defaultParallelism)`, REPARTITION_BY_NUM — the
+    * AQE-coalesce opt-out, see Relational.computeDensePairJoin: M
+    * group rows are KBs of bytes but M²/2 of compute). Exactness
+    * needs no candidate filter at all here — every pair is checked.
+    * Guarded by [[denseCoreMaxGroups]] and vocab ≤ 62. */
+  private def bitmaskJaccardSetPairs(groups: DataFrame,
+                                     vocab: Array[Long],
+                                     threshold: Double,
+                                     tEff: Double): DataFrame = {
+    // empty sets never pair (the prefix core never generates them as
+    // candidates; here they'd put 0/0 — an ANSI divide-by-zero — into
+    // the loop), so they are excluded before it
+    val masked = groups.filter(col("__n") > 0)
+      .select(col("__gid"),
+        col("__n").cast("double").as("__nn"),
+        maskOf(col("__tok"), vocab).as("__mask"))
+    val par = groups.sparkSession.sparkContext.defaultParallelism
+    val a = masked.toDF("__ga", "__na", "__ma").repartition(par)
+    val b = broadcast(masked.toDF("__gb", "__nb", "__mb"))
+    a.join(b,
+        col("__ga") < col("__gb") &&
+        col("__na") * lit(tEff) <= col("__nb") + lit(1e-9) &&
+        col("__nb") * lit(tEff) <= col("__na") + lit(1e-9))
+      .withColumn("__i",
+        bit_count(col("__ma").bitwiseAND(col("__mb"))).cast("double"))
+      .withColumn("jaccard", round(col("__i") /
+        (col("__na") + col("__nb") - col("__i")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("__ga", "__gb", "jaccard")
+  }
+
+  /** Prefix-filter (AllPairs/PPJoin) Jaccard core over distinct-set
+    * groups — the general-vocabulary engine behind
+    * [[prefixFilterJaccardPairs]]; see that scaladoc for the bound
+    * and the cap semantics (postings here count GROUPS, which only
+    * tightens the bound — a group posting is never longer than the
+    * doc posting it replaces). */
+  private def prefixJaccardSetPairs(groups: DataFrame, threshold: Double,
+                                    tEff: Double,
+                                    maxBucketSize: Int): DataFrame = {
+    val toks = groups.select(col("__gid"), explode(col("__tok")).as("__t"))
+    val dfreq = toks.groupBy("__t").agg(count(lit(1)).as("__df"))
+    // rarity order = (df asc, token asc): deterministic global total
+    // order with every set's rarest tokens first; sorting happens
+    // per-row inside the rebuilt array, not in a cluster sort
+    val ranked = toks.join(dfreq, "__t")
+      .groupBy("__gid")
+      .agg(transform(sort_array(collect_list(
+        struct(col("__df"), col("__t")))), s => s.getField("__t"))
+        .as("__sorted"))
+    // prefix length |A| - ceil(t·|A|) + 1; the 1e-9 slack keeps an
+    // exactly-representable product like 0.8·5 from ceiling UP on
+    // binary-float noise, which would shorten the prefix and
+    // silently break completeness
+    val pref = ranked.withColumn("__n", size(col("__sorted")))
+      .withColumn("__p", (col("__n") -
+        ceil(lit(tEff) * col("__n") - lit(1e-9)) + 1).cast("int"))
+      .select(col("__gid"), col("__n"),
+        explode(slice(col("__sorted"), lit(1),
+          greatest(col("__p"), lit(0))))
+          .as("__pt"))
+    val posting =
+      if (maxBucketSize == Int.MaxValue) pref
+      else {
+        val small = pref.groupBy("__pt")
+          .agg(count(lit(1)).as("__psz"))
+          .filter(col("__psz") <= maxBucketSize && col("__psz") > 1)
+          .select("__pt")
+        pref.join(small, Seq("__pt"))
+      }
+    val a = posting.select(col("__pt"), col("__gid").as("__ga"),
+      col("__n").as("__na"))
+    val b = posting.select(col("__pt"), col("__gid").as("__gb"),
+      col("__n").as("__nb"))
+    val cand = a.join(b, Seq("__pt"))
+      .filter(col("__ga") < col("__gb") &&
+        // J ≥ t forces min(|A|,|B|)/max(|A|,|B|) ≥ t — prune before
+        // the pair-dedup shuffle
+        col("__na") * lit(tEff) <= col("__nb") + lit(1e-9) &&
+        col("__nb") * lit(tEff) <= col("__na") + lit(1e-9))
+      .groupBy("__ga", "__gb")
+      .agg(count(lit(1)).as("__shared_prefix"))
+    val sa = groups.select(col("__gid").as("__ga"), col("__tok").as("__ta"))
+    val sb = groups.select(col("__gid").as("__gb"), col("__tok").as("__tb"))
+    cand.join(sa, Seq("__ga")).join(sb, Seq("__gb"))
+      .withColumn("__i",
+        size(array_intersect(col("__ta"), col("__tb"))))
+      .withColumn("jaccard", round(col("__i").cast("double") /
+        (size(col("__ta")) + size(col("__tb")) - col("__i")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("__ga", "__gb", "jaccard")
+  }
+
+  /** All ordered (a < b) pairs from a SORTED id array, as structs —
+    * the within-group expansion of identical-set members. Arrays are
+    * group-member lists (small); the quadratic here is the true
+    * output size, not wasted candidates. */
+  private def orderedPairs(sortedIds: Column): Column =
+    flatten(transform(sortedIds, (x, i) =>
+      transform(slice(sortedIds, i + lit(2), size(sortedIds)),
+        y => struct(x.as("a"), y.as("b")))))
+
+  // ------------------------------------------------------------------
   // Prefix-filtered exact Jaccard join (AllPairs / PPJoin family)
   // ------------------------------------------------------------------
 
@@ -687,9 +853,12 @@ object DedupOps {
     * order puts RARE tokens first (each doc's prefix is its rarest
     * tokens, whose postings are short by definition).
     *
-    * Scale shape:
-    *  - token document frequencies: one vocab-grain aggregate;
-    *  - rarity-sorting: one per-doc aggregate (sort is per-row,
+    * Scale shape (all stages at DISTINCT-SET grain — see
+    * [[tokenSetGroups]]; docs with equal token sets collapse before
+    * any quadratic work and expand back at the end, within-group
+    * pairs emitted at jaccard 1.0 directly):
+    *  - token frequencies: one vocab-grain aggregate;
+    *  - rarity-sorting: one per-set aggregate (sort is per-row,
     *    inside the array);
     *  - the candidate self-join carries (prefix-token, id, set-size)
     *    ONLY — token arrays never enter the candidate shuffle (the
@@ -700,6 +869,23 @@ object DedupOps {
     * Explode width is Σ(prefix sizes) ≈ (1-t)·corpus tokens — at
     * t = 0.8, a fifth of the corpus token stream, shrinking as the
     * threshold rises.
+    *
+    * DEGENERATE-VOCABULARY ESCAPE HATCH: prefix filtering assumes
+    * rare tokens exist. On a tiny-universe corpus (tag sets,
+    * categorical baskets, template boilerplate) every posting is
+    * corpus-hot and candidate generation explodes quadratically
+    * (measured on a 28-token corpus at sf4: 3.4 B candidates, 70 GB
+    * spill, 1044 s — for a 46 M-pair true answer DuckDB produced in
+    * 6.5 s). When the vocabulary fits a 63-bit mask
+    * ([[smallUniverse]]) and there are ≤ [[denseCoreMaxGroups]]
+    * distinct sets, the core switches to [[bitmaskJaccardSetPairs]]:
+    * each set is ONE long, all M²/2 group pairs are checked by fused
+    * popcount arithmetic under a width-pinned broadcast loop — exact,
+    * no candidate structure at all, and faster than any filter when
+    * filters can't prune (before/after measured in BASELINE.md's sf4
+    * row). The dense
+    * core ignores `maxBucketSize` (nothing to cap — so a non-default
+    * cap forces the prefix core, which the cap spec exploits).
     *
     * `maxBucketSize` (default uncapped — this operator's contract is
     * exactness) optionally drops prefix-token postings longer than
@@ -732,70 +918,51 @@ object DedupOps {
     // slightly relaxed threshold or those round-up borderline pairs
     // would be pruned before verification ever sees them
     val tEff = threshold - 1e-6
-    val sets = df.select(col(idCol).as("doc_id"),
-      transform(array_distinct(TextOps.tokens(col(textCol))),
-        t => xxhash64(t)).as("__tok"))
-      .withColumn("__n", size(col("__tok")))
+    val groups = tokenSetGroups(df, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val toks = sets.select(col("doc_id"), explode(col("__tok")).as("__t"))
-    val dfreq = toks.groupBy("__t").agg(count(lit(1)).as("__df"))
-    // rarity order = (df asc, token asc): deterministic global total
-    // order with every doc's rarest tokens first. Sorting happens
-    // per-row inside the rebuilt array, not in a cluster sort.
-    val ranked = toks.join(dfreq, "__t")
-      .groupBy("doc_id")
-      .agg(transform(sort_array(collect_list(
-        struct(col("__df"), col("__t")))), s => s.getField("__t"))
-        .as("__sorted"))
-    // prefix length |A| - ceil(t·|A|) + 1; the 1e-9 slack keeps an
-    // exactly-representable product like 0.8·5 from ceiling UP on
-    // binary-float noise, which would shorten the prefix and
-    // silently break completeness
-    val pref = ranked.withColumn("__n", size(col("__sorted")))
-      .withColumn("__p", (col("__n") -
-        ceil(lit(tEff) * col("__n") - lit(1e-9)) + 1).cast("int"))
-      .select(col("doc_id"), col("__n"),
-        explode(slice(col("__sorted"), lit(1),
-          greatest(col("__p"), lit(0))))
-          .as("__pt"))
-    val posting =
-      if (maxBucketSize == Int.MaxValue) pref
-      else {
-        val small = pref.groupBy("__pt")
-          .agg(count(lit(1)).as("__psz"))
-          .filter(col("__psz") <= maxBucketSize && col("__psz") > 1)
-          .select("__pt")
-        pref.join(small, Seq("__pt"))
-      }
-    val a = posting.select(col("__pt"), col("doc_id").as("id_a"),
-      col("__n").as("__na"))
-    val b = posting.select(col("__pt"), col("doc_id").as("id_b"),
-      col("__n").as("__nb"))
-    val cand = a.join(b, Seq("__pt"))
-      .filter(col("id_a") < col("id_b") &&
-        // J ≥ t forces min(|A|,|B|)/max(|A|,|B|) ≥ t — prune before
-        // the pair-dedup shuffle
-        col("__na") * lit(tEff) <= col("__nb") + lit(1e-9) &&
-        col("__nb") * lit(tEff) <= col("__na") + lit(1e-9))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("__shared_prefix"))
-    val sa = sets.select(col("doc_id").as("id_a"), col("__tok").as("__ta"))
-    val sb = sets.select(col("doc_id").as("id_b"), col("__tok").as("__tb"))
-    val out = cand.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
-      .withColumn("__i",
-        size(array_intersect(col("__ta"), col("__tb"))))
-      .withColumn("jaccard", round(col("__i").cast("double") /
-        (size(col("__ta")) + size(col("__tb")) - col("__i")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    // two bounded actions pick the core: group census (materializes
+    // the persist) + ≤63-row vocabulary collect
+    val nGroups = groups.count()
+    val vocab =
+      if (maxBucketSize == Int.MaxValue && nGroups <= denseCoreMaxGroups)
+        smallUniverse(groups)
+      else None
+    // (__ga < __gb, jaccard) pairs at distinct-set grain
+    val gp = vocab match {
+      case Some(v) => bitmaskJaccardSetPairs(groups, v, threshold, tEff)
+      case None => prefixJaccardSetPairs(groups, threshold, tEff,
+        maxBucketSize)
+    }
+    // expand to doc pairs: cross-group via member lists (group ids
+    // don't order member ids — least/greatest renormalizes), plus
+    // within-group identical-set pairs at exactly 1.0 (empty sets
+    // excluded: the all-arrays form never emitted them — 0/0 jaccard
+    // is null)
+    val ma = groups.select(col("__gid").as("__ga"),
+      col("__members").as("__mas"))
+    val mb = groups.select(col("__gid").as("__gb"),
+      col("__members").as("__mbs"))
+    val cross = gp.join(ma, "__ga").join(mb, "__gb")
+      .select(col("jaccard"), explode(col("__mas")).as("__x"),
+        col("__mbs"))
+      .select(col("jaccard"), col("__x"),
+        explode(col("__mbs")).as("__y"))
+      .select(least(col("__x"), col("__y")).as("id_a"),
+        greatest(col("__x"), col("__y")).as("id_b"), col("jaccard"))
+    val within = groups
+      .filter(col("__n") > 0 && size(col("__members")) > 1)
+      .select(explode(orderedPairs(col("__members"))).as("__pr"))
+      .select(col("__pr.a").as("id_a"), col("__pr.b").as("id_b"),
+        lit(1.0).as("jaccard"))
+    val out = cross.unionByName(within)
       // eager localCheckpoint, not persist: the result must
-      // materialize before the corpus-scale set cache is released,
+      // materialize before the corpus-scale group cache is released,
       // and checkpoint storage is reclaimed by the context cleaner
       // when the frame is no longer referenced — a persist here had
       // no unpersist path, so long sessions calling the operator
       // repeatedly accumulated cached partitions forever
       .localCheckpoint(true)
-    sets.unpersist()
+    groups.unpersist()
     out
   }
 
@@ -861,20 +1028,36 @@ object DedupOps {
       .agg(count(lit(1)).as("__bsz"))
       .filter(col("__bsz") <= maxBlockSize && col("__bsz") > 1)
       .select(blockCols.map(col): _*)
-    val a = base.toDF(("id_a" +: "__ta" +: blockCols): _*)
+    // tiny-universe fast path: when the corpus vocabulary fits a
+    // 63-bit mask, the pair stage carries an 8-byte mask per doc
+    // instead of a token array, and the per-pair intersect is two
+    // popcounts — the B²/2 within-block work becomes fused arithmetic
+    // (0/0 → null jaccard for empty-set pairs, same as the array
+    // form). The census is one token-grain distinct, ~free next to
+    // the quadratic stage it can save.
+    val (enc, iCol, nA, nB) = smallUniverse(base) match {
+      case Some(v) => (
+        base.select((col("doc_id") +:
+          maskOf(col("__tok"), v).as("__tok") +: blockCols.map(col)): _*),
+        (ta: Column, tb: Column) => bit_count(ta.bitwiseAND(tb)),
+        (ta: Column) => bit_count(ta), (tb: Column) => bit_count(tb))
+      case None => (base,
+        (ta: Column, tb: Column) => size(array_intersect(ta, tb)),
+        (ta: Column) => size(ta), (tb: Column) => size(tb))
+    }
+    val a = enc.toDF(("id_a" +: "__ta" +: blockCols): _*)
       .join(smallBlocks, blockCols)
-    val b = base.toDF(("id_b" +: "__tb" +: blockCols): _*)
+    val b = enc.toDF(("id_b" +: "__tb" +: blockCols): _*)
     // pinned-width pair join (Relational.computeDensePairJoin): MBs
-    // of token arrays are byte-small but intersect-dense, so AQE's
+    // of token payload are byte-small but intersect-dense, so AQE's
     // byte-advisory coalescing would collapse the quadratic stage
     Relational.computeDensePairJoin(a, b, blockCols)
       .filter(col("id_a") < col("id_b"))
       // size-arithmetic union (see minhashNearDupPairs note): the
       // verify math is one intersect per pair, no union array build
-      .withColumn("__i",
-        size(array_intersect(col("__ta"), col("__tb"))))
+      .withColumn("__i", iCol(col("__ta"), col("__tb")))
       .withColumn("jaccard", round(col("__i").cast("double") /
-        (size(col("__ta")) + size(col("__tb")) - col("__i")), 6))
+        (nA(col("__ta")) + nB(col("__tb")) - col("__i")), 6))
       .select((blockCols.map(col) :+ col("id_a") :+ col("id_b") :+
         col("jaccard")): _*)
   }
@@ -906,19 +1089,30 @@ object DedupOps {
       .agg(count(lit(1)).as("__bsz"))
       .filter(col("__bsz") <= maxBlockSize && col("__bsz") > 1)
       .select(blockCols.map(col): _*)
-    val a = base.toDF(("id_a" +: "__ta" +: blockCols): _*)
+    // tiny-universe fast path — masks instead of token arrays through
+    // the quadratic stage (see ngramJaccardPairs)
+    val (enc, iCol, nA, nB) = smallUniverse(base) match {
+      case Some(v) => (
+        base.select((col("doc_id") +:
+          maskOf(col("__tok"), v).as("__tok") +: blockCols.map(col)): _*),
+        (ta: Column, tb: Column) => bit_count(ta.bitwiseAND(tb)),
+        (ta: Column) => bit_count(ta), (tb: Column) => bit_count(tb))
+      case None => (base,
+        (ta: Column, tb: Column) => size(array_intersect(ta, tb)),
+        (ta: Column) => size(ta), (tb: Column) => size(tb))
+    }
+    val a = enc.toDF(("id_a" +: "__ta" +: blockCols): _*)
       .join(smallBlocks, blockCols)
-    val b = base.toDF(("id_b" +: "__tb" +: blockCols): _*)
+    val b = enc.toDF(("id_b" +: "__tb" +: blockCols): _*)
     // pinned-width pair join — same AQE-coalesce guard as
     // ngramJaccardPairs (see computeDensePairJoin)
     Relational.computeDensePairJoin(a, b, blockCols)
       .filter(col("id_a") < col("id_b"))
-      .withColumn("__i",
-        size(array_intersect(col("__ta"), col("__tb"))))
+      .withColumn("__i", iCol(col("__ta"), col("__tb")))
       .withColumn("containment_a",
-        round(col("__i").cast("double") / size(col("__ta")), 6))
+        round(col("__i").cast("double") / nA(col("__ta")), 6))
       .withColumn("containment_b",
-        round(col("__i").cast("double") / size(col("__tb")), 6))
+        round(col("__i").cast("double") / nB(col("__tb")), 6))
       .filter(col("containment_a") >= minContainment ||
         col("containment_b") >= minContainment)
       .select((blockCols.map(col) :+ col("id_a") :+ col("id_b") :+
@@ -947,14 +1141,23 @@ object DedupOps {
     * condition `|B| ≥ t·|A|` (the containing side cannot be shorter
     * than the required overlap) before the pair-dedup shuffle.
     *
-    * Scale shape: candidate width is Σ_tokens |prefixPosting| ×
-    * |fullPosting| — corpus-linear when prefixes hold only rare
-    * tokens (high t), and OUTPUT-bound in the degenerate case (a
-    * 1-token doc's prefix is its whole self; its true containment
-    * fan-out IS every doc sharing that token — exactness has no
-    * smaller answer). Tokens never ride the candidate shuffle (ids +
-    * sizes only; the minhashCandidates slimness rule); verification
-    * joins token sets for surviving pairs only.
+    * Scale shape: all stages at DISTINCT-SET grain
+    * ([[tokenSetGroups]] — identical sets collapse before any
+    * quadratic work, expand back at the end, within-group pairs at
+    * containment 1.0/1.0 directly). Candidate width is
+    * Σ_tokens |prefixPosting| × |fullPosting| — corpus-linear when
+    * prefixes hold only rare tokens (high t), and OUTPUT-bound in
+    * the degenerate case (a 1-token doc's prefix is its whole self;
+    * its true containment fan-out IS every doc sharing that token —
+    * exactness has no smaller answer). Tokens never ride the
+    * candidate shuffle (ids + sizes only; the minhashCandidates
+    * slimness rule); verification joins token sets for surviving
+    * pairs only. On a tiny-universe corpus (vocab ≤ 62, the regime
+    * where EVERY posting is corpus-hot and probe × full-posting
+    * candidates go quadratic) the core switches to the dense bitmask
+    * loop ([[bitmaskContainmentSetPairs]]) — exact popcount
+    * containment over all group pairs, same escape hatch as
+    * [[prefixFilterJaccardPairs]].
     *
     * @return (id_a, id_b, containment_a, containment_b) with
     *         id_a < id_b, both rounded to 6 dp and filtered on the
@@ -968,18 +1171,91 @@ object DedupOps {
     // 6-dp-ROUNDED containment ≥ t, so a pair at true value t − 5e-7
     // can pass — prefix length and size pruning must not lose it
     val tEff = minContainment - 1e-6
-    val sets = df.select(col(idCol).as("doc_id"),
-      transform(array_distinct(TextOps.tokens(col(textCol))),
-        t => xxhash64(t)).as("__tok"))
-      .withColumn("__n", size(col("__tok")))
+    val groups = tokenSetGroups(df, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val toks = sets.select(col("doc_id"), col("__n"),
+    val nGroups = groups.count()
+    val vocab =
+      if (nGroups <= denseCoreMaxGroups) smallUniverse(groups) else None
+    // (__ga < __gb, containment_a, containment_b) at set grain, with
+    // containment_a belonging to the LOWER group id
+    val gp = vocab match {
+      case Some(v) => bitmaskContainmentSetPairs(groups, v, minContainment)
+      case None => prefixContainmentSetPairs(groups, minContainment, tEff)
+    }
+    // expand to doc pairs; member ids don't follow group-id order, so
+    // the two containments swap when the pair renormalizes
+    val ma = groups.select(col("__gid").as("__ga"),
+      col("__members").as("__mas"))
+    val mb = groups.select(col("__gid").as("__gb"),
+      col("__members").as("__mbs"))
+    val cross = gp.join(ma, "__ga").join(mb, "__gb")
+      .select(col("containment_a").as("__ca"),
+        col("containment_b").as("__cb"),
+        explode(col("__mas")).as("__x"), col("__mbs"))
+      .select(col("__ca"), col("__cb"), col("__x"),
+        explode(col("__mbs")).as("__y"))
+      .select(least(col("__x"), col("__y")).as("id_a"),
+        greatest(col("__x"), col("__y")).as("id_b"),
+        when(col("__x") < col("__y"), col("__ca")).otherwise(col("__cb"))
+          .as("containment_a"),
+        when(col("__x") < col("__y"), col("__cb")).otherwise(col("__ca"))
+          .as("containment_b"))
+    val within = groups
+      .filter(col("__n") > 0 && size(col("__members")) > 1)
+      .select(explode(orderedPairs(col("__members"))).as("__pr"))
+      .select(col("__pr.a").as("id_a"), col("__pr.b").as("id_b"),
+        lit(1.0).as("containment_a"), lit(1.0).as("containment_b"))
+    val out = cross.unionByName(within)
+      // eager localCheckpoint (see prefixFilterJaccardPairs): result
+      // materializes before the group cache releases, and its storage
+      // is context-cleaned on GC instead of leaking per call
+      .localCheckpoint(true)
+    groups.unpersist()
+    out
+  }
+
+  /** Dense all-pairs containment over bitmask-encoded groups — the
+    * [[bitmaskJaccardSetPairs]] shape for the asymmetric measure. No
+    * size prune in the loop condition: with t ≤ 1 the shorter side's
+    * containment can always qualify (if nb < t·na then na ≥ nb ≥
+    * t·nb — the symmetric prune is vacuous for OR-of-directions), and
+    * the popcount math is the cheap part anyway. */
+  private def bitmaskContainmentSetPairs(groups: DataFrame,
+                                         vocab: Array[Long],
+                                         minContainment: Double)
+      : DataFrame = {
+    // empty sets excluded — same rationale as bitmaskJaccardSetPairs
+    val masked = groups.filter(col("__n") > 0)
+      .select(col("__gid"),
+        col("__n").cast("double").as("__nn"),
+        maskOf(col("__tok"), vocab).as("__mask"))
+    val par = groups.sparkSession.sparkContext.defaultParallelism
+    val a = masked.toDF("__ga", "__na", "__ma").repartition(par)
+    val b = broadcast(masked.toDF("__gb", "__nb", "__mb"))
+    a.join(b, col("__ga") < col("__gb"))
+      .withColumn("__i",
+        bit_count(col("__ma").bitwiseAND(col("__mb"))).cast("double"))
+      .withColumn("containment_a", round(col("__i") / col("__na"), 6))
+      .withColumn("containment_b", round(col("__i") / col("__nb"), 6))
+      .filter(col("containment_a") >= minContainment ||
+        col("containment_b") >= minContainment)
+      .select("__ga", "__gb", "containment_a", "containment_b")
+  }
+
+  /** Asymmetric prefix-filter containment core over distinct-set
+    * groups — the general-vocabulary engine behind
+    * [[containmentPairsPrefix]] (probe-prefix × full-posting index;
+    * see that scaladoc for the bound). */
+  private def prefixContainmentSetPairs(groups: DataFrame,
+                                        minContainment: Double,
+                                        tEff: Double): DataFrame = {
+    val toks = groups.select(col("__gid"), col("__n"),
       explode(col("__tok")).as("__t"))
     val dfreq = toks.groupBy("__t").agg(count(lit(1)).as("__df"))
     // rarity order (df asc, token asc) — the prefixFilterJaccardPairs
     // total order; sorting is per-row inside the rebuilt array
     val ranked = toks.join(dfreq, "__t")
-      .groupBy("doc_id")
+      .groupBy("__gid")
       .agg(transform(sort_array(collect_list(
         struct(col("__df"), col("__t")))), s => s.getField("__t"))
         .as("__sorted"))
@@ -989,29 +1265,29 @@ object DedupOps {
     val pref = ranked.withColumn("__n", size(col("__sorted")))
       .withColumn("__p", (col("__n") -
         ceil(lit(tEff) * col("__n") - lit(1e-9)) + 1).cast("int"))
-      .select(col("doc_id").as("__probe"), col("__n").as("__np"),
+      .select(col("__gid").as("__probe"), col("__n").as("__np"),
         explode(slice(col("__sorted"), lit(1),
           greatest(col("__p"), lit(0)))).as("__pt"))
     // the index is the FULL token stream in principle, but a token in
     // nobody's prefix can never seed a candidate — semi-joining the
     // stream down to the distinct prefix vocabulary drops the bulk of
-    // every doc's common tokens before the candidate shuffle (the
+    // every set's common tokens before the candidate shuffle (the
     // prefix vocabulary is the corpus's rare tail by construction)
     val prefVocab = pref.select(col("__pt").as("__t")).distinct()
     val index = toks.join(prefVocab, Seq("__t"))
-      .select(col("doc_id").as("__idx"), col("__n").as("__ni"),
+      .select(col("__gid").as("__idx"), col("__n").as("__ni"),
         col("__t"))
     val cand = pref.join(index, col("__pt") === col("__t"))
       .filter(col("__probe") =!= col("__idx") &&
         // c_probe = i/np ≥ t needs i ≥ t·np and i ≤ min(np, ni),
         // so the indexed side must be at least t·np tokens
         col("__ni") + lit(1e-9) >= col("__np") * lit(tEff))
-      .select(least(col("__probe"), col("__idx")).as("id_a"),
-        greatest(col("__probe"), col("__idx")).as("id_b"))
+      .select(least(col("__probe"), col("__idx")).as("__ga"),
+        greatest(col("__probe"), col("__idx")).as("__gb"))
       .distinct()
-    val sa = sets.select(col("doc_id").as("id_a"), col("__tok").as("__ta"))
-    val sb = sets.select(col("doc_id").as("id_b"), col("__tok").as("__tb"))
-    val out = cand.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+    val sa = groups.select(col("__gid").as("__ga"), col("__tok").as("__ta"))
+    val sb = groups.select(col("__gid").as("__gb"), col("__tok").as("__tb"))
+    cand.join(sa, Seq("__ga")).join(sb, Seq("__gb"))
       .withColumn("__i",
         size(array_intersect(col("__ta"), col("__tb"))))
       .withColumn("containment_a",
@@ -1020,13 +1296,7 @@ object DedupOps {
         round(col("__i").cast("double") / size(col("__tb")), 6))
       .filter(col("containment_a") >= minContainment ||
         col("containment_b") >= minContainment)
-      .select("id_a", "id_b", "containment_a", "containment_b")
-      // eager localCheckpoint (see prefixFilterJaccardPairs): result
-      // materializes before the set cache releases, and its storage
-      // is context-cleaned on GC instead of leaking per call
-      .localCheckpoint(true)
-    sets.unpersist()
-    out
+      .select("__ga", "__gb", "containment_a", "containment_b")
   }
 
   // ------------------------------------------------------------------

@@ -40,6 +40,31 @@ object Text2Queries {
         "doc_id", "text", threshold = 0.8)
     }
 
+  private val bigvocabPairCache =
+    new FixtureStore.KeyedOnce[(org.apache.spark.sql.SparkSession,
+      String), org.apache.spark.sql.DataFrame]
+
+  /** The `jaccard_pairs_bigvocab` artifact: each token suffixed with
+    * `doc_id % 7` inflates the corpus's 28-token vocabulary to ~196 —
+    * past the 62-token bitmask bound — so THIS query pins the
+    * prefix-filter core at the oracle gate (`jaccard_pairs_prefix`
+    * rides the dense bitmask core on the tiny-vocabulary corpus).
+    * Semantically: docs only pair within their id-residue class, a
+    * deterministic sharding of the same pair problem. */
+  private def bigvocabPairs(s: org.apache.spark.sql.SparkSession,
+                            d: String): org.apache.spark.sql.DataFrame =
+    bigvocabPairCache((s, d)) {
+      val docs = Tables.documents(s, d)
+        .filter(col("doc_id") % 4 === 2)
+        .withColumn("text", concat_ws(" ",
+          transform(TextOps.tokens(col("text")),
+            t => concat(t, lit("_"),
+              pmod(col("doc_id"), lit(7)).cast("string")))))
+        .repartition(32)
+      graft.ext.DedupOps.prefixFilterJaccardPairs(
+        docs, "doc_id", "text", threshold = 0.8)
+    }
+
   val defs: Map[String, QueryDef] = Map(
 
     // EXACT threshold Jaccard pair join via prefix filtering
@@ -59,6 +84,29 @@ object Text2Queries {
       Some(s"""WITH t AS (SELECT doc_id,
         |    list_distinct($tokSql) AS ts
         |  FROM documents WHERE doc_id % 4 = 1),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    round(len(list_intersect(a.ts, b.ts))::DOUBLE /
+        |      (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))),
+        |      6) AS jaccard
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.8
+        |ORDER BY jaccard DESC, id_a, id_b""".stripMargin)),
+
+    // The same exact pair join on a VOCABULARY-INFLATED twin corpus
+    // (tokens suffixed with doc_id % 7 → ~196 distinct tokens): past
+    // the 62-token bitmask bound, so this query exercises the
+    // prefix-filter (AllPairs/PPJoin) core against the all-pairs
+    // ground truth — jaccard_pairs_prefix itself now rides the dense
+    // bitmask core on the degenerate 28-token corpus (DedupOps
+    // scaladoc: tiny-universe escape hatch). Both cores stay
+    // oracle-pinned this way.
+    "jaccard_pairs_bigvocab" -> QueryDef(
+      (s, d) => bigvocabPairs(s, d)
+        .orderBy(col("jaccard").desc, col("id_a"), col("id_b")),
+      Some(s"""WITH t AS (SELECT doc_id,
+        |    list_distinct(list_transform($tokSql,
+        |      tk -> tk || '_' || CAST(doc_id % 7 AS VARCHAR))) AS ts
+        |  FROM documents WHERE doc_id % 4 = 2),
         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |    round(len(list_intersect(a.ts, b.ts))::DOUBLE /
         |      (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))),

@@ -40,6 +40,7 @@ object PlanAudit {
       n == "ngram_jaccard_topk" || n == "fuzzy_link_blocked" ||
       n == "leakage_safe_split" || n == "decontaminate" ||
       n == "jaccard_pairs_prefix" ||
+      n == "jaccard_pairs_bigvocab" ||
       n == "containment_pairs_prefix"                       => "neardup"
     case n if n.startsWith("ann_") || n.startsWith("vector_") ||
       n == "semantic_dedup"                                 => "vector"

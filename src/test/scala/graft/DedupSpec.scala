@@ -478,4 +478,79 @@ class DedupSpec extends SparkSpec {
     assert(DedupOps.incrementalExactDedup(b3, "doc_id", "text", dir)
       .isEmpty)
   }
+
+  test("prefixFilterJaccardPairs: dense bitmask core and prefix core " +
+    "agree pair-for-pair, jaccard values included, on the same " +
+    "small-vocabulary corpus") {
+    // ≤62 distinct tokens → the default run takes the dense bitmask
+    // core; a non-default maxBucketSize that never binds forces the
+    // prefix core on the SAME corpus (dense ignores the cap — see
+    // scaladoc). Corpus includes exact-dup groups (within-group 1.0
+    // expansion), an empty doc (must stay absent), and borderline
+    // sizes for the tEff filter.
+    val corpus = (
+      (1 to 6).map(i => (i.toLong,
+        "alpha beta gamma delta epsilon zeta eta theta " +
+          (if (i % 2 == 0) "iota" else "kappa"))) ++
+      Seq(
+        (20L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+        (21L, "mu nu xi"), (22L, "mu nu xi"), (23L, "mu nu xi"),
+        (30L, "   "), (31L, ""))
+    ).toDF("doc_id", "text")
+    for (t <- Seq(0.5, 0.8, 1.0)) {
+      val dense = DedupOps.prefixFilterJaccardPairs(
+          corpus, "doc_id", "text", threshold = t)
+        .as[(Long, Long, Double)].collect().toSet
+      val prefix = DedupOps.prefixFilterJaccardPairs(
+          corpus, "doc_id", "text", threshold = t,
+          maxBucketSize = Int.MaxValue - 1)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(dense == prefix,
+        s"t=$t: dense-only=${(dense -- prefix).take(5)} " +
+          s"prefix-only=${(prefix -- dense).take(5)}")
+      // identical-set triple expands to its 3 within-group pairs at 1.0
+      assert(dense.filter(p => p._1 >= 21L && p._2 <= 23L) ==
+        Set((21L, 22L, 1.0), (21L, 23L, 1.0), (22L, 23L, 1.0)), dense)
+      // empty/blank docs never pair (0/0 jaccard was null in the
+      // all-arrays form; the collapse must not resurrect them)
+      assert(!dense.exists(p => p._1 >= 30L || p._2 >= 30L), dense)
+    }
+  }
+
+  test("containmentPairsPrefix on a >62-token vocabulary (prefix " +
+    "core) equals the exhaustive all-pairs exact containment") {
+    // 70 unique filler tokens push the vocabulary past the 62-bit
+    // mask bound, so this corpus runs the prefix-filter containment
+    // core; the planted doc-in-doc and identical-set pairs sit on top
+    val corpus = (
+      (0 until 70).map(i => (100L + i, s"filler$i")) ++
+      Seq(
+        (1L, "alpha beta gamma delta epsilon zeta"),
+        (2L, "alpha beta gamma"),                   // contained in 1, 3
+        (3L, "alpha beta gamma delta epsilon zeta eta theta"),
+        (4L, "alpha beta gamma delta epsilon zeta"), // identical to 1
+        (10L, "filler0 filler1 filler2 unrelated"))
+    ).toDF("doc_id", "text")
+    for (t <- Seq(0.6, 1.0)) {
+      val ts = corpus.select($"doc_id",
+        array_distinct(graft.ext.TextOps.tokens($"text")).as("ts"))
+      val exact = ts.as("a").join(ts.as("b"),
+          col("a.doc_id") < col("b.doc_id"))
+        .withColumn("__i",
+          size(array_intersect($"a.ts", $"b.ts")).cast("double"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          round($"__i" / size($"a.ts"), 6).as("ca"),
+          round($"__i" / size($"b.ts"), 6).as("cb"))
+        .filter($"ca" >= t || $"cb" >= t)
+        .as[(Long, Long, Double, Double)].collect().toSet
+      val got = DedupOps.containmentPairsPrefix(
+          corpus, "doc_id", "text", minContainment = t)
+        .select("id_a", "id_b", "containment_a", "containment_b")
+        .as[(Long, Long, Double, Double)].collect().toSet
+      assert(got == exact,
+        s"t=$t: missing=${(exact -- got).take(5)} " +
+          s"extra=${(got -- exact).take(5)}")
+      assert(exact.nonEmpty, s"t=$t ground truth empty — weak corpus")
+    }
+  }
 }

@@ -319,6 +319,41 @@ object GraftProperties extends Properties("graft") {
       got == want
     }
 
+  // 80-word vocabulary — past the 62-token mask bound, so these
+  // corpora run the PREFIX-FILTER core (the 20-word generator above
+  // now lands on the dense bitmask core). Docs draw from overlapping
+  // 15-word windows so thresholds still fire.
+  private val bigVocab: Vector[String] =
+    (0 until 80).map(i => s"v$i").toVector
+  private val bigBagGen: Gen[String] = for {
+    start <- Gen.choose(0, 65)
+    n <- Gen.choose(3, 10)
+    ws <- Gen.pick(n, bigVocab.slice(start, start + 15))
+  } yield ws.mkString(" ")
+  private val bigCorpusGen: Gen[List[(Long, String)]] =
+    Gen.listOfN(12, bigBagGen).map(_.zipWithIndex.map {
+      case (t, i) => (i.toLong, t) })
+
+  property("prefixFilterJaccardPairs == exhaustive exact jaccard " +
+    "on a >62-token vocabulary (prefix-filter core)") =
+    forAll(bigCorpusGen, Gen.oneOf(0.3, 0.5, 0.8)) { (docs, t) =>
+      val df = docs.toDF("doc_id", "text")
+      val ts = df.select($"doc_id",
+        array_distinct(graft.ext.TextOps.tokens($"text")).as("ts"))
+      val want = ts.as("a").join(ts.as("b"),
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          round(size(array_intersect($"a.ts", $"b.ts")).cast("double") /
+            (size($"a.ts") + size($"b.ts") -
+              size(array_intersect($"a.ts", $"b.ts"))), 6).as("j"))
+        .filter($"j" >= t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val got = graft.ext.DedupOps.prefixFilterJaccardPairs(
+          df, "doc_id", "text", threshold = t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      got == want
+    }
+
   private val spanDocGen: Gen[List[String]] = Gen.listOfN(8,
     Gen.choose(0, 12).flatMap(len =>
       Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" "))))
