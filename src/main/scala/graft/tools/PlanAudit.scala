@@ -129,14 +129,26 @@ object PlanAudit {
     *    counter moved to the plan tree and started seeing subquery
     *    plans at all — the shape itself is unchanged since r6.
     *
-    *  - `ngram_jaccard_topk` (4 vs neardup 3): the r9 no-silent-caps
-    *    accounting (dropped_blocks/dropped_docs on every row) adds
-    *    ONE block-grain SinglePartition fold — the per-block count
-    *    exchange underneath it is REUSED from the operator's own
-    *    small-block prune (droppedBlockStats scaladoc), so the only
-    *    new exchange moves #blocks rows (hundreds), not pairs.
-    *    containment_dedup absorbed the same fold inside the family
-    *    budget (2→3).
+    *  - `ngram_jaccard_topk` (5 vs neardup 3): +1 from the r9
+    *    no-silent-caps accounting (dropped_blocks/dropped_docs on
+    *    every row) — ONE block-grain SinglePartition fold whose
+    *    per-block count exchange is REUSED from the operator's own
+    *    small-block prune (droppedBlockStats scaladoc), so it moves
+    *    #blocks rows (hundreds), not pairs. +1 from the r12
+    *    parallelism-floor pin: the within-block pair stage now rides
+    *    `Relational.computeDensePairJoin`, whose fixed-width
+    *    REPARTITION_BY_NUM exchange is the AQE-coalesce opt-out —
+    *    byte-advisory coalescing had handed whole quadratic pair
+    *    workloads to one task (SCALING.md r12; semanticDedup's pair
+    *    stage measured 20+ min single-task at sf4 without the pin).
+    *    The pinned exchange carries the same doc-grain rows the join
+    *    shuffled anyway — the cost is a second pass over KBs–MBs, the
+    *    win is the parallelism floor no byte heuristic can remove.
+    *
+    *  - `containment_dedup` (4 vs neardup 3): the same r12
+    *    computeDensePairJoin pin as ngram_jaccard_topk (its r9
+    *    accounting fold was absorbed at 2→3 inside the family
+    *    budget; the pin adds the fourth).
     *
     *  - `corpus_dup_ngrams` (5 vs corpus 4): same r10 trade — the
     *    (doc, gram) pre-agg exchange lets ONE tokenize+hash scan
@@ -172,7 +184,8 @@ object PlanAudit {
   val overrides: Map[String, Int] = Map(
     "asof_join_bucketed" -> 5,
     "sql_q15" -> 4,
-    "ngram_jaccard_topk" -> 4,
+    "ngram_jaccard_topk" -> 5,
+    "containment_dedup" -> 4,
     "corpus_dup_ngrams" -> 5,
     "dup_span_coverage" -> 5,
     "dup_span_strip" -> 5
