@@ -33,6 +33,32 @@ object SearchQueries {
         "doc_id", "text", minContainment = 0.9)
     }
 
+  private val bigvocabContainCache =
+    new FixtureStore.KeyedOnce[(org.apache.spark.sql.SparkSession,
+      String), org.apache.spark.sql.DataFrame]
+
+  /** The `containment_pairs_bigvocab` artifact: tokens suffixed with
+    * `doc_id % 7` inflate the corpus vocabulary past the 62-token
+    * bitmask bound (the [[Text2Queries]] bigvocab scheme), so THIS
+    * query pins the asymmetric PREFIX core of
+    * [[graft.ext.DedupOps.containmentPairsPrefix]] at the oracle
+    * gate — `containment_pairs_prefix` itself rides the dense
+    * bitmask core on the tiny-vocabulary driver corpus. */
+  private def bigvocabContainmentPairs(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    bigvocabContainCache((s, d)) {
+      val docs = Tables.documents(s, d)
+        .filter(col("doc_id") % 8 === 5)
+        .withColumn("text", concat_ws(" ",
+          transform(graft.ext.TextOps.tokens(col("text")),
+            t => concat(t, lit("_"),
+              pmod(col("doc_id"), lit(7)).cast("string")))))
+        .repartition(32)
+      graft.ext.DedupOps.containmentPairsPrefix(
+        docs, "doc_id", "text", minContainment = 0.9)
+    }
+
   /** Build-once postings store ([[FixtureStore.buildOnce]]): a
     * search index is built per corpus snapshot and serves every
     * query, so the fixture write is not the query under test. The
@@ -190,6 +216,31 @@ object SearchQueries {
         |    THEN []::VARCHAR[]
         |    ELSE regexp_split_to_array(lower(trim(text)), '\s+') END)
         |    AS tok FROM documents WHERE doc_id % 8 = 1),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
+        |    len(a.tok), 6) AS containment_a,
+        |  round(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
+        |    len(b.tok), 6) AS containment_b
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, containment_a, containment_b
+        |FROM p WHERE containment_a >= 0.9 OR containment_b >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin)),
+
+    // The same exact containment join on a VOCABULARY-INFLATED twin
+    // corpus (tokens suffixed with doc_id % 7 → past the 62-token
+    // bitmask bound): exercises the asymmetric prefix-filter core
+    // against the all-pairs ground truth, so both containment cores
+    // stay oracle-pinned (containment_pairs_prefix rides the dense
+    // core on the 31-token corpus; jaccard_pairs_bigvocab is the
+    // symmetric-measure twin of this query).
+    "containment_pairs_bigvocab" -> QueryDef(
+      (s, d) => bigvocabContainmentPairs(s, d).orderBy("id_a", "id_b"),
+      Some("""WITH t AS (SELECT doc_id,
+        |  list_distinct(list_transform(
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |    ELSE regexp_split_to_array(lower(trim(text)), '\s+') END,
+        |    tk -> tk || '_' || CAST(doc_id % 7 AS VARCHAR))) AS tok
+        |  FROM documents WHERE doc_id % 8 = 5),
         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  round(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
         |    len(a.tok), 6) AS containment_a,

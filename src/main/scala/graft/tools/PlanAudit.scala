@@ -41,7 +41,8 @@ object PlanAudit {
       n == "leakage_safe_split" || n == "decontaminate" ||
       n == "jaccard_pairs_prefix" ||
       n == "jaccard_pairs_bigvocab" ||
-      n == "containment_pairs_prefix"                       => "neardup"
+      n == "containment_pairs_prefix" ||
+      n == "containment_pairs_bigvocab"                     => "neardup"
     case n if n.startsWith("ann_") || n.startsWith("vector_") ||
       n == "semantic_dedup"                                 => "vector"
     case n if n.startsWith("incremental_") ||
