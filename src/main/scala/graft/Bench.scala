@@ -50,7 +50,15 @@ object Bench {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration._
       val t0 = System.nanoTime()
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      // warmup concurrency: 8 is right at the driver's sf0.1 (queries
+      // are seconds each; 8-way overlap hides compile latency), but 8
+      // CONCURRENT heavy queries at a big-SF leg can exceed the heap
+      // together where each alone is fine (measured: the first full
+      // sf4 leg OOM'd in warmup and took the local SparkContext with
+      // it) — scale legs dial it down via SPARK_GRAFT_WARMUP_PAR
+      val warmupPar = sys.env.getOrElse("SPARK_GRAFT_WARMUP_PAR", "8")
+        .toInt.max(1)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(warmupPar)
       implicit val ec: ExecutionContext =
         ExecutionContext.fromExecutor(pool)
       val fs = SparkEntry.queries.toSeq.map { case (_, fn) =>

@@ -43,13 +43,20 @@ object SearchQueries {
     * query pins the asymmetric PREFIX core of
     * [[graft.ext.DedupOps.containmentPairsPrefix]] at the oracle
     * gate — `containment_pairs_prefix` itself rides the dense
-    * bitmask core on the tiny-vocabulary driver corpus. */
+    * bitmask core on the tiny-vocabulary driver corpus.
+    *
+    * WINDOW-BOUNDED input (`doc_id < 20000`), same rationale as
+    * `jaccard_pairs_bigvocab`: the suffixed corpus is the
+    * tiny-universe pathology sharded by 7 (every posting corpus-hot
+    * in its residue class), so an unbounded scale-leg run would just
+    * re-measure the documented explosion; the pin's job is core
+    * correctness, which the fixed window covers at every SF. */
   private def bigvocabContainmentPairs(
       s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame =
     bigvocabContainCache((s, d)) {
       val docs = Tables.documents(s, d)
-        .filter(col("doc_id") % 8 === 5)
+        .filter(col("doc_id") % 8 === 5 && col("doc_id") < 20000)
         .withColumn("text", concat_ws(" ",
           transform(graft.ext.TextOps.tokens(col("text")),
             t => concat(t, lit("_"),
@@ -240,7 +247,7 @@ object SearchQueries {
         |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
         |    ELSE regexp_split_to_array(lower(trim(text)), '\s+') END,
         |    tk -> tk || '_' || CAST(doc_id % 7 AS VARCHAR))) AS tok
-        |  FROM documents WHERE doc_id % 8 = 5),
+        |  FROM documents WHERE doc_id % 8 = 5 AND doc_id < 20000),
         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  round(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
         |    len(a.tok), 6) AS containment_a,

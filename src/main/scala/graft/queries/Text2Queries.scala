@@ -50,12 +50,22 @@ object Text2Queries {
     * prefix-filter core at the oracle gate (`jaccard_pairs_prefix`
     * rides the dense bitmask core on the tiny-vocabulary corpus).
     * Semantically: docs only pair within their id-residue class, a
-    * deterministic sharding of the same pair problem. */
+    * deterministic sharding of the same pair problem.
+    *
+    * The input is WINDOW-BOUNDED (`doc_id < 20000` — the whole corpus
+    * at the sf0.01/sf0.1 gates, a fixed slice at scale legs): this is
+    * a CORRECTNESS pin for the general-vocabulary core, not a scale
+    * path. Unbounded, the suffixed corpus is the tiny-universe
+    * pathology sharded by 7 — every posting corpus-hot within its
+    * residue class (measured at sf4: 67 GB of candidate spill before
+    * the leg was killed). The scale answer for hot-posting corpora is
+    * the dense core / capped tier / LSH family (SCALING.md r12), and
+    * benching the pathology at every SF would only re-measure it. */
   private def bigvocabPairs(s: org.apache.spark.sql.SparkSession,
                             d: String): org.apache.spark.sql.DataFrame =
     bigvocabPairCache((s, d)) {
       val docs = Tables.documents(s, d)
-        .filter(col("doc_id") % 4 === 2)
+        .filter(col("doc_id") % 4 === 2 && col("doc_id") < 20000)
         .withColumn("text", concat_ws(" ",
           transform(TextOps.tokens(col("text")),
             t => concat(t, lit("_"),
@@ -106,7 +116,7 @@ object Text2Queries {
       Some(s"""WITH t AS (SELECT doc_id,
         |    list_distinct(list_transform($tokSql,
         |      tk -> tk || '_' || CAST(doc_id % 7 AS VARCHAR))) AS ts
-        |  FROM documents WHERE doc_id % 4 = 2),
+        |  FROM documents WHERE doc_id % 4 = 2 AND doc_id < 20000),
         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |    round(len(list_intersect(a.ts, b.ts))::DOUBLE /
         |      (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))),

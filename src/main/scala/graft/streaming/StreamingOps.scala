@@ -62,13 +62,37 @@ object StreamingOps {
     * mid-lineage fails fast rather than corrupting state. */
   def withStateStoreProvider[T](
       spark: org.apache.spark.sql.SparkSession,
-      providerClass: String)(body: => T): T = {
-    val prev = spark.conf.getOption(ProviderConfKey)
-    spark.conf.set(ProviderConfKey, providerClass)
+      providerClass: String)(body: => T): T =
+    withSqlConfs(spark, ProviderConfKey -> providerClass)(body)
+
+  /** RocksDB changelog checkpointing: with it OFF (default) every
+    * micro-batch uploads a full zipped state SNAPSHOT to the
+    * checkpoint — O(state) per batch, ruinous once state ≫ batch
+    * delta (the 100 TB norm: billions of entity keys, thousands of
+    * new rows per batch). With it ON the per-batch upload is the
+    * CHANGELOG (O(batch delta)); snapshots still happen, but in the
+    * background at `minDeltasForSnapshot` cadence, and recovery
+    * replays snapshot + changelogs. Same rollback contract —
+    * StreamingSpec's kill-mid-epoch drill runs under this flag and
+    * asserts `.changelog` files actually land in the checkpoint. */
+  val RocksDBChangelogConfKey: String =
+    "spark.sql.streaming.stateStore.rocksdb." +
+      "changelogCheckpointing.enabled"
+
+  /** Run `body` with the given SQL confs set, restoring each prior
+    * value (or unsetting) after — the scoping discipline behind
+    * [[withStateStoreProvider]], exposed for multi-conf switches
+    * (provider + changelog checkpointing). Streaming reads these at
+    * QUERY START and pins them into the checkpoint lineage, so the
+    * scope governs queries STARTED inside `body` only. */
+  def withSqlConfs[T](spark: org.apache.spark.sql.SparkSession,
+                      confs: (String, String)*)(body: => T): T = {
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
     try body
-    finally prev match {
-      case Some(v) => spark.conf.set(ProviderConfKey, v)
-      case None    => spark.conf.unset(ProviderConfKey)
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
     }
   }
 

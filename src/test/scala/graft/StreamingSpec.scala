@@ -941,6 +941,75 @@ class StreamingSpec extends SparkSpec {
       "spark.sql.streaming.stateStore.providerClass") == confBefore)
   }
 
+  test("RocksDB changelog checkpointing: kill-mid-epoch drill holds " +
+    "and .changelog files land in the checkpoint") {
+    import graft.streaming.{StreamingOps, UserEvent, UserProfile}
+    implicit val ctx = spark.sqlContext
+    // the 100 TB posture: per-batch uploads are O(batch delta)
+    // changelogs, not O(state) snapshots (StreamingOps scaladoc) —
+    // the rollback contract must be IDENTICAL, so the same
+    // state-committed/epoch-uncommitted kill is replayed here
+    StreamingOps.withSqlConfs(spark,
+      "spark.sql.streaming.stateStore.providerClass" ->
+        StreamingOps.RocksDBStateStoreProvider,
+      StreamingOps.RocksDBChangelogConfKey -> "true") {
+      val root = Files.createTempDirectory("graft-state-changelog")
+      val ms = MemoryStream[UserEvent]
+      val ckpt = root.resolve("profile-ckpt").toString
+      val acc =
+        new scala.collection.concurrent.TrieMap[Long, (Long, Double)]()
+      def drain(): Unit = {
+        val q = StreamingOps.runningUserProfile(ms.toDS())
+          .writeStream.outputMode("update")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[UserProfile], _: Long) =>
+              b.collect().foreach(p =>
+                acc.put(p.user_id, (p.n_events, p.total_value)))
+              ()
+          }
+          .option("checkpointLocation", ckpt).start()
+        q.awaitTermination()
+      }
+      ms.addData(UserEvent(t(0), 1, "click", 2.0),
+        UserEvent(t(1), 2, "view", 3.0))
+      drain()
+      ms.addData(UserEvent(t(2), 1, "click", 5.0))
+      val crash = StreamingOps.runningUserProfile(ms.toDS())
+        .writeStream.outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[UserProfile], _: Long) =>
+            b.collect()
+            throw new RuntimeException(
+              "killed after state commit, before epoch commit")
+        }
+        .option("checkpointLocation", ckpt).start()
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        crash.awaitTermination()
+      }
+      drain() // replayed epoch must not double-count against rolled-back state
+      ms.addData(UserEvent(t(3), 1, "view", 1.0))
+      drain()
+      assert(acc(1L) == ((3L, 8.0)),
+        "changelog-mode replayed epoch must not double-count")
+      assert(acc(2L) == ((1L, 3.0)))
+      // the flag genuinely engaged: per-batch .changelog uploads in
+      // the checkpoint state dir (snapshot-mode RocksDB writes only
+      // .zip files per batch)
+      val stateDir = java.nio.file.Paths.get(ckpt, "state")
+      val s = Files.walk(stateDir)
+      val files =
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.filter(Files.isRegularFile(_))
+            .map(_.getFileName.toString).toList
+        } finally s.close()
+      assert(files.exists(_.endsWith(".changelog")),
+        s"expected .changelog uploads, got: ${files.take(10)}")
+    }
+  }
+
   test("incrementalLoadStream is the streaming form of load-if-new") {
     implicit val ctx = spark.sqlContext
     val store = Files.createTempDirectory("graft-stream-store").toString
