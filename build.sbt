@@ -38,4 +38,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Shuffle files are reclaimed by the ContextCleaner only when the
+  // owning RDDs are GC'd; a big heap GCs so rarely that a multi-query
+  // run (Bench at a scale leg) accumulates every finished query's
+  // shuffle on disk. Spark's own periodicGC conf is the lever —
+  // default stays Spark's 30min; scale legs set SPARK_CLEANER_GC=2min.
+  s"-Dspark.cleaner.periodicGC.interval=${
+    sys.env.getOrElse("SPARK_CLEANER_GC", "30min")}",
 )

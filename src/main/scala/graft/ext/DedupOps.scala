@@ -1048,10 +1048,16 @@ object DedupOps {
     val a = enc.toDF(("id_a" +: "__ta" +: blockCols): _*)
       .join(smallBlocks, blockCols)
     val b = enc.toDF(("id_b" +: "__tb" +: blockCols): _*)
-    // pinned-width pair join (Relational.computeDensePairJoin): MBs
-    // of token payload are byte-small but intersect-dense, so AQE's
-    // byte-advisory coalescing would collapse the quadratic stage
-    Relational.computeDensePairJoin(a, b, blockCols)
+    // pinned-width SALTED pair join (Relational.computeDensePairJoin):
+    // MBs of token payload are byte-small but intersect-dense, so
+    // AQE's byte-advisory coalescing would collapse the quadratic
+    // stage; and block COUNT ≥ cores is not enough when block WORK is
+    // B²-concentrated — a hot language's blocks hold most of the
+    // quadratic work (measured at sf4: the 10 en-blocks of 10k docs
+    // carry ~500M of the ~560M pairs, pinning half the stage onto the
+    // few tasks those blocks hash to). nSalts = 4 splits each block's
+    // pair work 4-ways for a 4× replication of the byte-small b side.
+    Relational.computeDensePairJoin(a, b, blockCols, nSalts = 4)
       .filter(col("id_a") < col("id_b"))
       // size-arithmetic union (see minhashNearDupPairs note): the
       // verify math is one intersect per pair, no union array build
@@ -1104,9 +1110,9 @@ object DedupOps {
     val a = enc.toDF(("id_a" +: "__ta" +: blockCols): _*)
       .join(smallBlocks, blockCols)
     val b = enc.toDF(("id_b" +: "__tb" +: blockCols): _*)
-    // pinned-width pair join — same AQE-coalesce guard as
-    // ngramJaccardPairs (see computeDensePairJoin)
-    Relational.computeDensePairJoin(a, b, blockCols)
+    // pinned-width salted pair join — same AQE-coalesce guard and
+    // hot-block work split as ngramJaccardPairs (see that comment)
+    Relational.computeDensePairJoin(a, b, blockCols, nSalts = 4)
       .filter(col("id_a") < col("id_b"))
       .withColumn("__i", iCol(col("__ta"), col("__tb")))
       .withColumn("containment_a",

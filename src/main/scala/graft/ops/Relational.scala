@@ -258,6 +258,66 @@ object Relational {
     topNPerKey(local.drop("__tb"), keys, order, n)
   }
 
+  /** Top-N per key ordered by ONE VALUE COLUMN (desc) — the
+    * stream-scale form of [[topNPerKey]] for inputs too large to
+    * sort: a pair stream, a scored corpus, any frame where the
+    * ranked rows outnumber memory. The window forms (plain and
+    * bucketed) SORT the whole input — the partial rank-limit Spark
+    * plans under them still sorts every input partition, and on a
+    * compute-dense pair stream that sort is the entire cost
+    * (measured: ngram_jaccard_topk 678 s at sf4, ~15 GB of sort
+    * spill for a 20-row answer). This form never sorts the stream:
+    *
+    *   1. ONE map-side-combinable (keys, value) count fold — the
+    *      histogram grain is #distinct values per key (a rounded
+    *      similarity has a few thousand), so the aggregate state is
+    *      tiny and no pair row ever shuffles;
+    *   2. per key, the n-th-highest value threshold read off the
+    *      histogram's descending cumulative count (exact, ties
+    *      included);
+    *   3. a SECOND pass over the input — recompute, not cache: the
+    *      stream is compute-cheap and byte-heavy, the documented
+    *      compute-density posture — keeps only rows at or above
+    *      their key's threshold (top-n rows plus the threshold
+    *      tie-group);
+    *   4. exact rank ([[topNPerKeyBucketed]] — survivor ties can be
+    *      a dup-heavy corpus's whole 1.0-tie-group) under
+    *      (value desc, tieBreak…) picks the final n.
+    *
+    * EXACT vs [[topNPerKey]] under the same order (spec-asserted):
+    * every global top-n row has value ≥ its key's n-th value, so the
+    * threshold filter never drops a winner. `tieBreak` must totally
+    * order rows within (key, value), as in [[topNPerKey]]; `valueCol`
+    * must be non-null (a score/similarity — null-valued rows are
+    * dropped, where the window forms would rank them last). Null KEY
+    * groups are kept (`<=>` threshold join — the keyedRanks
+    * null-safety discipline). */
+  def topNPerKeyByValue(df: DataFrame, keys: Seq[String],
+                        valueCol: String, tieBreak: Seq[Column],
+                        n: Int): DataFrame = {
+    val hist = df.groupBy((keys :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+    // histogram grain: #distinct values per key — window-safe
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(valueCol).desc)
+    val thr = hist.withColumn("__cum", sum("__c").over(w))
+      // values still contributing to the top n (cum count BEFORE
+      // this value < n); the lowest of them is the threshold
+      .filter(col("__cum") - col("__c") < n)
+      .groupBy(keys.map(col): _*)
+      .agg(min(col(valueCol)).as("__thr"))
+      .select(keys.map(k => col(k).as(s"__k_$k")) :+ col("__thr"): _*)
+    val cond = keys.map(k => df(k) <=> col(s"__k_$k"))
+      .reduce(_ && _)
+    val survivors = df.join(broadcast(thr), cond)
+      .filter(col(valueCol) >= col("__thr"))
+      .drop("__thr")
+      .drop(keys.map(k => s"__k_$k"): _*)
+    topNPerKeyBucketed(survivors, keys,
+      col(valueCol).desc +: tieBreak, n,
+      bucketOn = struct(tieBreak: _*))
+  }
+
   /** Rank-based tier assignment: tier k (0..tiers-1) holds the rows
     * whose rank under `order` falls in the k-th equal slice of the
     * key's row count — `tier = ((rank-1) * tiers) div count`, pure

@@ -274,12 +274,15 @@ object CurationQueries {
               < 10, "test").otherwise("train").as("split"))
           .orderBy("doc_id")
       },
+      // the pair CTE mirrors verifiedPairs' doc_id < 20000 window
+      // (see its scaladoc); docs outside the window are singletons by
+      // construction on both sides
       Some("""WITH RECURSIVE t AS (SELECT doc_id,
         |    list_distinct(CASE WHEN length(trim(text)) = 0
         |         THEN []::VARCHAR[]
         |         ELSE regexp_split_to_array(lower(trim(text)), '\s+')
         |    END) AS ts
-        |  FROM documents WHERE doc_id % 10 = 0),
+        |  FROM documents WHERE doc_id % 10 = 0 AND doc_id < 20000),
         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM t a JOIN t b ON a.doc_id < b.doc_id
         |  WHERE round(len(list_intersect(a.ts, b.ts))::DOUBLE /

@@ -130,21 +130,21 @@ object PlanAudit {
     *    counter moved to the plan tree and started seeing subquery
     *    plans at all — the shape itself is unchanged since r6.
     *
-    *  - `ngram_jaccard_topk` (5 vs neardup 3): +1 from the r9
-    *    no-silent-caps accounting (dropped_blocks/dropped_docs on
-    *    every row) — ONE block-grain SinglePartition fold whose
-    *    per-block count exchange is REUSED from the operator's own
-    *    small-block prune (droppedBlockStats scaladoc), so it moves
-    *    #blocks rows (hundreds), not pairs. +1 from the r12
-    *    parallelism-floor pin: the within-block pair stage now rides
-    *    `Relational.computeDensePairJoin`, whose fixed-width
-    *    REPARTITION_BY_NUM exchange is the AQE-coalesce opt-out —
-    *    byte-advisory coalescing had handed whole quadratic pair
-    *    workloads to one task (SCALING.md r12; semanticDedup's pair
-    *    stage measured 20+ min single-task at sf4 without the pin).
-    *    The pinned exchange carries the same doc-grain rows the join
-    *    shuffled anyway — the cost is a second pass over KBs–MBs, the
-    *    win is the parallelism floor no byte heuristic can remove.
+    *  - `ngram_jaccard_topk` (8 vs neardup 3): the r12 stream-scale
+    *    reshape (`Relational.topNPerKeyByValue` + salted
+    *    computeDensePairJoin). The plain rank window's partial
+    *    rank-limit SORTED every pair partition — 678 s and ~15 GB of
+    *    sort spill at sf4 for a 20-row answer; the two-pass
+    *    histogram form (value-count fold → per-key threshold →
+    *    survivor-only exact rank) plus the hot-block salt measured
+    *    97 s on the same leg. The exchange budget reads the trade
+    *    honestly: 2 pinned doc-grain pair-side exchanges (one per
+    *    pass — recompute, not cache, is the compute-density
+    *    posture), the (lang, jaccard) histogram fold + its
+    *    histogram-grain window, the survivor bucketed-rank pair of
+    *    windows, and the r9 accounting fold. Every added exchange
+    *    moves histogram-/survivor-/doc-grain rows; the 500M-row pair
+    *    stream itself never shuffles and never sorts.
     *
     *  - `containment_dedup` (4 vs neardup 3): the same r12
     *    computeDensePairJoin pin as ngram_jaccard_topk (its r9
@@ -185,7 +185,7 @@ object PlanAudit {
   val overrides: Map[String, Int] = Map(
     "asof_join_bucketed" -> 5,
     "sql_q15" -> 4,
-    "ngram_jaccard_topk" -> 5,
+    "ngram_jaccard_topk" -> 8,
     "containment_dedup" -> 4,
     "corpus_dup_ngrams" -> 5,
     "dup_span_coverage" -> 5,

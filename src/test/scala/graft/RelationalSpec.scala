@@ -132,6 +132,27 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("topNPerKeyByValue equals the plain per-key window — heavy " +
+    "ties at the threshold value, sub-n keys, and null KEYS included") {
+    val df = spark.range(5000).select(
+      when(col("id") % 7 === 0, lit(null).cast("string"))
+        .otherwise((col("id") % 3).cast("string")).as("k"),
+      (col("id") % 11).cast("double").as("score"), // huge tie groups
+      col("id").as("item"))
+      // one sub-n key: 2 rows only
+      .unionByName(Seq(("tiny", 0.5, 900001L), ("tiny", 0.25, 900002L))
+        .toDF("k", "score", "item"))
+    val order = Seq(col("score").desc, col("item"))
+    val plain = topNPerKey(df, Seq("k"), order, 5)
+      .select("k", "item").as[(String, Long)].collect().toSet
+    val byValue = topNPerKeyByValue(df, Seq("k"), "score",
+        Seq(col("item")), 5)
+      .select("k", "item").as[(String, Long)].collect().toSet
+    assert(byValue === plain)
+    // the null-key group genuinely participated
+    assert(plain.exists(_._1 == null))
+  }
+
   test("contiguousRowIds cuts cover the full key range and balance " +
     "buckets on ingest-ordered input (per-partition reservoir)") {
     // key correlated with partition order: partition 0 holds the
