@@ -56,8 +56,15 @@ object Bench {
       // together where each alone is fine (measured: the first full
       // sf4 leg OOM'd in warmup and took the local SparkContext with
       // it) — scale legs dial it down via SPARK_GRAFT_WARMUP_PAR
-      val warmupPar = sys.env.getOrElse("SPARK_GRAFT_WARMUP_PAR", "8")
-        .toInt.max(1)
+      // malformed values fall back to the default instead of
+      // crashing warmup with an uncaught NumberFormatException
+      val warmupPar = scala.util.Try(
+        sys.env.getOrElse("SPARK_GRAFT_WARMUP_PAR", "8").trim.toInt)
+        .getOrElse {
+          System.err.println("[bench] unparseable SPARK_GRAFT_WARMUP_PAR=" +
+            s"'${sys.env("SPARK_GRAFT_WARMUP_PAR")}' — using 8")
+          8
+        }.max(1)
       val pool = java.util.concurrent.Executors.newFixedThreadPool(warmupPar)
       implicit val ec: ExecutionContext =
         ExecutionContext.fromExecutor(pool)

@@ -670,13 +670,26 @@ object DedupOps {
   // Shared set-grain machinery for the exact pair joins
   // ------------------------------------------------------------------
 
-  /** Above this many distinct token sets the dense all-pairs core
-    * ([[bitmaskJaccardSetPairs]]) is not attempted: its work is
-    * M²/2 fused popcount comparisons, ~3 ns each under codegen, so
-    * 200k groups ≈ 20 B comparisons ≈ a couple of seconds per task at
-    * local[32] — the knee of the curve. Beyond it the prefix-filter
-    * core takes over. */
+  /** Shard size for the dense all-pairs cores
+    * ([[bitmaskJaccardSetPairs]] / [[bitmaskContainmentSetPairs]]):
+    * past this many distinct token sets the single broadcast
+    * nested-loop is SHARDED — the broadcast side splits into
+    * ⌈M / shard⌉ hash-slices of ≤ shard groups each and the
+    * width-pinned streamed side joins every slice, so broadcast
+    * memory stays bounded and the M²/2 popcount work (embarrassingly
+    * parallel) spreads over shards × width tasks. Before r13 a
+    * tiny-vocab corpus with > 200k distinct sets silently FELL
+    * THROUGH to the prefix core — which on a tiny vocabulary is the
+    * measured 3.4-B-candidate pathology (the r12 VERDICT's #2
+    * latent edge); now vocab ≤ 62 ALWAYS routes dense. Tunable via
+    * the session conf `graft.dedup.denseCoreShardSize` (spec hook +
+    * deployment knob); the default keeps each broadcast ≤ ~6 MB. */
   private val denseCoreMaxGroups = 200000L
+
+  private def denseCoreShardSize(df: DataFrame): Long =
+    scala.util.Try(df.sparkSession.conf
+      .get("graft.dedup.denseCoreShardSize").toLong)
+      .getOrElse(denseCoreMaxGroups).max(1L)
 
   /** DISTINCT-TOKEN-SET groups: `(__tok sorted array<long>, __gid =
     * min member id, __members sorted, __n = set size)`. The
@@ -726,6 +739,23 @@ object DedupOps {
         (array_position(vocabLit, t) - 1).cast("int"))))
   }
 
+  /** The broadcast slices of a dense core's build side: ⌈M / shard⌉
+    * hash-slices of the group-grain frame, each small enough to
+    * broadcast, whose union is the whole frame. One slice (no
+    * sharding) below the shard size — the common case. Slicing is by
+    * `pmod(xxhash64(__gid))`, a pure row function, so every slice is
+    * a deterministic filter over the SAME cached `groups` subtree
+    * (the caller's persist serves all slice builds). */
+  private def broadcastShards(masked: DataFrame, nGroups: Long,
+                              shardSize: Long): Seq[DataFrame] = {
+    val nShards = math.max(1L, (nGroups + shardSize - 1) / shardSize).toInt
+    if (nShards == 1) Seq(masked)
+    else (0 until nShards).map { s =>
+      masked.filter(pmod(xxhash64(col("__gid")),
+        lit(nShards.toLong)) === lit(s.toLong))
+    }
+  }
+
   /** Dense all-pairs Jaccard over distinct-set groups encoded as
     * bitmasks: a broadcast nested-loop join whose condition is pure
     * fused arithmetic (id order + size-ratio prune), jaccard from
@@ -734,11 +764,17 @@ object DedupOps {
     * AQE-coalesce opt-out, see Relational.computeDensePairJoin: M
     * group rows are KBs of bytes but M²/2 of compute). Exactness
     * needs no candidate filter at all here — every pair is checked.
-    * Guarded by [[denseCoreMaxGroups]] and vocab ≤ 62. */
+    * Past [[denseCoreShardSize]] groups the build side ships as
+    * [[broadcastShards]] hash-slices, each joined against the SAME
+    * streamed subtree (Catalyst reuses the pinned exchange) — the
+    * M²/2 work is inherent to the exact answer on a vocabulary where
+    * filters can't prune, so scale-out is by sharding, never by
+    * falling back to the degenerate prefix core. */
   private def bitmaskJaccardSetPairs(groups: DataFrame,
                                      vocab: Array[Long],
                                      threshold: Double,
-                                     tEff: Double): DataFrame = {
+                                     tEff: Double,
+                                     nGroups: Long): DataFrame = {
     // empty sets never pair (the prefix core never generates them as
     // candidates; here they'd put 0/0 — an ANSI divide-by-zero — into
     // the loop), so they are excluded before it
@@ -748,17 +784,21 @@ object DedupOps {
         maskOf(col("__tok"), vocab).as("__mask"))
     val par = groups.sparkSession.sparkContext.defaultParallelism
     val a = masked.toDF("__ga", "__na", "__ma").repartition(par)
-    val b = broadcast(masked.toDF("__gb", "__nb", "__mb"))
-    a.join(b,
-        col("__ga") < col("__gb") &&
-        col("__na") * lit(tEff) <= col("__nb") + lit(1e-9) &&
-        col("__nb") * lit(tEff) <= col("__na") + lit(1e-9))
-      .withColumn("__i",
-        bit_count(col("__ma").bitwiseAND(col("__mb"))).cast("double"))
-      .withColumn("jaccard", round(col("__i") /
-        (col("__na") + col("__nb") - col("__i")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("__ga", "__gb", "jaccard")
+    val shards = broadcastShards(
+      masked, nGroups, denseCoreShardSize(groups))
+    shards.map { sh =>
+      val b = broadcast(sh.toDF("__gb", "__nb", "__mb"))
+      a.join(b,
+          col("__ga") < col("__gb") &&
+          col("__na") * lit(tEff) <= col("__nb") + lit(1e-9) &&
+          col("__nb") * lit(tEff) <= col("__na") + lit(1e-9))
+        .withColumn("__i",
+          bit_count(col("__ma").bitwiseAND(col("__mb"))).cast("double"))
+        .withColumn("jaccard", round(col("__i") /
+          (col("__na") + col("__nb") - col("__i")), 6))
+        .filter(col("jaccard") >= threshold)
+        .select("__ga", "__gb", "jaccard")
+    }.reduce(_ unionByName _)
   }
 
   /** Prefix-filter (AllPairs/PPJoin) Jaccard core over distinct-set
@@ -921,15 +961,22 @@ object DedupOps {
     val groups = tokenSetGroups(df, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // two bounded actions pick the core: group census (materializes
-    // the persist) + ≤63-row vocabulary collect
+    // the persist) + ≤63-row vocabulary collect. A tiny vocabulary
+    // ALWAYS routes dense regardless of group count (sharded past
+    // denseCoreShardSize) — the prefix core on a ≤62-token universe
+    // is the measured candidate-explosion pathology, so falling back
+    // to it at high group counts would be falling INTO the trap the
+    // dense core exists to avoid. A non-default cap still forces the
+    // prefix core (the dense core has nothing to cap; the capped-path
+    // contract spec relies on this).
     val nGroups = groups.count()
     val vocab =
-      if (maxBucketSize == Int.MaxValue && nGroups <= denseCoreMaxGroups)
-        smallUniverse(groups)
+      if (maxBucketSize == Int.MaxValue) smallUniverse(groups)
       else None
     // (__ga < __gb, jaccard) pairs at distinct-set grain
     val gp = vocab match {
-      case Some(v) => bitmaskJaccardSetPairs(groups, v, threshold, tEff)
+      case Some(v) =>
+        bitmaskJaccardSetPairs(groups, v, threshold, tEff, nGroups)
       case None => prefixJaccardSetPairs(groups, threshold, tEff,
         maxBucketSize)
     }
@@ -1024,10 +1071,10 @@ object DedupOps {
         t => xxhash64(t)).as("__tok") +:
       blockCols.map(col)): _*)
     // block-size prune carries only the blocking key, never the tokens
-    val smallBlocks = df.groupBy(blockCols.map(col): _*)
+    val blockCensus = df.groupBy(blockCols.map(col): _*)
       .agg(count(lit(1)).as("__bsz"))
       .filter(col("__bsz") <= maxBlockSize && col("__bsz") > 1)
-      .select(blockCols.map(col): _*)
+    val smallBlocks = blockCensus.select(blockCols.map(col): _*)
     // tiny-universe fast path: when the corpus vocabulary fits a
     // 63-bit mask, the pair stage carries an 8-byte mask per doc
     // instead of a token array, and the per-pair intersect is two
@@ -1055,9 +1102,12 @@ object DedupOps {
     // B²-concentrated — a hot language's blocks hold most of the
     // quadratic work (measured at sf4: the 10 en-blocks of 10k docs
     // carry ~500M of the ~560M pairs, pinning half the stage onto the
-    // few tasks those blocks hash to). nSalts = 4 splits each block's
-    // pair work 4-ways for a 4× replication of the byte-small b side.
-    Relational.computeDensePairJoin(a, b, blockCols, nSalts = 4)
+    // few tasks those blocks hash to). The salt count derives from
+    // the block-work census (max B² vs Σ B² — pairWorkSalts), so a
+    // hotter corpus splits wider without a human re-measuring (the
+    // r12 hand-pin of 4 came from exactly that measurement).
+    Relational.computeDensePairJoin(a, b, blockCols,
+        nSalts = Relational.pairWorkSalts(blockCensus, "__bsz"))
       .filter(col("id_a") < col("id_b"))
       // size-arithmetic union (see minhashNearDupPairs note): the
       // verify math is one intersect per pair, no union array build
@@ -1091,10 +1141,10 @@ object DedupOps {
       transform(array_distinct(TextOps.tokens(col(textCol))),
         t => xxhash64(t)).as("__tok") +:
       blockCols.map(col)): _*)
-    val smallBlocks = df.groupBy(blockCols.map(col): _*)
+    val blockCensus = df.groupBy(blockCols.map(col): _*)
       .agg(count(lit(1)).as("__bsz"))
       .filter(col("__bsz") <= maxBlockSize && col("__bsz") > 1)
-      .select(blockCols.map(col): _*)
+    val smallBlocks = blockCensus.select(blockCols.map(col): _*)
     // tiny-universe fast path — masks instead of token arrays through
     // the quadratic stage (see ngramJaccardPairs)
     val (enc, iCol, nA, nB) = smallUniverse(base) match {
@@ -1111,8 +1161,9 @@ object DedupOps {
       .join(smallBlocks, blockCols)
     val b = enc.toDF(("id_b" +: "__tb" +: blockCols): _*)
     // pinned-width salted pair join — same AQE-coalesce guard and
-    // hot-block work split as ngramJaccardPairs (see that comment)
-    Relational.computeDensePairJoin(a, b, blockCols, nSalts = 4)
+    // census-derived hot-block work split as ngramJaccardPairs
+    Relational.computeDensePairJoin(a, b, blockCols,
+        nSalts = Relational.pairWorkSalts(blockCensus, "__bsz"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("__i", iCol(col("__ta"), col("__tb")))
       .withColumn("containment_a",
@@ -1179,13 +1230,15 @@ object DedupOps {
     val tEff = minContainment - 1e-6
     val groups = tokenSetGroups(df, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // tiny vocabularies always route dense (sharded past
+    // denseCoreShardSize) — see the prefixFilterJaccardPairs dispatch
     val nGroups = groups.count()
-    val vocab =
-      if (nGroups <= denseCoreMaxGroups) smallUniverse(groups) else None
+    val vocab = smallUniverse(groups)
     // (__ga < __gb, containment_a, containment_b) at set grain, with
     // containment_a belonging to the LOWER group id
     val gp = vocab match {
-      case Some(v) => bitmaskContainmentSetPairs(groups, v, minContainment)
+      case Some(v) =>
+        bitmaskContainmentSetPairs(groups, v, minContainment, nGroups)
       case None => prefixContainmentSetPairs(groups, minContainment, tEff)
     }
     // expand to doc pairs; member ids don't follow group-id order, so
@@ -1221,14 +1274,17 @@ object DedupOps {
   }
 
   /** Dense all-pairs containment over bitmask-encoded groups — the
-    * [[bitmaskJaccardSetPairs]] shape for the asymmetric measure. No
-    * size prune in the loop condition: with t ≤ 1 the shorter side's
-    * containment can always qualify (if nb < t·na then na ≥ nb ≥
-    * t·nb — the symmetric prune is vacuous for OR-of-directions), and
-    * the popcount math is the cheap part anyway. */
+    * [[bitmaskJaccardSetPairs]] shape for the asymmetric measure
+    * (including the [[broadcastShards]] scale-out past
+    * [[denseCoreShardSize]] groups). No size prune in the loop
+    * condition: with t ≤ 1 the shorter side's containment can always
+    * qualify (if nb < t·na then na ≥ nb ≥ t·nb — the symmetric prune
+    * is vacuous for OR-of-directions), and the popcount math is the
+    * cheap part anyway. */
   private def bitmaskContainmentSetPairs(groups: DataFrame,
                                          vocab: Array[Long],
-                                         minContainment: Double)
+                                         minContainment: Double,
+                                         nGroups: Long)
       : DataFrame = {
     // empty sets excluded — same rationale as bitmaskJaccardSetPairs
     val masked = groups.filter(col("__n") > 0)
@@ -1237,15 +1293,19 @@ object DedupOps {
         maskOf(col("__tok"), vocab).as("__mask"))
     val par = groups.sparkSession.sparkContext.defaultParallelism
     val a = masked.toDF("__ga", "__na", "__ma").repartition(par)
-    val b = broadcast(masked.toDF("__gb", "__nb", "__mb"))
-    a.join(b, col("__ga") < col("__gb"))
-      .withColumn("__i",
-        bit_count(col("__ma").bitwiseAND(col("__mb"))).cast("double"))
-      .withColumn("containment_a", round(col("__i") / col("__na"), 6))
-      .withColumn("containment_b", round(col("__i") / col("__nb"), 6))
-      .filter(col("containment_a") >= minContainment ||
-        col("containment_b") >= minContainment)
-      .select("__ga", "__gb", "containment_a", "containment_b")
+    val shards = broadcastShards(
+      masked, nGroups, denseCoreShardSize(groups))
+    shards.map { sh =>
+      val b = broadcast(sh.toDF("__gb", "__nb", "__mb"))
+      a.join(b, col("__ga") < col("__gb"))
+        .withColumn("__i",
+          bit_count(col("__ma").bitwiseAND(col("__mb"))).cast("double"))
+        .withColumn("containment_a", round(col("__i") / col("__na"), 6))
+        .withColumn("containment_b", round(col("__i") / col("__nb"), 6))
+        .filter(col("containment_a") >= minContainment ||
+          col("containment_b") >= minContainment)
+        .select("__ga", "__gb", "containment_a", "containment_b")
+    }.reduce(_ unionByName _)
   }
 
   /** Asymmetric prefix-filter containment core over distinct-set

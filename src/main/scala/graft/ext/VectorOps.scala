@@ -337,20 +337,24 @@ object VectorOps {
                                 vecCol: String, blockCols: Seq[String],
                                 threshold: Double,
                                 maxBlockSize: Int = 10000,
-                                nSalts: Int = 1): DataFrame = {
+                                nSalts: Int = 0): DataFrame = {
     val base = corpus.select(
       (col(idCol) +: col(vecCol) +: blockCols.map(col)): _*)
-    val smallBlocks = corpus.groupBy(blockCols.map(col): _*)
+    val blockCensus = corpus.groupBy(blockCols.map(col): _*)
       .agg(count(lit(1)).as("__bsz"))
       .filter(col("__bsz") <= maxBlockSize && col("__bsz") > 1)
-      .select(blockCols.map(col): _*)
+    val smallBlocks = blockCensus.select(blockCols.map(col): _*)
     val a = base.toDF(("id_a" +: "__va" +: blockCols): _*)
       .join(smallBlocks, blockCols)
     val b = base.toDF(("id_b" +: "__vb" +: blockCols): _*)
-    // pinned-width, optionally salted: see computeDensePairJoin — an
-    // enum-small block key (label) otherwise caps parallelism at
-    // #blocks, and AQE byte-coalescing can collapse it entirely
-    Relational.computeDensePairJoin(a, b, blockCols, nSalts)
+    // pinned-width, salted: see computeDensePairJoin — an enum-small
+    // block key (label) otherwise caps parallelism at #blocks, and
+    // AQE byte-coalescing can collapse it entirely. nSalts ≤ 0
+    // (default) derives the salt from the block-work census
+    // (Relational.pairWorkSalts); a positive value pins it.
+    val salts = if (nSalts > 0) nSalts
+      else Relational.pairWorkSalts(blockCensus, "__bsz")
+    Relational.computeDensePairJoin(a, b, blockCols, salts)
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine_sim", cosine(col("__va"), col("__vb")))
       .filter(col("cosine_sim") >= threshold)

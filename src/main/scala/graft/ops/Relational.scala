@@ -205,6 +205,32 @@ object Relational {
     }
   }
 
+  /** Salt count for [[computeDensePairJoin]] derived from the
+    * block-WORK census, not a human: a blocked pair stage's work per
+    * block is B² (the within-block self-join), so load balance needs
+    * the LARGEST block's work to split down to its fair share of the
+    * stage — `nSalts = ⌈max(B²) · cores / Σ B²⌉`, clamped to
+    * [1, cores]. A uniform corpus with ≥ cores blocks derives 1
+    * (zero replication cost); a work-concentrated corpus derives the
+    * split a human had to measure at sf4 (10 en-blocks carrying
+    * ~500 M of ~560 M pairs → ~3; the hand-pin was 4). One tiny
+    * block-grain aggregate action over the census the callers
+    * already compute — bounded by construction (two longs).
+    *
+    * `blockSizes` must carry one row per surviving block with its
+    * population in `sizeCol`; empty census (no blocks survive the
+    * cap) derives 1. Σ B² stays well inside a long for any capped
+    * block population (B ≤ 10⁴ default cap → B² ≤ 10⁸ per block). */
+  def pairWorkSalts(blockSizes: DataFrame, sizeCol: String): Int = {
+    val par = blockSizes.sparkSession.sparkContext.defaultParallelism
+    val row = blockSizes.agg(
+      sum(col(sizeCol) * col(sizeCol)).as("__tot"),
+      max(col(sizeCol) * col(sizeCol)).as("__max")).collect()(0)
+    if (row.isNullAt(0) || row.getLong(0) <= 0L) 1
+    else math.min(par, math.ceil(
+      row.getLong(1).toDouble * par / row.getLong(0)).toInt).max(1)
+  }
+
   /** R8 — union-all aligning by name, null-filling missing columns
     * (reference pd.concat semantics, utils.py:44). */
   def unionAll(dfs: Seq[DataFrame]): DataFrame =
@@ -268,50 +294,77 @@ object Relational {
     * (measured: ngram_jaccard_topk 678 s at sf4, ~15 GB of sort
     * spill for a 20-row answer). This form never sorts the stream:
     *
-    *   1. ONE map-side-combinable (keys, value) count fold — the
-    *      histogram grain is #distinct values per key (a rounded
-    *      similarity has a few thousand), so the aggregate state is
-    *      tiny and no pair row ever shuffles;
-    *   2. per key, the n-th-highest value threshold read off the
-    *      histogram's descending cumulative count (exact, ties
-    *      included);
-    *   3. a SECOND pass over the input — recompute, not cache: the
+    *   1. rows land in ≤1024 ordered VALUE BUCKETS via literal cut
+    *      points over the value column ([[memoCuts]] — the
+    *      keyedOrderStatistic machinery: one bounded, memoized
+    *      sample pass; ANY cut set is correct, cuts only balance
+    *      bucket sizes), so the histogram grain below is keys ×
+    *      ≤1025 REGARDLESS of the value distribution — a CONTINUOUS
+    *      unrounded score can no longer silently rebuild the
+    *      input-sized histogram and the full-sort shape behind it
+    *      (the r12 latent edge: the earlier form grouped by the raw
+    *      value and relied on callers pre-rounding);
+    *   2. ONE map-side-combinable (keys, bucket) count fold — tiny
+    *      aggregate state, no input row ever shuffles;
+    *   3. per key, the bucket containing the n-th-highest value read
+    *      off the histogram's descending cumulative count;
+    *   4. a SECOND pass over the input — recompute, not cache: the
     *      stream is compute-cheap and byte-heavy, the documented
-    *      compute-density posture — keeps only rows at or above
-    *      their key's threshold (top-n rows plus the threshold
-    *      tie-group);
-    *   4. exact rank ([[topNPerKeyBucketed]] — survivor ties can be
-    *      a dup-heavy corpus's whole 1.0-tie-group) under
-    *      (value desc, tieBreak…) picks the final n.
+    *      compute-density posture — keeps only rows in or above
+    *      their key's threshold bucket (the top-n rows plus at most
+    *      one bucket's worth of near-misses, ≈ 1/buckets of the
+    *      key's rows);
+    *   5. exact rank ([[topNPerKeyBucketed]]) under
+    *      (value desc, tieBreak…) picks the final n from the small
+    *      survivor set.
     *
-    * EXACT vs [[topNPerKey]] under the same order (spec-asserted):
-    * every global top-n row has value ≥ its key's n-th value, so the
-    * threshold filter never drops a winner. `tieBreak` must totally
-    * order rows within (key, value), as in [[topNPerKey]]; `valueCol`
-    * must be non-null (a score/similarity — null-valued rows are
-    * dropped, where the window forms would rank them last). Null KEY
-    * groups are kept (`<=>` threshold join — the keyedRanks
-    * null-safety discipline). */
+    * EXACT vs [[topNPerKey]] under the same order (spec-asserted,
+    * continuous and discrete values): every global top-n row's value
+    * falls in or above its key's threshold bucket, so the bucket
+    * filter never drops a winner. NULL values land in the lowest
+    * bucket (a null comparison is never true), which the descending
+    * walk reaches last — null-valued rows rank LAST and appear only
+    * when a key has fewer than n non-null rows, exactly the window
+    * forms' `desc` (nulls-last) semantics. Null KEY groups are kept
+    * (`<=>` threshold join — the keyedRanks null-safety discipline).
+    * `tieBreak` must totally order rows within (key, value), as in
+    * [[topNPerKey]].
+    *
+    * KEY-CARDINALITY BOUND: the per-key threshold frame is broadcast
+    * (one row per distinct key), so distinct keys must fit a
+    * broadcast — the [[keyedRanks]] bound. This operator is for the
+    * hot-key regime (few keys, corpus-sized slices); a
+    * high-cardinality key over task-sized slices should use the
+    * plain [[topNPerKey]] window, which is cheaper there. */
   def topNPerKeyByValue(df: DataFrame, keys: Seq[String],
                         valueCol: String, tieBreak: Seq[Column],
                         n: Int): DataFrame = {
-    val hist = df.groupBy((keys :+ valueCol).map(col): _*)
+    for (c <- Seq("__vb", "__thr"))
+      require(!df.columns.contains(c),
+        s"topNPerKeyByValue: input already has a '$c' column — rename it")
+    val nb = math.min(1024,
+      df.sparkSession.sessionState.conf.numShufflePartitions)
+    val cuts = memoCuts(df, col(valueCol), nb)
+    val bucket = cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + when(col(valueCol) > lit(c), 1).otherwise(0) }
+    val bucketed = df.withColumn("__vb", bucket)
+    val hist = bucketed.groupBy((keys.map(col) :+ col("__vb")): _*)
       .agg(count(lit(1)).as("__c"))
-    // histogram grain: #distinct values per key — window-safe
+    // histogram grain: keys × ≤1025 value buckets — window-safe
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(valueCol).desc)
+      .orderBy(col("__vb").desc)
     val thr = hist.withColumn("__cum", sum("__c").over(w))
-      // values still contributing to the top n (cum count BEFORE
-      // this value < n); the lowest of them is the threshold
+      // buckets still contributing to the top n (cum count BEFORE
+      // this bucket < n); the lowest of them holds the threshold
       .filter(col("__cum") - col("__c") < n)
       .groupBy(keys.map(col): _*)
-      .agg(min(col(valueCol)).as("__thr"))
+      .agg(min(col("__vb")).as("__thr"))
       .select(keys.map(k => col(k).as(s"__k_$k")) :+ col("__thr"): _*)
-    val cond = keys.map(k => df(k) <=> col(s"__k_$k"))
+    val cond = keys.map(k => bucketed(k) <=> col(s"__k_$k"))
       .reduce(_ && _)
-    val survivors = df.join(broadcast(thr), cond)
-      .filter(col(valueCol) >= col("__thr"))
-      .drop("__thr")
+    val survivors = bucketed.join(broadcast(thr), cond)
+      .filter(col("__vb") >= col("__thr"))
+      .drop("__thr", "__vb")
       .drop(keys.map(k => s"__k_$k"): _*)
     topNPerKeyBucketed(survivors, keys,
       col(valueCol).desc +: tieBreak, n,

@@ -357,7 +357,7 @@ object VectorQueries {
     "dedup_embedding" -> QueryDef(
       (s, d) => VectorOps.cosineNearDupPairsBlocked(
           Tables.embeddings(s, d), "vec_id", "embedding",
-          Seq("label"), threshold = 0.2, nSalts = 4)
+          Seq("label"), threshold = 0.2) // salt auto-derives from census
         .withColumn("cosine_sim", round(col("cosine_sim"), 6))
         .orderBy(col("cosine_sim").desc, col("id_a"), col("id_b"))
         .limit(20)

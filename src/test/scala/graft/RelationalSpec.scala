@@ -153,6 +153,71 @@ class RelationalSpec extends SparkSpec {
     assert(plain.exists(_._1 == null))
   }
 
+  test("topNPerKeyByValue stays histogram-bounded on a CONTINUOUS " +
+    "value column — every row a distinct unrounded score (the r12 " +
+    "latent edge: the raw-value histogram was input-sized here)") {
+    // 40k rows, 3 hot keys, a continuous score with no two rows equal
+    val df = spark.range(40000).select(
+      (col("id") % 3).cast("string").as("k"),
+      (sin(col("id").cast("double")) * 1e9).as("score"),
+      col("id").as("item"))
+    val order = Seq(col("score").desc, col("item"))
+    val byValue = topNPerKeyByValue(df, Seq("k"), "score",
+      Seq(col("item")), 9)
+    // the first aggregate groups by the CUT BUCKET, never the raw
+    // value — the grain guard, visible in the analyzed plan
+    val planStr = byValue.queryExecution.analyzed.toString
+    assert(planStr.contains("__vb"), "value-bucket column missing " +
+      "from the plan — histogram would be input-sized")
+    val got = byValue.select("k", "item").as[(String, Long)]
+      .collect().toSet
+    val plain = topNPerKey(df, Seq("k"), order, 9)
+      .select("k", "item").as[(String, Long)].collect().toSet
+    assert(got === plain)
+  }
+
+  test("topNPerKeyByValue ranks null VALUES last, like the window " +
+    "forms — included only when a key has fewer than n non-null rows") {
+    val df = Seq(
+      ("a", Some(3.0), 1L), ("a", None, 2L), ("a", Some(1.0), 3L),
+      ("b", None, 4L), ("b", None, 5L), ("b", Some(2.0), 6L))
+      .toDF("k", "score", "item")
+    val order = Seq(col("score").desc, col("item"))
+    val plain = topNPerKey(df, Seq("k"), order, 3)
+      .select("k", "item").as[(String, Long)].collect().toSet
+    val byValue = topNPerKeyByValue(df, Seq("k"), "score",
+        Seq(col("item")), 3)
+      .select("k", "item").as[(String, Long)].collect().toSet
+    assert(byValue === plain)
+    // a null-valued row genuinely survived (key b has 1 non-null row)
+    assert(byValue.contains(("b", 4L)) && byValue.contains(("b", 5L)))
+  }
+
+  test("pairWorkSalts grows with block-WORK concentration: uniform " +
+    "block census derives 1, a dominant block derives a split, and " +
+    "the result never exceeds the core count") {
+    val par = spark.sparkContext.defaultParallelism
+    // uniform: 64 blocks of 100 rows — ≥ cores of equal work → 1
+    val uniform = (1 to 64).map(i => (s"b$i", 100L)).toDF("k", "__bsz")
+    assert(graft.ops.Relational.pairWorkSalts(uniform, "__bsz") == 1)
+    // concentrated: one 10k block + 63 tiny ones — the hot block is
+    // ~all the B² work, so it must split to ~cores
+    val hot = (("hot", 10000L) +: (1 to 63).map(i => (s"b$i", 10L)))
+      .toDF("k", "__bsz")
+    val saltsHot = graft.ops.Relational.pairWorkSalts(hot, "__bsz")
+    assert(saltsHot > 1 && saltsHot <= par, s"saltsHot=$saltsHot")
+    // moderately concentrated (the measured sf4 shape: 10 equal hot
+    // blocks) sits between 1 and the fully-concentrated answer
+    val tenHot = ((1 to 10).map(i => (s"hot$i", 10000L)) ++
+      (1 to 60).map(i => (s"b$i", 10L))).toDF("k", "__bsz")
+    val saltsTen = graft.ops.Relational.pairWorkSalts(tenHot, "__bsz")
+    assert(saltsTen >= 1 && saltsTen <= saltsHot,
+      s"saltsTen=$saltsTen vs saltsHot=$saltsHot")
+    // empty census (every block over the cap) → 1, no crash
+    val empty = Seq.empty[(String, Long)].toDF("k", "__bsz")
+    assert(graft.ops.Relational.pairWorkSalts(empty, "__bsz") == 1)
+  }
+
   test("contiguousRowIds cuts cover the full key range and balance " +
     "buckets on ingest-ordered input (per-partition reservoir)") {
     // key correlated with partition order: partition 0 holds the
