@@ -307,6 +307,87 @@ object MediaCodecs {
       }
     } catch { case scala.util.control.NonFatal(_) => Unknown }
 
+  /** Encode a per-pixel GRAYSCALE 24-bit BMP (r = g = b = gray(i)).
+    * `gray` is row-major TOP-DOWN (`gray(y*width + x)`, y = 0 the top
+    * row); the encoder writes the spec's bottom-up row order, and
+    * [[decodeBmpLuma]] restores top-down — orientation round-trips,
+    * which matters for position-sensitive signatures (dHash bit
+    * indices are (x, y) addresses). */
+  def encodeBmp24Gray(width: Int, height: Int,
+                      gray: Array[Int]): Array[Byte] = {
+    require(width > 0 && height > 0 && gray.length == width * height)
+    val stride = bmpStride(width)
+    val imageSize = stride * height
+    val buf = ByteBuffer.allocate(54 + imageSize)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+    buf.putInt(54 + imageSize).putShort(0).putShort(0).putInt(54)
+    buf.putInt(40).putInt(width).putInt(height)
+    buf.putShort(1).putShort(24)
+    buf.putInt(0).putInt(imageSize).putInt(2835).putInt(2835)
+    buf.putInt(0).putInt(0)
+    var fileRow = 0
+    while (fileRow < height) {
+      val y = height - 1 - fileRow // bottom-up storage
+      var x = 0
+      while (x < width) {
+        val v = (gray(y * width + x) & 0xff).toByte
+        buf.put(v).put(v).put(v)
+        x += 1
+      }
+      var pad = stride - width * 3
+      while (pad > 0) { buf.put(0.toByte); pad -= 1 }
+      fileRow += 1
+    }
+    buf.array()
+  }
+
+  /** Decode a 24-bit BMP to its full LUMA grid — row-major TOP-DOWN,
+    * luma = (r + g + b) / 3 integer mean per pixel (exact for the
+    * grayscale encodes above). Same header totality guards as
+    * [[decodeBmp]]; None on anything malformed. This is the grid
+    * perceptual signatures ([[MultimodalOps.imageDHash]]) hash — the
+    * mean-only [[decodeBmp]] cannot see WHERE pixels differ. */
+  def decodeBmpLuma(bytes: Array[Byte])
+      : Option[(Int, Int, Array[Int])] = {
+    if (bytes == null || bytes.length < 54 ||
+      bytes(0) != 'B' || bytes(1) != 'M') return None
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val dataOffset = buf.getInt(10)
+    val width = buf.getInt(18)
+    val height = buf.getInt(22)
+    val bpp = buf.getShort(28).toInt
+    val compression = buf.getInt(30)
+    if (bpp != 24 || compression != 0 || width <= 0 || height <= 0)
+      return None
+    if (dataOffset < 54 || dataOffset > bytes.length) return None
+    val strideL = ((width.toLong * 3 + 3) / 4) * 4
+    if (strideL > bytes.length - dataOffset ||
+      height.toLong > (bytes.length - dataOffset) / strideL)
+      return None
+    // luma raster cap — the decodeImage bomb guard applied here (an
+    // in-bounds but huge BMP would otherwise allocate a giant array)
+    if (width.toLong * height > MaxImagePixels) return None
+    val stride = strideL.toInt
+    val luma = new Array[Int](width * height)
+    var fileRow = 0
+    while (fileRow < height) {
+      val y = height - 1 - fileRow
+      val row = dataOffset + fileRow * stride
+      var x = 0
+      while (x < width) {
+        val p = row + x * 3
+        val b = bytes(p) & 0xff
+        val g = bytes(p + 1) & 0xff
+        val r = bytes(p + 2) & 0xff
+        luma(y * width + x) = (r + g + b) / 3
+        x += 1
+      }
+      fileRow += 1
+    }
+    Some((width, height, luma))
+  }
+
   /** Sniff-and-decode: dispatch on magic bytes. */
   def decode(bytes: Array[Byte]): Decoded =
     if (bytes == null || bytes.length < 4) Unknown

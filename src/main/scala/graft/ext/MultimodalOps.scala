@@ -223,4 +223,130 @@ object MultimodalOps {
       .withColumn("frame_index",
         (col("frame_ts_ms") / stepMs).cast("long"))
   }
+
+  // ------------------------------------------------------------------
+  // Image perceptual hashing (dHash) — image-grain near-dup dedup
+  // ------------------------------------------------------------------
+
+  /** The dHash grid: luma is block-averaged to GridW × GridH cells
+    * and each cell compares against its right neighbor — 56 bits
+    * ((GridW-1) × GridH). 56, not the classic 64 from a 9×8 grid, so
+    * the signature (and every XOR/shift over it) stays strictly
+    * inside a SIGNED 63-bit long in BOTH engines — `1 << 63` is
+    * engine-dependent territory the oracle must never enter. */
+  val DHashGridW = 8
+  val DHashGridH = 8
+  val DHashBits: Int = (DHashGridW - 1) * DHashGridH
+
+  /** dHash over a top-down row-major luma grid: block-average
+    * downsample to [[DHashGridW]]×[[DHashGridH]] (integer mean —
+    * exact identity when the image IS grid-sized), then bit
+    * (y·(GridW-1) + x) = 1 iff cell(x+1, y) > cell(x, y). Gradient
+    * direction is what survives brightness/contrast shifts — the
+    * standard dHash robustness argument. Pure JVM arithmetic; used
+    * inside the decode `mapPartitions`, never as a UDF on the plan. */
+  def dHash(width: Int, height: Int, luma: Array[Int]): Long = {
+    val gw = DHashGridW; val gh = DHashGridH
+    val cells = new Array[Long](gw * gh)
+    var cy = 0
+    while (cy < gh) {
+      val y0 = (cy.toLong * height / gh).toInt
+      val y1 = math.max(y0 + 1, ((cy + 1).toLong * height / gh).toInt)
+      var cx = 0
+      while (cx < gw) {
+        val x0 = (cx.toLong * width / gw).toInt
+        val x1 = math.max(x0 + 1, ((cx + 1).toLong * width / gw).toInt)
+        var s = 0L; var n = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { s += luma(y * width + x); n += 1; x += 1 }
+          y += 1
+        }
+        cells(cy * gw + cx) = s / n
+        cx += 1
+      }
+      cy += 1
+    }
+    var sig = 0L
+    var y = 0
+    while (y < gh) {
+      var x = 0
+      while (x < gw - 1) {
+        if (cells(y * gw + x + 1) > cells(y * gw + x))
+          sig |= 1L << (y * (gw - 1) + x)
+        x += 1
+      }
+      y += 1
+    }
+    sig
+  }
+
+  /** Deterministic PATTERNED image corpus with planted near-copies —
+    * the [[synthesizeMedia]] contract (every pixel a pure arithmetic
+    * function of the id, so DuckDB recomputes the expected dHash from
+    * the id alone while Spark genuinely encodes, decodes, and hashes
+    * bytes) extended to per-pixel content:
+    *
+    *  - ids with `id % 10 >= 7` are NEAR-COPIES: they share their
+    *    16-id window's pattern seed (`id - id % 16`), so copies land
+    *    in corpus-LINEAR clusters (~constant per window — the answer
+    *    never goes quadratic at scale legs), and each copy perturbs
+    *    ONE pixel (position a function of the id), moving its dHash
+    *    ≤ 2 bits from the shared pattern;
+    *  - all other ids are originals with seed = id (an original whose
+    *    id is its own window base shares the copies' pattern — the
+    *    original-plus-its-copies case).
+    *
+    * Pixel law (8×8, grid-sized so downsampling is exact identity):
+    * `h = seed·31 + x·13 + y·7 + 1; g₀ = (h² div 256) mod 256` — the
+    * middle digits of h² do NOT factor through `h mod 256`, so
+    * distinct seeds get effectively independent grids (a plain
+    * linear-mod-256 law would alias every 256th seed into identical
+    * images and the pair answer would go quadratic); h² < 2⁵³ keeps
+    * the arithmetic exact in both engines. Copies bump their one
+    * pixel by +128 mod 256. */
+  def synthesizePatternBmp(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = DHashGridW; val h = DHashGridH
+    df.select(col(idCol).cast(LongType)).as[Long]
+      .mapPartitions(_.map { id =>
+        val isCopy = id % 10 >= 7
+        val seed = if (isCopy) id - (id % 16) else id
+        val px = (id % 8).toInt
+        val py = ((id / 8) % 8).toInt
+        val gray = Array.tabulate(w * h) { i =>
+          val x = i % w; val y = i / w
+          val hh = seed * 31 + x * 13 + y * 7 + 1
+          val g0 = ((hh * hh / 256) % 256).toInt
+          if (isCopy && x == px && y == py) ((g0 + 128) % 256) else g0
+        }
+        (id, MediaCodecs.encodeBmp24Gray(w, h, gray))
+      })
+      .select(col("_1").as("asset_id"), col("_2").as("payload"))
+  }
+
+  /** Per-image dHash signatures from the PAYLOAD BYTES: decode the
+    * full luma grid ([[MediaCodecs.decodeBmpLuma]] — a real byte
+    * parse) and hash it, in one narrow `mapPartitions` (the decode
+    * escape hatch — payloads never shuffle; the output is 16 bytes a
+    * row). Undecodable payloads yield no row rather than a fake
+    * signature. Pair generation belongs to the simhash pigeonhole
+    * machinery over the returned `(asset_id, phash)` frame
+    * ([[graft.ext.DedupOps.simhashPairsFromSigs]]) — Hamming-ball
+    * probing is signature-agnostic. */
+  def imageDHash(assets: DataFrame, idCol: String = "asset_id",
+                 payloadCol: String = "payload"): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col(idCol).cast(LongType), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        MediaCodecs.decodeBmpLuma(bytes).map { case (w, h, luma) =>
+          (id, dHash(w, h, luma))
+        }
+      })
+      .select(col("_1").as("asset_id"), col("_2").as("phash"))
+  }
 }

@@ -112,6 +112,73 @@ object ScalarQueries {
       Some("""SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
         |  json_extract_string(props, '$.missing') AS absent
-        |FROM events ORDER BY event_id""".stripMargin))
+        |FROM events ORDER BY event_id""".stripMargin)),
+
+    // Decimal/monetary fidelity at the DECIMAL(38,9) boundary —
+    // SURVEY §1 maps BIGNUMERIC → DecimalType(38,9) and the mart
+    // facts carry money, but until r13 no registry query pinned the
+    // cast/round/overflow EDGES against the oracle engine (the
+    // TPC-H shapes' exact-decimal sums test sums, not the edge):
+    //  * round-half-up AWAY FROM ZERO at the .0x5 boundary, negative
+    //    values included (both engines round decimals half away from
+    //    zero; a half-even engine would diverge by 0.01 here);
+    //  * string→DECIMAL(38,9) cast rounding at the 10th fractional
+    //    digit (half-up in both engines — probed, not assumed);
+    //  * overflow → NULL under try_cast (ANSI CAST would error;
+    //    TRY_CAST is the null-semantics form both engines share);
+    //  * a DECIMAL(38,9) sum over the money column.
+    // Output discipline: every decimal column casts to DOUBLE at the
+    // edge (the dsum rule) — the decimal VALUES carry the semantics,
+    // and a 2-dp decimal casts to the identical nearest double in
+    // both engines, so the compare stays bit-exact.
+    "decimal_money_edge" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{expr => sexpr}
+        Tables.orders(s, d).filter(col("o_orderkey") < 400)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .withColumn("half_step",
+            sexpr("CAST(o_orderkey % 19 - 9 AS DECIMAL(10,0)) * " +
+              "CAST(0.005 AS DECIMAL(10,3))"))
+          .select(
+            col("o_orderkey"),
+            sexpr("CAST(CAST(o_totalprice AS DECIMAL(38,9)) AS DOUBLE)")
+              .as("money389"),
+            sexpr("CAST(round(half_step, 2) AS DOUBLE)")
+              .as("round_half_away"),
+            sexpr("CAST(CAST(concat('0.00000000', " +
+              "CAST(o_orderkey % 10 AS STRING), '5') AS DECIMAL(38,9)) " +
+              "AS DOUBLE)").as("cast_digit10_round"),
+            sexpr("CAST(try_cast(concat(repeat('9', " +
+              "CASE WHEN o_orderkey % 3 = 0 THEN 25 ELSE 10 END), " +
+              "'.5') AS DECIMAL(18,2)) AS DOUBLE)").as("overflow_null"))
+          .groupBy()
+          .agg(
+            QueryDef.dsum(col("money389")).as("sum_money"),
+            QueryDef.dsum(col("round_half_away")).as("sum_round"),
+            // exact decimal fold at scale 15 — a plain double sum of
+            // ~400 1e-9-scale values is addition-order-dependent
+            sum(col("cast_digit10_round").cast("decimal(25,15)"))
+              .cast("double").as("sum_cast_round"),
+            count(when(col("overflow_null").isNull, 1)).as("n_overflow"),
+            QueryDef.dsum(col("overflow_null")).as("sum_fit"))
+      },
+      Some(s"""SELECT
+        |  ${QueryDef.dsumSql("money389")} AS sum_money,
+        |  ${QueryDef.dsumSql("round_half_away")} AS sum_round,
+        |  CAST(sum(CAST(cast_digit10_round AS DECIMAL(25,15)))
+        |    AS DOUBLE) AS sum_cast_round,
+        |  count(CASE WHEN overflow_null IS NULL THEN 1 END) AS n_overflow,
+        |  ${QueryDef.dsumSql("overflow_null")} AS sum_fit
+        |FROM (SELECT o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(38,9)) AS DOUBLE) AS money389,
+        |  CAST(round(CAST(o_orderkey % 19 - 9 AS DECIMAL(10,0)) *
+        |    CAST(0.005 AS DECIMAL(10,3)), 2) AS DOUBLE) AS round_half_away,
+        |  CAST(CAST(concat('0.00000000',
+        |    CAST(o_orderkey % 10 AS VARCHAR), '5') AS DECIMAL(38,9))
+        |    AS DOUBLE) AS cast_digit10_round,
+        |  CAST(TRY_CAST(concat(repeat('9',
+        |    CASE WHEN o_orderkey % 3 = 0 THEN 25 ELSE 10 END),
+        |    '.5') AS DECIMAL(18,2)) AS DOUBLE) AS overflow_null
+        |  FROM orders WHERE o_orderkey < 400)""".stripMargin))
   )
 }

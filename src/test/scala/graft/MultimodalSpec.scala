@@ -223,4 +223,82 @@ class MultimodalSpec extends SparkSpec {
     // windows: [3,-4,0,12] → sqrt(169/4) = 6.5; [5] → 5.0
     assert(out == List((7L, 0L, 4L, 6.5), (7L, 1L, 1L, 5.0)))
   }
+
+  test("encodeBmp24Gray/decodeBmpLuma round-trips the EXACT pixel " +
+    "grid, orientation included (dHash bit addresses are positional)") {
+    import graft.ext.MediaCodecs
+    // asymmetric grid: top-left bright, bottom-right dark — a flipped
+    // decode would swap them
+    val w = 5; val h = 3
+    val gray = Array.tabulate(w * h)(i => (i * 17) % 256)
+    val bytes = MediaCodecs.encodeBmp24Gray(w, h, gray)
+    val Some((dw, dh, luma)) = MediaCodecs.decodeBmpLuma(bytes)
+    assert(dw == w && dh == h)
+    assert(luma.toSeq == gray.toSeq)
+    // malformed payloads decode to None, never throw
+    assert(MediaCodecs.decodeBmpLuma(Array[Byte](1, 2, 3)).isEmpty)
+    assert(MediaCodecs.decodeBmpLuma("RIFFxxxx".getBytes).isEmpty)
+  }
+
+  test("dHash: near-identical images land within a small Hamming " +
+    "ball, unrelated images far; brightness shift moves nothing") {
+    import graft.ext.{MediaCodecs, MultimodalOps}
+    def sig(gray: Array[Int]): Long = {
+      val bytes = MediaCodecs.encodeBmp24Gray(8, 8, gray)
+      val Some((w, h, luma)) = MediaCodecs.decodeBmpLuma(bytes)
+      MultimodalOps.dHash(w, h, luma)
+    }
+    val base = Array.tabulate(64)(i => ((i * 37 + 11) * (i * 37 + 11) / 8) % 256)
+    val onePixel = base.clone(); onePixel(27) = (base(27) + 128) % 256
+    val brighter = base.map(v => math.min(255, v + 30))
+    val unrelated = Array.tabulate(64)(i => ((i * 53 + 7) * (i * 91 + 3) / 4) % 256)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sig(base), sig(onePixel)) <= 2,
+      "one changed pixel flips at most its two adjacent comparisons")
+    assert(ham(sig(base), sig(onePixel)) >= 1,
+      "a +128 bump at a mid-row pixel must flip at least one bit")
+    // uniform brightness shift preserves every gradient direction
+    // except where the +30 clamp at 255 flattens a comparison
+    assert(ham(sig(base), sig(brighter)) <= 4)
+    assert(ham(sig(base), sig(unrelated)) > 10,
+      s"unrelated images too close: ${ham(sig(base), sig(unrelated))}")
+    // downsampling path: a 16x16 upscale of base (2x2 blocks) has the
+    // identical dHash — block averaging of constant blocks is exact
+    val up = Array.tabulate(256) { i =>
+      val x = i % 16; val y = i / 16
+      base((y / 2) * 8 + (x / 2))
+    }
+    val bytesUp = MediaCodecs.encodeBmp24Gray(16, 16, up)
+    val Some((w16, h16, luma16)) = MediaCodecs.decodeBmpLuma(bytesUp)
+    assert(MultimodalOps.dHash(w16, h16, luma16) == sig(base))
+  }
+
+  test("imageDHash + pigeonhole pairs find the planted near-copies " +
+    "of synthesizePatternBmp (the dedup_image_phash data path)") {
+    val ids = spark.range(0, 160).toDF("doc_id")
+    val assets = MultimodalOps.synthesizePatternBmp(ids, "doc_id")
+    val sigs = MultimodalOps.imageDHash(assets)
+    assert(sigs.count() == 160, "every BMP must decode")
+    val pairs = graft.ext.DedupOps.simhashPairsFromSigs(
+        sigs.select(col("asset_id").as("doc_id"),
+          col("phash").as("__sig")),
+        maxDistance = 4, maxBucketSize = Int.MaxValue)
+      .as[(Long, Long, Int)].collect()
+    // ground truth by brute force over the signatures
+    val sigMap = sigs.as[(Long, Long)].collect().toMap
+    val brute = for {
+      a <- sigMap.keys.toSeq; b <- sigMap.keys.toSeq
+      if a < b
+      hd = java.lang.Long.bitCount(sigMap(a) ^ sigMap(b))
+      if hd <= 4
+    } yield (a, b, hd)
+    assert(pairs.toSet == brute.toSet,
+      s"pigeonhole != brute: missing=${(brute.toSet -- pairs.toSet).take(5)}")
+    // the planted structure genuinely exists: copies within a 16-id
+    // window pair up (ids 7,8,9 mod 10 in the same window)
+    assert(pairs.exists { case (a, b, _) => a / 16 == b / 16 &&
+      a % 10 >= 7 && b % 10 >= 7 },
+      "no planted window near-copy pair found")
+    assert(brute.nonEmpty)
+  }
 }

@@ -18,6 +18,12 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // RocksDB is the DEFAULT state store for every spec's streaming
+      // twins (the 100 TB posture — state off the executor heap); the
+      // kill-restart drills still exercise the HDFS-backed provider
+      // explicitly via withStateStoreProvider
+      .config("spark.sql.streaming.stateStore.providerClass",
+        graft.streaming.StreamingOps.RocksDBStateStoreProvider)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

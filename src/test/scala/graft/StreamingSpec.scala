@@ -941,6 +941,46 @@ class StreamingSpec extends SparkSpec {
       "spark.sql.streaming.stateStore.providerClass") == confBefore)
   }
 
+  test("stateful twins run on RocksDB BY DEFAULT — an unswitched " +
+    "stream writes RocksDB-format state files (VERDICT r12 #6: the " +
+    "provider was drill-only before; now it is the session default)") {
+    import graft.streaming.{StreamingOps, UserEvent, UserProfile}
+    implicit val ctx = spark.sqlContext
+    assert(spark.conf.get(
+      "spark.sql.streaming.stateStore.providerClass") ==
+      StreamingOps.RocksDBStateStoreProvider,
+      "session default provider is not RocksDB")
+    val ms = MemoryStream[UserEvent]
+    val ckpt = Files.createTempDirectory("graft-default-prov")
+      .resolve("ckpt").toString
+    ms.addData(UserEvent(t(0), 1, "click", 2.0),
+      UserEvent(t(1), 2, "view", 3.0))
+    // NO withStateStoreProvider switch — whatever the session default
+    // is, is what this query's lineage pins
+    val q = StreamingOps.runningUserProfile(ms.toDS())
+      .writeStream.outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[UserProfile], _: Long) =>
+          b.collect(); ()
+      }
+      .option("checkpointLocation", ckpt).start()
+    q.awaitTermination()
+    val stateDir = java.nio.file.Paths.get(ckpt, "state")
+    val s = Files.walk(stateDir)
+    val files = try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter(Files.isRegularFile(_))
+        .map(_.getFileName.toString).toList
+    } finally s.close()
+    assert(files.exists(f => f.endsWith(".zip") ||
+      f.endsWith(".changelog")),
+      s"RocksDB state files expected under the DEFAULT provider, " +
+        s"got: ${files.take(10)}")
+    assert(!files.exists(_.endsWith(".delta")),
+      "HDFS-backed .delta files found — the default did not engage")
+  }
+
   test("RocksDB changelog checkpointing: kill-mid-epoch drill holds " +
     "and .changelog files land in the checkpoint") {
     import graft.streaming.{StreamingOps, UserEvent, UserProfile}
