@@ -111,9 +111,11 @@ object DedupOps {
       // Hashed-set jaccard is exact up to 64-bit collisions
       // (≈ |A|·|B|/2⁶⁴ per pair); DedupSpec's string-set ground truth
       // and the DuckDB oracle prove collision-freedom on the corpus.
+      // sorted set: one sort_array per DOC buys the allocation-free
+      // sorted-merge intersect count per PAIR (SortedLongIntersectCount)
       .select(col("doc_id"),
-        transform(array_distinct(col("__tok")), t => xxhash64(t))
-          .as("__tokset"),
+        sort_array(transform(array_distinct(col("__tok")),
+          t => xxhash64(t))).as("__tokset"),
         transform(shingles(col("__tok"), shingleSize),
           x => xxhash64(x)).as("__shash"))
       // native fused mixing loop — bit-identical to
@@ -239,9 +241,10 @@ object DedupOps {
       // only, never a materialized union array. __i is referenced
       // twice below, which keeps the projection boundary (CollapseProject
       // won't inline a non-cheap expression used twice) — the
-      // intersect runs once per pair.
-      .withColumn("__i",
-        size(array_intersect(col("__ta"), col("__tb"))))
+      // intersect runs once per pair. Sorted-merge count kernel:
+      // __tokset is sorted at construction (signatureTable).
+      .withColumn("__i", graft.functions.native
+        .intersect_count_sorted(col("__ta"), col("__tb")))
       .withColumn("jaccard", round(col("__i").cast("double") /
         (size(col("__ta")) + size(col("__tb")) - col("__i")), 6))
       .filter(col("jaccard") >= threshold)
@@ -855,8 +858,10 @@ object DedupOps {
     val sa = groups.select(col("__gid").as("__ga"), col("__tok").as("__ta"))
     val sb = groups.select(col("__gid").as("__gb"), col("__tok").as("__tb"))
     cand.join(sa, Seq("__ga")).join(sb, Seq("__gb"))
-      .withColumn("__i",
-        size(array_intersect(col("__ta"), col("__tb"))))
+      // __tok is sorted at construction (tokenSetGroups) — the
+      // sorted-merge count kernel applies
+      .withColumn("__i", graft.functions.native
+        .intersect_count_sorted(col("__ta"), col("__tb")).cast("int"))
       .withColumn("jaccard", round(col("__i").cast("double") /
         (size(col("__ta")) + size(col("__tb")) - col("__i")), 6))
       .filter(col("jaccard") >= threshold)
@@ -1065,10 +1070,14 @@ object DedupOps {
     // in (measured 3.3× on the verify stage). Set equality over
     // 64-bit hashes is exact up to collisions (≈ |A|·|B|/2⁶⁴ per
     // pair); the string-set DuckDB oracle hash-matching at the gate
-    // proves collision-freedom on the corpus.
+    // proves collision-freedom on the corpus. Sorted per doc: the
+    // per-pair intersect is then the allocation-free sorted-merge
+    // count (intersect_count_sorted), not a per-pair hash-set build —
+    // measured ~6× on the zipf corpus's B²-shaped blocked stage,
+    // where the old size(array_intersect) was the whole cost.
     val base = df.select((col(idCol).as("doc_id") +:
-      transform(array_distinct(TextOps.tokens(col(textCol))),
-        t => xxhash64(t)).as("__tok") +:
+      sort_array(transform(array_distinct(TextOps.tokens(col(textCol))),
+        t => xxhash64(t))).as("__tok") +:
       blockCols.map(col)): _*)
     // block-size prune carries only the blocking key, never the tokens
     val blockCensus = df.groupBy(blockCols.map(col): _*)
@@ -1089,7 +1098,8 @@ object DedupOps {
         (ta: Column, tb: Column) => bit_count(ta.bitwiseAND(tb)),
         (ta: Column) => bit_count(ta), (tb: Column) => bit_count(tb))
       case None => (base,
-        (ta: Column, tb: Column) => size(array_intersect(ta, tb)),
+        (ta: Column, tb: Column) => graft.functions.native
+          .intersect_count_sorted(ta, tb),
         (ta: Column) => size(ta), (tb: Column) => size(tb))
     }
     val a = enc.toDF(("id_a" +: "__ta" +: blockCols): _*)
@@ -1137,9 +1147,10 @@ object DedupOps {
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        blockCols: Seq[String], minContainment: Double,
                        maxBlockSize: Int = 10000): DataFrame = {
+    // sorted hashed sets — the ngramJaccardPairs sorted-merge kernel
     val base = df.select((col(idCol).as("doc_id") +:
-      transform(array_distinct(TextOps.tokens(col(textCol))),
-        t => xxhash64(t)).as("__tok") +:
+      sort_array(transform(array_distinct(TextOps.tokens(col(textCol))),
+        t => xxhash64(t))).as("__tok") +:
       blockCols.map(col)): _*)
     val blockCensus = df.groupBy(blockCols.map(col): _*)
       .agg(count(lit(1)).as("__bsz"))
@@ -1154,7 +1165,8 @@ object DedupOps {
         (ta: Column, tb: Column) => bit_count(ta.bitwiseAND(tb)),
         (ta: Column) => bit_count(ta), (tb: Column) => bit_count(tb))
       case None => (base,
-        (ta: Column, tb: Column) => size(array_intersect(ta, tb)),
+        (ta: Column, tb: Column) => graft.functions.native
+          .intersect_count_sorted(ta, tb),
         (ta: Column) => size(ta), (tb: Column) => size(tb))
     }
     val a = enc.toDF(("id_a" +: "__ta" +: blockCols): _*)
@@ -1354,8 +1366,9 @@ object DedupOps {
     val sa = groups.select(col("__gid").as("__ga"), col("__tok").as("__ta"))
     val sb = groups.select(col("__gid").as("__gb"), col("__tok").as("__tb"))
     cand.join(sa, Seq("__ga")).join(sb, Seq("__gb"))
-      .withColumn("__i",
-        size(array_intersect(col("__ta"), col("__tb"))))
+      // __tok sorted at construction (tokenSetGroups)
+      .withColumn("__i", graft.functions.native
+        .intersect_count_sorted(col("__ta"), col("__tb")).cast("int"))
       .withColumn("containment_a",
         round(col("__i").cast("double") / size(col("__ta")), 6))
       .withColumn("containment_b",
@@ -1468,8 +1481,10 @@ object DedupOps {
         .join(sigs.select(col("doc_id").as("new_id"),
           col("__tokset").as("__tn")), Seq("new_id"))
         .join(rightTokset, Seq("other_id"))
-        .withColumn("__i",
-          size(array_intersect(col("__tn"), col("__to"))))
+        // __tokset sorted at construction (signatureTable) — a sig
+        // store written before the sorted-set change must be rebuilt
+        .withColumn("__i", graft.functions.native
+          .intersect_count_sorted(col("__tn"), col("__to")))
         // round(,6) matches minhashNearDupPairs exactly, so the batch
         // and incremental paths classify threshold-boundary pairs
         // identically

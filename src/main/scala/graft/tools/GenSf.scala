@@ -14,8 +14,29 @@ import org.apache.spark.sql.functions._
   * pure function of (row id, column salt) via xxhash64, no RNG
   * state, so a regenerated dataset is bit-identical.
   *
-  * Usage: `runMain graft.tools.GenSf <outDir> <multiplier>`
+  * Usage: `runMain graft.tools.GenSf <outDir> <multiplier> [zipf]`
   * (multiplier 10 ≈ sf1: 6M lineitem rows).
+  *
+  * ZIPF MODE (r13, VERDICT r12 #1): every r12 scale lesson came from
+  * the 28-token rotated-copy corpus — a degenerate corner where
+  * "rare tokens" don't exist and the dense bitmask cores carry
+  * everything. With `zipf` the documents table instead models the
+  * vocabulary shape real 100 TB text has, so the prefix-filter
+  * cores, top_ngrams, and the LSH banding posture exercise their
+  * REAL cost models (short rare-token postings, genuine vocabulary):
+  *
+  *  - 50k-token zipf(s=1) vocabulary: token rank drawn log-uniformly
+  *    (`⌊exp(u·ln V)⌋` has density ∝ 1/rank);
+  *  - log-uniform doc lengths 30–410 tokens (median ≈ 110);
+  *  - planted structure by id class (`id % 20`): 14/20 base docs,
+  *    3/20 NEAR-DUP copies (a base doc with ~5 % of positions
+  *    re-drawn — high but sub-1.0 jaccard, the MinHash target),
+  *    2/20 TEMPLATE docs (an 80-token shared boilerplate prefix from
+  *    a 20-template pool + a unique tail — the containment/dup-span
+  *    target), 1/20 EXACT duplicates of a base doc;
+  *  - copy/dup targets are forced into the base class, so an "exact
+  *    dup" genuinely equals an existing document's text.
+  * All other tables are identical to the default mode.
   */
 object GenSf {
 
@@ -33,6 +54,7 @@ object GenSf {
   def main(args: Array[String]): Unit = {
     val out = args(0)
     val m = args(1).toInt // 1 = sf0.1 scale, 10 = sf1
+    val zipf = args.length > 2 && args(2) == "zipf"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
@@ -129,38 +151,88 @@ object GenSf {
       format_string("{\"k\": %d}",
         pmod(h(col("id"), 30), lit(100L))).as("props")), "events")
 
-    // documents: ~70% base docs (unique token bags), ~30% permuted
-    // copies of a base doc — token-set near-dups forming clusters,
-    // the structure the dedup/clustering pipelines exist for
-    val vocab = Seq("batch", "part", "spark", "line", "column",
-      "order", "small", "sort", "fast", "value", "scan", "hash",
-      "slow", "group", "agg", "filter", "query", "big", "key",
-      "window", "row", "table", "stream", "merge", "data", "vector",
-      "join", "a")
-    val vocabArr = array(vocab.map(lit): _*)
-    val isCopy = pmod(h(col("id"), 31), lit(10L)) < 3
-    val baseId = when(isCopy,
-      pmod(h(col("id"), 32), lit(math.max(nDocs / 10, 1L))))
-      .otherwise(col("id"))
-    val docLen = (pmod(h(baseId, 33), lit(50L)) + 12).cast("int")
-    // tokens are a pure function of the BASE id at a given position;
-    // a copy ROTATES the position sequence by a per-copy offset —
-    // identical token multiset (set-jaccard 1, the near-dup the
-    // pipelines must catch) but a different string (never an exact
-    // dup) and near-zero 3-gram shingle overlap, like the driver
-    // corpus's reordered bags
-    val rot = pmod(h(col("id"), 40), lit(49L)) + 1
-    val tokenAt = (pos: Column) => element_at(vocabArr,
-      (pmod(h(concat(baseId, lit("_"),
-        pmod(pos + rot, docLen.cast("long"))), 34),
-        lit(vocab.size)) + 1).cast("int"))
-    val text = array_join(transform(sequence(lit(1), docLen),
-      p => tokenAt(p)), " ")
-    save(ids(nDocs).select(col("id").as("doc_id"), text.as("text"),
-      pick(col("id"), 35, Seq("en", "en", "en", "zh", "de", "fr"))
-        .as("lang"),
-      concat(lit("src"), pmod(h(col("id"), 36), lit(10L))).as("source"))
-      .withColumn("n_chars", length(col("text"))), "documents")
+    if (!zipf) {
+      // documents: ~70% base docs (unique token bags), ~30% permuted
+      // copies of a base doc — token-set near-dups forming clusters,
+      // the structure the dedup/clustering pipelines exist for
+      val vocab = Seq("batch", "part", "spark", "line", "column",
+        "order", "small", "sort", "fast", "value", "scan", "hash",
+        "slow", "group", "agg", "filter", "query", "big", "key",
+        "window", "row", "table", "stream", "merge", "data", "vector",
+        "join", "a")
+      val vocabArr = array(vocab.map(lit): _*)
+      val isCopy = pmod(h(col("id"), 31), lit(10L)) < 3
+      val baseId = when(isCopy,
+        pmod(h(col("id"), 32), lit(math.max(nDocs / 10, 1L))))
+        .otherwise(col("id"))
+      val docLen = (pmod(h(baseId, 33), lit(50L)) + 12).cast("int")
+      // tokens are a pure function of the BASE id at a given position;
+      // a copy ROTATES the position sequence by a per-copy offset —
+      // identical token multiset (set-jaccard 1, the near-dup the
+      // pipelines must catch) but a different string (never an exact
+      // dup) and near-zero 3-gram shingle overlap, like the driver
+      // corpus's reordered bags
+      val rot = pmod(h(col("id"), 40), lit(49L)) + 1
+      val tokenAt = (pos: Column) => element_at(vocabArr,
+        (pmod(h(concat(baseId, lit("_"),
+          pmod(pos + rot, docLen.cast("long"))), 34),
+          lit(vocab.size)) + 1).cast("int"))
+      val text = array_join(transform(sequence(lit(1), docLen),
+        p => tokenAt(p)), " ")
+      save(ids(nDocs).select(col("id").as("doc_id"), text.as("text"),
+        pick(col("id"), 35, Seq("en", "en", "en", "zh", "de", "fr"))
+          .as("lang"),
+        concat(lit("src"), pmod(h(col("id"), 36), lit(10L))).as("source"))
+        .withColumn("n_chars", length(col("text"))), "documents")
+    } else {
+      // ZIPF documents (scaladoc above). All randomness is xxhash64
+      // on (seed, position, salt) — regeneration is bit-identical.
+      val V = 50000
+      val lnV = math.log(V.toDouble)
+      def u(c: Column, salt: Int): Column = r01(c, salt)
+      // zipf(s=1) rank: log-uniform in [1, V)
+      def zipfTok(seed: Column, p: Column, salt: Int): Column =
+        concat(lit("w"),
+          floor(exp(u(concat(seed, lit("_"), p), salt) * lnV))
+            .cast("long"))
+      val cls = pmod(col("id"), lit(20L)) // 0-13 base, 14-16 copy,
+                                          // 17-18 template, 19 dup
+      // referenced base doc, FORCED into the base class so copies and
+      // dups point at docs whose text is the plain pattern stream
+      val bRaw = pmod(h(col("id"), 51), lit(nDocs))
+      val baseRef = (bRaw - pmod(bRaw, lit(20L))) + pmod(bRaw, lit(14L))
+      // log-uniform base length 30..~410 (median ≈ 110)
+      def baseLen(seed: Column): Column =
+        (lit(10) + floor(exp(lit(3.0) + lit(3.0) * u(seed, 52))))
+          .cast("int")
+      def baseStream(seed: Column, len: Column): Column =
+        transform(sequence(lit(1), len), p => zipfTok(seed, p, 53))
+      val tpl = pmod(h(col("id"), 54), lit(20L))
+      val tailLen = (lit(10) + floor(exp(lit(2.0) +
+        lit(2.5) * u(col("id"), 55)))).cast("int")
+      val toks =
+        when(cls <= 13, baseStream(col("id"), baseLen(col("id"))))
+        .when(cls === 19, baseStream(baseRef, baseLen(baseRef)))
+        .when(cls >= 17,
+          // 80-token template boilerplate + unique zipf tail
+          concat(
+            transform(sequence(lit(1), lit(80)),
+              p => zipfTok(concat(lit("T"), tpl), p, 56)),
+            transform(sequence(lit(1), tailLen),
+              p => zipfTok(col("id"), p, 57))))
+        .otherwise(
+          // near-dup copy: ~5% of positions re-drawn per copy
+          transform(sequence(lit(1), baseLen(baseRef)), p =>
+            when(u(concat(col("id"), lit("@"), p), 58) < 0.05,
+              zipfTok(col("id"), p, 59))
+            .otherwise(zipfTok(baseRef, p, 53))))
+      save(ids(nDocs).select(col("id").as("doc_id"),
+        array_join(toks, " ").as("text"),
+        pick(col("id"), 35, Seq("en", "en", "en", "zh", "de", "fr"))
+          .as("lang"),
+        concat(lit("src"), pmod(h(col("id"), 36), lit(10L))).as("source"))
+        .withColumn("n_chars", length(col("text"))), "documents")
+    }
 
     // embeddings: 64-dim floats in ~10 loose clusters (label = the
     // cluster), small per-vector noise — enough structure for IVF
