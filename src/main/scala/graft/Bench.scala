@@ -71,7 +71,13 @@ object Bench {
       val fs = SparkEntry.queries.toSeq.map { case (_, fn) =>
         Future { try fn(spark, sfDir).count() catch { case _: Throwable => } }
       }
-      try { Await.ready(Future.sequence(fs), 15.minutes); pool.shutdown() }
+      // scale legs can exceed the default ceiling (the zipf4 leg hit
+      // 15 min with one query unfinished) — tunable, same fallback
+      // posture as SPARK_GRAFT_WARMUP_PAR
+      val warmupMin = scala.util.Try(
+        sys.env.getOrElse("SPARK_GRAFT_WARMUP_TIMEOUT_MIN", "15")
+          .trim.toInt).getOrElse(15).max(1)
+      try { Await.ready(Future.sequence(fs), warmupMin.minutes); pool.shutdown() }
       catch {
         case _: java.util.concurrent.TimeoutException =>
           warmupIncomplete = fs.count(!_.isCompleted)

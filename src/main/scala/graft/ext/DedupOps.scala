@@ -476,9 +476,12 @@ object DedupOps {
     val sigs = hashed.select(col("doc_id"),
       simhashFromHashes(col("__h")).as("__sig"))
     // simhashPairsFromSigs materializes its output before returning,
-    // so releasing the hash cache afterwards is safe
+    // so releasing the hash cache afterwards is safe. sigBits = 60:
+    // the md5-derived signature occupies bits 0–59, so the block
+    // split covers only real bits (no constant-zero block narrowing
+    // a combination key's effective width)
     val out = simhashPairsFromSigs(sigs, maxDistance, maxBucketSize,
-      numBlocks)
+      numBlocks, sigBits = 60)
     hashed.unpersist()
     out
   }
@@ -493,11 +496,17 @@ object DedupOps {
 
   private val maxComboTables = 64
 
-  /** Bit widths of the `c` signature blocks (64 bits split as evenly
-    * as integer division allows; earlier blocks take the remainder). */
-  private def blockWidths(c: Int): Seq[Int] = {
-    val base = 64 / c
-    val extra = 64 % c
+  /** Bit widths of the `c` signature blocks (`sigBits` split as
+    * evenly as integer division allows; earlier blocks take the
+    * remainder). `sigBits < 64` matters when the signature genuinely
+    * occupies fewer bits (portable md5 sigs: 60; image dHash: 56) —
+    * splitting the full 64 would hand some combination keys a
+    * constant-zero block, silently narrowing their REAL width and
+    * heating their buckets while the occupancy model still assumed
+    * the nominal width. */
+  private def blockWidths(c: Int, sigBits: Int): Seq[Int] = {
+    val base = sigBits / c
+    val extra = sigBits % c
     (0 until c).map(i => base + (if (i < extra) 1 else 0))
   }
 
@@ -505,8 +514,8 @@ object DedupOps {
     * scheme produces: the sum of the `c - d` smallest block widths.
     * Bucket occupancy for unrelated docs is ~N / 2^width, so this is
     * the knob that must grow with the corpus. */
-  private def minComboWidth(c: Int, d: Int): Int =
-    blockWidths(c).sorted.take(c - d).sum
+  private def minComboWidth(c: Int, d: Int, sigBits: Int): Int =
+    blockWidths(c, sigBits).sorted.take(c - d).sum
 
   /** Corpus-size-derived block count: the smallest `c ≥ d + 1` whose
     * narrowest combination key gives expected unrelated-bucket
@@ -516,13 +525,13 @@ object DedupOps {
     * effort, with the hot-bucket cap as the remaining safety. This is
     * the Manku-et-al. simhash dedup trade: more tables (compute) buy
     * collision-free keys (recall) as the corpus grows. */
-  private[ext] def chooseBlocks(n: Long, d: Int): Int = {
+  private[ext] def chooseBlocks(n: Long, d: Int, sigBits: Int = 64): Int = {
     val target = math.log(8.0 * math.max(n, 1L)) / math.log(2.0)
     val candidates = Iterator.from(d + 1)
-      .takeWhile(c => c <= 64 && comboCount(c, d) <= maxComboTables)
+      .takeWhile(c => c <= sigBits && comboCount(c, d) <= maxComboTables)
       .toSeq
-    candidates.find(c => minComboWidth(c, d) >= target)
-      .getOrElse(candidates.maxBy(c => minComboWidth(c, d)))
+    candidates.find(c => minComboWidth(c, d, sigBits) >= target)
+      .getOrElse(candidates.maxBy(c => minComboWidth(c, d, sigBits)))
   }
 
   /** Corpus-size-derived MinHash/LSH parameters `(numHashes, bands,
@@ -611,17 +620,20 @@ object DedupOps {
     * candidate-generation cost). */
   def simhashPairsFromSigs(sigFrame: DataFrame, maxDistance: Int,
                            maxBucketSize: Int,
-                           numBlocks: Int = 0): DataFrame = {
+                           numBlocks: Int = 0,
+                           sigBits: Int = 64): DataFrame = {
+    require(sigBits >= 1 && sigBits <= 64, s"sigBits=$sigBits")
     val sigd = sigFrame
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val d = math.min(maxDistance, 63)
+    val d = math.min(maxDistance, sigBits - 1)
     val c =
       if (numBlocks > 0) {
-        require(numBlocks >= d + 1 && numBlocks <= 64,
-          s"numBlocks=$numBlocks must be in [maxDistance+1=${d + 1}, 64]")
+        require(numBlocks >= d + 1 && numBlocks <= sigBits,
+          s"numBlocks=$numBlocks must be in [maxDistance+1=${d + 1}, " +
+            s"sigBits=$sigBits]")
         numBlocks
-      } else chooseBlocks(sigd.count(), d)
-    val widths = blockWidths(c)
+      } else chooseBlocks(sigd.count(), d, sigBits)
+    val widths = blockWidths(c, sigBits)
     val offsets = widths.scanLeft(0)(_ + _)
     def blockVal(b: Int): Column = {
       val mask = if (widths(b) >= 64) -1L else (1L << widths(b)) - 1

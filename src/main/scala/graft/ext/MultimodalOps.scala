@@ -299,13 +299,24 @@ object MultimodalOps {
     *    original-plus-its-copies case).
     *
     * Pixel law (8×8, grid-sized so downsampling is exact identity):
-    * `h = seed·31 + x·13 + y·7 + 1; g₀ = (h² div 256) mod 256` — the
-    * middle digits of h² do NOT factor through `h mod 256`, so
-    * distinct seeds get effectively independent grids (a plain
-    * linear-mod-256 law would alias every 256th seed into identical
-    * images and the pair answer would go quadratic); h² < 2⁵³ keeps
-    * the arithmetic exact in both engines. Copies bump their one
-    * pixel by +128 mod 256. */
+    * `h = seed·31 + x·13 + y·7 + 1` finalized through a two-round
+    * multiply–xorshift avalanche (`z = h·2654435761 mod 2³²;
+    * z ^= z≫16; z = z·60493 mod 2³²; z ^= z≫16; g₀ = z mod 256`).
+    * Both engines do exact 64-bit integer arithmetic, so the law is
+    * engine-portable; the multipliers keep every product under 2⁶³.
+    * A POLYNOMIAL law is not good enough here — the first two r13
+    * attempts each failed at a scale leg, instructively: bits 8–15
+    * of h² factor through `h mod 2^16` (the 2^17·h·k cross term
+    * vanishes), so every 65536th seed produced an IDENTICAL grid and
+    * the 200k-doc zipf4 answer collapsed into 61 M quadratic pairs;
+    * bits 16–23 fixed the aliasing but made adjacent cells
+    * CORRELATED (the window step 26h/2^16 rarely wraps mod 256, so
+    * most gradient bits agree and cross-seed hammings concentrate
+    * near 0 — 59 % of all pairs "near-dup" at the gate SF). The
+    * xorshift rounds give both properties at once (validated at 200k
+    * ids: 180k distinct signatures, 0 hamming ≤ 4 cross-pairs in
+    * 200k random samples, planted copies at hamming 1). Copies bump
+    * their one pixel by +128 mod 256. */
   def synthesizePatternBmp(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -319,7 +330,11 @@ object MultimodalOps {
         val gray = Array.tabulate(w * h) { i =>
           val x = i % w; val y = i / w
           val hh = seed * 31 + x * 13 + y * 7 + 1
-          val g0 = ((hh * hh / 256) % 256).toInt
+          var z = (hh * 2654435761L) & 0xFFFFFFFFL
+          z ^= z >>> 16
+          z = (z * 60493L) & 0xFFFFFFFFL
+          z ^= z >>> 16
+          val g0 = (z % 256).toInt
           if (isCopy && x == px && y == py) ((g0 + 128) % 256) else g0
         }
         (id, MediaCodecs.encodeBmp24Gray(w, h, gray))

@@ -123,7 +123,8 @@ object MultimodalQueries {
         val sigs = MultimodalOps.imageDHash(assets)
           .select(col("asset_id").as("doc_id"), col("phash").as("__sig"))
         graft.ext.DedupOps.simhashPairsFromSigs(sigs, maxDistance = 4,
-            maxBucketSize = Int.MaxValue)
+            maxBucketSize = Int.MaxValue,
+            sigBits = MultimodalOps.DHashBits)
           .select(col("id_a"), col("id_b"), col("hamming_distance"))
           .orderBy("id_a", "id_b")
       },
@@ -133,14 +134,20 @@ object MultimodalQueries {
         |         ELSE doc_id END AS seed,
         |    doc_id % 10 >= 7 AS is_copy
         |  FROM documents, range(0, 8) x, range(0, 8) y),
+        |z0 AS (
+        |  SELECT id, x, y, is_copy,
+        |    ((seed*31 + x*13 + y*7 + 1) * 2654435761) % 4294967296 AS z
+        |  FROM g),
+        |z1 AS (
+        |  SELECT id, x, y, is_copy,
+        |    (xor(z, z // 65536) * 60493) % 4294967296 AS z
+        |  FROM z0),
         |lum AS (
         |  SELECT id, x, y,
         |    CASE WHEN is_copy AND x = (id % 8) AND y = ((id // 8) % 8)
-        |      THEN (((seed*31 + x*13 + y*7 + 1) * (seed*31 + x*13 + y*7 + 1)
-        |            // 256) % 256 + 128) % 256
-        |      ELSE ((seed*31 + x*13 + y*7 + 1) * (seed*31 + x*13 + y*7 + 1)
-        |            // 256) % 256 END AS g
-        |  FROM g),
+        |      THEN (xor(z, z // 65536) % 256 + 128) % 256
+        |      ELSE xor(z, z // 65536) % 256 END AS g
+        |  FROM z1),
         |ph AS (
         |  SELECT a.id AS asset_id,
         |    CAST(sum(CASE WHEN b.g > a.g

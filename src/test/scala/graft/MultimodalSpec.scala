@@ -294,6 +294,15 @@ class MultimodalSpec extends SparkSpec {
     } yield (a, b, hd)
     assert(pairs.toSet == brute.toSet,
       s"pigeonhole != brute: missing=${(brute.toSet -- pairs.toSet).take(5)}")
+    // the signature-width-aware split (sigBits = 56, the registry
+    // query's form) is exact too — any valid split only shifts cost
+    val pairs56 = graft.ext.DedupOps.simhashPairsFromSigs(
+        sigs.select(col("asset_id").as("doc_id"),
+          col("phash").as("__sig")),
+        maxDistance = 4, maxBucketSize = Int.MaxValue,
+        sigBits = MultimodalOps.DHashBits)
+      .as[(Long, Long, Int)].collect()
+    assert(pairs56.toSet == brute.toSet, "sigBits=56 split diverged")
     // the planted structure genuinely exists: copies within a 16-id
     // window pair up (ids 7,8,9 mod 10 in the same window)
     assert(pairs.exists { case (a, b, _) => a / 16 == b / 16 &&
