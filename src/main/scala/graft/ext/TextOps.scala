@@ -813,4 +813,106 @@ object TextOps {
         round(sum(col("lm_logprob").cast("decimal(25,6)")).cast("double")
           / count(lit(1)), 6).as("avg_logprob"))
   }
+
+  /** Word n-grams of a token array as joined strings — empty when
+    * the doc has fewer than n tokens. Separator is one space, so a
+    * gram's TOKEN-char length is `length(gram) - (n-1)`. */
+  private def wordGrams(tok: Column, n: Int): Column =
+    when(size(tok) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(tok) - n),
+        i => array_join(slice(tok, i + lit(1), lit(n)), " ")))
+
+  /** Gopher-style repetition gates (Rae et al. 2021, table A1 —
+    * public): the per-document duplicate-line and repeated-n-gram
+    * signals a web-scale curation pass filters on, plus the combined
+    * keep flag. Signals:
+    *
+    *  - `dup_line_frac`: repeated non-blank lines / total lines
+    *    (occurrences beyond the first);
+    *  - `dup_line_char_frac`: characters in those repeated
+    *    occurrences / total line characters;
+    *  - `top_ngram_char_frac`: token-chars of the single most
+    *    frequent `topN`-gram (all its occurrences) / total token
+    *    chars — ties break to the lexicographically smallest gram,
+    *    so the value is deterministic and engine-portable;
+    *  - `dup_ngram_char_frac`: token-chars over ALL occurrences of
+    *    `dupN`-grams that occur more than once / total token chars,
+    *    capped at 1.0 (overlapping grams overcount by design — the
+    *    published heuristic does too).
+    *
+    * `pass_repetition` applies the paper's thresholds for the
+    * default (topN=2, dupN=5) pair: 0.30 / 0.20 / 0.20 / 0.15. The
+    * paper's full battery (top 2/3/4-grams, dup 5..10-grams) is this
+    * same fold at other n — run the operator per n and AND the
+    * flags.
+    *
+    * Scale shape: everything folds at (doc, line) / (doc, gram)
+    * grain — map-side-combinable counts keyed by the HIGH-cardinality
+    * doc id (never a corpus-global gram key, unlike corpus_dup_ngrams
+    * which deliberately works at corpus grain), then one doc-grain
+    * join set. No corpus-wide hot key exists by construction. */
+  def repetitionSignals(df: org.apache.spark.sql.DataFrame,
+                        idCol: String, textCol: String,
+                        topN: Int = 2, dupN: Int = 5)
+      : org.apache.spark.sql.DataFrame = {
+    require(topN >= 1 && dupN >= 1, s"topN=$topN dupN=$dupN")
+    val docs = df.select(col(idCol).as("doc_id"),
+      col(textCol).as("__text"))
+    val lines = docs.select(col("doc_id"),
+      explode(filter(split(col("__text"), "\n"),
+        l => length(trim(l)) > 0)).as("__line"))
+    val lineStats = lines.groupBy("doc_id", "__line")
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__len", length(col("__line")))
+      .groupBy("doc_id").agg(
+        sum("__c").as("n_lines"),
+        count(lit(1)).as("__nd"),
+        sum(col("__c") * col("__len")).as("__lc"),
+        sum(when(col("__c") > 1, (col("__c") - 1) * col("__len"))
+          .otherwise(0L)).as("__dlc"))
+      .select(col("doc_id"), col("n_lines"),
+        round((col("n_lines") - col("__nd")).cast("double") /
+          col("n_lines"), 6).as("dup_line_frac"),
+        round(col("__dlc").cast("double") /
+          greatest(col("__lc"), lit(1L)), 6).as("dup_line_char_frac"))
+    val toks = docs.select(col("doc_id"),
+        TextOps.tokens(col("__text")).as("__tok"))
+      .withColumn("__tchars", coalesce(aggregate(col("__tok"),
+        lit(0L), (a, t) => a + length(t)), lit(0L)))
+    def gramCounts(n: Int) = toks
+      .select(col("doc_id"), col("__tchars"),
+        explode(wordGrams(col("__tok"), n)).as("__g"))
+      .groupBy("doc_id", "__tchars", "__g")
+      .agg(count(lit(1)).as("__c"))
+    // deterministic top gram: min(struct(-count, gram)) = max count,
+    // ties to the smallest gram string
+    val top = gramCounts(topN).groupBy("doc_id", "__tchars")
+      .agg(min(struct((-col("__c")).as("nc"), col("__g").as("g")))
+        .as("__t"))
+      .select(col("doc_id"),
+        round(((-col("__t.nc")) *
+          (length(col("__t.g")) - lit(topN - 1))).cast("double") /
+          greatest(col("__tchars"), lit(1L)), 6)
+          .as("top_ngram_char_frac"))
+    val dup = gramCounts(dupN).groupBy("doc_id", "__tchars")
+      .agg(sum(when(col("__c") > 1,
+        col("__c") * (length(col("__g")) - lit(dupN - 1)))
+        .otherwise(0L)).as("__d"))
+      .select(col("doc_id"),
+        least(round(col("__d").cast("double") /
+          greatest(col("__tchars"), lit(1L)), 6), lit(1.0))
+          .as("dup_ngram_char_frac"))
+    docs.select(col("doc_id"))
+      .join(lineStats, Seq("doc_id"), "left")
+      .join(top, Seq("doc_id"), "left")
+      .join(dup, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_lines"))
+      .na.fill(0.0, Seq("dup_line_frac", "dup_line_char_frac",
+        "top_ngram_char_frac", "dup_ngram_char_frac"))
+      .withColumn("pass_repetition",
+        col("dup_line_frac") <= 0.30 &&
+        col("dup_line_char_frac") <= 0.20 &&
+        col("top_ngram_char_frac") <= 0.20 &&
+        col("dup_ngram_char_frac") <= 0.15)
+  }
 }

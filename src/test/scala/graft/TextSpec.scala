@@ -194,4 +194,42 @@ class TextSpec extends SparkSpec {
     assert(one[Double](TextOps.dupTokenFrac(lit(""))) == 0.0)
     assert(one[Double](TextOps.topNgramFrac(lit(""), 2)) == 0.0)
   }
+
+  test("repetitionSignals: hand-computed line and char-mass gram " +
+    "fractions (the Gopher table's line-grain half)") {
+    import spark.implicits._
+    val docs = Seq(
+      // 4 lines, "dup dup" twice: dup_line_frac 1/4; line chars
+      // 7+7+3+5=22, repeated occurrence chars 7 -> 0.318182
+      (1L, "dup dup\ndup dup\nabc\nx y z"),
+      // 20 distinct 2-3 char tokens in two lines: no repetition,
+      // top 2-gram count 1 -> char frac small enough to pass
+      (2L, (0 until 10).map(i => s"a$i").mkString(" ") + "\n" +
+        (10 until 20).map(i => s"a$i").mkString(" ")),
+      // blank/whitespace lines are excluded from line stats
+      (3L, "solo\n   \n\nsolo"),
+      (4L, "")).toDF("doc_id", "text")
+    val out = TextOps.repetitionSignals(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_lines", "dup_line_frac",
+        "dup_line_char_frac", "top_ngram_char_frac",
+        "dup_ngram_char_frac", "pass_repetition")
+      .as[(Long, Long, Double, Double, Double, Double, Boolean)]
+      .collect().toList
+    val d1 = out(0)
+    assert(d1._2 == 4 && d1._3 == 0.25 && d1._4 == 0.318182, d1)
+    // top 2-gram of doc 1: the token stream is dup,dup,dup,dup,...
+    // so "dup dup" occurs 3 times (sliding); token chars = 18;
+    // top frac = 3*6/18 = 1.0 — and the doc fails the gate
+    assert(d1._5 == 1.0 && !d1._7, d1)
+    val d2 = out(1)
+    assert(d2._2 == 2 && d2._3 == 0.0 && d2._4 == 0.0 && d2._7, d2)
+    val d3 = out(2)
+    // two identical non-blank lines
+    assert(d3._2 == 2 && d3._3 == 0.5 && d3._4 == 0.5, d3)
+    val d4 = out(3)
+    // empty doc: no lines, all signals 0, gate passes — the doc is
+    // not silently dropped from the output
+    assert(d4 == ((4L, 0L, 0.0, 0.0, 0.0, 0.0, true)), d4)
+  }
 }
