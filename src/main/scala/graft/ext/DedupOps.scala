@@ -21,6 +21,13 @@ import graft.ops.Relational
   */
 object DedupOps {
 
+  /** On-disk format version of the incremental-minhash `sig_store`
+    * ([[incrementalMinhashDedup]]): "2" = `__tokset` arrays sorted at
+    * write (the sorted-merge verify kernel's precondition). Stores
+    * without the marker are treated as legacy-unsorted and
+    * defensively re-sorted on load. */
+  val SigStoreFormat = "2"
+
   // ------------------------------------------------------------------
   // Exact dedup
   // ------------------------------------------------------------------
@@ -1091,10 +1098,18 @@ object DedupOps {
       sort_array(transform(array_distinct(TextOps.tokens(col(textCol))),
         t => xxhash64(t))).as("__tok") +:
       blockCols.map(col)): _*)
-    // block-size prune carries only the blocking key, never the tokens
+    // block-size prune carries only the blocking key, never the tokens.
+    // PERSISTED (ADVICE r13): the census has two consumers — the
+    // salt derivation's eager aggregate below and the small-block
+    // prune join inside the returned plan — and without the cache
+    // each re-scans the corpus for its own groupBy. The cached frame
+    // is block-grain (one short row per surviving block), so the
+    // resident cost is bounded by the block-key cardinality, not the
+    // corpus; the salt collect is what materializes it.
     val blockCensus = df.groupBy(blockCols.map(col): _*)
       .agg(count(lit(1)).as("__bsz"))
       .filter(col("__bsz") <= maxBlockSize && col("__bsz") > 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val smallBlocks = blockCensus.select(blockCols.map(col): _*)
     // tiny-universe fast path: when the corpus vocabulary fits a
     // 63-bit mask, the pair stage carries an 8-byte mask per doc
@@ -1164,9 +1179,12 @@ object DedupOps {
       sort_array(transform(array_distinct(TextOps.tokens(col(textCol))),
         t => xxhash64(t))).as("__tok") +:
       blockCols.map(col)): _*)
+    // persisted for the salt-derivation + prune-join double read —
+    // see the ngramJaccardPairs census note
     val blockCensus = df.groupBy(blockCols.map(col): _*)
       .agg(count(lit(1)).as("__bsz"))
       .filter(col("__bsz") <= maxBlockSize && col("__bsz") > 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val smallBlocks = blockCensus.select(blockCols.map(col): _*)
     // tiny-universe fast path — masks instead of token arrays through
     // the quadratic stage (see ngramJaccardPairs)
@@ -1493,8 +1511,9 @@ object DedupOps {
         .join(sigs.select(col("doc_id").as("new_id"),
           col("__tokset").as("__tn")), Seq("new_id"))
         .join(rightTokset, Seq("other_id"))
-        // __tokset sorted at construction (signatureTable) — a sig
-        // store written before the sorted-set change must be rebuilt
+        // __tokset sorted at construction (signatureTable); persisted
+        // sig_store rows are sorted by format marker or re-sorted on
+        // load (see crossDropped's format guard)
         .withColumn("__i", graft.functions.native
           .intersect_count_sorted(col("__tn"), col("__to")))
         // round(,6) matches minhashNearDupPairs exactly, so the batch
@@ -1509,8 +1528,24 @@ object DedupOps {
     val crossDropped =
       if (!haveIndex) null
       else {
-        val sigStore = graft.io.Staging.readTable(spark, indexDir,
+        // sig_store format guard (ADVICE r13): the sorted-merge verify
+        // kernel (intersect_count_sorted) silently UNDERCOUNTS on
+        // unsorted input, so an index written before the sorted-set
+        // change (format marker absent) would quietly miss
+        // near-duplicates. Legacy stores get a defensive
+        // sort_array(__tokset) on load — cheap next to the verify
+        // join it feeds (candidate-pruned rows only), and a no-op
+        // on already-sorted data. Fresh indexes are stamped with the
+        // format marker at creation (below), so the sort is skipped
+        // on every store this code ever writes.
+        val sigSorted = graft.io.Staging.readMarker(spark, indexDir,
+          "sig_format").contains(SigStoreFormat)
+        val sigStoreRaw = graft.io.Staging.readTable(spark, indexDir,
           "sig_store")
+        val sigStore =
+          if (sigSorted) sigStoreRaw
+          else sigStoreRaw.withColumn("__tokset",
+            sort_array(col("__tokset")))
         // the band equi-join runs over the batch-band-filtered index
         // side (see bandIndex above)
         val pairs = prunedNew.select(col("doc_id").as("new_id"),
@@ -1572,6 +1607,14 @@ object DedupOps {
       newBands.join(survivors.select(col(idCol).as("doc_id")),
         Seq("doc_id")),
       indexDir, "band_index")
+    // Stamp the sorted-__tokset format ONLY when this call created
+    // the index: a legacy (pre-marker) store keeps its defensive
+    // sort-on-load forever — stamping it after a mixed append would
+    // declare the OLD unsorted rows sorted and re-open the silent
+    // undercount this marker exists to close.
+    if (!haveIndex)
+      graft.io.Staging.writeMarker(spark, indexDir, "sig_format",
+        SigStoreFormat)
     sigs.unpersist()
     newBands.unpersist()
     prunedNew.unpersist()

@@ -299,11 +299,13 @@ object MultimodalOps {
     *    original-plus-its-copies case).
     *
     * Pixel law (8×8, grid-sized so downsampling is exact identity):
-    * `h = seed·31 + x·13 + y·7 + 1` finalized through a two-round
-    * multiply–xorshift avalanche (`z = h·2654435761 mod 2³²;
-    * z ^= z≫16; z = z·60493 mod 2³²; z ^= z≫16; g₀ = z mod 256`).
-    * Both engines do exact 64-bit integer arithmetic, so the law is
-    * engine-portable; the multipliers keep every product under 2⁶³.
+    * `h = (seed·31 + x·13 + y·7 + 1) mod 2³¹` finalized through a
+    * two-round multiply–xorshift avalanche (`z = h·2654435761 mod
+    * 2³²; z ^= z≫16; z = z·60493 mod 2³²; z ^= z≫16; g₀ = z mod
+    * 256`). Both engines do exact 64-bit integer arithmetic, so the
+    * law is engine-portable; the 31-bit pre-mask keeps every product
+    * under 2⁶³ for ANY id (MultimodalSpec pins this against exact
+    * BigInt arithmetic at seed 3×10⁸, past the old overflow knee).
     * A POLYNOMIAL law is not good enough here — the first two r13
     * attempts each failed at a scale leg, instructively: bits 8–15
     * of h² factor through `h mod 2^16` (the 2^17·h·k cross term
@@ -329,7 +331,18 @@ object MultimodalOps {
         val py = ((id / 8) % 8).toInt
         val gray = Array.tabulate(w * h) { i =>
           val x = i % w; val y = i / w
-          val hh = seed * 31 + x * 13 + y * 7 + 1
+          // 31-bit mask BEFORE the avalanche multiply (ADVICE r13):
+          // unmasked, hh·2654435761 exceeds 2⁶³ once hh ≳ 3.47e9
+          // (seed ≈ 1.1e8) — the JVM wraps silently where DuckDB
+          // BIGINT errors, so the law stopped being engine-portable
+          // exactly at the ids only a very large leg reaches. Masked
+          // to 31 bits the product is ≤ (2³¹−1)·2654435761 < 2⁶³ on
+          // both engines for ANY id; signatures change only for
+          // seeds ≥ 2³¹/31 ≈ 6.9e7 (below that hh < 2³¹ and the mask
+          // is the identity), and the law's alias period becomes
+          // ~6.9e7 seeds — far past any leg, and 1000× the 65k
+          // period that bit the r13 polynomial law.
+          val hh = (seed * 31 + x * 13 + y * 7 + 1) & 0x7FFFFFFFL
           var z = (hh * 2654435761L) & 0xFFFFFFFFL
           z ^= z >>> 16
           z = (z * 60493L) & 0xFFFFFFFFL

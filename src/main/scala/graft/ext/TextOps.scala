@@ -840,11 +840,14 @@ object TextOps {
     *    capped at 1.0 (overlapping grams overcount by design — the
     *    published heuristic does too).
     *
-    * `pass_repetition` applies the paper's thresholds for the
-    * default (topN=2, dupN=5) pair: 0.30 / 0.20 / 0.20 / 0.15. The
-    * paper's full battery (top 2/3/4-grams, dup 5..10-grams) is this
-    * same fold at other n — run the operator per n and AND the
-    * flags.
+    * `pass_repetition` applies the paper's thresholds FOR THE n
+    * REQUESTED, looked up from the published table
+    * ([[topGramThresholds]] n=2..4, [[dupGramThresholds]] n=5..10;
+    * defaults (2, 5) → 0.30 / 0.20 / 0.20 / 0.15). The paper's full
+    * battery is this same fold at other n — run the operator per n
+    * and AND the flags; each run judges against its own n's
+    * threshold. n outside the table requires an explicit
+    * topThreshold/dupThreshold.
     *
     * Scale shape: everything folds at (doc, line) / (doc, gram)
     * grain — map-side-combinable counts keyed by the HIGH-cardinality
@@ -853,9 +856,25 @@ object TextOps {
     * join set. No corpus-wide hot key exists by construction. */
   def repetitionSignals(df: org.apache.spark.sql.DataFrame,
                         idCol: String, textCol: String,
-                        topN: Int = 2, dupN: Int = 5)
+                        topN: Int = 2, dupN: Int = 5,
+                        topThreshold: Option[Double] = None,
+                        dupThreshold: Option[Double] = None)
       : org.apache.spark.sql.DataFrame = {
     require(topN >= 1 && dupN >= 1, s"topN=$topN dupN=$dupN")
+    // Thresholds derive from the paper's table for the n actually
+    // requested (ADVICE r13: the old form hardcoded the (2, 5)
+    // thresholds into pass_repetition, so running the full battery at
+    // other n silently judged against the wrong numbers). Explicit
+    // params override; an n outside the published table REQUIRES an
+    // explicit threshold rather than guessing one.
+    val topThr = topThreshold.orElse(topGramThresholds.get(topN))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no published top-$topN-gram threshold (table covers n=2..4); " +
+          "pass topThreshold explicitly"))
+    val dupThr = dupThreshold.orElse(dupGramThresholds.get(dupN))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no published dup-$dupN-gram threshold (table covers n=5..10); " +
+          "pass dupThreshold explicitly"))
     val docs = df.select(col(idCol).as("doc_id"),
       col(textCol).as("__text"))
     val lines = docs.select(col("doc_id"),
@@ -912,7 +931,18 @@ object TextOps {
       .withColumn("pass_repetition",
         col("dup_line_frac") <= 0.30 &&
         col("dup_line_char_frac") <= 0.20 &&
-        col("top_ngram_char_frac") <= 0.20 &&
-        col("dup_ngram_char_frac") <= 0.15)
+        col("top_ngram_char_frac") <= lit(topThr) &&
+        col("dup_ngram_char_frac") <= lit(dupThr))
   }
+
+  /** Gopher repetition thresholds (Rae et al. 2021, table A1 —
+    * public): top n-gram character fraction by n, and duplicate
+    * n-gram character fraction by n. The line-grain thresholds
+    * (dup_line_frac ≤ 0.30, dup_line_char_frac ≤ 0.20) are
+    * n-independent and stay inline in [[repetitionSignals]]. */
+  private[graft] val topGramThresholds: Map[Int, Double] =
+    Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+  private[graft] val dupGramThresholds: Map[Int, Double] =
+    Map(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11,
+      10 -> 0.10)
 }

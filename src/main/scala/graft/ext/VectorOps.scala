@@ -340,9 +340,17 @@ object VectorOps {
                                 nSalts: Int = 0): DataFrame = {
     val base = corpus.select(
       (col(idCol) +: col(vecCol) +: blockCols.map(col)): _*)
-    val blockCensus = corpus.groupBy(blockCols.map(col): _*)
+    // persisted only when the salt is census-DERIVED (the derive
+    // collect + prune join double-read — the ngramJaccardPairs census
+    // note); with a pinned salt the census has one consumer and a
+    // cache would be pure overhead.
+    val blockCensusRaw = corpus.groupBy(blockCols.map(col): _*)
       .agg(count(lit(1)).as("__bsz"))
       .filter(col("__bsz") <= maxBlockSize && col("__bsz") > 1)
+    val blockCensus =
+      if (nSalts > 0) blockCensusRaw
+      else blockCensusRaw.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val smallBlocks = blockCensus.select(blockCols.map(col): _*)
     val a = base.toDF(("id_a" +: "__va" +: blockCols): _*)
       .join(smallBlocks, blockCols)

@@ -149,6 +149,42 @@ object Staging {
                        table: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(s"$storeDir/$table")
 
+  /** Store-format marker: a tiny `_graft_<name>` file beside an
+    * index/store's tables holding a format-version string. Readers
+    * probe it to decide whether a persisted layout predates an
+    * on-disk-format change (e.g. the sorted `__tokset` arrays the
+    * incremental-minhash verify kernel requires since r13) and fall
+    * back to a defensive normalization instead of silently
+    * mis-reading legacy data. Hadoop-FS (scheme-agnostic), same
+    * reasoning as [[tableExists]]; overwrite is atomic-enough for a
+    * single small file written once at store creation. */
+  def writeMarker(spark: SparkSession, storeDir: String, name: String,
+                  value: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(s"$storeDir/_graft_$name")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(path, true)
+    try out.write(value.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Read a [[writeMarker]] stamp; None when the marker is absent
+    * (legacy store or fresh dir). */
+  def readMarker(spark: SparkSession, storeDir: String,
+                 name: String): Option[String] = {
+    val path = new org.apache.hadoop.fs.Path(s"$storeDir/_graft_$name")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) None
+    else {
+      val in = fs.open(path)
+      try {
+        val bytes = new Array[Byte](256)
+        val n = math.max(0, in.read(bytes))
+        Some(new String(bytes, 0, n,
+          java.nio.charset.StandardCharsets.UTF_8).trim)
+      } finally in.close()
+    }
+  }
+
   /** F6 at the 100 TB form — partition-scoped truncate-load: the
     * frame is written `partitionBy(partitionCols)` with DYNAMIC
     * partition overwrite, so only the partitions the frame actually

@@ -220,7 +220,14 @@ object Relational {
     * `blockSizes` must carry one row per surviving block with its
     * population in `sizeCol`; empty census (no blocks survive the
     * cap) derives 1. Σ B² stays well inside a long for any capped
-    * block population (B ≤ 10⁴ default cap → B² ≤ 10⁸ per block). */
+    * block population (B ≤ 10⁴ default cap → B² ≤ 10⁸ per block).
+    *
+    * This aggregate is an EAGER action at operator-construction time
+    * (the salt must be known before the join is built). Callers
+    * PERSIST the census they pass in (ADVICE r13): this collect then
+    * materializes the cache and the small-block prune join inside
+    * the returned plan reads it back, so the corpus-grain census
+    * groupBy runs once, not twice. */
   def pairWorkSalts(blockSizes: DataFrame, sizeCol: String): Int = {
     val par = blockSizes.sparkSession.sparkContext.defaultParallelism
     val row = blockSizes.agg(

@@ -136,7 +136,8 @@ object MultimodalQueries {
         |  FROM documents, range(0, 8) x, range(0, 8) y),
         |z0 AS (
         |  SELECT id, x, y, is_copy,
-        |    ((seed*31 + x*13 + y*7 + 1) * 2654435761) % 4294967296 AS z
+        |    (((seed*31 + x*13 + y*7 + 1) % 2147483648)
+        |      * 2654435761) % 4294967296 AS z
         |  FROM g),
         |z1 AS (
         |  SELECT id, x, y, is_copy,

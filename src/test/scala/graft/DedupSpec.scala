@@ -413,6 +413,49 @@ class DedupSpec extends SparkSpec {
     assert(indexed == Seq(1L, 2L, 11L))
   }
 
+  test("incrementalMinhashDedup: a LEGACY (unsorted, unstamped) " +
+    "sig_store is defensively re-sorted on load — near-dups of " +
+    "indexed docs are still dropped") {
+    val indexDir = java.nio.file.Files
+      .createTempDirectory("graft-incdedup-legacy").toString
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight"
+    val batch1 = Seq((1L, base)).toDF("doc_id", "text")
+    DedupOps.incrementalMinhashDedup(batch1, "doc_id", "text",
+      indexDir, threshold = 0.7).collect()
+    // a freshly created index is stamped with the sorted format
+    assert(graft.io.Staging.readMarker(spark, indexDir, "sig_format")
+      .contains(DedupOps.SigStoreFormat))
+
+    // forge a PRE-r13 store: reverse every __tokset (descending =
+    // unsorted) and remove the format marker. Rows collected to the
+    // driver first — rewriting a parquet dir from a plan that reads
+    // it is undefined.
+    val legacyRows = graft.io.Staging
+      .readTable(spark, indexDir, "sig_store")
+      .select($"doc_id", reverse($"__tokset").as("__tokset"), $"__sig")
+      .collect().toSeq
+    val legacy = spark.createDataFrame(
+      spark.sparkContext.parallelize(legacyRows),
+      graft.io.Staging.readTable(spark, indexDir, "sig_store").schema)
+    graft.io.Staging.overwriteParquet(legacy, indexDir, "sig_store")
+    new java.io.File(s"$indexDir/_graft_sig_format").delete()
+    assert(graft.io.Staging.readMarker(spark, indexDir, "sig_format")
+      .isEmpty)
+
+    // an exact dup of indexed doc 1 MUST still verify and drop —
+    // without the defensive sort the sorted-merge kernel undercounts
+    // the reversed tokset and the duplicate silently survives
+    val batch2 = Seq((10L, base)).toDF("doc_id", "text")
+    val s2 = DedupOps.incrementalMinhashDedup(batch2, "doc_id", "text",
+      indexDir, threshold = 0.7)
+    assert(s2.isEmpty)
+    // and the legacy store is NOT retroactively stamped (its old
+    // rows stay unsorted on disk; every future load keeps the guard)
+    assert(graft.io.Staging.readMarker(spark, indexDir, "sig_format")
+      .isEmpty)
+  }
+
   test("ngramJaccardPairs drops blocks over maxBlockSize instead of " +
     "exploding quadratically") {
     // one hot 5-doc block over the cap → zero pairs, not C(5,2)

@@ -310,4 +310,40 @@ class MultimodalSpec extends SparkSpec {
       "no planted window near-copy pair found")
     assert(brute.nonEmpty)
   }
+
+  test("pattern pixel law is overflow-free at huge ids: JVM long " +
+    "arithmetic == exact BigInt arithmetic past the old 1.1e8 knee " +
+    "(ADVICE r13)") {
+    // ids chosen around and far past the unmasked law's overflow
+    // point (hh·2654435761 > 2⁶³ at seed ≈ 1.1e8): if any product
+    // wrapped, the decoded luma would diverge from the BigInt-exact
+    // law and so would the dHash the oracle recomputes.
+    val bigIds = Seq(100000000L, 110000000L, 300000000L, 7000000007L)
+    val assets = MultimodalOps.synthesizePatternBmp(
+      bigIds.toDF("doc_id"), "doc_id")
+    val decoded = assets.as[(Long, Array[Byte])].collect().toMap
+    def exactLuma(id: Long): Seq[Int] = {
+      val isCopy = id % 10 >= 7
+      val seed = BigInt(if (isCopy) id - (id % 16) else id)
+      val px = (id % 8).toInt; val py = ((id / 8) % 8).toInt
+      (0 until 64).map { i =>
+        val x = i % 8; val y = i / 8
+        val hh = (seed * 31 + x * 13 + y * 7 + 1) mod BigInt(2147483648L)
+        // every product in exact integers — no wrap possible
+        var z = (hh * BigInt(2654435761L)) mod BigInt(4294967296L)
+        z = z ^ (z >> 16)
+        z = (z * BigInt(60493L)) mod BigInt(4294967296L)
+        z = z ^ (z >> 16)
+        val g0 = (z mod BigInt(256)).toInt
+        if (isCopy && x == px && y == py) (g0 + 128) % 256 else g0
+      }
+    }
+    for (id <- bigIds) {
+      val Some((w, h, luma)) =
+        graft.ext.MediaCodecs.decodeBmpLuma(decoded(id))
+      assert(w == 8 && h == 8)
+      assert(luma.toSeq == exactLuma(id),
+        s"pixel law diverged from exact arithmetic at id=$id")
+    }
+  }
 }

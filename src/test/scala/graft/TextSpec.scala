@@ -232,4 +232,40 @@ class TextSpec extends SparkSpec {
     // not silently dropped from the output
     assert(d4 == ((4L, 0L, 0.0, 0.0, 0.0, 0.0, true)), d4)
   }
+
+  test("repetitionSignals derives the paper's thresholds from " +
+    "(topN, dupN) — a top-3-gram run judges at 0.18, not the " +
+    "default pair's 0.20 (ADVICE r13)") {
+    import spark.implicits._
+    // A doc whose top-3-gram char fraction sits BETWEEN the 3-gram
+    // threshold (0.18) and the default pair's 0.20 pins the lookup:
+    // repeated 3-gram "abcdefg hijklm nopqrs" (19 token chars) twice
+    // = 38 chars, total token chars exactly 200 (54 distinct 3-char
+    // filler tokens = 162) → frac = 38/200 = 0.19. All filler tokens
+    // are distinct, so no other gram repeats (dup-5-gram frac 0) and
+    // the verdict is decided by the top-gram threshold alone.
+    val fill = (0 until 54).map(i => s"q${"%02d".format(i)}")
+    val gram = "abcdefg hijklm nopqrs"
+    val text = (gram + " " + fill.take(27).mkString(" ") + " " +
+      gram + " " + fill.drop(27).mkString(" "))
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val at3 = TextOps.repetitionSignals(docs, "doc_id", "text",
+        topN = 3)
+      .select("top_ngram_char_frac", "pass_repetition")
+      .as[(Double, Boolean)].head()
+    assert(at3._1 == 0.19, at3)
+    assert(!at3._2, "0.19 must FAIL the 3-gram threshold 0.18")
+    // the same fraction under an explicit override passes
+    val loose = TextOps.repetitionSignals(docs, "doc_id", "text",
+        topN = 3, topThreshold = Some(0.20))
+      .select("pass_repetition").as[Boolean].head()
+    assert(loose, "0.19 passes an explicit 0.20 override")
+    // n outside the published table without an override is an error
+    intercept[IllegalArgumentException] {
+      TextOps.repetitionSignals(docs, "doc_id", "text", topN = 7)
+    }
+    intercept[IllegalArgumentException] {
+      TextOps.repetitionSignals(docs, "doc_id", "text", dupN = 3)
+    }
+  }
 }
