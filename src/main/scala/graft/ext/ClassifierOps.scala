@@ -1,0 +1,159 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Learned quality classifier — the CCNet/RefinedWeb curation stage
+  * the heuristic signals don't cover: train a tiny LINEAR scorer on a
+  * curated-vs-raw split, then score the whole corpus with it
+  * (Wenzek et al. 2019 §4.3 use a fasttext model against Wikipedia;
+  * Penedo et al. 2023 filter RefinedWeb the same way). The reference
+  * pipeline has no learned stage at all — this is part of the
+  * beyond-the-reference LLM-pipeline surface (SURVEY §2.4/§6), built
+  * from the public recipe, not any proprietary system.
+  *
+  * The model is multinomial Naive Bayes LOG-ODDS over hashed bigram
+  * features — a linear classifier whose training is ONE aggregation
+  * pass (class-conditional bucket counts + Laplace smoothing), which
+  * buys two things the iterative (LBFGS/SGD) fit cannot give:
+  *
+  *   1. 100 TB trainability: the "fit" is a groupBy(bucket) count —
+  *      map-side-combinable, one shuffle of (bucket, class) pairs,
+  *      no driver-side optimization loop, no multi-pass gradient
+  *      epochs over the corpus;
+  *   2. engine-portable EXACTNESS: weights are pure arithmetic on
+  *      integer counts (ln of count ratios, rounded to 6 decimals,
+  *      accumulated as exact DECIMAL — the [[TextOps.dsirWeights]]
+  *      discipline), so a DuckDB oracle re-derives training AND
+  *      scoring bit-identically; an SGD fit is seed-, order- and
+  *      float-associativity-dependent and cannot be oracle-checked.
+  *
+  * NB log-odds is the standard closed-form baseline for exactly this
+  * text-classification shape (fasttext's own linear-softmax-over-
+  * hashed-ngrams is its gradient-trained sibling); on
+  * curated-vs-crawl separation the two are near-interchangeable,
+  * and the hashing trick below is fasttext's.
+  *
+  * Features: word BIGRAMS hashed into `numBuckets` buckets via the
+  * md5 trick ([[SamplingOps.md5Bucket]] — engine-portable, unlike
+  * xxhash64). The hashing trick caps the model at `numBuckets` rows
+  * REGARDLESS of corpus vocabulary — the property that makes the
+  * score join a broadcast at any scale (a raw-vocabulary model grows
+  * with the corpus; a 4096-row weight table never does). Collisions
+  * are part of the model (train and score hash identically), exactly
+  * as in fasttext.
+  *
+  * Scale shapes: training is corpus-linear (tokenize → bucket →
+  * count); scoring tokenizes the corpus once, pre-aggregates
+  * (doc, bucket) multiplicities map-side (the skew-safe DSIR grain —
+  * a stopword bucket never pins one partition), and joins the
+  * BROADCAST weight table; the only corpus-grain shuffle is the
+  * per-doc fold on the high-cardinality doc id.
+  */
+object ClassifierOps {
+
+  /** Trained model: `weights` (bucket → log-odds weight, ≤ numBuckets
+    * rows, broadcast-sized by construction) and `defaults` (one row:
+    * `__w0` the unseen-bucket weight, `__b0` the class-prior bias —
+    * both exact DECIMAL(20,6)). */
+  final case class QualityModel(weights: DataFrame, defaults: DataFrame)
+
+  /** Word-bigram feature buckets for one text column: one row per
+    * bigram OCCURRENCE, bucketed by md5 over the bigram string —
+    * byte-identical in any engine ([[SamplingOps.md5Bucket]]). Docs
+    * with < 2 tokens contribute no rows. */
+  private def featureBuckets(df: DataFrame, idCol: String,
+                             textCol: String, extraCols: Seq[Column],
+                             numBuckets: Int): DataFrame = {
+    val tok = TextOps.tokens(col(textCol))
+    val grams = when(size(tok) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(tok) - 2),
+        i => array_join(slice(tok, i + lit(1), lit(2)), " ")))
+    df.select((col(idCol) +: extraCols) :+ explode(grams).as("__g"): _*)
+      .withColumn("__b", SamplingOps.md5Bucket(col("__g"), numBuckets))
+      .drop("__g")
+  }
+
+  /** Train the NB log-odds model on a labeled curated-vs-raw frame.
+    * `posFlag` marks the curated (positive) class. Both classes must
+    * be non-empty and carry at least one bigram — a one-class
+    * "training set" has no odds to learn (the ln arguments hit 0/0).
+    *
+    * Weight math (α = 1 Laplace smoothing, D = numBuckets):
+    * `w_b = ln((c⁺_b + 1)/(N⁺ + D)) − ln((c⁻_b + 1)/(N⁻ + D))` with
+    * c the class-conditional bucket OCCURRENCE counts and N the
+    * class occurrence totals; `__w0` is the same at c = 0 (buckets
+    * never seen in training); bias `__b0 = ln(d⁺/d⁻)` from the class
+    * DOCUMENT counts. Each rounded to 6 decimals and carried as
+    * DECIMAL(20,6) so per-doc sums are exact in any engine. */
+  def trainQualityClassifier(labeled: DataFrame, idCol: String,
+                             textCol: String, posFlag: Column,
+                             numBuckets: Int = 4096): QualityModel = {
+    require(numBuckets >= 2, s"numBuckets=$numBuckets")
+    val d = lit(numBuckets.toLong)
+    val feats = featureBuckets(labeled, idCol, textCol,
+      Seq(posFlag.cast("boolean").as("__t")), numBuckets)
+    val counts = feats.groupBy("__b").agg(
+      sum(when(col("__t"), 1L).otherwise(0L)).as("__cp"),
+      sum(when(col("__t"), 0L).otherwise(1L)).as("__cn"))
+    // class occurrence totals fold from the bucket-count frame (≤ D
+    // rows), never from a second corpus pass; document counts are a
+    // narrow count over the labeled frame
+    val occ = counts.agg(sum("__cp").as("__np"), sum("__cn").as("__nn"))
+    val docs = labeled.agg(
+      sum(when(posFlag.cast("boolean"), 1L).otherwise(0L)).as("__dp"),
+      sum(when(posFlag.cast("boolean"), 0L).otherwise(1L)).as("__dn"))
+    val weights = counts.crossJoin(broadcast(occ))
+      .withColumn("__w", round(
+        log((col("__cp") + 1).cast("double") / (col("__np") + d))
+          - log((col("__cn") + 1).cast("double") / (col("__nn") + d)),
+        6).cast("decimal(20,6)"))
+      .select("__b", "__w")
+    val defaults = occ.crossJoin(docs)
+      .select(
+        round(log(lit(1.0) / (col("__np") + d))
+          - log(lit(1.0) / (col("__nn") + d)), 6)
+          .cast("decimal(20,6)").as("__w0"),
+        round(log(col("__dp").cast("double") / col("__dn")), 6)
+          .cast("decimal(20,6)").as("__b0"))
+    QualityModel(weights, defaults)
+  }
+
+  /** Score a corpus against a trained [[QualityModel]]: per doc,
+    * `quality_score = b0 + Σ_occurrences w(bucket)` (unseen buckets
+    * at `__w0`), `n_feats` the bigram occurrence count, and
+    * `quality_pass = score ≥ 0` (log-odds ≥ 0 ⇔ p(curated) ≥ ½ —
+    * the sigmoid threshold without evaluating exp, which keeps the
+    * flag exactly portable). EVERY doc gets a row: a featureless doc
+    * (< 2 tokens) scores the bare bias — at 100 TB silently dropping
+    * unscorable docs from a quality gate is a correctness bug, not a
+    * convenience.
+    *
+    * One corpus tokenize pass, map-side (doc, bucket) pre-agg, one
+    * BROADCAST join against the ≤ numBuckets weight rows, one fold
+    * on the doc id. */
+  def scoreQuality(docs: DataFrame, idCol: String, textCol: String,
+                   model: QualityModel,
+                   numBuckets: Int = 4096): DataFrame = {
+    val perDocBucket = featureBuckets(docs, idCol, textCol, Nil,
+        numBuckets)
+      .groupBy(col(idCol), col("__b"))
+      .agg(count(lit(1)).as("__m"))
+    val scored = perDocBucket
+      .join(broadcast(model.weights), Seq("__b"), "left")
+      .crossJoin(broadcast(model.defaults))
+      .withColumn("__w", coalesce(col("__w"), col("__w0")))
+      .groupBy(col(idCol))
+      .agg(sum(col("__m")).as("n_feats"),
+        sum(col("__w") * col("__m")).as("__sw"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .crossJoin(broadcast(model.defaults))
+      .na.fill(0L, Seq("n_feats"))
+      .withColumn("quality_score", round(
+        (col("__b0") + coalesce(col("__sw"),
+          lit(0L).cast("decimal(20,6)"))).cast("double"), 6))
+      .withColumn("quality_pass", col("quality_score") >= 0)
+      .drop("__sw", "__w0", "__b0")
+  }
+}

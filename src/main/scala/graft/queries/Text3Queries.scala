@@ -792,6 +792,71 @@ object Text3Queries {
         |    AS n_kept,
         |  count(*) > 10000 AS capped
         |FROM asg LEFT JOIN drp ON asg.cluster = drp.cluster
-        |GROUP BY asg.cluster ORDER BY asg.cluster""".stripMargin))
+        |GROUP BY asg.cluster ORDER BY asg.cluster""".stripMargin)),
+
+    // Learned quality classifier (VERDICT r13 #3 — the CCNet/
+    // RefinedWeb "train a tiny linear model on curated-vs-raw and
+    // score the corpus" stage): NB log-odds over md5-hashed bigram
+    // buckets (graft.ext.ClassifierOps scaladoc for why closed-form
+    // beats SGD here). Trained on the EVEN-id half only (curated
+    // proxy: lang = 'en'), scored over the WHOLE corpus — the odd
+    // half exercises genuine generalization including unseen-bucket
+    // defaults. The oracle re-derives training and scoring from
+    // scratch: bucket = ('0x' || md5-prefix) % 4096, Laplace-1
+    // weights rounded to 6 decimals as DECIMAL(20,6) (exact sums),
+    // bias from the training class document counts. quality_pass is
+    // the log-odds sign — the sigmoid-½ threshold without exp, so
+    // no transcendental beyond the ln both engines already match on
+    // (dsir_weights precedent).
+    "quality_classifier" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val model = graft.ext.ClassifierOps.trainQualityClassifier(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+          col("lang") === "en")
+        graft.ext.ClassifierOps.scoreQuality(docs, "doc_id", "text",
+            model)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, lang = 'en' AS pos,
+        |    $tokSql AS tok FROM documents),
+        |big AS (SELECT doc_id, pos,
+        |    CAST(('0x' || substring(md5(
+        |      array_to_string(tok[i:i+1], ' ')), 1, 8)) AS BIGINT)
+        |      % 4096 AS b
+        |  FROM t, LATERAL (SELECT
+        |    unnest(generate_series(1, len(tok) - 1)) AS i) u
+        |  WHERE len(tok) >= 2),
+        |trn AS (SELECT * FROM big WHERE doc_id % 2 = 0),
+        |cnt AS (SELECT b, sum(CASE WHEN pos THEN 1 ELSE 0 END) AS cp,
+        |    sum(CASE WHEN pos THEN 0 ELSE 1 END) AS cn
+        |  FROM trn GROUP BY b),
+        |occ AS (SELECT sum(cp) AS np, sum(cn) AS nn FROM cnt),
+        |dcs AS (SELECT sum(CASE WHEN pos THEN 1 ELSE 0 END) AS dp,
+        |    sum(CASE WHEN pos THEN 0 ELSE 1 END) AS dn
+        |  FROM t WHERE doc_id % 2 = 0),
+        |w AS (SELECT b,
+        |    CAST(round(ln(CAST(cp + 1 AS DOUBLE) / (np + 4096))
+        |      - ln(CAST(cn + 1 AS DOUBLE) / (nn + 4096)), 6)
+        |      AS DECIMAL(20,6)) AS w
+        |  FROM cnt CROSS JOIN occ),
+        |dflt AS (SELECT
+        |    CAST(round(ln(1.0 / (np + 4096))
+        |      - ln(1.0 / (nn + 4096)), 6) AS DECIMAL(20,6)) AS w0,
+        |    CAST(round(ln(CAST(dp AS DOUBLE) / dn), 6)
+        |      AS DECIMAL(20,6)) AS b0
+        |  FROM occ CROSS JOIN dcs),
+        |sc AS (SELECT big.doc_id, count(*) AS n_feats,
+        |    sum(coalesce(w.w, dflt.w0)) AS sw
+        |  FROM big LEFT JOIN w USING (b) CROSS JOIN dflt
+        |  GROUP BY big.doc_id)
+        |SELECT t.doc_id,
+        |  CAST(coalesce(sc.n_feats, 0) AS BIGINT) AS n_feats,
+        |  round(CAST(dflt.b0 + coalesce(sc.sw, 0) AS DOUBLE), 6)
+        |    AS quality_score,
+        |  round(CAST(dflt.b0 + coalesce(sc.sw, 0) AS DOUBLE), 6) >= 0
+        |    AS quality_pass
+        |FROM t CROSS JOIN dflt LEFT JOIN sc ON t.doc_id = sc.doc_id
+        |ORDER BY t.doc_id""".stripMargin))
   )
 }

@@ -810,4 +810,70 @@ class CorpusSignalsSpec extends SparkSpec {
       assert(p.contains("partial_"), p.take(2000))
     }
   }
+
+  // ---------------- learned quality classifier ----------------
+
+  private def round6(x: Double): BigDecimal =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+
+  test("quality classifier separates curated-vocabulary docs from " +
+    "raw-vocabulary docs, with exact NB log-odds arithmetic on the " +
+    "bias / unseen-bucket paths") {
+    import graft.ext.ClassifierOps
+    // 3 curated + 2 raw training docs, disjoint vocabularies; 5
+    // bigram occurrences per doc → np = 15, nn = 10, dp = 3, dn = 2
+    val train = Seq(
+      (1L, "the quick brown fox jumps high", true),
+      (2L, "a calm clear morning walk today", true),
+      (3L, "gentle rain falls on green hills", true),
+      (4L, "buy cheap pills now click here", false),
+      (5L, "win money fast casino bonus spin", false)
+    ).toDF("doc_id", "text", "curated")
+    val model = ClassifierOps.trainQualityClassifier(
+      train, "doc_id", "text", col("curated"))
+    assert(model.weights.count() <= 25, "≤ one bucket per train bigram")
+
+    val score = Seq(
+      (10L, "the quick brown fox"),        // curated vocabulary
+      (11L, "buy cheap pills now"),        // raw vocabulary
+      (12L, "zyxq wvut srqp"),             // unseen vocabulary
+      (13L, "solo")                        // featureless (< 2 tokens)
+    ).toDF("doc_id", "text")
+    val out = ClassifierOps.scoreQuality(score, "doc_id", "text", model)
+      .orderBy("doc_id")
+      .select("doc_id", "n_feats", "quality_score", "quality_pass")
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+
+    val Seq(cur, raw, unseen, bare) = out
+    // separation: curated vocab well above 0, raw vocab well below
+    assert(cur._4 && cur._3 > 0.5, cur)
+    assert(!raw._4 && raw._3 < -0.5, raw)
+    assert(cur._3 > raw._3 + 2.0, (cur, raw))
+    // exact arithmetic on the closed-form paths (4096 = default D):
+    // bias b0 = ln(dp/dn); unseen-bucket weight w0 =
+    // ln(1/(np+D)) - ln(1/(nn+D)) — both rounded to 6 decimals as
+    // decimals, summed exactly
+    val b0 = round6(math.log(3.0 / 2.0))
+    val w0 = round6(math.log(1.0 / (15 + 4096)) -
+      math.log(1.0 / (10 + 4096)))
+    assert(bare == ((13L, 0L, b0.toDouble, b0 >= 0)), (bare, b0))
+    val expUnseen = (b0 + w0 * 2).toDouble
+    assert(unseen._2 == 2L && unseen._3 == expUnseen, (unseen, expUnseen))
+  }
+
+  test("quality classifier scoring plan: the weight join is a " +
+    "BROADCAST (the hashing trick caps the model at numBuckets rows " +
+    "regardless of corpus vocabulary)") {
+    import graft.ext.ClassifierOps
+    val train = Seq((1L, "a b c", true), (2L, "x y z", false))
+      .toDF("doc_id", "text", "curated")
+    val model = ClassifierOps.trainQualityClassifier(
+      train, "doc_id", "text", col("curated"))
+    val plan = ClassifierOps.scoreQuality(
+        Seq((3L, "a b")).toDF("doc_id", "text"), "doc_id", "text", model)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
 }
