@@ -95,6 +95,42 @@ object SamplingOps {
         .withColumn("mix_component", lit(name))
     }.reduce(_ unionByName _)
 
+  /** Seeded corpus-GLOBAL shuffle — the "shuffle the corpus before
+    * packing" step of a training-order export (VERDICT r13 #4):
+    * every doc gets a permutation rank `shuffle_rank` (0..n−1, a
+    * uniform random order keyed by `md5(seed|id)`), a round-robin
+    * `shard` (= rank mod nShards: shard sizes balanced to ±1 by
+    * construction) and its position within the shard (`shard_pos` =
+    * rank div nShards — within a shard the permutation order is
+    * preserved, so "read shards in shard_pos order" replays the
+    * global shuffle). Same determinism contract as every op here:
+    * the permutation is a pure function of (seed, id) — re-runs,
+    * engines, partitionings, and cluster sizes produce the SAME
+    * order, a new seed produces an independent one, and the whole
+    * layout is DuckDB-re-derivable (export_shuffled). `rand()`-based
+    * shuffles give none of that: a stage retry at 100 TB would
+    * silently re-deal the epoch order mid-export.
+    *
+    * Scale shape: the rank is [[graft.ops.Relational
+    * .contiguousRowIds]] over the hash key — ordered value-bucket
+    * pieces ranked in parallel plus broadcast offsets, never a
+    * single-partition global window; the md5 keys are uniform, so
+    * the pieces are balanced regardless of id distribution. One
+    * bounded sample job + one hash shuffle + a broadcast join. */
+  def seededShuffle(df: DataFrame, idCol: String, seed: String,
+                    nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards=$nShards")
+    val keyed = df.withColumn("__sk",
+      md5(concat(lit(seed), lit("|"), col(idCol).cast("string"))
+        .cast("binary")))
+    graft.ops.Relational.contiguousRowIds(keyed,
+        Seq(col("__sk"), col(idCol)), "shuffle_rank")
+      .withColumn("shard", pmod(col("shuffle_rank"), lit(nShards.toLong)))
+      .withColumn("shard_pos",
+        floor(col("shuffle_rank") / nShards).cast("long"))
+      .drop("__sk")
+  }
+
   /** Concat-and-chunk sequence packing: documents are laid out
     * end-to-end in a deterministic order within each shard and cut
     * into fixed-`capacity` token windows — the standard LLM-training

@@ -451,6 +451,54 @@ object CurationQueries {
         |    AS checksum
         |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin)),
 
+    // Seeded deterministic GLOBAL shuffle → round-robin shards →
+    // sequence packing: the full training-order export chain
+    // (VERDICT r13 #4). The oracle re-derives the entire layout —
+    // the md5(seed|id) permutation with a bare global row_number,
+    // the mod/div shard split, and the per-shard packing cumsum —
+    // so any drift in the permutation, the shard assignment, or the
+    // window arithmetic breaks the row hash of every downstream
+    // row. Spark earns the same answer with the PARALLEL rank
+    // (contiguousRowIds value-bucket pieces), which is the point:
+    // scale machinery, oracle-exact result. Idempotence (same seed
+    // ≡ same order) and seed-independence are spec-pinned
+    // (SamplingSpec).
+    "export_shuffled" -> QueryDef(
+      (s, d) => {
+        val shuffled = SamplingOps.seededShuffle(
+          Tables.documents(s, d).select("doc_id", "text"), "doc_id",
+          "epoch0", nShards = 8)
+        SamplingOps.packSequences(shuffled, "shard", "shard_pos",
+            size(graft.ext.TextOps.tokens(col("text"))), capacity = 512)
+          .select("doc_id", "shuffle_rank", "shard", "shard_pos",
+            "n_tokens", "first_window", "last_window", "n_windows")
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(lower(trim(text)),
+        |           '\s+'))
+        |    END AS n_tokens,
+        |    md5('epoch0|' || CAST(doc_id AS VARCHAR)) AS sk
+        |  FROM documents),
+        |r AS (SELECT doc_id, n_tokens,
+        |    row_number() OVER (ORDER BY sk, doc_id) - 1
+        |      AS shuffle_rank
+        |  FROM t),
+        |s AS (SELECT doc_id, n_tokens, shuffle_rank,
+        |    shuffle_rank % 8 AS shard, shuffle_rank // 8 AS shard_pos
+        |  FROM r),
+        |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard
+        |      ORDER BY shard_pos ROWS UNBOUNDED PRECEDING) AS e
+        |  FROM s)
+        |SELECT doc_id, shuffle_rank, shard, shard_pos,
+        |  CAST(n_tokens AS INT) AS n_tokens,
+        |  CAST((e - n_tokens) // 512 AS BIGINT) AS first_window,
+        |  CAST((e - 1) // 512 AS BIGINT) AS last_window,
+        |  CAST((e - 1) // 512 - (e - n_tokens) // 512 + 1 AS BIGINT)
+        |    AS n_windows
+        |FROM c ORDER BY doc_id""".stripMargin)),
+
     // Temperature-scaled language mixture weights (the multilingual
     // upsampling recipe: w_l ∝ p_l^α with α < 1 flattening the head):
     // per-lang sampling weights and an expected-docs allocation for a

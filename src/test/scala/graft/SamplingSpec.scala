@@ -89,6 +89,39 @@ class SamplingSpec extends SparkSpec {
     assert(spans == Set((0L, 0L), (0L, 1L)))
   }
 
+  test("seededShuffle: contiguous ranks, ±1-balanced round-robin " +
+    "shards, shard_pos = rank div nShards, and a genuinely " +
+    "non-identity permutation") {
+    val docs = (0L until 100L).map(i => (i, s"doc $i")).toDF("doc_id",
+      "text")
+    val out = SamplingOps.seededShuffle(docs, "doc_id", "s1", 8)
+      .select("doc_id", "shuffle_rank", "shard", "shard_pos")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.map(_._2).sorted.toSeq == (0L until 100L),
+      "ranks must be exactly 0..n-1")
+    val sizes = out.groupBy(_._3).view.mapValues(_.length).values.toSeq
+    assert(sizes.max - sizes.min <= 1, s"shard sizes $sizes")
+    assert(out.forall { case (_, r, s, p) => s == r % 8 && p == r / 8 })
+    // md5 keying must actually permute (id order would mean the
+    // hash never entered the sort)
+    assert(out.sortBy(_._1).map(_._2).toSeq != (0L until 100L),
+      "permutation is the identity — the seed key is not in play")
+  }
+
+  test("seededShuffle is idempotent per seed and independent " +
+    "across seeds") {
+    val docs = (0L until 64L).map(i => (i, s"d$i")).toDF("doc_id",
+      "text")
+    def ranks(seed: String): Map[Long, Long] =
+      SamplingOps.seededShuffle(docs, "doc_id", seed, 4)
+        .select("doc_id", "shuffle_rank").as[(Long, Long)]
+        .collect().toMap
+    val a1 = ranks("epoch0"); val a2 = ranks("epoch0")
+    assert(a1 == a2, "same seed must replay the same permutation")
+    val b = ranks("epoch1")
+    assert(a1 != b, "different seeds must draw different permutations")
+  }
+
   test("aesKey is deterministic, in (0,1), and monotone in the " +
     "weight for fixed content") {
     val d = Seq(("alpha doc", 1.0), ("alpha doc", 2.0),
