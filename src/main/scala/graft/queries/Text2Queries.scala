@@ -410,8 +410,16 @@ object Text2Queries {
     // layout.
     "dup_line_signals" -> QueryDef(
       (s, d) => {
+        // empty tokens are filtered BEFORE chunking: text with leading
+        // '\n' yields a phantom "" edge token (tokens() contract —
+        // consistent across engines, but NOT rebuild-stable: joining
+        // chunks and re-tokenizing collapses it, shifting every gram
+        // window by one on the Spark side only). The oracle filters
+        // identically. Found by the zipfml fixture, invisible on
+        // corpora without leading/trailing non-space whitespace.
         val toked = Tables.documents(s, d).select(col("doc_id"),
-          TextOps.tokens(col("text")).as("__tok"))
+          filter(TextOps.tokens(col("text")),
+            t => length(t) > 0).as("__tok"))
         val lined = toked.select(col("doc_id"), array_join(transform(
             sequence(lit(0L),
               greatest(ceil(size(col("__tok")) / lit(10.0)).cast("long")
@@ -422,12 +430,82 @@ object Text2Queries {
         TextOps.repetitionSignals(lined, "doc_id", "text")
           .orderBy("doc_id")
       },
-      Some(s"""WITH t AS (SELECT doc_id, $tokSql AS tok FROM documents),
+      Some(s"""WITH t AS (SELECT doc_id,
+        |    list_filter($tokSql, x -> x <> '') AS tok FROM documents),
         |ln0 AS (SELECT t.doc_id,
         |    array_to_string(t.tok[(s.g*10+1):(s.g*10+10)], ' ') AS line
         |  FROM t, UNNEST(generate_series(0,
         |    CAST(greatest(ceil(len(t.tok)/10.0)-1, 0) AS BIGINT)))
         |    AS s(g)),
+        |ln AS (SELECT doc_id, line FROM ln0
+        |  WHERE length(trim(line)) > 0),
+        |lc AS (SELECT doc_id, line, count(*) AS c, length(line) AS l
+        |  FROM ln GROUP BY 1, 2),
+        |ls AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+        |    round(CAST(sum(c) - count(*) AS DOUBLE) / sum(c), 6)
+        |      AS dup_line_frac,
+        |    round(CAST(sum(CASE WHEN c > 1 THEN (c-1)*l ELSE 0 END)
+        |      AS DOUBLE) / greatest(sum(c*l), 1), 6)
+        |      AS dup_line_char_frac
+        |  FROM lc GROUP BY 1),
+        |tc AS (SELECT doc_id, coalesce(CAST(list_sum(
+        |    list_transform(tok, x -> length(x))) AS BIGINT), 0)
+        |    AS tchars FROM t),
+        |g2c AS (SELECT doc_id, g, count(*) AS c FROM (
+        |    SELECT t.doc_id, t.tok[s.i] || ' ' || t.tok[s.i+1] AS g
+        |    FROM t, UNNEST(generate_series(1, len(t.tok)-1)) AS s(i))
+        |  GROUP BY 1, 2),
+        |tp AS (SELECT doc_id, c, g, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY c DESC, g) AS rn FROM g2c),
+        |top AS (SELECT tp.doc_id,
+        |    round(CAST(tp.c * (length(tp.g) - 1) AS DOUBLE) /
+        |      greatest(tc.tchars, 1), 6) AS top_ngram_char_frac
+        |  FROM tp JOIN tc ON tp.doc_id = tc.doc_id WHERE rn = 1),
+        |g5c AS (SELECT doc_id, g, count(*) AS c FROM (
+        |    SELECT t.doc_id, array_to_string(t.tok[s.i:(s.i+4)], ' ')
+        |      AS g
+        |    FROM t, UNNEST(generate_series(1, len(t.tok)-4)) AS s(i))
+        |  GROUP BY 1, 2),
+        |d5 AS (SELECT g5c.doc_id, least(round(CAST(
+        |    sum(CASE WHEN c > 1 THEN c*(length(g)-4) ELSE 0 END)
+        |    AS DOUBLE) / greatest(max(tc.tchars), 1), 6), 1.0)
+        |    AS dup_ngram_char_frac
+        |  FROM g5c JOIN tc ON g5c.doc_id = tc.doc_id GROUP BY 1)
+        |SELECT t.doc_id,
+        |  coalesce(ls.n_lines, 0) AS n_lines,
+        |  coalesce(ls.dup_line_frac, 0.0) AS dup_line_frac,
+        |  coalesce(ls.dup_line_char_frac, 0.0) AS dup_line_char_frac,
+        |  coalesce(top.top_ngram_char_frac, 0.0) AS top_ngram_char_frac,
+        |  coalesce(d5.dup_ngram_char_frac, 0.0) AS dup_ngram_char_frac,
+        |  (coalesce(ls.dup_line_frac, 0.0) <= 0.30 AND
+        |   coalesce(ls.dup_line_char_frac, 0.0) <= 0.20 AND
+        |   coalesce(top.top_ngram_char_frac, 0.0) <= 0.20 AND
+        |   coalesce(d5.dup_ngram_char_frac, 0.0) <= 0.15)
+        |    AS pass_repetition
+        |FROM t LEFT JOIN ls ON t.doc_id = ls.doc_id
+        |LEFT JOIN top ON t.doc_id = top.doc_id
+        |LEFT JOIN d5 ON t.doc_id = d5.doc_id
+        |ORDER BY t.doc_id""".stripMargin)),
+
+    // repetitionSignals on the RAW text layout — no line rebuild
+    // (VERDICT r13 #5): the operator's own `\n` split is the data
+    // path, so a corpus with genuine line structure (GenSf zipfml:
+    // planted duplicate lines, empty lines, trailing newlines,
+    // all-dup docs) exercises the trim/blank-line edges for real.
+    // On the driver's single-line corpus every doc is one line
+    // (line signals trivially 0 — still hash-pinned); the zipfml
+    // fixture run recorded in SCALING.md is where this query earns
+    // its keep. Gram-grain halves are identical to dup_line_signals
+    // (tokenization spans lines on both sides).
+    "dup_line_native" -> QueryDef(
+      (s, d) => TextOps.repetitionSignals(
+          Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, $tokSql AS tok, text
+        |  FROM documents),
+        |ln0 AS (SELECT t.doc_id, u.line
+        |  FROM t, UNNEST(regexp_split_to_array(t.text, '\n'))
+        |    AS u(line)),
         |ln AS (SELECT doc_id, line FROM ln0
         |  WHERE length(trim(line)) > 0),
         |lc AS (SELECT doc_id, line, count(*) AS c, length(line) AS l

@@ -14,8 +14,8 @@ import org.apache.spark.sql.functions._
   * pure function of (row id, column salt) via xxhash64, no RNG
   * state, so a regenerated dataset is bit-identical.
   *
-  * Usage: `runMain graft.tools.GenSf <outDir> <multiplier> [zipf]`
-  * (multiplier 10 ≈ sf1: 6M lineitem rows).
+  * Usage: `runMain graft.tools.GenSf <outDir> <multiplier>
+  * [zipf|zipfml]` (multiplier 10 ≈ sf1: 6M lineitem rows).
   *
   * ZIPF MODE (r13, VERDICT r12 #1): every r12 scale lesson came from
   * the 28-token rotated-copy corpus — a degenerate corner where
@@ -37,6 +37,21 @@ import org.apache.spark.sql.functions._
   *  - copy/dup targets are forced into the base class, so an "exact
   *    dup" genuinely equals an existing document's text.
   * All other tables are identical to the default mode.
+  *
+  * ZIPFML MODE (r14, VERDICT r13 #6): the zipf law with REAL `\n`
+  * line layout — every corpus so far was single-line, so the
+  * line-grain repetition gates only ever saw synthetically rebuilt
+  * lines. The zipf token stream is chunked into 10-token lines,
+  * then per (doc, line-slot), deterministically:
+  *  - ~15 % of slots REPLAY the doc's first line (the planted
+  *    boilerplate-repeat the dup-line gate exists for);
+  *  - ~5 % become EMPTY lines (the trim/blank-line edge);
+  *  - docs with `id % 97 == 3` are ALL-DUP (every line = line 0);
+  *  - docs with `id % 11 == 0` carry a TRAILING newline.
+  * Line structure changes line-GRAIN signals only; tokenization
+  * splits on \s+, so the dup-planting replacements are the sole
+  * token-stream delta vs plain zipf (zipfml corpora are their own
+  * fixtures, not comparable to zipf legs).
   */
 object GenSf {
 
@@ -54,7 +69,9 @@ object GenSf {
   def main(args: Array[String]): Unit = {
     val out = args(0)
     val m = args(1).toInt // 1 = sf0.1 scale, 10 = sf1
-    val zipf = args.length > 2 && args(2) == "zipf"
+    val mode = if (args.length > 2) args(2) else ""
+    val ml = mode == "zipfml"
+    val zipf = mode == "zipf" || ml
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
@@ -226,8 +243,31 @@ object GenSf {
             when(u(concat(col("id"), lit("@"), p), 58) < 0.05,
               zipfTok(col("id"), p, 59))
             .otherwise(zipfTok(baseRef, p, 53))))
+      // zipfml: chunk the token stream into 10-token lines and plant
+      // line-grain structure (scaladoc) — plain zipf stays the
+      // single-line join so existing legs remain bit-identical
+      val text =
+        if (!ml) array_join(toks, " ")
+        else {
+          val lines0 = transform(
+            sequence(lit(0L), greatest(
+              ceil(size(toks) / lit(10.0)).cast("long") - 1, lit(0L))),
+            i => array_join(
+              slice(toks, (i * 10 + 1).cast("int"), lit(10)), " "))
+          val planted = transform(lines0, (l, i) =>
+            when(pmod(col("id"), lit(97L)) === 3,
+              element_at(lines0, 1))
+            .when(r01(concat(col("id"), lit("_L"), i), 61) < 0.15,
+              element_at(lines0, 1))
+            .when(r01(concat(col("id"), lit("_E"), i), 62) < 0.05,
+              lit(""))
+            .otherwise(l))
+          val body = array_join(planted, "\n")
+          when(pmod(col("id"), lit(11L)) === 0, concat(body, lit("\n")))
+            .otherwise(body)
+        }
       save(ids(nDocs).select(col("id").as("doc_id"),
-        array_join(toks, " ").as("text"),
+        text.as("text"),
         pick(col("id"), 35, Seq("en", "en", "en", "zh", "de", "fr"))
           .as("lang"),
         concat(lit("src"), pmod(h(col("id"), 36), lit(10L))).as("source"))

@@ -233,6 +233,37 @@ class TextSpec extends SparkSpec {
     assert(d4 == ((4L, 0L, 0.0, 0.0, 0.0, 0.0, true)), d4)
   }
 
+  test("repetitionSignals line-grain boundaries: trailing newlines " +
+    "add no line, all-dup docs saturate the fraction, " +
+    "whitespace-only docs stay zero (the zipfml fixture edges)") {
+    import spark.implicits._
+    val docs = Seq(
+      // trailing newline: split yields a final "" — filtered, NOT a
+      // line; the three real lines are all the same → all-dup doc
+      (1L, "a b\na b\na b\n"),
+      // single line + trailing newline: one line, no duplication
+      (2L, "only line here\n"),
+      // space-only doc: every line blank (trim strips the spaces)
+      // → no lines at all
+      (3L, " \n  \n \n"),
+      // CRLF-ish content is NOT special-cased: '\r' stays in the
+      // line, so "x\r" != "x" — document the exact contract
+      (4L, "x\r\nx")).toDF("doc_id", "text")
+    val out = TextOps.repetitionSignals(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_lines", "dup_line_frac",
+        "dup_line_char_frac")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    // doc 1: 3 lines "a b", 2 repeats → frac 2/3, char mass 6/9
+    assert(out(0) == ((1L, 3L, 0.666667, 0.666667)), out(0))
+    assert(out(1) == ((2L, 1L, 0.0, 0.0)), out(1))
+    assert(out(2) == ((3L, 0L, 0.0, 0.0)), out(2))
+    // doc 4: lines "x\r" and "x" — distinct under the exact-match
+    // contract (the equality key is the raw line; no CR folding)
+    val d4 = out(3)
+    assert(d4._2 == 2L && d4._3 == 0.0, d4)
+  }
+
   test("repetitionSignals derives the paper's thresholds from " +
     "(topN, dupN) — a top-3-gram run judges at 0.18, not the " +
     "default pair's 0.20 (ADVICE r13)") {
