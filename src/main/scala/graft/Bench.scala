@@ -26,6 +26,21 @@ import org.apache.spark.sql.SparkSession
   * the timed passes record per-query errors and exit non-zero on
   * any. */
 object Bench {
+
+  /** Force FULL evaluation of every output column (r14): `count()`
+    * lets Catalyst column-prune a terminal projection to nothing, so
+    * a pure-map query's expressions were never executed — the bench
+    * read "0.1 s" for work that takes minutes on long-doc corpora
+    * (the repetition_metrics stall that only Verify, which writes
+    * real rows, could see). `queryExecution.toRdd` executes the
+    * query's OWN physical plan verbatim — every output column is
+    * materialized into each UnsafeRow — and the RDD count just
+    * drains the iterators. Queries whose cost lives under
+    * aggregates/joins are unaffected (count() never pruned through
+    * those); narrow-map queries now pay their true cost. */
+  private def forceFull(df: org.apache.spark.sql.DataFrame): Long =
+    df.queryExecution.toRdd.count()
+
   def main(args: Array[String]): Unit = {
     val procT0 = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -69,7 +84,8 @@ object Bench {
       implicit val ec: ExecutionContext =
         ExecutionContext.fromExecutor(pool)
       val fs = SparkEntry.queries.toSeq.map { case (_, fn) =>
-        Future { try fn(spark, sfDir).count() catch { case _: Throwable => } }
+        Future { try forceFull(fn(spark, sfDir))
+          catch { case _: Throwable => } }
       }
       // scale legs can exceed the default ceiling (the zipf4 leg hit
       // 15 min with one query unfinished) — tunable, same fallback
@@ -102,7 +118,7 @@ object Bench {
     val passes: Seq[Map[String, Double]] = (1 to nRuns).map { _ =>
       SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
+        try { forceFull(fn(spark, sfDir)) } catch {
           case e: Throwable =>
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
               .linesIterator.next().take(200)
@@ -135,7 +151,7 @@ object Bench {
     spark.stop()
     val wallTotal = (System.nanoTime() - procT0) / 1e9
     val json =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","timing":"steady_state_median_of_${nRuns}_runs_after_warmup","warmup_wall_sec":${f(warmupSec)},"warmup_incomplete":$warmupIncomplete,"wall_total_sec":${f(wallTotal)},"runs":$nRuns,"queries":$qs,"query_stats":$stats,"errors":$errJson,"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","timing":"steady_state_median_of_${nRuns}_runs_after_warmup_full_output_eval","warmup_wall_sec":${f(warmupSec)},"warmup_incomplete":$warmupIncomplete,"wall_total_sec":${f(wallTotal)},"runs":$nRuns,"queries":$qs,"query_stats":$stats,"errors":$errJson,"sf":"${esc(sfDir)}"}"""
     // file first — the durable, parseable delivery channel (the
     // driver's stdout capture is sbt-decorated and has repeatedly
     // failed to yield a parseable line)
@@ -162,7 +178,7 @@ object Bench {
       else errors.take(5).map { case (k, v) => s"\"${esc(k)}\":\"${esc(v)}\"" }
         .mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","timing":"steady_state_median_of_${nRuns}_runs_after_warmup","warmup_wall_sec":${f(warmupSec)},"warmup_incomplete":$warmupIncomplete,"wall_total_sec":${f(wallTotal)},"runs":$nRuns,"n_queries":${names.size},"n_errors":${errors.size},"errors":$errCompact,"detail":"$outPath","sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","timing":"steady_state_median_of_${nRuns}_runs_after_warmup_full_output_eval","warmup_wall_sec":${f(warmupSec)},"warmup_incomplete":$warmupIncomplete,"wall_total_sec":${f(wallTotal)},"runs":$nRuns,"n_queries":${names.size},"n_errors":${errors.size},"errors":$errCompact,"detail":"$outPath","sf":"${esc(sfDir)}"}"""
     println(compact)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath + ".compact"),

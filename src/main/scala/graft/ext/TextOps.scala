@@ -12,6 +12,17 @@ object TextOps {
 
   /** Whitespace tokenization of trimmed, lowercased text.
     * Empty/blank text → empty array. */
+  /** Whitespace tokenization — THE module-wide token law, mirrored
+    * verbatim by every DuckDB oracle twin ($tokSql). Contract edge,
+    * kept deliberately: `trim` strips SPACES only, so text with
+    * leading/trailing NON-space whitespace ('\n', '\t') yields empty
+    * edge tokens — identically in both engines (the split laws
+    * agree), so every op that consumes tokens directly stays
+    * oracle-exact. The edge is NOT rebuild-stable though: joining
+    * tokens back to text and re-tokenizing collapses the phantoms —
+    * any op that round-trips tokens through text must filter empties
+    * first on both sides (dup_line_signals does). Changing the law
+    * itself means changing ~30 oracle twins in lockstep. */
   def tokens(text: Column): Column =
     when(length(trim(text)) === 0, array().cast("array<string>"))
       .otherwise(split(lower(trim(text)), "\\s+"))
@@ -186,16 +197,41 @@ object TextOps {
     }
   }
 
-  /** Word n-grams as space-joined strings; fewer than `n` tokens →
-    * empty array. A narrow map (plan-side transform over the token
-    * array) — the building block for decontamination and repetition
-    * metrics. */
-  def wordNgrams(text: Column, n: Int): Column = {
-    require(n >= 1, "n >= 1")
-    val t = tokens(text)
+  /** Evaluate-once binding for composite per-row expressions: wraps
+    * `v` in a single-element array and exposes it to `f` as a HOF
+    * LAMBDA VARIABLE (an O(1) slot read), so however many times `f`
+    * references it, `v` is computed exactly once per row.
+    *
+    * Why this exists (the r14 `repetition_metrics` stall): a plain
+    * `val t = tokens(text)` Scala binding pastes the WHOLE split
+    * expression at every use site, and when one of those sites is
+    * inside another HOF's lambda, the text is re-lowered/re-split
+    * PER ELEMENT — higher-order functions are interpreted (no
+    * codegen, no subexpression elimination), so `topNgramFrac` was
+    * O(grams × distinct × split) per row: invisible on the 28-token
+    * gate corpus, a 40-minute stall on 400-token zipf docs. The
+    * count()-based bench never caught it because a terminal
+    * projection is column-pruned under count() — see Bench's
+    * full-evaluation note. */
+  private def bind1(v: Column)(f: Column => Column): Column =
+    element_at(transform(array(v), f), 1)
+
+  /** N-gram array from an ALREADY-BOUND token array (a lambda
+    * variable or attribute — never pass a raw `tokens(text)` tree,
+    * that is exactly the re-split trap [[bind1]] exists for). */
+  private def gramsOf(t: Column, n: Int): Column =
     when(size(t) < n, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), size(t) - n + 1),
         i => concat_ws(" ", slice(t, i, lit(n)))))
+
+  /** Word n-grams as space-joined strings; fewer than `n` tokens →
+    * empty array. A narrow map (plan-side transform over the token
+    * array) — the building block for decontamination and repetition
+    * metrics. The token split is [[bind1]]-bound: one split per row,
+    * not one per emitted gram. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    require(n >= 1, "n >= 1")
+    bind1(tokens(text))(t => gramsOf(t, n))
   }
 
   /** EXACT top-`k` word `n`-grams per key by occurrence count —
@@ -332,31 +368,54 @@ object TextOps {
   }
 
   /** Fraction of tokens that are repeats (1 - distinct/total) —
-    * 0 for all-unique or empty text. */
-  def dupTokenFrac(text: Column): Column = {
-    val t = tokens(text)
-    when(size(t) === 0, lit(0.0)).otherwise(
-      lit(1.0) - size(array_distinct(t)).cast("double") / size(t))
-  }
+    * 0 for all-unique or empty text. Split bound once ([[bind1]]). */
+  def dupTokenFrac(text: Column): Column =
+    bind1(tokens(text)) { t =>
+      when(size(t) === 0, lit(0.0)).otherwise(
+        lit(1.0) - size(array_distinct(t)).cast("double") / size(t))
+    }
 
   /** Share of the single most frequent word n-gram among all n-grams
     * (the Gopher-style "top n-gram fraction" repetition signal).
-    * Quadratic in DISTINCT n-grams per doc — a per-row expression
-    * bounded by doc length, still a narrow map over the corpus. */
-  def topNgramFrac(text: Column, n: Int): Column = {
-    val g = wordNgrams(text, n)
-    when(size(g) === 0, lit(0.0)).otherwise(
-      array_max(transform(array_distinct(g),
-        x => size(filter(g, y => y === x)))).cast("double") / size(g))
-  }
+    * The max multiplicity is a LINEAR run-length scan over the
+    * sorted gram array (sort + one aggregate pass per row) — the
+    * r13 form was max over distinct grams of `filter(g, ·)` counts,
+    * whose inner filter re-derived the WHOLE gram array (and its
+    * token split) per distinct gram under interpreted HOF eval:
+    * O(len³)-ish per row, the r14 zipfml stall. Same value by
+    * construction (max run of equal values in sorted order = max
+    * multiplicity). */
+  def topNgramFrac(text: Column, n: Int): Column =
+    bind1(tokens(text)) { t =>
+      bind1(gramsOf(t, n)) { g =>
+        when(size(g) === 0, lit(0.0)).otherwise(
+          bind1(sort_array(g)) { sg =>
+            aggregate(sg,
+              struct(lit("").as("prev"), lit(0L).as("run"),
+                lit(0L).as("best")),
+              (acc, x) => {
+                // a gram is never "" (tokens are non-empty), so the
+                // zero accumulator can't extend a phantom run
+                val run = when(x === acc.getField("prev"),
+                  acc.getField("run") + 1L).otherwise(lit(1L))
+                struct(x.as("prev"), run.as("run"),
+                  greatest(acc.getField("best"), run).as("best"))
+              },
+              acc => acc.getField("best"))
+          }.cast("double") / size(g))
+      }
+    }
 
   /** Fraction of word n-grams that are duplicates (1 - distinct/total)
-    * — the "duplicated n-gram" repetition signal. */
-  def dupNgramFrac(text: Column, n: Int): Column = {
-    val g = wordNgrams(text, n)
-    when(size(g) === 0, lit(0.0)).otherwise(
-      lit(1.0) - size(array_distinct(g)).cast("double") / size(g))
-  }
+    * — the "duplicated n-gram" repetition signal. Split and gram
+    * array bound once ([[bind1]]). */
+  def dupNgramFrac(text: Column, n: Int): Column =
+    bind1(tokens(text)) { t =>
+      bind1(gramsOf(t, n)) { g =>
+        when(size(g) === 0, lit(0.0)).otherwise(
+          lit(1.0) - size(array_distinct(g)).cast("double") / size(g))
+      }
+    }
 
   /** Stable document fingerprint: md5 of whitespace-collapsed,
     * lowercased text — identical in any engine with md5. */

@@ -34,7 +34,9 @@ object TimeQuery {
         df.explain("formatted")
       }
       val t0 = System.nanoTime()
-      val n = df.count()
+      // full-output evaluation, not count(): count() column-prunes a
+      // terminal projection away entirely (Bench.forceFull scaladoc)
+      val n = df.queryExecution.toRdd.count()
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"TIMEQUERY $name rows=$n secs=${buildSecs + secs}%.2f " +
         f"(build=$buildSecs%.2f exec=$secs%.2f)")
