@@ -93,9 +93,15 @@ object ClassifierOps {
     val d = lit(numBuckets.toLong)
     val feats = featureBuckets(labeled, idCol, textCol,
       Seq(posFlag.cast("boolean").as("__t")), numBuckets)
+    // PERSISTED: the bucket-count frame feeds BOTH the weight map
+    // and the class-total fold below — uncached, Spark re-tokenizes
+    // and re-buckets the whole training corpus for each consumer
+    // (audited: a duplicate corpus-grain bucket exchange). ≤ D short
+    // rows resident, the blockCensus pattern.
     val counts = feats.groupBy("__b").agg(
-      sum(when(col("__t"), 1L).otherwise(0L)).as("__cp"),
-      sum(when(col("__t"), 0L).otherwise(1L)).as("__cn"))
+        sum(when(col("__t"), 1L).otherwise(0L)).as("__cp"),
+        sum(when(col("__t"), 0L).otherwise(1L)).as("__cn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // class occurrence totals fold from the bucket-count frame (≤ D
     // rows), never from a second corpus pass; document counts are a
     // narrow count over the labeled frame
@@ -109,6 +115,9 @@ object ClassifierOps {
           - log((col("__cn") + 1).cast("double") / (col("__nn") + d)),
         6).cast("decimal(20,6)"))
       .select("__b", "__w")
+    // one row, two consumers in scoreQuality (the unseen-bucket
+    // coalesce and the bias term) — persisted so the class-total and
+    // document-count folds behind it run once, not per consumer
     val defaults = occ.crossJoin(docs)
       .select(
         round(log(lit(1.0) / (col("__np") + d))
@@ -116,6 +125,7 @@ object ClassifierOps {
           .cast("decimal(20,6)").as("__w0"),
         round(log(col("__dp").cast("double") / col("__dn")), 6)
           .cast("decimal(20,6)").as("__b0"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     QualityModel(weights, defaults)
   }
 

@@ -1098,18 +1098,20 @@ object DedupOps {
       sort_array(transform(array_distinct(TextOps.tokens(col(textCol))),
         t => xxhash64(t))).as("__tok") +:
       blockCols.map(col)): _*)
-    // block-size prune carries only the blocking key, never the tokens.
-    // PERSISTED (ADVICE r13): the census has two consumers — the
-    // salt derivation's eager aggregate below and the small-block
-    // prune join inside the returned plan — and without the cache
-    // each re-scans the corpus for its own groupBy. The cached frame
-    // is block-grain (one short row per surviving block), so the
-    // resident cost is bounded by the block-key cardinality, not the
-    // corpus; the salt collect is what materializes it.
+    // block-size prune carries only the blocking key, never the
+    // tokens. Deliberately NOT persisted (r14, revisiting ADVICE
+    // r13): the census subtree is kept PLAN-IDENTICAL to the one
+    // [[droppedBlockStats]] builds, so when a caller composes pairs
+    // + accounting (the registry posture) AQE reuses ONE exchange
+    // for both at execution — a persisted census here breaks that
+    // identity and the accounting fold re-scans the corpus in-plan
+    // (audited: +1 full-data exchange on ngram_jaccard_topk). The
+    // salt derivation's construction-time collect does evaluate the
+    // census once more as a side job; persisting would merely move
+    // that scan onto the accounting path, not remove it.
     val blockCensus = df.groupBy(blockCols.map(col): _*)
       .agg(count(lit(1)).as("__bsz"))
       .filter(col("__bsz") <= maxBlockSize && col("__bsz") > 1)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val smallBlocks = blockCensus.select(blockCols.map(col): _*)
     // tiny-universe fast path: when the corpus vocabulary fits a
     // 63-bit mask, the pair stage carries an 8-byte mask per doc
@@ -1179,12 +1181,11 @@ object DedupOps {
       sort_array(transform(array_distinct(TextOps.tokens(col(textCol))),
         t => xxhash64(t))).as("__tok") +:
       blockCols.map(col)): _*)
-    // persisted for the salt-derivation + prune-join double read —
-    // see the ngramJaccardPairs census note
+    // NOT persisted — subtree kept identical to droppedBlockStats'
+    // census for exchange reuse (the ngramJaccardPairs census note)
     val blockCensus = df.groupBy(blockCols.map(col): _*)
       .agg(count(lit(1)).as("__bsz"))
       .filter(col("__bsz") <= maxBlockSize && col("__bsz") > 1)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val smallBlocks = blockCensus.select(blockCols.map(col): _*)
     // tiny-universe fast path — masks instead of token arrays through
     // the quadratic stage (see ngramJaccardPairs)

@@ -908,11 +908,19 @@ object TextOps {
     * threshold. n outside the table requires an explicit
     * topThreshold/dupThreshold.
     *
-    * Scale shape: everything folds at (doc, line) / (doc, gram)
-    * grain — map-side-combinable counts keyed by the HIGH-cardinality
-    * doc id (never a corpus-global gram key, unlike corpus_dup_ngrams
-    * which deliberately works at corpus grain), then one doc-grain
-    * join set. No corpus-wide hot key exists by construction. */
+    * Scale shape (r14): ONE doc-grain exchange for the whole
+    * battery. The input repartitions on doc_id once (text bytes
+    * shuffle exactly once); every fold below keys on doc_id plus a
+    * local sub-key, and HashPartitioning(doc_id) satisfies any
+    * ClusteredDistribution whose keys include doc_id — so the line
+    * fold, both gram folds, their doc-grain re-folds, and the final
+    * join set all run PARTITION-LOCAL, and the doc-list join reuses
+    * the same exchange (AQE ReusedExchange). The r13 shape instead
+    * shuffled (doc, gram-STRING) pairs per stream — for n-grams
+    * that is ~n× the text bytes, paid three times (audited 7
+    * exchanges; now 1 + the caller's orderBy). No corpus-wide hot
+    * key exists by construction (doc id is in every shuffle key);
+    * per-doc work is bounded by doc length. */
   def repetitionSignals(df: org.apache.spark.sql.DataFrame,
                         idCol: String, textCol: String,
                         topN: Int = 2, dupN: Int = 5,
@@ -935,7 +943,8 @@ object TextOps {
         s"no published dup-$dupN-gram threshold (table covers n=5..10); " +
           "pass dupThreshold explicitly"))
     val docs = df.select(col(idCol).as("doc_id"),
-      col(textCol).as("__text"))
+        col(textCol).as("__text"))
+      .repartition(col("doc_id"))
     val lines = docs.select(col("doc_id"),
       explode(filter(split(col("__text"), "\n"),
         l => length(trim(l)) > 0)).as("__line"))

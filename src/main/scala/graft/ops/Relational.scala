@@ -223,11 +223,17 @@ object Relational {
     * block population (B ≤ 10⁴ default cap → B² ≤ 10⁸ per block).
     *
     * This aggregate is an EAGER action at operator-construction time
-    * (the salt must be known before the join is built). Callers
-    * PERSIST the census they pass in (ADVICE r13): this collect then
-    * materializes the cache and the small-block prune join inside
-    * the returned plan reads it back, so the corpus-grain census
-    * groupBy runs once, not twice. */
+    * (the salt must be known before the join is built). Whether the
+    * caller should PERSIST the census it passes in depends on how
+    * many EXECUTION-time consumers the census subtree has (ADVICE
+    * r13 + the r14 plan audit): with exactly two (this collect + the
+    * small-block prune join), persist — the collect materializes the
+    * cache and the join reads it back (cosineNearDupPairsBlocked).
+    * With a third identical subtree in the composed plan
+    * (droppedBlockStats accounting), do NOT persist: AQE exchange
+    * reuse already dedupes the in-plan consumers, and caching breaks
+    * the subtree identity it keys on, adding a corpus re-scan
+    * (ngramJaccardPairs / containmentPairs). */
   def pairWorkSalts(blockSizes: DataFrame, sizeCol: String): Int = {
     val par = blockSizes.sparkSession.sparkContext.defaultParallelism
     val row = blockSizes.agg(

@@ -62,6 +62,7 @@ object PlanAudit {
       n == "stratified_sample" || n == "deterministic_sample" ||
       n == "dup_span_coverage" || n == "dup_span_strip"     => "corpus"
     case n if n.startsWith("text_") || n.startsWith("doc_") ||
+      n.startsWith("dup_line_") || n == "quality_classifier" ||
       n == "lang_id" || n == "token_count_by_lang" ||
       n == "top_tokens" || n == "repetition_metrics" ||
       n == "pii_redaction" || n == "quality_deciles" ||
@@ -183,6 +184,16 @@ object PlanAudit {
     * continuous signals and is pinned equivalent by
     * CorpusSignalsSpec rather than benched.) */
   val overrides: Map[String, Int] = Map(
+    //  - `export_shuffled` (5 vs corpus 4): the seeded global
+    //    shuffle composes contiguousRowIds' parallel rank (the
+    //    value-bucket exchange + the bucket-count offsets cumsum —
+    //    global_row_ids' own audited shape) WITH doc_packing's
+    //    per-shard pack window; each constituent is at its family
+    //    shape, and the rank's two extra exchanges move one
+    //    full-data hash pass plus a ≤1024-row offsets frame. A
+    //    single-exchange global rank does not exist without a
+    //    single-partition sort.
+    "export_shuffled" -> 5,
     "asof_join_bucketed" -> 5,
     "sql_q15" -> 4,
     "ngram_jaccard_topk" -> 8,
