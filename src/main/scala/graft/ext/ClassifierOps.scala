@@ -64,15 +64,15 @@ object ClassifierOps {
     * with < 2 tokens contribute no rows. */
   private def featureBuckets(df: DataFrame, idCol: String,
                              textCol: String, extraCols: Seq[Column],
-                             numBuckets: Int): DataFrame = {
-    val tok = TextOps.tokens(col(textCol))
-    val grams = when(size(tok) < 2, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), size(tok) - 2),
-        i => array_join(slice(tok, i + lit(1), lit(2)), " ")))
-    df.select((col(idCol) +: extraCols) :+ explode(grams).as("__g"): _*)
+                             numBuckets: Int): DataFrame =
+    // wordNgrams binds the token split once per row (TextOps.bind1)
+    // — an inline gram construction here would re-split the text per
+    // emitted gram under interpreted HOF eval, the exact trap bind1
+    // documents (first bench read 4.8 s; 1.9 s with the bound form)
+    df.select((col(idCol) +: extraCols) :+
+        explode(TextOps.wordNgrams(col(textCol), 2)).as("__g"): _*)
       .withColumn("__b", SamplingOps.md5Bucket(col("__g"), numBuckets))
       .drop("__g")
-  }
 
   /** Train the NB log-odds model on a labeled curated-vs-raw frame.
     * `posFlag` marks the curated (positive) class. Both classes must

@@ -186,16 +186,24 @@ object TextOps {
   /** Heuristic language-ID: count marker-token occurrences per
     * language; argmax with deterministic first-wins tiebreak; "und"
     * (undetermined) when nothing matches. */
-  def langId(text: Column): Column = {
-    val t = tokens(text)
-    val scores: Seq[(String, Column)] = langMarkers.map { case (lang, ms) =>
-      lang -> size(filter(t, x => array_contains(array(ms.map(lit): _*), x)))
+  def langId(text: Column): Column =
+    // double [[bind1]]: the token array once, then the score VECTOR
+    // once — the unbound form pasted a split+filter tree per score
+    // REFERENCE (each score appears in `best` and in its own when
+    // condition: ~15 interpreted filter passes per row; now 5, over
+    // a bound array)
+    bind1(tokens(text)) { t =>
+      bind1(array(langMarkers.map { case (_, ms) =>
+        size(filter(t, x => array_contains(array(ms.map(lit): _*), x)))
+      }: _*)) { sc =>
+        val best = array_max(sc)
+        langMarkers.zipWithIndex.foldRight(lit("und")) {
+          case (((lang, _), i), els) =>
+            when(element_at(sc, i + 1) === best && best > 0, lit(lang))
+              .otherwise(els)
+        }
+      }
     }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    scores.foldRight(lit("und")) { case ((lang, sc), els) =>
-      when(sc === best && best > 0, lit(lang)).otherwise(els)
-    }
-  }
 
   /** Evaluate-once binding for composite per-row expressions: wraps
     * `v` in a single-element array and exposes it to `f` as a HOF
@@ -367,13 +375,14 @@ object TextOps {
     regexp_count(text, lit(re))
   }
 
+  private def dupTokenFracOf(t: Column): Column =
+    when(size(t) === 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(t)).cast("double") / size(t))
+
   /** Fraction of tokens that are repeats (1 - distinct/total) —
     * 0 for all-unique or empty text. Split bound once ([[bind1]]). */
   def dupTokenFrac(text: Column): Column =
-    bind1(tokens(text)) { t =>
-      when(size(t) === 0, lit(0.0)).otherwise(
-        lit(1.0) - size(array_distinct(t)).cast("double") / size(t))
-    }
+    bind1(tokens(text))(dupTokenFracOf)
 
   /** Share of the single most frequent word n-gram among all n-grams
     * (the Gopher-style "top n-gram fraction" repetition signal).
@@ -386,35 +395,55 @@ object TextOps {
     * construction (max run of equal values in sorted order = max
     * multiplicity). */
   def topNgramFrac(text: Column, n: Int): Column =
-    bind1(tokens(text)) { t =>
-      bind1(gramsOf(t, n)) { g =>
-        when(size(g) === 0, lit(0.0)).otherwise(
-          bind1(sort_array(g)) { sg =>
-            aggregate(sg,
-              struct(lit("").as("prev"), lit(0L).as("run"),
-                lit(0L).as("best")),
-              (acc, x) => {
-                // a gram is never "" (tokens are non-empty), so the
-                // zero accumulator can't extend a phantom run
-                val run = when(x === acc.getField("prev"),
-                  acc.getField("run") + 1L).otherwise(lit(1L))
-                struct(x.as("prev"), run.as("run"),
-                  greatest(acc.getField("best"), run).as("best"))
-              },
-              acc => acc.getField("best"))
-          }.cast("double") / size(g))
-      }
+    bind1(tokens(text))(t => topNgramFracOf(t, n))
+
+  private def topNgramFracOf(t: Column, n: Int): Column =
+    bind1(gramsOf(t, n)) { g =>
+      when(size(g) === 0, lit(0.0)).otherwise(
+        bind1(sort_array(g)) { sg =>
+          aggregate(sg,
+            struct(lit("").as("prev"), lit(0L).as("run"),
+              lit(0L).as("best")),
+            (acc, x) => {
+              // a gram is never "" (tokens are non-empty), so the
+              // zero accumulator can't extend a phantom run
+              val run = when(x === acc.getField("prev"),
+                acc.getField("run") + 1L).otherwise(lit(1L))
+              struct(x.as("prev"), run.as("run"),
+                greatest(acc.getField("best"), run).as("best"))
+            },
+            acc => acc.getField("best"))
+        }.cast("double") / size(g))
     }
 
   /** Fraction of word n-grams that are duplicates (1 - distinct/total)
     * — the "duplicated n-gram" repetition signal. Split and gram
     * array bound once ([[bind1]]). */
   def dupNgramFrac(text: Column, n: Int): Column =
+    bind1(tokens(text))(t => dupNgramFracOf(t, n))
+
+  private def dupNgramFracOf(t: Column, n: Int): Column =
+    bind1(gramsOf(t, n)) { g =>
+      when(size(g) === 0, lit(0.0)).otherwise(
+        lit(1.0) - size(array_distinct(g)).cast("double") / size(g))
+    }
+
+  /** All three Gopher repetition fractions from ONE token split:
+    * `struct(dup_token_frac, top_ngram_frac, dup_ngram_frac)` —
+    * the composite form the repetition_metrics battery consumes.
+    * Calling the three single-fraction functions side by side costs
+    * three splits per row (each binds its own); a consumer that
+    * needs several signals should take this struct and reference
+    * its FIELDS (keep the struct in its own projection — Spark does
+    * not duplicate non-cheap multi-referenced aliases across
+    * projects, so the battery is computed once per row). */
+  def repetitionFracs(text: Column, topN: Int = 2,
+                      dupN: Int = 3): Column =
     bind1(tokens(text)) { t =>
-      bind1(gramsOf(t, n)) { g =>
-        when(size(g) === 0, lit(0.0)).otherwise(
-          lit(1.0) - size(array_distinct(g)).cast("double") / size(g))
-      }
+      struct(
+        dupTokenFracOf(t).as("dup_token_frac"),
+        topNgramFracOf(t, topN).as("top_ngram_frac"),
+        dupNgramFracOf(t, dupN).as("dup_ngram_frac"))
     }
 
   /** Stable document fingerprint: md5 of whitespace-collapsed,

@@ -151,9 +151,21 @@ object AnalyticQueries {
     // and TRUE — a drifting sketch flips the boolean and fails the
     // hash gate, making this a real oracle-checked row, not rows-only.
     "approx_distinct" -> QueryDef(
+      // dedupe-then-aggregate, never countDistinct + HLL in ONE agg:
+      // combining a distinct and a non-distinct aggregate makes
+      // Spark's two-phase distinct rewrite carry the HLL buffer at
+      // the (flag, partkey) grain — an rsd-0.01 sketch is ~1.6k
+      // longs, so that plan built and SHUFFLED ~13 KB of registers
+      // per distinct pair (audited: "... 1616 more fields", 7 s at
+      // sf0.1 for a 3-row answer). Over the deduped pairs both
+      // answers fold at flag grain: count(*) IS the exact distinct,
+      // and HLL over a distinct set estimates the same cardinality
+      // by definition. One scan, one compact pair exchange, three
+      // sketch buffers total.
       (s, d) => Tables.lineitem(s, d)
+        .select("l_returnflag", "l_partkey").distinct()
         .groupBy("l_returnflag")
-        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+        .agg(count(lit(1)).as("exact_parts"),
           approx_count_distinct(col("l_partkey"), 0.01).as("__approx"))
         .withColumn("hll_within_5pct",
           abs(col("__approx") - col("exact_parts")) <=

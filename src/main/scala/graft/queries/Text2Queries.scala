@@ -354,18 +354,21 @@ object Text2Queries {
     // on. All narrow per-row expressions (quadratic only in each
     // doc's DISTINCT bigrams) — no shuffle but the final sort.
     "repetition_metrics" -> QueryDef(
+      // the frac battery is computed ONCE per row (repetitionFracs
+      // struct in its own projection; the second select reads
+      // fields) — the old form held six independent copies of the
+      // token/gram machinery (3 rounded outputs + 3 in the flag),
+      // each re-splitting under interpreted HOF eval
       (s, d) => Tables.documents(s, d)
         .select(col("doc_id"),
-          round(TextOps.dupTokenFrac(col("text")), 6)
-            .as("dup_token_frac"),
-          round(TextOps.topNgramFrac(col("text"), 2), 6)
-            .as("top_bigram_frac"),
-          round(TextOps.dupNgramFrac(col("text"), 3), 6)
-            .as("dup_trigram_frac"),
-          (TextOps.dupTokenFrac(col("text")) > 0.6 ||
-            TextOps.topNgramFrac(col("text"), 2) >= 0.1 ||
-            TextOps.dupNgramFrac(col("text"), 3) >= 0.05)
-            .as("repetitive"))
+          TextOps.repetitionFracs(col("text"), 2, 3).as("__m"))
+        .select(col("doc_id"),
+          round(col("__m.dup_token_frac"), 6).as("dup_token_frac"),
+          round(col("__m.top_ngram_frac"), 6).as("top_bigram_frac"),
+          round(col("__m.dup_ngram_frac"), 6).as("dup_trigram_frac"),
+          (col("__m.dup_token_frac") > 0.6 ||
+            col("__m.top_ngram_frac") >= 0.1 ||
+            col("__m.dup_ngram_frac") >= 0.05).as("repetitive"))
         .orderBy("doc_id"),
       Some(s"""WITH t AS (SELECT doc_id, $tokSql AS tok FROM documents),
         |b AS (SELECT doc_id, tok,
