@@ -767,7 +767,19 @@ object DedupOps {
     * sharding) below the shard size — the common case. Slicing is by
     * `pmod(xxhash64(__gid))`, a pure row function, so every slice is
     * a deterministic filter over the SAME cached `groups` subtree
-    * (the caller's persist serves all slice builds). */
+    * (the caller's persist serves all slice builds).
+    *
+    * Measured at the knee (r14 `tools/DenseShardLeg`, 238,936 real
+    * distinct sets = 2 default shards): all postures bit-identical
+    * (118,124,299 pairs), and FINER shards run FASTER — 4 forced
+    * slices 442 s vs 662 s for the forced single broadcast — because
+    * the nested-loop inner working set is the broadcast slice
+    * (~1.4 MB/quarter-slice fits per-core L2; the full 239k-group
+    * frame ≈ 5.7 MB spills it), while the streamed side re-reads one
+    * reused pinned exchange per slice join. The 200k default is a
+    * broadcast-MEMORY bound, not a performance ceiling; lowering
+    * `graft.dedup.denseCoreShardSize` buys cache locality at no
+    * correctness or wall cost at this scale. */
   private def broadcastShards(masked: DataFrame, nGroups: Long,
                               shardSize: Long): Seq[DataFrame] = {
     val nShards = math.max(1L, (nGroups + shardSize - 1) / shardSize).toInt
