@@ -90,7 +90,6 @@ object ClassifierOps {
                              textCol: String, posFlag: Column,
                              numBuckets: Int = 4096): QualityModel = {
     require(numBuckets >= 2, s"numBuckets=$numBuckets")
-    val d = lit(numBuckets.toLong)
     val feats = featureBuckets(labeled, idCol, textCol,
       Seq(posFlag.cast("boolean").as("__t")), numBuckets)
     // PERSISTED: the bucket-count frame feeds BOTH the weight map
@@ -102,13 +101,26 @@ object ClassifierOps {
         sum(when(col("__t"), 1L).otherwise(0L)).as("__cp"),
         sum(when(col("__t"), 0L).otherwise(1L)).as("__cn"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docs = labeled.agg(
+      sum(when(posFlag.cast("boolean"), 1L).otherwise(0L)).as("__dp"),
+      sum(when(posFlag.cast("boolean"), 0L).otherwise(1L)).as("__dn"))
+    modelFromCounts(counts, docs, numBuckets)
+  }
+
+  /** The NB weight/bias arithmetic from an already-folded
+    * class-conditional bucket-count frame (`__b`, `__cp`, `__cn`) and
+    * class document counts (`__dp`, `__dn`) — the ONE definition both
+    * the one-shot fit ([[trainQualityClassifier]]) and the store-served
+    * fit ([[classifierFromStore]]) route through, so incremental ≡
+    * one-shot holds by construction, not by parallel maintenance of
+    * two formulas. */
+  private def modelFromCounts(counts: DataFrame, docs: DataFrame,
+                              numBuckets: Int): QualityModel = {
+    val d = lit(numBuckets.toLong)
     // class occurrence totals fold from the bucket-count frame (≤ D
     // rows), never from a second corpus pass; document counts are a
     // narrow count over the labeled frame
     val occ = counts.agg(sum("__cp").as("__np"), sum("__cn").as("__nn"))
-    val docs = labeled.agg(
-      sum(when(posFlag.cast("boolean"), 1L).otherwise(0L)).as("__dp"),
-      sum(when(posFlag.cast("boolean"), 0L).otherwise(1L)).as("__dn"))
     val weights = counts.crossJoin(broadcast(occ))
       .withColumn("__w", round(
         log((col("__cp") + 1).cast("double") / (col("__np") + d))
@@ -165,5 +177,61 @@ object ClassifierOps {
           lit(0L).cast("decimal(20,6)"))).cast("double"), 6))
       .withColumn("quality_pass", col("quality_score") >= 0)
       .drop("__sw", "__w0", "__b0")
+  }
+
+  /** O(batch) maintenance for the classifier's training counts — the
+    * [[TextOps.updateBigramCounts]]/[[TextOps.updateDsirCounts]]
+    * delta-log posture applied to the quality model: each labeled
+    * batch appends ONE bucket-count delta frame (≤ numBuckets rows —
+    * the hashing trick bounds the delta exactly like it bounds the
+    * model) plus one class-document-count row, so retraining after a
+    * new curated/raw batch costs one pass over THE BATCH, never a
+    * corpus re-scan. Append-only and replay-safe: a crashed-and-
+    * retried batch id collapses at serve ([[classifierFromStore]]
+    * dedupes on (batch, bucket) before summing). Returns the batch's
+    * bigram-occurrence count (single-pass `Observation` accounting,
+    * the store discipline everywhere else in this repo). */
+  def updateClassifierCounts(batch: DataFrame, idCol: String,
+                             textCol: String, posFlag: Column,
+                             storeDir: String, batchId: Long,
+                             numBuckets: Int = 4096): Long = {
+    val delta = featureBuckets(batch, idCol, textCol,
+        Seq(posFlag.cast("boolean").as("__t")), numBuckets)
+      .groupBy("__b").agg(
+        sum(when(col("__t"), 1L).otherwise(0L)).as("__cp"),
+        sum(when(col("__t"), 0L).otherwise(1L)).as("__cn"),
+        sum(lit(1L)).as("__n"))
+      .withColumn("__batch", lit(batchId))
+    val obs = new org.apache.spark.sql.Observation()
+    graft.io.Staging.appendParquet(
+      delta.observe(obs, coalesce(sum(col("__n")), lit(0L)).as("n")),
+      storeDir, "clf_counts")
+    val docDelta = batch.agg(
+        sum(when(posFlag.cast("boolean"), 1L).otherwise(0L)).as("__dp"),
+        sum(when(posFlag.cast("boolean"), 0L).otherwise(1L)).as("__dn"))
+      .withColumn("__batch", lit(batchId))
+    graft.io.Staging.appendParquet(docDelta, storeDir, "clf_docs")
+    obs.get("n").asInstanceOf[Long]
+  }
+
+  /** The [[QualityModel]] folded from a [[updateClassifierCounts]]
+    * store: replay-safe dedupe on (batch, bucket) / (batch), then the
+    * same count fold and the SAME weight arithmetic as the one-shot
+    * fit ([[modelFromCounts]]) — bit-identical to
+    * [[trainQualityClassifier]] over the union of the batches, which
+    * is the contract the `quality_classifier_incremental` oracle
+    * checks (its SQL is the one-shot derivation). */
+  def classifierFromStore(spark: org.apache.spark.sql.SparkSession,
+                          storeDir: String,
+                          numBuckets: Int = 4096): QualityModel = {
+    val counts = graft.io.Staging.readTable(spark, storeDir, "clf_counts")
+      .dropDuplicates("__batch", "__b")
+      .groupBy("__b")
+      .agg(sum("__cp").as("__cp"), sum("__cn").as("__cn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docs = graft.io.Staging.readTable(spark, storeDir, "clf_docs")
+      .dropDuplicates("__batch")
+      .agg(sum("__dp").as("__dp"), sum("__dn").as("__dn"))
+    modelFromCounts(counts, docs, numBuckets)
   }
 }

@@ -1032,6 +1032,64 @@ object TextOps {
         col("dup_ngram_char_frac") <= lit(dupThr))
   }
 
+  /** Corpus-level boilerplate-LINE removal — the line-grain transform
+    * CCNet dedups paragraphs with and RefinedWeb's line-wise filter
+    * approximates (Wenzek et al. 2019 §4.1 drop duplicated
+    * paragraphs corpus-wide; Penedo et al. 2023 §3.3 strip repeated
+    * lines): a non-blank line occurring in at least `minDocs`
+    * DISTINCT documents is boilerplate (nav bars, cookie banners,
+    * footers) and is stripped from EVERY document. Unlike
+    * [[graft.ext.DedupOps.stripDupSpans]] (Lee et al. — one
+    * canonical copy of repeated CONTENT survives), no copy survives
+    * here: text that recurs across `minDocs` unrelated documents is
+    * template noise, not content. Within-doc repetition alone never
+    * triggers the strip — that is [[repetitionSignals]]' gate, a
+    * per-document signal, not a corpus transform. Blank lines are
+    * layout: never counted toward hotness, never stripped.
+    *
+    * Returns one row per input doc: `n_lines` (total physical
+    * lines), `n_dropped`, and `clean_text` (surviving lines joined
+    * by `\n` in original order; `""` when everything was stripped).
+    *
+    * Scale shape: lines explode narrow off the scan; the
+    * doc-frequency fold runs at 128-bit line-DIGEST grain (two-seed
+    * xxhash64 — fixed-width shuffle keys, no line string in a
+    * corpus-grain key; the [[graft.functions.NgramHashes]]/DSIR
+    * digest discipline, collision 2⁻¹²⁸ accepted as everywhere else
+    * in this repo), two-level (digest, doc) → (digest) so a
+    * corpus-hot banner line collapses map-side instead of pinning a
+    * reducer. The hot set is bounded by distinct (line, doc) pairs /
+    * minDocs — threshold-divided, and at any realistic threshold
+    * AQE broadcasts it back onto the line stream (no hint: the
+    * bound is data-dependent, the planner sees the real size). The
+    * rebuild is ONE doc-keyed fold (`min(struct)`-style ordered
+    * array_sort over (pos, line) structs). */
+  def stripBoilerplateLines(df: org.apache.spark.sql.DataFrame,
+                            idCol: String, textCol: String,
+                            minDocs: Int = 3)
+      : org.apache.spark.sql.DataFrame = {
+    require(minDocs >= 2, s"minDocs=$minDocs")
+    val lines = df.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+      .withColumn("__h1", xxhash64(col("__line"), lit(1L)))
+      .withColumn("__h2", xxhash64(col("__line"), lit(2L)))
+    val hot = lines.filter(length(trim(col("__line"))) > 0)
+      .select(col("__h1"), col("__h2"), col(idCol)).distinct()
+      .groupBy("__h1", "__h2").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocs)
+    // blank lines never enter `hot` (filtered before the fold), so a
+    // left join marks exactly the strippable occurrences
+    val flagged = lines.join(hot, Seq("__h1", "__h2"), "left")
+    flagged.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_lines"),
+      sum(when(col("__df").isNotNull, 1L).otherwise(0L))
+        .as("n_dropped"),
+      array_join(transform(array_sort(collect_list(
+          when(col("__df").isNull,
+            struct(col("__pos"), col("__line"))))),
+        s => s.getField("__line")), "\n").as("clean_text"))
+  }
+
   /** Gopher repetition thresholds (Rae et al. 2021, table A1 —
     * public): top n-gram character fraction by n, and duplicate
     * n-gram character fraction by n. The line-grain thresholds

@@ -557,6 +557,58 @@ object Text2Queries {
         |FROM t LEFT JOIN ls ON t.doc_id = ls.doc_id
         |LEFT JOIN top ON t.doc_id = top.doc_id
         |LEFT JOIN d5 ON t.doc_id = d5.doc_id
-        |ORDER BY t.doc_id""".stripMargin))
+        |ORDER BY t.doc_id""".stripMargin)),
+
+    // Corpus-level boilerplate-line REMOVAL (TextOps
+    // .stripBoilerplateLines — the CCNet duplicated-paragraph drop /
+    // RefinedWeb repeated-line strip): a line appearing in ≥ 3
+    // DISTINCT docs is template noise and is stripped from every
+    // doc, no canonical survivor (contrast dup_span_strip, where one
+    // copy of repeated CONTENT is kept). Lines are the same
+    // deterministic 10-token rebuild as dup_line_signals (the driver
+    // corpus is single-line), under which the corpus's exact/near-dup
+    // cluster structure genuinely crosses the 3-doc threshold. The
+    // oracle re-derives hot lines by STRING; the operator folds at
+    // 128-bit line-digest grain — hash-match certifies the digest
+    // discipline is semantically invisible. Output hashes the full
+    // cleaned-text reconstruction (the dup_span_strip contract).
+    "strip_boilerplate_lines" -> QueryDef(
+      (s, d) => {
+        val toked = Tables.documents(s, d).select(col("doc_id"),
+          filter(TextOps.tokens(col("text")),
+            t => length(t) > 0).as("__tok"))
+        val lined = toked.select(col("doc_id"), array_join(transform(
+            sequence(lit(0L),
+              greatest(ceil(size(col("__tok")) / lit(10.0)).cast("long")
+                - 1, lit(0L))),
+            i => array_join(
+              slice(col("__tok"), (i * 10 + 1).cast("int"), lit(10)), " ")),
+          "\n").as("text"))
+        TextOps.stripBoilerplateLines(lined, "doc_id", "text",
+            minDocs = 3)
+          .select(col("doc_id"), col("n_lines"), col("n_dropped"),
+            md5(col("clean_text")).as("clean_md5"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id,
+        |    list_filter($tokSql, x -> x <> '') AS tok FROM documents),
+        |ln AS (SELECT t.doc_id, s.g AS pos,
+        |    array_to_string(t.tok[(s.g*10+1):(s.g*10+10)], ' ') AS line
+        |  FROM t, UNNEST(generate_series(0,
+        |    CAST(greatest(ceil(len(t.tok)/10.0)-1, 0) AS BIGINT)))
+        |    AS s(g)),
+        |hot AS (SELECT line FROM (
+        |    SELECT line, count(DISTINCT doc_id) AS df FROM ln
+        |    WHERE length(trim(line)) > 0 GROUP BY 1) q
+        |  WHERE df >= 3),
+        |fl AS (SELECT ln.doc_id, ln.pos, ln.line,
+        |    hot.line IS NOT NULL AS h
+        |  FROM ln LEFT JOIN hot ON ln.line = hot.line)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN h THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dropped,
+        |  md5(coalesce(string_agg(CASE WHEN NOT h THEN line END,
+        |    chr(10) ORDER BY pos), '')) AS clean_md5
+        |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }

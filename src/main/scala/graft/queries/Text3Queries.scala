@@ -818,7 +818,27 @@ object Text3Queries {
             model)
           .orderBy("doc_id")
       },
-      Some(s"""WITH t AS (SELECT doc_id, lang = 'en' AS pos,
+      Some(classifierOracleSql)),
+
+    // The classifier's O(batch) maintenance twin (the
+    // bigram_lm_incremental / dsir_weights_incremental posture
+    // applied to the learned quality model): the even-id training
+    // half arrives as THREE batches (plus one replayed — the
+    // at-least-once drill) through
+    // ClassifierOps.updateClassifierCounts' bucket-count delta log,
+    // and the model is folded back by classifierFromStore. The
+    // oracle is the ONE-SHOT derivation — incremental ≡ one-shot is
+    // the contract, exactly as for the other two count stores.
+    "quality_classifier_incremental" -> QueryDef(
+      (s, d) => incrementalClassifierScores(s, d).orderBy("doc_id"),
+      Some(classifierOracleSql))
+  )
+
+  /** One oracle for both classifier queries: the one-shot SQL
+    * derivation of training AND scoring (the store-served form must
+    * be bit-identical to it — that IS the incremental contract). */
+  private def classifierOracleSql: String =
+    s"""WITH t AS (SELECT doc_id, lang = 'en' AS pos,
         |    $tokSql AS tok FROM documents),
         |big AS (SELECT doc_id, pos,
         |    CAST(('0x' || substring(md5(
@@ -857,6 +877,40 @@ object Text3Queries {
         |  round(CAST(dflt.b0 + coalesce(sc.sw, 0) AS DOUBLE), 6) >= 0
         |    AS quality_pass
         |FROM t CROSS JOIN dflt LEFT JOIN sc ON t.doc_id = sc.doc_id
-        |ORDER BY t.doc_id""".stripMargin))
-  )
+        |ORDER BY t.doc_id""".stripMargin
+
+  /** Store-served incremental classifier scores for
+    * `quality_classifier_incremental`: the count store builds once
+    * per (session, sf dir) — the even-id labeled half in three
+    * batches (split by doc_id % 6 ∈ {0, 2, 4}) plus a replayed one —
+    * and the served score frame is a session artifact like
+    * [[incrementalLmScores]]. */
+  private val incClfCache =
+    new FixtureStore.KeyedOnce[(org.apache.spark.sql.SparkSession,
+      String), org.apache.spark.sql.DataFrame]
+
+  private def incrementalClassifierScores(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    incClfCache((s, d)) {
+      val docs = Tables.documents(s, d)
+      val labeled = docs.filter(col("doc_id") % 2 === 0)
+      val store = FixtureStore.buildOnce(s, "clf_store", d) { dir =>
+        (0 until 3).foreach { i =>
+          graft.ext.ClassifierOps.updateClassifierCounts(
+            labeled.filter(pmod(col("doc_id"), lit(6)) === i * 2),
+            "doc_id", "text", col("lang") === "en", dir,
+            batchId = i)
+        }
+        // at-least-once drill: batch 1 retried after a simulated
+        // crash — classifierFromStore must collapse the replay
+        graft.ext.ClassifierOps.updateClassifierCounts(
+          labeled.filter(pmod(col("doc_id"), lit(6)) === 2),
+          "doc_id", "text", col("lang") === "en", dir, batchId = 1)
+      }
+      val model = graft.ext.ClassifierOps.classifierFromStore(s, store)
+      graft.ext.ClassifierOps.scoreQuality(docs, "doc_id", "text",
+          model)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 }

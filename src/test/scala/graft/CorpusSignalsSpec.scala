@@ -876,4 +876,47 @@ class CorpusSignalsSpec extends SparkSpec {
       plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
     assert(!plan.contains("SortMergeJoin"), plan.take(2000))
   }
+
+  test("incremental classifier count store: batched build ≡ one-shot " +
+    "model, and a replayed batch changes no score") {
+    import graft.ext.ClassifierOps
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-clfstore").toString
+    val train = Seq(
+      (1L, "the quick brown fox jumps high", true),
+      (2L, "a calm clear morning walk today", true),
+      (3L, "gentle rain falls on green hills", true),
+      (4L, "buy cheap pills now click here", false),
+      (5L, "win money fast casino bonus spin", false)
+    ).toDF("doc_id", "text", "curated")
+    // batches {3}, {1, 4}, {2, 5} — some one-class deltas, which the
+    // store must carry fine (only the folded MODEL needs both classes)
+    (0 until 3).foreach { i =>
+      ClassifierOps.updateClassifierCounts(
+        train.filter(col("doc_id") % 3 === i),
+        "doc_id", "text", col("curated"), dir, batchId = i)
+    }
+    val score = Seq(
+      (10L, "the quick brown fox"), (11L, "buy cheap pills now"),
+      (12L, "zyxq wvut srqp"), (13L, "solo")
+    ).toDF("doc_id", "text")
+    val oneShot = ClassifierOps.scoreQuality(score, "doc_id", "text",
+        ClassifierOps.trainQualityClassifier(
+          train, "doc_id", "text", col("curated")))
+      .orderBy("doc_id")
+      .select("doc_id", "n_feats", "quality_score", "quality_pass")
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    def served = ClassifierOps.scoreQuality(score, "doc_id", "text",
+        ClassifierOps.classifierFromStore(spark, dir))
+      .orderBy("doc_id")
+      .select("doc_id", "n_feats", "quality_score", "quality_pass")
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    assert(served === oneShot)
+    // at-least-once maintenance: a replayed batch id collapses at
+    // serve — no count doubles, no score moves
+    ClassifierOps.updateClassifierCounts(
+      train.filter(col("doc_id") % 3 === 1),
+      "doc_id", "text", col("curated"), dir, batchId = 1)
+    assert(served === oneShot)
+  }
 }

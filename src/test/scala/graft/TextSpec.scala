@@ -299,4 +299,36 @@ class TextSpec extends SparkSpec {
       TextOps.repetitionSignals(docs, "doc_id", "text", dupN = 3)
     }
   }
+
+  test("stripBoilerplateLines: a line in ≥ minDocs DISTINCT docs is " +
+    "stripped everywhere; within-doc repetition, blank lines, and " +
+    "trailing newlines survive") {
+    val hot = "menu home about contact"
+    val docs = Seq(
+      (1L, s"$hot\nalpha beta\n\ngamma"),     // hot + interior blank
+      (2L, s"intro\n$hot\nend"),
+      (3L, hot),                              // nothing but the banner
+      // within-doc dup (1 distinct doc < 3) + trailing newline
+      (4L, "dup dup line\ndup dup line\ntail\n")
+    ).toDF("doc_id", "text")
+    val out = TextOps
+      .stripBoilerplateLines(docs, "doc_id", "text", minDocs = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "n_lines", "n_dropped", "clean_text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out(0) == ((1L, 4L, 1L, "alpha beta\n\ngamma")))
+    assert(out(1) == ((2L, 3L, 1L, "intro\nend")))
+    // all-boilerplate doc: empty reconstruction, not a dropped row
+    assert(out(2) == ((3L, 1L, 1L, "")))
+    // nothing hot: reconstruction is byte-identical to the input,
+    // trailing empty line included
+    assert(out(3) == ((4L, 4L, 0L, "dup dup line\ndup dup line\ntail\n")))
+    // at minDocs = 2 the within-doc dup STILL survives (distinct-doc
+    // frequency is 1) — only the 3-doc banner goes
+    val at2 = TextOps
+      .stripBoilerplateLines(docs, "doc_id", "text", minDocs = 2)
+      .orderBy("doc_id")
+      .select("n_dropped").as[Long].collect().toSeq
+    assert(at2 == Seq(1L, 1L, 1L, 0L))
+  }
 }
