@@ -1069,8 +1069,12 @@ object TextOps {
                             minDocs: Int = 3)
       : org.apache.spark.sql.DataFrame = {
     require(minDocs >= 2, s"minDocs=$minDocs")
+    // NULL text coalesces to "" (one empty line) — explode of a NULL
+    // array would silently drop the doc from the output, and a
+    // transform that loses rows is a correctness bug at any scale
     val lines = df.select(col(idCol),
-        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+        posexplode(split(coalesce(col(textCol), lit("")), "\n"))
+          .as(Seq("__pos", "__line")))
       .withColumn("__h1", xxhash64(col("__line"), lit(1L)))
       .withColumn("__h2", xxhash64(col("__line"), lit(2L)))
     val hot = lines.filter(length(trim(col("__line"))) > 0)

@@ -330,5 +330,15 @@ class TextSpec extends SparkSpec {
       .orderBy("doc_id")
       .select("n_dropped").as[Long].collect().toSeq
     assert(at2 == Seq(1L, 1L, 1L, 0L))
+    // a NULL text must not vanish from the output — it is one empty
+    // line, kept
+    val withNull = Seq((9L, null: String)).toDF("doc_id", "text")
+      .unionByName(docs)
+    val nullRow = TextOps
+      .stripBoilerplateLines(withNull, "doc_id", "text", minDocs = 3)
+      .filter(col("doc_id") === 9L)
+      .select("n_lines", "n_dropped", "clean_text")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(nullRow == Seq((1L, 0L, "")))
   }
 }
