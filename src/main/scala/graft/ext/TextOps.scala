@@ -1010,9 +1010,45 @@ object TextOps {
           (length(col("__t.g")) - lit(topN - 1))).cast("double") /
           greatest(col("__tchars"), lit(1L)), 6)
           .as("top_ngram_char_frac"))
-    val dup = gramCounts(dupN).groupBy("doc_id", "__tchars")
+    // The dup-gram fold runs at 128-bit DIGEST grain, not gram-string
+    // grain (r14, from the zipf8 leg: the 5-gram string explode was
+    // ~48M ~33-byte strings + string-keyed hash maps — the battery's
+    // dominant allocation bill at 400k docs; the top fold below keeps
+    // strings because its lexicographic tie-break needs them, and its
+    // topN-grams are half the weight). The fold needs only (count,
+    // char-length) per distinct gram, and tokens contain no spaces
+    // (split on \s+), so space-joined-string equality ⇔ token-sequence
+    // equality ⇔ digest equality up to the usual accepted 2⁻¹²⁸
+    // ([[graft.functions.NgramHashes]] two-seed discipline). Gram
+    // char lengths come from O(1) bound-slot element_at reads per
+    // position — no per-position slice allocation, no re-split
+    // ([[bind1]]).
+    val dupG = {
+      import graft.functions.native.ngram_hashes
+      val gl = bind1(transform(col("__tok"),
+          t => length(t).cast("long"))) { lens =>
+        when(size(col("__tok")) < dupN,
+            array().cast("array<bigint>"))
+          .otherwise(transform(
+            sequence(lit(0), size(col("__tok")) - dupN),
+            i => (0 until dupN)
+              .map(k => element_at(lens, (i + k + 1).cast("int")))
+              .reduce(_ + _) + lit(dupN - 1).cast("long")))
+      }
+      toks.select(col("doc_id"), col("__tchars"),
+          explode(arrays_zip(
+            ngram_hashes(col("__tok"), dupN, 1L).as("h1"),
+            ngram_hashes(col("__tok"), dupN, 2L).as("h2"),
+            gl.as("gl"))).as("__z"))
+        .groupBy(col("doc_id"), col("__tchars"),
+          col("__z.h1"), col("__z.h2"))
+        // gl is a function of the gram (hence of the digest): max =
+        // the value, kept out of the grouping key
+        .agg(count(lit(1)).as("__c"), max(col("__z.gl")).as("__len"))
+    }
+    val dup = dupG.groupBy("doc_id", "__tchars")
       .agg(sum(when(col("__c") > 1,
-        col("__c") * (length(col("__g")) - lit(dupN - 1)))
+        col("__c") * (col("__len") - lit(dupN - 1)))
         .otherwise(0L)).as("__d"))
       .select(col("doc_id"),
         least(round(col("__d").cast("double") /
