@@ -199,12 +199,15 @@ object ClassifierOps {
         Seq(posFlag.cast("boolean").as("__t")), numBuckets)
       .groupBy("__b").agg(
         sum(when(col("__t"), 1L).otherwise(0L)).as("__cp"),
-        sum(when(col("__t"), 0L).otherwise(1L)).as("__cn"),
-        sum(lit(1L)).as("__n"))
+        sum(when(col("__t"), 0L).otherwise(1L)).as("__cn"))
       .withColumn("__batch", lit(batchId))
     val obs = new org.apache.spark.sql.Observation()
+    // every occurrence lands in exactly one of __cp/__cn, so their
+    // sum IS the batch occurrence count — no extra column in the
+    // durable delta-log schema just to feed the accounting
     graft.io.Staging.appendParquet(
-      delta.observe(obs, coalesce(sum(col("__n")), lit(0L)).as("n")),
+      delta.observe(obs,
+        coalesce(sum(col("__cp") + col("__cn")), lit(0L)).as("n")),
       storeDir, "clf_counts")
     val docDelta = batch.agg(
         sum(when(posFlag.cast("boolean"), 1L).otherwise(0L)).as("__dp"),

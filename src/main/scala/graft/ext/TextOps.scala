@@ -1113,7 +1113,15 @@ object TextOps {
           .as(Seq("__pos", "__line")))
       .withColumn("__h1", xxhash64(col("__line"), lit(1L)))
       .withColumn("__h2", xxhash64(col("__line"), lit(2L)))
-    val hot = lines.filter(length(trim(col("__line"))) > 0)
+    // blankness = nothing but space/tab/CR/FF — an EXPLICIT char
+    // class, not trim() (which strips only 0x20: on a CRLF corpus
+    // every separator line is "\r" after the \n split, and a
+    // space-only blankness test would make it hot-eligible and strip
+    // it from every doc — exactly the layout damage the blank-line
+    // exemption exists to prevent). The class is explicit rather
+    // than \s because Java and RE2 disagree on vertical tab.
+    val hot = lines.filter(
+        length(regexp_replace(col("__line"), "[ \t\r\f]", "")) > 0)
       .select(col("__h1"), col("__h2"), col(idCol)).distinct()
       .groupBy("__h1", "__h2").agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDocs)

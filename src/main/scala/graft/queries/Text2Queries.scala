@@ -19,6 +19,40 @@ object Text2Queries {
       |       ELSE regexp_split_to_array(lower(trim(text)), '\s+')
       |  END""".stripMargin
 
+  /** The deterministic 10-token line rebuild shared by
+    * `dup_line_signals` and `strip_boilerplate_lines` (the driver
+    * corpus is single-line, so line-grain queries manufacture layout
+    * the same way on both sides). ONE definition per engine: the
+    * rebuild encodes two subtle edges — phantom empty tokens from
+    * leading/trailing whitespace are filtered BEFORE chunking (the
+    * zipfml-fixture catch documented at `dup_line_signals`), and a
+    * zero-token doc still yields one (empty) line via the
+    * greatest(..., 0) floor. */
+  private def rebuiltLines(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val toked = df.select(col("doc_id"),
+      filter(TextOps.tokens(col("text")),
+        t => length(t) > 0).as("__tok"))
+    toked.select(col("doc_id"), array_join(transform(
+        sequence(lit(0L),
+          greatest(ceil(size(col("__tok")) / lit(10.0)).cast("long")
+            - 1, lit(0L))),
+        i => array_join(
+          slice(col("__tok"), (i * 10 + 1).cast("int"), lit(10)), " ")),
+      "\n").as("text"))
+  }
+
+  /** Oracle twin of [[rebuiltLines]]: CTEs `t` (filtered tokens) and
+    * `ln` ((doc_id, pos, line) rows). Paste after `WITH `. */
+  private def rebuiltLinesSql: String =
+    s"""t AS (SELECT doc_id,
+       |    list_filter($tokSql, x -> x <> '') AS tok FROM documents),
+       |ln AS (SELECT t.doc_id, s.g AS pos,
+       |    array_to_string(t.tok[(s.g*10+1):(s.g*10+10)], ' ') AS line
+       |  FROM t, UNNEST(generate_series(0,
+       |    CAST(greatest(ceil(len(t.tok)/10.0)-1, 0) AS BIGINT)))
+       |    AS s(g))""".stripMargin
+
   /** Session-lifetime exact pair-set artifact: the prefix-filter
     * pair join is a SNAPSHOT artifact — built once per corpus, read
     * by every consumer (the r9 store-split posture, like
@@ -412,7 +446,7 @@ object Text2Queries {
     // synthesizeMedia encode-vs-expectation contract applied to
     // layout.
     "dup_line_signals" -> QueryDef(
-      (s, d) => {
+      (s, d) =>
         // empty tokens are filtered BEFORE chunking: text with leading
         // '\n' yields a phantom "" edge token (tokens() contract —
         // consistent across engines, but NOT rebuild-stable: joining
@@ -420,30 +454,16 @@ object Text2Queries {
         // window by one on the Spark side only). The oracle filters
         // identically. Found by the zipfml fixture, invisible on
         // corpora without leading/trailing non-space whitespace.
-        val toked = Tables.documents(s, d).select(col("doc_id"),
-          filter(TextOps.tokens(col("text")),
-            t => length(t) > 0).as("__tok"))
-        val lined = toked.select(col("doc_id"), array_join(transform(
-            sequence(lit(0L),
-              greatest(ceil(size(col("__tok")) / lit(10.0)).cast("long")
-                - 1, lit(0L))),
-            i => array_join(
-              slice(col("__tok"), (i * 10 + 1).cast("int"), lit(10)), " ")),
-          "\n").as("text"))
-        TextOps.repetitionSignals(lined, "doc_id", "text")
-          .orderBy("doc_id")
-      },
-      Some(s"""WITH t AS (SELECT doc_id,
-        |    list_filter($tokSql, x -> x <> '') AS tok FROM documents),
-        |ln0 AS (SELECT t.doc_id,
-        |    array_to_string(t.tok[(s.g*10+1):(s.g*10+10)], ' ') AS line
-        |  FROM t, UNNEST(generate_series(0,
-        |    CAST(greatest(ceil(len(t.tok)/10.0)-1, 0) AS BIGINT)))
-        |    AS s(g)),
-        |ln AS (SELECT doc_id, line FROM ln0
+        // The rebuild itself is [[rebuiltLines]], shared with
+        // strip_boilerplate_lines on both engines.
+        TextOps.repetitionSignals(rebuiltLines(Tables.documents(s, d)),
+            "doc_id", "text")
+          .orderBy("doc_id"),
+      Some(s"""WITH $rebuiltLinesSql,
+        |lnb AS (SELECT doc_id, line FROM ln
         |  WHERE length(trim(line)) > 0),
         |lc AS (SELECT doc_id, line, count(*) AS c, length(line) AS l
-        |  FROM ln GROUP BY 1, 2),
+        |  FROM lnb GROUP BY 1, 2),
         |ls AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
         |    round(CAST(sum(c) - count(*) AS DOUBLE) / sum(c), 6)
         |      AS dup_line_frac,
@@ -573,33 +593,23 @@ object Text2Queries {
     // discipline is semantically invisible. Output hashes the full
     // cleaned-text reconstruction (the dup_span_strip contract).
     "strip_boilerplate_lines" -> QueryDef(
-      (s, d) => {
-        val toked = Tables.documents(s, d).select(col("doc_id"),
-          filter(TextOps.tokens(col("text")),
-            t => length(t) > 0).as("__tok"))
-        val lined = toked.select(col("doc_id"), array_join(transform(
-            sequence(lit(0L),
-              greatest(ceil(size(col("__tok")) / lit(10.0)).cast("long")
-                - 1, lit(0L))),
-            i => array_join(
-              slice(col("__tok"), (i * 10 + 1).cast("int"), lit(10)), " ")),
-          "\n").as("text"))
-        TextOps.stripBoilerplateLines(lined, "doc_id", "text",
+      (s, d) =>
+        TextOps.stripBoilerplateLines(
+            rebuiltLines(Tables.documents(s, d)), "doc_id", "text",
             minDocs = 3)
           .select(col("doc_id"), col("n_lines"), col("n_dropped"),
             md5(col("clean_text")).as("clean_md5"))
-          .orderBy("doc_id")
-      },
-      Some(s"""WITH t AS (SELECT doc_id,
-        |    list_filter($tokSql, x -> x <> '') AS tok FROM documents),
-        |ln AS (SELECT t.doc_id, s.g AS pos,
-        |    array_to_string(t.tok[(s.g*10+1):(s.g*10+10)], ' ') AS line
-        |  FROM t, UNNEST(generate_series(0,
-        |    CAST(greatest(ceil(len(t.tok)/10.0)-1, 0) AS BIGINT)))
-        |    AS s(g)),
+          .orderBy("doc_id"),
+      // blankness below mirrors the operator's explicit char class
+      // (space/tab/CR/FF); on rebuilt lines only "" can be blank,
+      // but the oracle states the operator's law, not the fixture's
+      // coincidence
+      Some(s"""WITH $rebuiltLinesSql,
         |hot AS (SELECT line FROM (
         |    SELECT line, count(DISTINCT doc_id) AS df FROM ln
-        |    WHERE length(trim(line)) > 0 GROUP BY 1) q
+        |    WHERE length(regexp_replace(line,
+        |      '[ ' || chr(9) || chr(13) || chr(12) || ']', '', 'g'))
+        |      > 0 GROUP BY 1) q
         |  WHERE df >= 3),
         |fl AS (SELECT ln.doc_id, ln.pos, ln.line,
         |    hot.line IS NOT NULL AS h

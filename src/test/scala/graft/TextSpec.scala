@@ -340,5 +340,23 @@ class TextSpec extends SparkSpec {
       .select("n_lines", "n_dropped", "clean_text")
       .as[(Long, Long, String)].collect().toSeq
     assert(nullRow == Seq((1L, 0L, "")))
+    // CRLF corpus: after the \n split every separator line is "\r" —
+    // blank by the explicit char-set test, so NEVER hot-eligible even
+    // when every doc carries it (the layout-damage case a plain
+    // trim()-based blankness test would cause)
+    val crlf = Seq(
+      (21L, "one two\r\n\r\nthree four\r"),
+      (22L, "five six\r\n\r\nseven\r"),
+      (23L, "eight\r\n\r\nnine ten\r")
+    ).toDF("doc_id", "text")
+    val crOut = TextOps
+      .stripBoilerplateLines(crlf, "doc_id", "text", minDocs = 3)
+      .orderBy("doc_id")
+      .select("n_dropped", "clean_text")
+      .as[(Long, String)].collect().toSeq
+    assert(crOut.map(_._1) == Seq(0L, 0L, 0L),
+      "CR-only separator lines are blank, never boilerplate")
+    assert(crOut.head._2 == "one two\r\n\r\nthree four\r",
+      "reconstruction is byte-identical when nothing is hot")
   }
 }
