@@ -117,6 +117,56 @@ object DecontamOps {
                textCol: String, n: Int): DataFrame =
     leakInstances(corpus, evalSet, idCol, textCol, n).distinct()
 
+  /** FUZZY contamination audit — the near-duplicate complement of the
+    * exact n-gram rule (the "high-overlap" check the Llama/PaLM
+    * decontamination write-ups apply after an n-gram hit: an eval
+    * item paraphrased or partially quoted in a training document
+    * leaks signal even when whole n-grams mostly differ). For every
+    * (corpus doc, eval doc) pair sharing at least one word `n`-gram,
+    * compute `eval_overlap` = |distinct corpus tokens ∩ distinct eval
+    * tokens| / |distinct eval tokens| — the fraction of the EVAL
+    * item's vocabulary the corpus document covers (asymmetric by
+    * design: eval items are short, and a corpus doc that embeds one
+    * is contamination regardless of how much else it contains) — and
+    * flag pairs at `tau` or above. Pairs sharing NO n-gram are not
+    * candidates and get no row: the n-gram gate is the recall
+    * boundary, stated in the contract rather than hidden (a
+    * paraphrase sharing not a single 4-gram is invisible to this
+    * operator — that case belongs to the embedding family).
+    *
+    * Scale shape: candidates come from [[leakInstances]] (eval
+    * n-grams broadcast, corpus side a narrow explode — the corpus
+    * never shuffles, only the leak minority survives); the verify
+    * stage joins candidate pairs back to sorted 64-bit hashed token
+    * sets and counts intersections with the fused sorted-merge
+    * kernel ([[graft.functions.SortedLongIntersectCount]] — the
+    * per-pair discipline of every exact verify tier in this repo;
+    * 2⁻⁶⁴-per-pair hash equality accepted as at those six sites),
+    * the eval set-side broadcast. */
+  def fuzzyContaminationReport(corpus: DataFrame, evalSet: DataFrame,
+                               idCol: String, textCol: String,
+                               n: Int = 4,
+                               tau: Double = 0.6): DataFrame = {
+    def tokSets(df: DataFrame, as: String, setAs: String) =
+      df.select(col(idCol).as(as),
+        sort_array(array_distinct(transform(
+          TextOps.tokens(col(textCol)), t => xxhash64(t)))).as(setAs))
+    val cand = leakInstances(corpus, evalSet, idCol, textCol, n)
+      .select("corpus_id", "eval_id").distinct()
+    cand
+      .join(tokSets(corpus, "corpus_id", "__cs"), Seq("corpus_id"))
+      .join(broadcast(tokSets(evalSet, "eval_id", "__es")),
+        Seq("eval_id"))
+      .select(col("corpus_id"), col("eval_id"),
+        round(graft.functions.native
+            .intersect_count_sorted(col("__cs"), col("__es"))
+            .cast("double") /
+          greatest(size(col("__es")), lit(1)), 6).as("eval_overlap"))
+      // the flag derives from the ROUNDED overlap so both engines
+      // compare the same 6-decimal value (events_anomaly discipline)
+      .withColumn("contaminated_fuzzy", col("eval_overlap") >= tau)
+  }
+
   /** Fold a frame of leak hit rows (shape of [[leakHits]], possibly
     * with duplicates from at-least-once appends) into the per-eval
     * report [[leakReport]] emits. With hits accumulated over corpus

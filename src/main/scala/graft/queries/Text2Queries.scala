@@ -222,6 +222,49 @@ object Text2Queries {
         |LEFT JOIN a ON e.doc_id = a.eval_id
         |ORDER BY eval_id""".stripMargin)),
 
+    // FUZZY decontamination (DecontamOps.fuzzyContaminationReport —
+    // the Llama/PaLM-style high-overlap rule layered on the exact
+    // 4-gram gate): every candidate (corpus, eval) pair sharing a
+    // 4-gram gets the fraction of the EVAL item's distinct tokens the
+    // corpus doc covers, flagged at 0.9 (stricter than the 0.6
+    // operator default so the gate corpus — whose candidates are all
+    // planted near-dups — exercises BOTH flag branches). The operator
+    // intersects
+    // sorted 64-bit token-hash sets (the exact-verify-tier kernel);
+    // the oracle re-derives the same pairs from token STRINGS —
+    // hash-match certifies the digest grain is semantically
+    // invisible, the strip_boilerplate_lines pattern at pair grain.
+    "decontam_fuzzy" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        DecontamOps.fuzzyContaminationReport(
+            docs.filter(col("doc_id") % 37 =!= 0),
+            docs.filter(col("doc_id") % 37 === 0),
+            "doc_id", "text", n = 4, tau = 0.9)
+          .orderBy("corpus_id", "eval_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $tokSql AS tok FROM documents),
+        |ng AS (SELECT doc_id, array_to_string(tok[i:i+3], ' ') AS ng
+        |  FROM t, LATERAL (SELECT
+        |    unnest(generate_series(1, len(tok) - 3)) AS i) u
+        |  WHERE len(tok) >= 4),
+        |ev AS (SELECT DISTINCT doc_id AS eval_id, ng FROM ng
+        |  WHERE doc_id % 37 = 0),
+        |co AS (SELECT DISTINCT doc_id AS corpus_id, ng FROM ng
+        |  WHERE doc_id % 37 <> 0),
+        |cand AS (SELECT DISTINCT co.corpus_id, ev.eval_id
+        |  FROM co JOIN ev USING (ng)),
+        |ds AS (SELECT doc_id, list_distinct(tok) AS dt FROM t),
+        |ov AS (SELECT cand.corpus_id, cand.eval_id,
+        |    round(CAST(len(list_intersect(c.dt, e.dt)) AS DOUBLE)
+        |      / greatest(len(e.dt), 1), 6) AS eval_overlap
+        |  FROM cand
+        |  JOIN ds c ON c.doc_id = cand.corpus_id
+        |  JOIN ds e ON e.doc_id = cand.eval_id)
+        |SELECT corpus_id, eval_id, eval_overlap,
+        |  eval_overlap >= 0.9 AS contaminated_fuzzy
+        |FROM ov ORDER BY corpus_id, eval_id""".stripMargin)),
+
     // PII redaction: the corpus text carries no PII by construction,
     // so both sides append the same deterministic synthetic contact
     // block (email / IPv4 / phone, plus a second email on every third

@@ -99,4 +99,27 @@ class DecontamSpec extends SparkSpec {
       plan.contains("BroadcastNestedLoopJoin"),
       s"expected broadcast semi join in:\n$plan")
   }
+
+  test("fuzzyContaminationReport: candidate pairs get the eval-token " +
+    "coverage ratio, the n-gram gate bounds recall, and the verbatim " +
+    "embed flags at 1.0") {
+    val out = DecontamOps.fuzzyContaminationReport(corpus, evalSet,
+        "doc_id", "text", n = 4, tau = 0.6)
+      .orderBy("corpus_id", "eval_id")
+      .select("corpus_id", "eval_id", "eval_overlap",
+        "contaminated_fuzzy")
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    // candidates: doc 1 × eval 100 (shares "quick brown fox jumps"),
+    // doc 3 × eval 101 (verbatim embed). Doc 2 shares 6 of eval 100's
+    // tokens but NO 4-gram — the gate's documented recall boundary:
+    // no row. Docs 4/5 clean/too short.
+    assert(out.map(r => (r._1, r._2)) == Seq((1L, 100L), (3L, 101L)))
+    // doc 1 covers {quick, brown, fox, jumps} of eval 100's 8
+    // distinct tokens ("the" repeats) → 4/8
+    val r1 = out.head
+    assert(r1._3 == 0.5 && !r1._4, r1)
+    // doc 3 embeds eval 101 verbatim → covers all its tokens
+    val r3 = out(1)
+    assert(r3._3 == 1.0 && r3._4, r3)
+  }
 }
