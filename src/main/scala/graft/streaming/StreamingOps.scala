@@ -445,6 +445,43 @@ object StreamingOps {
         ()
       }
 
+  /** Streaming twin of the incremental quality-classifier count
+    * maintenance ([[graft.ext.ClassifierOps.updateClassifierCounts]]):
+    * each LABELED micro-batch appends its ≤ numBuckets bucket-count
+    * delta plus its class-document-count row under the EPOCH id, so
+    * a replayed epoch re-appends bit-identical rows the serve-side
+    * fold ([[graft.ext.ClassifierOps.classifierFromStore]])
+    * collapses — exactly-once counts with no extra bookkeeping. The
+    * epoch-vs-store-max lineage guard and the per-lineage `storeDir`
+    * scoping are [[bigramCountStream]]'s, for the same corruption
+    * reason. A crash between the two table appends is safe: the
+    * replayed epoch collapses on clf_counts and fills clf_docs. */
+  def classifierCountStream(stream: DataFrame, idCol: String,
+                            textCol: String, posFlag: Column,
+                            storeDir: String,
+                            numBuckets: Int = 4096)
+      : DataStreamWriter[Row] =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val spark = batch.sparkSession
+        if (graft.io.Staging.tableExists(spark, storeDir,
+            "clf_counts")) {
+          val maxId = graft.io.Staging.readTable(spark, storeDir,
+              "clf_counts")
+            .agg(coalesce(max(col("__batch")),
+              lit(Long.MinValue))).head().getLong(0)
+          if (epoch < maxId) sys.error(
+            s"classifierCountStream epoch $epoch < store max batch " +
+              s"$maxId: a reset checkpoint is writing into an " +
+              "existing store — use a fresh store dir per " +
+              "checkpoint lineage (see bigramCountStream scaladoc)")
+        }
+        graft.ext.ClassifierOps.updateClassifierCounts(batch, idCol,
+          textCol, posFlag, storeDir, batchId = epoch, numBuckets)
+        ()
+      }
+
   /** Streaming twin of the incremental drift-histogram maintenance
     * ([[graft.ext.DriftOps.updateValueHistogram]]) — the CURRENT
     * side of the PSI drift alarm fed by the live ingest: each

@@ -518,6 +518,56 @@ class StreamingSpec extends SparkSpec {
     assert(served === oneShot)
   }
 
+  test("classifierCountStream maintains the classifier count store " +
+    "epoch-keyed: streamed model scores equal the one-shot fit, " +
+    "replayed epoch changes nothing") {
+    import org.apache.spark.sql.functions.col
+    implicit val ctx = spark.sqlContext
+    val root = Files.createTempDirectory("graft-clfstream")
+    val rows = Seq(
+      (1L, "the quick brown fox jumps high", true),
+      (2L, "a calm clear morning walk today", true),
+      (3L, "gentle rain falls on green hills", true),
+      (4L, "buy cheap pills now click here", false),
+      (5L, "win money fast casino bonus spin", false))
+    val docs = MemoryStream[(Long, String, Boolean)]
+    def drain(): Unit = {
+      val q = StreamingOps.classifierCountStream(
+        docs.toDF().toDF("doc_id", "text", "curated"),
+        "doc_id", "text", col("curated"), root.toString)
+        .option("checkpointLocation",
+          root.resolve("ckpt").toString).start()
+      q.awaitTermination()
+    }
+    docs.addData(rows.take(3): _*); drain()
+    docs.addData(rows.drop(3): _*); drain()
+    val score = Seq(
+      (10L, "the quick brown fox"), (11L, "buy cheap pills now"),
+      (12L, "zyxq wvut srqp")).toDF("doc_id", "text")
+    def served = graft.ext.ClassifierOps.scoreQuality(
+        score, "doc_id", "text",
+        graft.ext.ClassifierOps.classifierFromStore(
+          spark, root.toString))
+      .orderBy("doc_id")
+      .select("doc_id", "n_feats", "quality_score", "quality_pass")
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    val oneShot = graft.ext.ClassifierOps.scoreQuality(
+        score, "doc_id", "text",
+        graft.ext.ClassifierOps.trainQualityClassifier(
+          rows.toDF("doc_id", "text", "curated"),
+          "doc_id", "text", col("curated")))
+      .orderBy("doc_id")
+      .select("doc_id", "n_feats", "quality_score", "quality_pass")
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    assert(served === oneShot)
+    // duplicated-epoch drill: replaying epoch 1's batch under its
+    // own id collapses at serve — no count doubles, no score moves
+    graft.ext.ClassifierOps.updateClassifierCounts(
+      rows.drop(3).toDF("doc_id", "text", "curated"),
+      "doc_id", "text", col("curated"), root.toString, batchId = 1)
+    assert(served === oneShot)
+  }
+
   test("valueHistogramStream maintains the drift histogram " +
     "epoch-keyed: the store-served PSI equals the inline report, " +
     "replayed epoch changes nothing") {
