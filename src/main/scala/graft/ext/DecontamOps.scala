@@ -151,10 +151,25 @@ object DecontamOps {
       df.select(col(idCol).as(as),
         sort_array(array_distinct(transform(
           TextOps.tokens(col(textCol)), t => xxhash64(t)))).as(setAs))
+    // persisted: the candidate frame feeds both the corpus-side
+    // semi-filter below and the final pair join — uncached, the
+    // broadcast probe would re-run the whole gate stage
     val cand = leakInstances(corpus, evalSet, idCol, textCol, n)
       .select("corpus_id", "eval_id").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // token sets are built ONLY for candidate corpus documents (the
+    // leak minority), never the whole corpus: the expensive
+    // tokenize/sort stage rides behind a broadcast semi-join on the
+    // candidate ids (8-byte ids, not token sets — bounded by the
+    // gate's hit count, the operator's stated leak-minority contract;
+    // ADVICE r14 closing). Without it, every corpus document was
+    // tokenized, sorted, and shuffled into the pair join just to be
+    // dropped there.
+    val candCorpus = corpus.join(
+      broadcast(cand.select(col("corpus_id").as(idCol)).distinct()),
+      Seq(idCol), "left_semi")
     cand
-      .join(tokSets(corpus, "corpus_id", "__cs"), Seq("corpus_id"))
+      .join(tokSets(candCorpus, "corpus_id", "__cs"), Seq("corpus_id"))
       .join(broadcast(tokSets(evalSet, "eval_id", "__es")),
         Seq("eval_id"))
       .select(col("corpus_id"), col("eval_id"),
@@ -165,6 +180,92 @@ object DecontamOps {
       // the flag derives from the ROUNDED overlap so both engines
       // compare the same 6-decimal value (events_anomaly discipline)
       .withColumn("contaminated_fuzzy", col("eval_overlap") >= tau)
+  }
+
+  /** SEMANTIC (embedding-level) contamination report — the layer the
+    * n-gram family cannot reach, and the complement
+    * [[fuzzyContaminationReport]]'s own contract points at: a
+    * paraphrased eval item sharing not a single word n-gram with a
+    * training document leaks signal all the same (the GPT-3 appendix-C
+    * / Llama decontamination write-ups pair the n-gram gate with an
+    * embedding screen for exactly this case). For every (corpus doc,
+    * eval doc) pair whose embedding cosine reaches `tau`, one row
+    * (corpus_id, eval_id, cosine_sim) — cosine rounded to 6 decimals
+    * and thresholded on the ROUNDED value, so both engines compare the
+    * same number (the `events_anomaly` discipline).
+    *
+    * Scale shape (the [[contaminatedIds]] posture at the embedding
+    * grain): the eval side is benchmarks — thousands of items — so its
+    * (id, vector) rows BROADCAST and the corpus side stays one scan
+    * computing n_eval fused-loop cosines per document
+    * ([[VectorOps.cosine]] — a single `aggregate` over zipped arrays,
+    * no shuffle, no explode). The corpus never shuffles whatever its
+    * size; only pairs at or above `tau` — the leak minority — survive
+    * the filter, and there is no exchange at all downstream of the
+    * scan. This is deliberately NOT the ANN-index path: an eval set
+    * small enough to broadcast makes exhaustive eval-side comparison
+    * both exact and cheaper than probing an index per corpus doc (n·k
+    * fused multiplies, the semanticDedup assignment shape).
+    *
+    * Vectors cast to double explicitly (exact float widening) so the
+    * kernel's operand types match an engine-side
+    * `CAST(embedding AS DOUBLE[])` bit for bit. Null embeddings on
+    * either side yield no rows (a doc that was never embedded cannot
+    * be screened here — run the n-gram gate on it; silent null
+    * passthrough in a leak audit would read as a clean bill). */
+  def semanticContaminationReport(corpus: DataFrame, evalSet: DataFrame,
+                                  idCol: String, vecCol: String,
+                                  tau: Double): DataFrame = {
+    def vecs(df: DataFrame, as: String, vAs: String) =
+      df.filter(col(vecCol).isNotNull)
+        .select(col(idCol).as(as),
+          col(vecCol).cast("array<double>").as(vAs))
+    vecs(corpus, "corpus_id", "__cv")
+      .crossJoin(broadcast(vecs(evalSet, "eval_id", "__ev")))
+      .withColumn("cosine_sim",
+        round(VectorOps.cosine(col("__cv"), col("__ev")), 6))
+      .filter(col("cosine_sim") >= tau)
+      .select("corpus_id", "eval_id", "cosine_sim")
+  }
+
+  /** Distinct corpus ids the semantic screen flags at `tau` — the
+    * droppable-id form of [[semanticContaminationReport]]. */
+  def semanticContaminatedIds(corpus: DataFrame, evalSet: DataFrame,
+                              idCol: String, vecCol: String,
+                              tau: Double): DataFrame =
+    semanticContaminationReport(corpus, evalSet, idCol, vecCol, tau)
+      .select(col("corpus_id").as(idCol)).distinct()
+
+  /** `corpus` with semantically contaminated documents removed. */
+  def semanticDecontaminate(corpus: DataFrame, evalSet: DataFrame,
+                            idCol: String, vecCol: String,
+                            tau: Double): DataFrame =
+    corpus.join(
+      semanticContaminatedIds(corpus, evalSet, idCol, vecCol, tau),
+      Seq(idCol), "left_anti")
+
+  /** The FULL two-layer decontamination pass the production write-ups
+    * actually run: drop a corpus document if it trips EITHER the exact
+    * word-n-gram gate (any shared `n`-gram with any eval item —
+    * [[contaminatedIds]]) OR the embedding screen (cosine ≥ `tau`
+    * against any eval item — [[semanticContaminatedIds]]). The two
+    * layers are complementary by construction: the n-gram gate catches
+    * verbatim and near-verbatim inclusion regardless of embedding
+    * quality; the semantic screen catches paraphrases sharing no
+    * n-gram, which are invisible to the gate (DecontamSpec constructs
+    * exactly that pair). Both layers broadcast the eval side; the
+    * corpus is scanned twice (once per layer — the layers need
+    * different columns) and shuffled never; the union of flagged ids
+    * is leak-minority-sized. */
+  def decontaminateFull(corpus: DataFrame, evalSet: DataFrame,
+                        idCol: String, textCol: String, vecCol: String,
+                        n: Int, tau: Double,
+                        hashed: Boolean = false): DataFrame = {
+    val bad = contaminatedIds(corpus, evalSet, idCol, textCol, n, hashed)
+      .unionByName(
+        semanticContaminatedIds(corpus, evalSet, idCol, vecCol, tau))
+      .distinct()
+    corpus.join(bad, Seq(idCol), "left_anti")
   }
 
   /** Fold a frame of leak hit rows (shape of [[leakHits]], possibly

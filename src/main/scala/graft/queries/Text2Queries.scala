@@ -265,6 +265,35 @@ object Text2Queries {
         |  eval_overlap >= 0.9 AS contaminated_fuzzy
         |FROM ov ORDER BY corpus_id, eval_id""".stripMargin)),
 
+    // SEMANTIC decontamination (DecontamOps.semanticContaminationReport
+    // — the embedding screen the GPT-3/Llama leak audits layer on the
+    // n-gram gate; the case decontam_fuzzy's contract scopes out: a
+    // paraphrase sharing no n-gram). Eval side = vec_id % 37 = 0
+    // (broadcast), corpus = the rest (never shuffled — one scan of
+    // fused-loop cosines); pairs at rounded cosine >= 0.3 reported.
+    // Exact blocked-cosine oracle, the dedup_embedding discipline:
+    // DuckDB recomputes every corpus x eval cosine and thresholds the
+    // same 6-decimal rounded value.
+    "decontam_semantic" -> QueryDef(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        DecontamOps.semanticContaminationReport(
+            emb.filter(col("vec_id") % 37 =!= 0),
+            emb.filter(col("vec_id") % 37 === 0),
+            "vec_id", "embedding", tau = 0.3)
+          .orderBy("corpus_id", "eval_id")
+      },
+      Some("""WITH p AS (SELECT c.vec_id AS corpus_id,
+        |    e.vec_id AS eval_id,
+        |    round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |      CAST(e.embedding AS DOUBLE[])), 6) AS cosine_sim
+        |  FROM embeddings c JOIN embeddings e
+        |    ON c.vec_id % 37 <> 0 AND e.vec_id % 37 = 0
+        |  WHERE c.embedding IS NOT NULL AND e.embedding IS NOT NULL)
+        |SELECT corpus_id, eval_id, cosine_sim FROM p
+        |WHERE cosine_sim >= 0.3
+        |ORDER BY corpus_id, eval_id""".stripMargin)),
+
     // PII redaction: the corpus text carries no PII by construction,
     // so both sides append the same deterministic synthetic contact
     // block (email / IPv4 / phone, plus a second email on every third

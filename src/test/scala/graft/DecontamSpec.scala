@@ -122,4 +122,74 @@ class DecontamSpec extends SparkSpec {
     val r3 = out(1)
     assert(r3._3 == 1.0 && r3._4, r3)
   }
+
+  test("fuzzy report builds token sets only for candidate corpus " +
+    "docs (broadcast semi-filter, not a whole-corpus tokenize)") {
+    val plan = DecontamOps.fuzzyContaminationReport(corpus, evalSet,
+      "doc_id", "text", n = 4, tau = 0.6)
+      .queryExecution.executedPlan.toString
+    // the corpus-side token-set build must sit behind a LeftSemi
+    // broadcast join on the candidate ids
+    assert(plan.contains("LeftSemi"), plan)
+  }
+
+  // A paraphrased eval item and its embedding twin: the corpus doc
+  // shares NO 4-gram with the eval item (the n-gram gate's stated
+  // recall boundary) but its embedding is nearly parallel.
+  private val evalVec = Seq(
+    (200L, "the quick brown fox jumps over the lazy dog",
+      Array(1.0f, 0.0f, 0.2f)))
+    .toDF("doc_id", "text", "vec")
+  private val corpusVec = Seq(
+    // paraphrase: same meaning, no shared 4-gram, cosine ≈ 0.998
+    (10L, "a speedy auburn fox leaps above one idle hound",
+      Array(0.98f, 0.05f, 0.21f)),
+    // unrelated text AND orthogonal embedding
+    (11L, "completely unrelated words about spark engines",
+      Array(0.0f, 1.0f, 0.0f)),
+    // null embedding: screened by neither layer's embedding side
+    (12L, "quick brown fox jumps over the lazy dog today",
+      null.asInstanceOf[Array[Float]]))
+    .toDF("doc_id", "text", "vec")
+
+  test("semantic screen catches the paraphrase the n-gram gate " +
+    "provably misses") {
+    // the gate misses doc 10: no shared 4-gram → no fuzzy candidate
+    val fuzzy = DecontamOps.fuzzyContaminationReport(
+        corpusVec.filter(col("doc_id") === 10), evalVec,
+        "doc_id", "text", n = 4, tau = 0.0)
+      .count()
+    assert(fuzzy == 0L)
+    // the embedding screen flags it
+    val sem = DecontamOps.semanticContaminationReport(corpusVec,
+        evalVec, "doc_id", "vec", tau = 0.9)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(sem.map(_._1) == Seq(10L), sem)
+    assert(sem.head._3 > 0.99, sem)
+    // ids/removal forms agree; null-embedding doc is not flagged
+    val kept = DecontamOps.semanticDecontaminate(corpusVec, evalVec,
+      "doc_id", "vec", tau = 0.9).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(kept == Seq(11L, 12L))
+  }
+
+  test("decontaminateFull drops the union of the n-gram gate and " +
+    "the embedding screen") {
+    // doc 12 trips the n-gram gate (verbatim 4-grams, null vector);
+    // doc 10 trips only the semantic screen; doc 11 survives both
+    val kept = DecontamOps.decontaminateFull(corpusVec, evalVec,
+      "doc_id", "text", "vec", n = 4, tau = 0.9)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(11L))
+  }
+
+  test("semantic screen broadcasts the eval side (no corpus " +
+    "shuffle)") {
+    val plan = DecontamOps.semanticContaminationReport(corpusVec,
+      evalVec, "doc_id", "vec", tau = 0.9)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"), plan)
+  }
 }
