@@ -1070,6 +1070,49 @@ object DedupOps {
     * sides to keep the subtrees canonical — they never enter the
     * pair join anyway (inner-join block semantics), so they are not
     * a size-cap drop. */
+  /** WORK-BUDGET-derived block cap for the exact verification tiers —
+    * the registry default since r15 (VERDICT r14 "what's wrong #2":
+    * the fixed 10000 was a human-picked constant the scale legs
+    * outgrew — zipf8's survivors sat at ~2/3 cap, the documented
+    * worst point of the capped-posture walk, and `containment_dedup`
+    * paid 400 s where the measured cap-4000 posture costs ~66 s
+    * including LSH-on-dropped). The tier's work is bounded by
+    * #blocks × cap²/2 REGARDLESS of corpus size (CappedTierLeg's
+    * proven invariant), so the cap becomes the derived quantity:
+    * the largest cap whose worst-case pair mass stays inside
+    * `pairBudget`, i.e. `floor(sqrt(2·budget / #blocks))`, clamped to
+    * [2, capCeil]. #blocks counts non-null-key blocks with at least 2
+    * documents — the only ones that can produce pairs — the SAME
+    * census subtree the operators and [[droppedBlockStats]] already
+    * fold, evaluated once driver-side (block-count-grain, the
+    * pairWorkSalts collect discipline).
+    *
+    * Default budget 320M pairs ≈ the tier mass the measured postures
+    * clear in about a minute at local[32] (CappedTierLeg zipf4:
+    * ~163M surviving pairs → 77.6 s); on the zipf leg family's
+    * 40-block shape it derives cap = 4000 — exactly the posture the
+    * leg measured as the efficient escape point (tier collapses
+    * toward its census, oversized blocks ride LSH with the drop
+    * accounted). A corpus with more blocks derives a tighter cap so
+    * the stage's total work stays budget-bounded; fewer blocks relax
+    * it up to `capCeil`. Deterministic and engine-portable: a pure
+    * integer/sqrt function of the block census, so an oracle
+    * re-derives the identical cap in SQL (IEEE-exact sqrt both
+    * engines). Degenerate no-pairable-blocks census (n = 0) returns
+    * `capCeil` — no block can produce pairs, the value is inert. */
+  def workBudgetCap(df: DataFrame, blockCols: Seq[String],
+                    pairBudget: Long = 320000000L,
+                    capCeil: Int = 10000): Int = {
+    val n = df.filter(blockCols.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(blockCols.map(col): _*)
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") > 1)
+      .count()
+    if (n == 0L) capCeil
+    else math.min(capCeil.toLong, math.max(2L,
+      math.sqrt(2.0 * pairBudget / n).toLong)).toInt
+  }
+
   def droppedBlockStats(df: DataFrame, blockCols: Seq[String],
                         maxBlockSize: Int = 10000): DataFrame =
     df.filter(blockCols.map(col(_).isNotNull).reduce(_ && _))

@@ -166,17 +166,26 @@ object SearchQueries {
     "containment_dedup" -> QueryDef(
       (s, d) => {
         val docs = Tables.documents(s, d)
+        // r15: the cap derives from the census work budget
+        // (DedupOps.workBudgetCap — #blocks × cap²/2 ≤ 320M pairs)
+        // instead of the fixed 10000 the zipf legs outgrew; the
+        // derived value feeds the tier AND its drop accounting
+        val cap = graft.ext.DedupOps.workBudgetCap(docs,
+          Seq("lang", "source"))
         graft.ext.DedupOps.containmentPairs(docs, "doc_id", "text",
-            Seq("lang", "source"), minContainment = 0.9)
+            Seq("lang", "source"), minContainment = 0.9,
+            maxBlockSize = cap)
           .crossJoin(broadcast(graft.ext.DedupOps.droppedBlockStats(
-            docs, Seq("lang", "source"))))
+            docs, Seq("lang", "source"), maxBlockSize = cap)))
           .select("lang", "id_a", "id_b", "containment_a",
             "containment_b", "dropped_blocks", "dropped_docs")
           .orderBy("lang", "id_a", "id_b")
       },
-      // the blk CTE mirrors containmentPairs' smallBlocks filter
-      // (maxBlockSize = 10000, the call-site default) and the o CTE
-      // mirrors droppedBlockStats: a (lang, source) block growing
+      // the capq CTE re-derives the work-budget cap from the same
+      // block census (floor(sqrt(2·320M / #blocks>1)), clamped to
+      // [2, 10000] — IEEE sqrt is exact in both engines); blk
+      // mirrors containmentPairs' smallBlocks filter at that cap and
+      // o mirrors droppedBlockStats: a (lang, source) block growing
       // past the cap is dropped on BOTH sides and the drop is
       // counted in the output on both sides
       Some("""WITH t AS (SELECT doc_id, lang, source,
@@ -184,13 +193,21 @@ object SearchQueries {
         |    THEN []::VARCHAR[]
         |    ELSE regexp_split_to_array(lower(trim(text)), '\s+') END)
         |    AS tok FROM documents),
+        |capq AS (SELECT least(10000, greatest(2,
+        |    CAST(floor(sqrt(2.0 * 320000000 / count(*))) AS BIGINT)))
+        |    AS cap
+        |  FROM (SELECT 1 FROM documents
+        |        WHERE lang IS NOT NULL AND source IS NOT NULL
+        |        GROUP BY lang, source HAVING count(*) > 1)),
         |blk AS (SELECT lang, source FROM documents
-        |  GROUP BY 1, 2 HAVING count(*) <= 10000),
+        |  GROUP BY 1, 2
+        |  HAVING count(*) <= (SELECT cap FROM capq)),
         |o AS (SELECT CAST(count(*) AS BIGINT) AS dropped_blocks,
         |  CAST(coalesce(sum(c), 0) AS BIGINT) AS dropped_docs
         |  FROM (SELECT count(*) AS c FROM documents
         |        WHERE lang IS NOT NULL AND source IS NOT NULL
-        |        GROUP BY lang, source HAVING count(*) > 10000)),
+        |        GROUP BY lang, source
+        |        HAVING count(*) > (SELECT cap FROM capq))),
         |p AS (SELECT a.lang, a.doc_id AS id_a, b.doc_id AS id_b,
         |  round(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
         |    len(a.tok), 6) AS containment_a,

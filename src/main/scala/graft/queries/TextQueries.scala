@@ -250,8 +250,12 @@ object TextQueries {
     "ngram_jaccard_topk" -> QueryDef(
       (s, d) => {
         val docs = Tables.documents(s, d)
+        // r15: work-budget-derived cap (DedupOps.workBudgetCap) —
+        // see containment_dedup; shared by the tier and its
+        // accounting so the drop bookkeeping stays consistent
+        val cap = DedupOps.workBudgetCap(docs, Seq("lang", "source"))
         val pairs = DedupOps.ngramJaccardPairs(docs,
-          "doc_id", "text", Seq("lang", "source"))
+          "doc_id", "text", Seq("lang", "source"), maxBlockSize = cap)
         // topNPerKeyByValue, not the window form: the pair stream is
         // compute-cheap and byte-heavy, so the window's partial
         // rank-limit SORT of every pair partition was the whole cost
@@ -261,7 +265,8 @@ object TextQueries {
         graft.ops.Relational.topNPerKeyByValue(pairs, Seq("lang"),
             "jaccard", Seq(col("id_a"), col("id_b")), 5)
           .crossJoin(broadcast(
-            DedupOps.droppedBlockStats(docs, Seq("lang", "source"))))
+            DedupOps.droppedBlockStats(docs, Seq("lang", "source"),
+              maxBlockSize = cap)))
           .select("lang", "id_a", "id_b", "jaccard",
             "dropped_blocks", "dropped_docs")
           .orderBy(col("lang"), col("jaccard").desc, col("id_a"),
@@ -270,13 +275,21 @@ object TextQueries {
       Some("""WITH t AS (SELECT doc_id, lang, source,
         |  list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))
         |    AS tok FROM documents),
+        |capq AS (SELECT least(10000, greatest(2,
+        |    CAST(floor(sqrt(2.0 * 320000000 / count(*))) AS BIGINT)))
+        |    AS cap
+        |  FROM (SELECT 1 FROM documents
+        |        WHERE lang IS NOT NULL AND source IS NOT NULL
+        |        GROUP BY lang, source HAVING count(*) > 1)),
         |blk AS (SELECT lang, source FROM documents
-        |  GROUP BY 1, 2 HAVING count(*) <= 10000),
+        |  GROUP BY 1, 2
+        |  HAVING count(*) <= (SELECT cap FROM capq)),
         |o AS (SELECT CAST(count(*) AS BIGINT) AS dropped_blocks,
         |  CAST(coalesce(sum(c), 0) AS BIGINT) AS dropped_docs
         |  FROM (SELECT count(*) AS c FROM documents
         |        WHERE lang IS NOT NULL AND source IS NOT NULL
-        |        GROUP BY lang, source HAVING count(*) > 10000)),
+        |        GROUP BY lang, source
+        |        HAVING count(*) > (SELECT cap FROM capq))),
         |p AS (SELECT a.lang, a.doc_id AS id_a, b.doc_id AS id_b,
         |  round(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
         |    len(list_distinct(a.tok || b.tok)), 6) AS jaccard

@@ -627,4 +627,32 @@ class DedupSpec extends SparkSpec {
       assert(exact.nonEmpty, s"t=$t ground truth empty — weak corpus")
     }
   }
+
+  test("workBudgetCap derives the cap from the pairable-block " +
+    "census with its clamps") {
+    // 3 pairable blocks (sizes 3, 2, 2), one singleton (never
+    // pairs), one null-key doc (excluded)
+    val df = Seq(
+      (1L, "en"), (2L, "en"), (3L, "en"),
+      (4L, "de"), (5L, "de"), (6L, "fr"), (7L, "fr"),
+      (8L, "zh"), (9L, null)).toDF("doc_id", "lang")
+    // floor(sqrt(2·27/3)) = floor(4.24) = 4
+    assert(DedupOps.workBudgetCap(df, Seq("lang"),
+      pairBudget = 27L, capCeil = 10000) == 4)
+    // ceiling clamp: a huge budget saturates at capCeil
+    assert(DedupOps.workBudgetCap(df, Seq("lang"),
+      pairBudget = Long.MaxValue / 4, capCeil = 10000) == 10000)
+    // floor clamp: a starvation budget still allows pairs of 2
+    assert(DedupOps.workBudgetCap(df, Seq("lang"),
+      pairBudget = 1L, capCeil = 10000) == 2)
+    // degenerate census (no block can pair): inert capCeil
+    assert(DedupOps.workBudgetCap(
+      Seq((1L, "en")).toDF("doc_id", "lang"), Seq("lang"),
+      pairBudget = 27L, capCeil = 10000) == 10000)
+    // the zipf-leg shape: 40 blocks at the default budget → 4000,
+    // the CappedTierLeg-measured escape posture
+    val forty = (0 until 80).map(i => (i.toLong, s"b${i % 40}"))
+      .toDF("doc_id", "lang")
+    assert(DedupOps.workBudgetCap(forty, Seq("lang")) == 4000)
+  }
 }
