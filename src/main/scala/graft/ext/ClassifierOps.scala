@@ -179,62 +179,135 @@ object ClassifierOps {
       .drop("__sw", "__w0", "__b0")
   }
 
+  /** The class-document-count SENTINEL bucket: real feature buckets
+    * live in [0, numBuckets), so `__b = -1` is free to carry the
+    * batch's (doc⁺, doc⁻) counts as (__cp, __cn) IN THE SAME delta
+    * frame as the bucket counts. One frame per batch — not the
+    * pre-r15 two-table append, whose between-appends crash window
+    * could leave a batch's bucket counts in the model with its
+    * document counts (the bias term) missing, silently skewing every
+    * score (ADVICE r14). Doc counts are additive exactly like bucket
+    * counts, so the sentinel folds through [[graft.io.CountLog]]
+    * compaction untouched. */
+  private val DocSentinel = -1L
+
   /** O(batch) maintenance for the classifier's training counts — the
     * [[TextOps.updateBigramCounts]]/[[TextOps.updateDsirCounts]]
     * delta-log posture applied to the quality model: each labeled
-    * batch appends ONE bucket-count delta frame (≤ numBuckets rows —
+    * batch appends ONE delta frame (≤ numBuckets bucket-count rows —
     * the hashing trick bounds the delta exactly like it bounds the
-    * model) plus one class-document-count row, so retraining after a
-    * new curated/raw batch costs one pass over THE BATCH, never a
-    * corpus re-scan. Append-only and replay-safe: a crashed-and-
-    * retried batch id collapses at serve ([[classifierFromStore]]
-    * dedupes on (batch, bucket) before summing). Returns the batch's
-    * bigram-occurrence count (single-pass `Observation` accounting,
-    * the store discipline everywhere else in this repo). */
+    * model — plus the [[DocSentinel]] class-document-count row), so
+    * retraining after a new curated/raw batch costs one pass over
+    * THE BATCH, never a corpus re-scan. Append-only and replay-safe:
+    * a crashed-and-retried batch id collapses at serve
+    * ([[classifierFromStore]] dedupes on (batch, bucket) before
+    * summing), and a batch whose sentinel never landed (crashed
+    * write, never retried) now FAILS the serve-time consistency
+    * check instead of silently skewing the bias. `numBuckets` is
+    * persisted in a store marker on first append and asserted on
+    * every later one — two batches bucketed under different D would
+    * silently misalign the Laplace denominator and the score-time
+    * bucketing (ADVICE r14). Returns the batch's bigram-occurrence
+    * count (single-pass `Observation` accounting, the store
+    * discipline everywhere else in this repo). */
   def updateClassifierCounts(batch: DataFrame, idCol: String,
                              textCol: String, posFlag: Column,
                              storeDir: String, batchId: Long,
                              numBuckets: Int = 4096): Long = {
-    val delta = featureBuckets(batch, idCol, textCol,
+    val spark = batch.sparkSession
+    graft.io.Staging.readMarker(spark, storeDir, "clf_numbuckets")
+      match {
+        case Some(v) => require(v == numBuckets.toString,
+          s"classifier store $storeDir was built with numBuckets=$v; " +
+            s"appending with numBuckets=$numBuckets would misalign " +
+            "the stored counts — use the stored value or a fresh " +
+            "store")
+        case None => graft.io.Staging.writeMarker(spark, storeDir,
+          "clf_numbuckets", numBuckets.toString)
+      }
+    val bucketDelta = featureBuckets(batch, idCol, textCol,
         Seq(posFlag.cast("boolean").as("__t")), numBuckets)
       .groupBy("__b").agg(
         sum(when(col("__t"), 1L).otherwise(0L)).as("__cp"),
         sum(when(col("__t"), 0L).otherwise(1L)).as("__cn"))
+    val docDelta = batch.agg(
+        coalesce(sum(when(posFlag.cast("boolean"), 1L).otherwise(0L)),
+          lit(0L)).as("__cp"),
+        coalesce(sum(when(posFlag.cast("boolean"), 0L).otherwise(1L)),
+          lit(0L)).as("__cn"))
+      .select(lit(DocSentinel).as("__b"), col("__cp"), col("__cn"))
+    val delta = bucketDelta.unionByName(docDelta)
       .withColumn("__batch", lit(batchId))
     val obs = new org.apache.spark.sql.Observation()
     // every occurrence lands in exactly one of __cp/__cn, so their
-    // sum IS the batch occurrence count — no extra column in the
-    // durable delta-log schema just to feed the accounting
-    graft.io.Staging.appendParquet(
+    // non-sentinel sum IS the batch occurrence count — no extra
+    // column in the durable delta-log schema just to feed the
+    // accounting
+    graft.io.CountLog.append(
       delta.observe(obs,
-        coalesce(sum(col("__cp") + col("__cn")), lit(0L)).as("n")),
+        coalesce(sum(when(col("__b") >= 0, col("__cp") + col("__cn"))),
+          lit(0L)).as("n")),
       storeDir, "clf_counts")
-    val docDelta = batch.agg(
-        sum(when(posFlag.cast("boolean"), 1L).otherwise(0L)).as("__dp"),
-        sum(when(posFlag.cast("boolean"), 0L).otherwise(1L)).as("__dn"))
-      .withColumn("__batch", lit(batchId))
-    graft.io.Staging.appendParquet(docDelta, storeDir, "clf_docs")
     obs.get("n").asInstanceOf[Long]
   }
 
+  /** Compact a [[updateClassifierCounts]] store — the shared
+    * [[graft.io.CountLog]] marker protocol (r15; this log previously
+    * had no compaction). The [[DocSentinel]] row folds like any
+    * bucket: additive counts under the same key. */
+  def compactClassifierCounts(spark: org.apache.spark.sql.SparkSession,
+                              storeDir: String,
+                              keepBatches: Int = 2): Unit =
+    graft.io.CountLog.compact(spark, storeDir, "clf_counts",
+      Seq("__b"), Seq("__cp", "__cn"), keepBatches)
+
   /** The [[QualityModel]] folded from a [[updateClassifierCounts]]
-    * store: replay-safe dedupe on (batch, bucket) / (batch), then the
-    * same count fold and the SAME weight arithmetic as the one-shot
-    * fit ([[modelFromCounts]]) — bit-identical to
+    * store: replay-safe dedupe on (batch, bucket), then the same
+    * count fold and the SAME weight arithmetic as the one-shot fit
+    * ([[modelFromCounts]]) — bit-identical to
     * [[trainQualityClassifier]] over the union of the batches, which
     * is the contract the `quality_classifier_incremental` oracle
-    * checks (its SQL is the one-shot derivation). */
+    * checks (its SQL is the one-shot derivation).
+    *
+    * Serve-time guards (ADVICE r14, both closed here): `numBuckets`
+    * must match the value persisted at first append (a different D
+    * silently changes the Laplace denominator and misaligns
+    * score-time bucketing — fail, don't default), and every batch
+    * contributing bucket counts must also carry its [[DocSentinel]]
+    * document-count row (a half-written batch skews the bias term —
+    * fail loudly, the operator re-runs the batch). */
   def classifierFromStore(spark: org.apache.spark.sql.SparkSession,
                           storeDir: String,
                           numBuckets: Int = 4096): QualityModel = {
-    val counts = graft.io.Staging.readTable(spark, storeDir, "clf_counts")
+    graft.io.Staging.readMarker(spark, storeDir, "clf_numbuckets")
+      .foreach(v => require(v == numBuckets.toString,
+        s"classifier store $storeDir was built with numBuckets=$v " +
+          s"but is being served with numBuckets=$numBuckets — the " +
+          "Laplace denominator and the score-time bucketing would " +
+          "disagree with the stored counts; serve with the stored " +
+          "value"))
+    val log = graft.io.CountLog.read(spark, storeDir, "clf_counts")
       .dropDuplicates("__batch", "__b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // consistency: a batch with bucket rows but no sentinel row is a
+    // half-written append that was never retried — the exact silent-
+    // skew window the single-frame append narrows; refuse to fold it
+    val orphans = log.groupBy("__batch")
+      .agg(max(when(col("__b") === DocSentinel, 1L).otherwise(0L))
+        .as("__has_doc"))
+      .filter(col("__has_doc") === 0)
+      .select("__batch").collect().map(_.getLong(0))
+    require(orphans.isEmpty,
+      s"classifier store $storeDir holds bucket counts for batch(es) " +
+        s"[${orphans.mkString(", ")}] without their document-count " +
+        "sentinel — a half-written batch; re-run those batches " +
+        "before serving")
+    val counts = log.filter(col("__b") >= 0)
       .groupBy("__b")
       .agg(sum("__cp").as("__cp"), sum("__cn").as("__cn"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val docs = graft.io.Staging.readTable(spark, storeDir, "clf_docs")
-      .dropDuplicates("__batch")
-      .agg(sum("__dp").as("__dp"), sum("__dn").as("__dn"))
+    val docs = log.filter(col("__b") === DocSentinel)
+      .agg(sum("__cp").as("__dp"), sum("__cn").as("__dn"))
     modelFromCounts(counts, docs, numBuckets)
   }
 }

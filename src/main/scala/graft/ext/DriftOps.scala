@@ -223,11 +223,27 @@ object DriftOps {
       .agg(sum(lit(1L)).as("__cnt"))
       .withColumn("__batch", lit(batchId))
     val obs = new org.apache.spark.sql.Observation()
-    graft.io.Staging.appendParquet(
+    graft.io.CountLog.append(
       delta.observe(obs, coalesce(sum(col("__cnt")), lit(0L)).as("n")),
       storeDir, "keyed_value_hist")
     obs.get("n").asInstanceOf[Long]
   }
+
+  /** Compact an [[updateKeyedValueHistogram]] store through the
+    * shared [[graft.io.CountLog]] marker protocol (r15 — this log
+    * previously had no compaction at all). NOTE the interaction with
+    * the FROZEN-fold contract: batches at or before the compaction
+    * watermark lose their individual identity, so a
+    * [[keyedHistogramFromStore]] freeze point must stay strictly
+    * beyond the watermark — the serve fold fails loudly otherwise.
+    * Size `keepBatches` ≥ the gate's deepest look-back (for the
+    * daily [[rollingMadGate]] protocol: the freeze point is always
+    * the NEXT batch id, so any `keepBatches` ≥ 1 works). */
+  def compactKeyedValueHistogram(
+      spark: org.apache.spark.sql.SparkSession, storeDir: String,
+      keys: Seq[String], keepBatches: Int = 2): Unit =
+    graft.io.CountLog.compact(spark, storeDir, "keyed_value_hist",
+      keys :+ "__val", Seq("__cnt"), keepBatches)
 
   /** The per-key value histogram folded from an
     * [[updateKeyedValueHistogram]] store, restricted to batches
@@ -240,12 +256,25 @@ object DriftOps {
   def keyedHistogramFromStore(spark: org.apache.spark.sql.SparkSession,
                               storeDir: String, keys: Seq[String],
                               beforeBatch: Long = Long.MaxValue)
-      : DataFrame =
-    graft.io.Staging.readTable(spark, storeDir, "keyed_value_hist")
+      : DataFrame = {
+    // the freeze point must lie strictly beyond the compaction
+    // watermark: a snapshot folds batches ≤ ft into one row-set, so
+    // a cut at or before ft cannot be served — failing loudly here
+    // beats silently including folded later batches (the assertCuts
+    // fail-don't-guess posture)
+    graft.io.CountLog.foldedThrough(spark, storeDir,
+        "keyed_value_hist")
+      .foreach(ft => require(beforeBatch > ft,
+        s"keyedHistogramFromStore: freeze point $beforeBatch is at " +
+          s"or before the compaction watermark $ft — batches up to " +
+          s"$ft have been folded and can no longer be sliced; gate " +
+          "with a later freeze point or compact less aggressively"))
+    graft.io.CountLog.read(spark, storeDir, "keyed_value_hist")
       .filter(col("__batch") < beforeBatch)
       .dropDuplicates("__batch" +: keys :+ "__val")
       .groupBy((keys.map(col) :+ col("__val")): _*)
       .agg(sum(col("__cnt")).as("__cnt"))
+  }
 
   /** Multi-day FROZEN-gate chaining without snapshot re-scans: gate
     * day `batchId`'s batch against the robust model re-fit from the
@@ -276,8 +305,8 @@ object DriftOps {
     require(maxStaleness >= 1, s"maxStaleness=$maxStaleness")
     gateGuard(batch, outCol)
     val spark = batch.sparkSession
-    val modelMax = graft.io.Staging
-      .readTable(spark, storeDir, "keyed_value_hist")
+    val modelMax = graft.io.CountLog
+      .read(spark, storeDir, "keyed_value_hist")
       .filter(col("__batch") < batchId)
       .agg(max(col("__batch"))).head()
     require(!modelMax.isNullAt(0),
@@ -360,11 +389,22 @@ object DriftOps {
       .withColumn("__batch", lit(batchId))
       .withColumn("__cuts", lit(cutsTag(cuts)))
     val obs = new org.apache.spark.sql.Observation()
-    graft.io.Staging.appendParquet(
+    graft.io.CountLog.append(
       delta.observe(obs, coalesce(sum(col("__n")), lit(0L)).as("n")),
       storeDir, "value_hist")
     obs.get("n").asInstanceOf[Long]
   }
+
+  /** Compact an [[updateValueHistogram]] store through the shared
+    * [[graft.io.CountLog]] marker protocol (r15). The `__cuts` tag
+    * rides as a key column, so the folded snapshot keeps one tag per
+    * bucket row and [[assertCuts]]'s mixed-cut-set detection works
+    * unchanged across compaction. */
+  def compactValueHistogram(spark: org.apache.spark.sql.SparkSession,
+                            storeDir: String,
+                            keepBatches: Int = 2): Unit =
+    graft.io.CountLog.compact(spark, storeDir, "value_hist",
+      Seq("bucket", "__cuts"), Seq("__n"), keepBatches)
 
   private def cutsTag(cuts: Seq[Double]): String = cuts.mkString(",")
 
@@ -393,7 +433,7 @@ object DriftOps {
     // serve a histogram silently mixing deltas bucketed under
     // different cut sets — the exact plausible-looking-PSI failure
     // the __cuts tag enforces against in psiReportFromStores
-    val raw = graft.io.Staging.readTable(spark, storeDir, "value_hist")
+    val raw = graft.io.CountLog.read(spark, storeDir, "value_hist")
     assertCuts(raw, cuts, s"histogram store $storeDir")
     raw.dropDuplicates("__batch", "bucket")
       .groupBy("bucket").agg(sum(col("__n")).as("__n"))
@@ -414,7 +454,7 @@ object DriftOps {
       "cuts must be non-empty, ascending, distinct")
     val nBuckets = cuts.length + 1
     def read(dir: String, side: String): DataFrame = {
-      val raw = graft.io.Staging.readTable(spark, dir, "value_hist")
+      val raw = graft.io.CountLog.read(spark, dir, "value_hist")
       assertCuts(raw, cuts, s"histogram store $dir")
       raw.withColumn("__side", lit(side))
     }

@@ -598,7 +598,7 @@ object TextOps {
     // row accounting from the SAME job that writes (the loadIfNew
     // Observation discipline — no second tokenize pass)
     val obs = new org.apache.spark.sql.Observation()
-    graft.io.Staging.appendParquet(
+    graft.io.CountLog.append(
       delta.observe(obs, count(lit(1)).as("n")),
       storeDir, "bigram_counts")
     obs.get("n").asInstanceOf[Long]
@@ -613,72 +613,43 @@ object TextOps {
   def bigramModelFromStore(spark: org.apache.spark.sql.SparkSession,
                            storeDir: String)
       : org.apache.spark.sql.DataFrame =
-    graft.io.Staging.readTable(spark, storeDir, "bigram_counts")
+    graft.io.CountLog.read(spark, storeDir, "bigram_counts")
       .dropDuplicates("__batch", "__b1", "__b2", "__h1", "__h2")
       .groupBy("__b1", "__b2", "__h1", "__h2")
       .agg(sum(col("__m")).as("__c2"))
 
-  /** Compact a [[updateBigramCounts]] store: physically dedupe replay
-    * duplicates, then FOLD every batch older than the `keepBatches`
-    * most recent into one snapshot row-set per bigram (written under
-    * the oldest folded batch id), and rewrite the table. Counts are
-    * unchanged by construction — the serve-side fold is associative —
-    * so scoring before and after compaction is bit-identical
-    * (spec-asserted, replay included).
+  /** Compact a [[updateBigramCounts]] store — the shared
+    * [[graft.io.CountLog]] protocol (r15, VERDICT r14 #1): fold every
+    * batch older than the `keepBatches` most recent into the next
+    * SNAPSHOT VERSION, committed by [[graft.io.VersionedStore]]'s
+    * single-PUT marker — a reader never observes a missing or
+    * half-copied table, on any filesystem (the previous
+    * rename-swapped form was atomic only where rename is; on an
+    * object store its swap window exposed exactly the gap the
+    * VersionedStore protocol eliminates). Counts are unchanged by
+    * construction — the serve-side fold is associative — so scoring
+    * before and after compaction is bit-identical (spec-asserted on
+    * the `objsim://` copy+delete filesystem, replay included).
     *
-    * REPLAY WINDOW CONTRACT (the [[graft.streaming.StreamingOps
-    * .martPublishStream]] `keepCommits` discipline): batches inside
-    * the window keep their identity, so their at-least-once replays
-    * still collapse; a batch older than the window can no longer
-    * replay legitimately — fold it. Size `keepBatches` ≥ the deepest
-    * plausible replay (with AvailableNow + restart-on-failure that
-    * window is 1).
-    *
-    * CRASH SAFETY (single maintenance writer, the store family's
-    * posture): the compacted table is written BESIDE the live one,
-    * then swapped in by rename — an in-place overwrite would delete
-    * the only copy of months of deltas before its own write commits.
-    * Every crash point is recoverable: a dead `__compacting` dir is
-    * simply overwritten by the next attempt, and a crash between the
-    * two renames leaves the compacted copy to be re-installed on the
-    * next entry (the recovery step below) — which is CORRECT to
-    * serve either way, because compaction changes no count. */
+    * REPLAY WINDOW CONTRACT unchanged: batches inside the window
+    * keep their identity, so their at-least-once replays still
+    * collapse; a batch older than the window can no longer replay
+    * legitimately — if one does, the watermark filter drops it.
+    * Size `keepBatches` ≥ the deepest plausible replay (with
+    * AvailableNow + restart-on-failure that window is 1). */
   def compactBigramCounts(spark: org.apache.spark.sql.SparkSession,
-                          storeDir: String, keepBatches: Int = 2): Unit = {
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val live = new org.apache.hadoop.fs.Path(s"$storeDir/bigram_counts")
-    val tmp = new org.apache.hadoop.fs.Path(
-      s"$storeDir/bigram_counts__compacting")
-    val bak = new org.apache.hadoop.fs.Path(
-      s"$storeDir/bigram_counts__replaced")
-    val fs = live.getFileSystem(hconf)
-    // recovery: a previous attempt died between its two renames
-    if (!fs.exists(live) && fs.exists(tmp)) fs.rename(tmp, live)
-    val deltas = graft.io.Staging.readTable(spark, storeDir,
-        "bigram_counts")
-      .dropDuplicates("__batch", "__b1", "__b2", "__h1", "__h2")
-    val ids = deltas.select("__batch").distinct()
-      .orderBy(col("__batch").desc)
-      .collect().map(_.getLong(0))
-    if (ids.length > keepBatches) {
-      val keepIds = ids.take(keepBatches).toSeq
-      val snapshotId = ids.last
-      val folded = deltas
-        .filter(!col("__batch").isin(keepIds: _*))
-        .groupBy("__b1", "__b2", "__h1", "__h2")
-        .agg(sum(col("__m")).as("__m"))
-        .withColumn("__batch", lit(snapshotId))
-      val compacted = folded.unionByName(
-          deltas.filter(col("__batch").isin(keepIds: _*)))
-        .select("__b1", "__b2", "__h1", "__h2", "__m", "__batch")
-      graft.io.Staging.overwriteParquet(compacted, storeDir,
-        "bigram_counts__compacting")
-      fs.delete(bak, true)
-      fs.rename(live, bak)
-      fs.rename(tmp, live)
-      fs.delete(bak, true)
-    }
-  }
+                          storeDir: String, keepBatches: Int = 2): Unit =
+    graft.io.CountLog.compact(spark, storeDir, "bigram_counts",
+      Seq("__b1", "__b2", "__h1", "__h2"), Seq("__m"), keepBatches)
+
+  /** Compact a [[updateDsirCounts]] store — same shared protocol and
+    * replay-window contract as [[compactBigramCounts]] (the DSIR log
+    * previously had NO compaction, so its serve-time fold grew
+    * without bound in batch count). */
+  def compactDsirCounts(spark: org.apache.spark.sql.SparkSession,
+                        storeDir: String, keepBatches: Int = 2): Unit =
+    graft.io.CountLog.compact(spark, storeDir, "dsir_counts",
+      Seq("__f1", "__f2"), Seq("__mt", "__m"), keepBatches)
 
   /** [[bigramLmScores]] served from a persisted count store: tokenize
     * and score ONLY `df` (typically the new batch) against the
@@ -799,8 +770,9 @@ object TextOps {
     * replay-safely and both model scalars plus V re-derive from the
     * folded frame, so incremental ≡ one-shot by construction when
     * batches partition a corpus. The replay window / compaction
-    * discipline is [[compactBigramCounts]]'s (the same shape; a
-    * compaction twin would fold the out-of-window tail identically).
+    * discipline is [[compactBigramCounts]]'s — [[compactDsirCounts]]
+    * folds the out-of-window tail through the same shared
+    * [[graft.io.CountLog]] protocol.
     *
     * @return rows appended (the batch's distinct-feature count). */
   def updateDsirCounts(batch: org.apache.spark.sql.DataFrame,
@@ -813,7 +785,7 @@ object TextOps {
         sum(col("__m")).as("__m"))
       .withColumn("__batch", lit(batchId))
     val obs = new org.apache.spark.sql.Observation()
-    graft.io.Staging.appendParquet(
+    graft.io.CountLog.append(
       delta.observe(obs, count(lit(1)).as("n")),
       storeDir, "dsir_counts")
     obs.get("n").asInstanceOf[Long]
@@ -825,7 +797,7 @@ object TextOps {
   def dsirModelFromStore(spark: org.apache.spark.sql.SparkSession,
                          storeDir: String)
       : org.apache.spark.sql.DataFrame =
-    graft.io.Staging.readTable(spark, storeDir, "dsir_counts")
+    graft.io.CountLog.read(spark, storeDir, "dsir_counts")
       .dropDuplicates("__batch", "__f1", "__f2")
       .groupBy("__f1", "__f2")
       .agg(sum(col("__mt")).as("__ct"), sum(col("__m")).as("__cr"))

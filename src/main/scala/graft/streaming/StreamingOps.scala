@@ -428,12 +428,10 @@ object StreamingOps {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         val spark = batch.sparkSession
-        if (graft.io.Staging.tableExists(spark, storeDir,
+        if (graft.io.CountLog.exists(spark, storeDir,
             "bigram_counts")) {
-          val maxId = graft.io.Staging.readTable(spark, storeDir,
-              "bigram_counts")
-            .agg(coalesce(max(col("__batch")),
-              lit(Long.MinValue))).head().getLong(0)
+          val maxId = graft.io.CountLog.maxBatchId(spark, storeDir,
+              "bigram_counts").getOrElse(Long.MinValue)
           if (epoch < maxId) sys.error(
             s"bigramCountStream epoch $epoch < store max batch " +
               s"$maxId: a reset checkpoint is writing into an " +
@@ -454,8 +452,10 @@ object StreamingOps {
     * collapses — exactly-once counts with no extra bookkeeping. The
     * epoch-vs-store-max lineage guard and the per-lineage `storeDir`
     * scoping are [[bigramCountStream]]'s, for the same corruption
-    * reason. A crash between the two table appends is safe: the
-    * replayed epoch collapses on clf_counts and fills clf_docs. */
+    * reason. The bucket counts and the class-document sentinel ride
+    * ONE delta frame (r15), so a crashed epoch either replays whole
+    * or fails the serve-time sentinel check — never a silently
+    * skewed bias. */
   def classifierCountStream(stream: DataFrame, idCol: String,
                             textCol: String, posFlag: Column,
                             storeDir: String,
@@ -465,12 +465,10 @@ object StreamingOps {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         val spark = batch.sparkSession
-        if (graft.io.Staging.tableExists(spark, storeDir,
+        if (graft.io.CountLog.exists(spark, storeDir,
             "clf_counts")) {
-          val maxId = graft.io.Staging.readTable(spark, storeDir,
-              "clf_counts")
-            .agg(coalesce(max(col("__batch")),
-              lit(Long.MinValue))).head().getLong(0)
+          val maxId = graft.io.CountLog.maxBatchId(spark, storeDir,
+              "clf_counts").getOrElse(Long.MinValue)
           if (epoch < maxId) sys.error(
             s"classifierCountStream epoch $epoch < store max batch " +
               s"$maxId: a reset checkpoint is writing into an " +
@@ -500,12 +498,10 @@ object StreamingOps {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         val spark = batch.sparkSession
-        if (graft.io.Staging.tableExists(spark, storeDir,
+        if (graft.io.CountLog.exists(spark, storeDir,
             "value_hist")) {
-          val maxId = graft.io.Staging.readTable(spark, storeDir,
-              "value_hist")
-            .agg(coalesce(max(col("__batch")),
-              lit(Long.MinValue))).head().getLong(0)
+          val maxId = graft.io.CountLog.maxBatchId(spark, storeDir,
+              "value_hist").getOrElse(Long.MinValue)
           if (epoch < maxId) sys.error(
             s"valueHistogramStream epoch $epoch < store max batch " +
               s"$maxId: a reset checkpoint is writing into an " +
@@ -559,11 +555,11 @@ object StreamingOps {
     // one tiny column-pruned probe serves both the lineage guard and
     // the cold-start test
     val hasEarlier =
-      if (!graft.io.Staging.tableExists(spark, storeDir,
+      if (!graft.io.CountLog.exists(spark, storeDir,
           "keyed_value_hist")) false
       else {
-        val probe = graft.io.Staging
-          .readTable(spark, storeDir, "keyed_value_hist")
+        val probe = graft.io.CountLog
+          .read(spark, storeDir, "keyed_value_hist")
           .agg(max(when(col("__batch") < epoch, col("__batch")))
               .as("m_earlier"),
             coalesce(max(col("__batch")), lit(Long.MinValue))

@@ -775,10 +775,15 @@ class CorpusSignalsSpec extends SparkSpec {
     val before = served
     TextOps.compactBigramCounts(spark, dir, keepBatches = 2)
     assert(served === before)
-    // batches 0 and 1 folded under the oldest id; 2 and 3 keep theirs
-    val ids = graft.io.Staging.readTable(spark, dir, "bigram_counts")
+    // batches 0 and 1 folded under the WATERMARK id (the newest
+    // folded batch, r15 CountLog semantics); 2 and 3 keep theirs
+    val ids = graft.io.CountLog.read(spark, dir, "bigram_counts")
       .select("__batch").distinct().as[Long].collect().toSet
-    assert(ids === Set(0L, 2L, 3L))
+    assert(ids === Set(1L, 2L, 3L))
+    // the snapshot is a committed VersionedStore version with the
+    // watermark in its marker
+    assert(graft.io.CountLog.foldedThrough(spark, dir,
+      "bigram_counts") === Some(1L))
     // an in-window replay (batch 3) still collapses at serve time
     TextOps.updateBigramCounts(docs.filter(col("doc_id") % 4 === 3),
       "doc_id", "text", dir, batchId = 3)
