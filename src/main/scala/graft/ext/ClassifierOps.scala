@@ -251,6 +251,144 @@ object ClassifierOps {
     obs.get("n").asInstanceOf[Long]
   }
 
+  // ------------------------------------------------------------------
+  // Learned language-ID (multiclass NB over hashed char trigrams)
+  // ------------------------------------------------------------------
+
+  /** Multiclass language-ID model: `weights` ((__b, __lang) →
+    * log-likelihood weight, ≤ numBuckets × #langs rows — broadcast by
+    * construction) and `langs` (one row per language: `__w0` the
+    * unseen-bucket weight, `__b0` the log prior — all exact
+    * DECIMAL(20,6)). */
+  final case class LangIdModel(weights: DataFrame, langs: DataFrame)
+
+  /** Char-TRIGRAM feature buckets over `lower(trim(text))` — the
+    * fasttext-langid feature family (char n-grams carry orthography:
+    * accents, digraphs, script mix — where [[TextOps.langId]]'s
+    * 10-stopword markers see nothing on short or accent-only text).
+    * One row per trigram OCCURRENCE, md5-bucketed
+    * ([[SamplingOps.md5Bucket]], engine-portable); texts shorter than
+    * 3 chars contribute no rows. The normalized string binds ONCE per
+    * row ([[TextOps.bind1]] — an inline `substr` chain would re-lower
+    * the text per emitted gram under interpreted HOF eval, the exact
+    * O(len²) trap bind1 documents). */
+  private def charGramBuckets(df: DataFrame, idCol: String,
+                              textCol: String, extraCols: Seq[Column],
+                              numBuckets: Int): DataFrame = {
+    val grams = TextOps.bind1(lower(trim(col(textCol)))) { s =>
+      when(length(s) >= 3,
+        transform(sequence(lit(1), length(s) - 2),
+          i => s.substr(i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+    }
+    df.select((col(idCol) +: extraCols) :+
+        explode(grams).as("__g"): _*)
+      .withColumn("__b", SamplingOps.md5Bucket(col("__g"), numBuckets))
+      .drop("__g")
+  }
+
+  /** Train the multiclass NB language classifier on labeled docs —
+    * the learned stage CCNet-class pipelines use where the marker
+    * heuristic tops out (fasttext langid's shape: linear scores over
+    * hashed char n-grams; NB log-likelihood is its closed-form
+    * sibling, ONE count aggregation to train — 100 TB-trainable AND
+    * oracle-exact, the [[trainQualityClassifier]] argument verbatim).
+    *
+    * Per language l and bucket b (α = 1 Laplace, D = numBuckets):
+    * `w_{l,b} = ln((c_{l,b} + 1)/(N_l + D))`, unseen-bucket default
+    * `w0_l` at c = 0, log prior `b0_l = ln(d_l / d_total)` from the
+    * training document counts — each rounded to 6 decimals and
+    * carried as DECIMAL(20,6) so per-doc sums are exact in any
+    * engine. Rows with a NULL label are excluded (they have no class
+    * to teach). */
+  def trainLangId(labeled: DataFrame, idCol: String, textCol: String,
+                  langCol: String,
+                  numBuckets: Int = 4096): LangIdModel = {
+    require(numBuckets >= 2, s"numBuckets=$numBuckets")
+    val d = lit(numBuckets.toLong)
+    val train = labeled.filter(col(langCol).isNotNull)
+    val feats = charGramBuckets(train, idCol, textCol,
+      Seq(col(langCol).as("__lang")), numBuckets)
+    // PERSISTED: feeds the weight map and (via occ) the langs frame
+    // — uncached, the whole training corpus re-tokenizes per
+    // consumer (the trainQualityClassifier census note). ≤ D × L
+    // short rows resident.
+    val counts = feats.groupBy("__lang", "__b")
+      .agg(count(lit(1)).as("__c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val occ = counts.groupBy("__lang").agg(sum("__c").as("__nl"))
+    val dlangs = train.groupBy(col(langCol).as("__lang"))
+      .agg(count(lit(1)).as("__dl"))
+    val dtot = dlangs.agg(sum("__dl").as("__dt"))
+    val weights = counts.join(occ, "__lang")
+      .withColumn("__w", round(
+        log((col("__c") + 1).cast("double") / (col("__nl") + d)), 6)
+        .cast("decimal(20,6)"))
+      .select("__b", "__lang", "__w")
+    // a training language whose every doc is < 3 chars has docs but
+    // no grams: left-join + coalesce keeps its prior row alive with
+    // an all-unseen likelihood instead of dropping the class
+    val langs = dlangs.join(occ, Seq("__lang"), "left")
+      .withColumn("__nl", coalesce(col("__nl"), lit(0L)))
+      .crossJoin(broadcast(dtot))
+      .select(col("__lang"),
+        round(log(lit(1.0) / (col("__nl") + d)), 6)
+          .cast("decimal(20,6)").as("__w0"),
+        round(log(col("__dl").cast("double") / col("__dt")), 6)
+          .cast("decimal(20,6)").as("__b0"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    LangIdModel(weights, langs)
+  }
+
+  /** Classify every doc: `lang_pred` = argmax_l of
+    * `b0_l + Σ_occurrences w_l(bucket)` (ties → smallest language
+    * code — deterministic, oracle-portable), `lang_score` the
+    * winning log-posterior (rounded 6). EVERY doc gets a row: a
+    * featureless doc (< 3 chars) falls back to the prior argmax —
+    * at 100 TB silently dropping unclassifiable docs from a routing
+    * stage is a correctness bug ([[scoreQuality]]'s argument).
+    *
+    * Scale shape: one corpus tokenize pass, map-side (doc, bucket)
+    * pre-agg, a BROADCAST join against the ≤ D × L weight rows, one
+    * (doc, lang)-grain fold, one doc-grain argmax fold — the
+    * [[scoreQuality]] plan shape with the language axis riding the
+    * broadcast, never a corpus replication. The prior-argmax
+    * fallback constant derives from the L-row langs frame (bounded
+    * driver fold, the pairWorkSalts collect discipline). */
+  def classifyLang(docs: DataFrame, idCol: String, textCol: String,
+                   model: LangIdModel,
+                   numBuckets: Int = 4096): DataFrame = {
+    val perDocBucket = charGramBuckets(docs, idCol, textCol, Nil,
+        numBuckets)
+      .groupBy(col(idCol), col("__b"))
+      .agg(count(lit(1)).as("__m"))
+    val best = perDocBucket
+      .crossJoin(broadcast(model.langs))
+      .join(broadcast(model.weights), Seq("__b", "__lang"), "left")
+      .withColumn("__w", coalesce(col("__w"), col("__w0")))
+      .groupBy(col(idCol), col("__lang"))
+      .agg(first(col("__b0")).as("__b0"),
+        sum(col("__w") * col("__m")).as("__sw"))
+      .withColumn("__s", col("__b0") + col("__sw"))
+      .groupBy(col(idCol))
+      .agg(
+        min_by(col("__lang"), struct(negate(col("__s")).as("__n"),
+          col("__lang"))).as("lang_pred"),
+        max(col("__s")).as("__smax"))
+    // L-row bounded: the featureless-doc fallback is the prior
+    // argmax (b0 desc, lang asc — the same tiebreak)
+    val prior = model.langs.select("__lang", "__b0")
+      .collect()
+      .map(r => (r.getString(0), BigDecimal(r.getDecimal(1))))
+      .sortBy { case (l, b0) => (-b0, l) }.head
+    docs.select(col(idCol))
+      .join(best, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("lang_pred"), lit(prior._1)).as("lang_pred"),
+        round(coalesce(col("__smax"), lit(prior._2)).cast("double"), 6)
+          .as("lang_score"))
+  }
+
   /** Compact a [[updateClassifierCounts]] store — the shared
     * [[graft.io.CountLog]] marker protocol (r15; this log previously
     * had no compaction). The [[DocSentinel]] row folds like any

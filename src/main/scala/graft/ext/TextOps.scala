@@ -221,7 +221,7 @@ object TextOps {
     * count()-based bench never caught it because a terminal
     * projection is column-pruned under count() — see Bench's
     * full-evaluation note. */
-  private def bind1(v: Column)(f: Column => Column): Column =
+  private[ext] def bind1(v: Column)(f: Column => Column): Column =
     element_at(transform(array(v), f), 1)
 
   /** N-gram array from an ALREADY-BOUND token array (a lambda

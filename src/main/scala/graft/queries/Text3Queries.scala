@@ -831,7 +831,72 @@ object Text3Queries {
     // the contract, exactly as for the other two count stores.
     "quality_classifier_incremental" -> QueryDef(
       (s, d) => incrementalClassifierScores(s, d).orderBy("doc_id"),
-      Some(classifierOracleSql))
+      Some(classifierOracleSql)),
+
+    // LEARNED language-ID (VERDICT r14 missing #2 — the
+    // fasttext-langid stage where TextOps.langId's 10-stopword
+    // heuristic tops out): multiclass NB log-likelihood over
+    // md5-hashed char TRIGRAMS (ClassifierOps.trainLangId /
+    // classifyLang — the quality_classifier machinery with a
+    // language axis riding the broadcast weight table). Trained on
+    // the even-id half with its lang labels, classified over the
+    // WHOLE corpus; the odd half exercises genuine generalization
+    // including unseen-bucket defaults and the prior-argmax
+    // featureless fallback. The oracle re-derives training AND
+    // argmax classification from scratch in SQL — exact decimal
+    // score sums, (score desc, lang) tiebreak on both sides.
+    "lang_id_learned" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val model = graft.ext.ClassifierOps.trainLangId(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+          "lang")
+        graft.ext.ClassifierOps.classifyLang(docs, "doc_id", "text",
+            model)
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, lang, lower(trim(text)) AS s
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |    CAST(('0x' || substring(md5(substring(s, i, 3)), 1, 8))
+        |      AS BIGINT) % 4096 AS b
+        |  FROM t, LATERAL (SELECT
+        |    unnest(generate_series(1, length(s) - 2)) AS i) u
+        |  WHERE length(s) >= 3),
+        |trn AS (SELECT g.doc_id, t.lang, g.b FROM g
+        |  JOIN t USING (doc_id) WHERE g.doc_id % 2 = 0),
+        |cnt AS (SELECT lang, b, count(*) AS c FROM trn GROUP BY 1, 2),
+        |occ AS (SELECT lang, sum(c) AS nl FROM cnt GROUP BY 1),
+        |dl AS (SELECT lang, count(*) AS ndocs FROM t
+        |  WHERE doc_id % 2 = 0 GROUP BY 1),
+        |dt AS (SELECT sum(ndocs) AS total FROM dl),
+        |w AS (SELECT b, cnt.lang,
+        |    CAST(round(ln(CAST(c + 1 AS DOUBLE) / (nl + 4096)), 6)
+        |      AS DECIMAL(20,6)) AS w
+        |  FROM cnt JOIN occ USING (lang)),
+        |l0 AS (SELECT dl.lang,
+        |    CAST(round(ln(1.0 / (coalesce(nl, 0) + 4096)), 6)
+        |      AS DECIMAL(20,6)) AS w0,
+        |    CAST(round(ln(CAST(dl.ndocs AS DOUBLE) / dt.total), 6)
+        |      AS DECIMAL(20,6)) AS b0
+        |  FROM dl LEFT JOIN occ USING (lang) CROSS JOIN dt),
+        |db AS (SELECT doc_id, b, count(*) AS m FROM g GROUP BY 1, 2),
+        |sc AS (SELECT db.doc_id, l0.lang,
+        |    l0.b0 + sum(db.m * coalesce(w.w, l0.w0)) AS s
+        |  FROM db CROSS JOIN l0
+        |  LEFT JOIN w ON w.b = db.b AND w.lang = l0.lang
+        |  GROUP BY db.doc_id, l0.lang, l0.b0),
+        |r AS (SELECT doc_id, lang, s, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY s DESC, lang) AS rn
+        |  FROM sc),
+        |pbest AS (SELECT lang, b0 FROM l0
+        |  ORDER BY b0 DESC, lang LIMIT 1)
+        |SELECT t.doc_id,
+        |  coalesce(r.lang, (SELECT lang FROM pbest)) AS lang_pred,
+        |  round(CAST(coalesce(r.s, (SELECT b0 FROM pbest))
+        |    AS DOUBLE), 6) AS lang_score
+        |FROM t LEFT JOIN r ON t.doc_id = r.doc_id AND r.rn = 1
+        |ORDER BY t.doc_id""".stripMargin))
   )
 
   /** One oracle for both classifier queries: the one-shot SQL

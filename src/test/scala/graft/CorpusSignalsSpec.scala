@@ -924,4 +924,63 @@ class CorpusSignalsSpec extends SparkSpec {
       "doc_id", "text", col("curated"), dir, batchId = 1)
     assert(served === oneShot)
   }
+
+  test("learned lang-ID beats the marker heuristic on accented and " +
+    "short docs; featureless docs fall back to the prior argmax") {
+    import graft.ext.{ClassifierOps, TextOps}
+    // training: orthography-distinctive text per language — the char
+    // trigrams carry the signal (accents, digraphs), no stopword
+    // needed
+    val train = Seq(
+      (1L, "der schnelle braune fuchs springt über den faulen hund", "de"),
+      (2L, "die müden väter hören schöne grüne vögel über uns", "de"),
+      (3L, "straße größe weiß müller schön führung bücher", "de"),
+      (4L, "le renard brun rapide saute par dessus le chien", "fr"),
+      (5L, "les élèves écoutent très attentivement la leçon française", "fr"),
+      (6L, "été déjà voilà château forêt cœur garçon français", "fr"),
+      (7L, "the quick brown fox jumps over the lazy dog", "en"),
+      (8L, "a calm clear morning walk through the green hills", "en"),
+      (9L, "quick thinking wins the morning chess match", "en")
+    ).toDF("doc_id", "text", "lang")
+    val model = ClassifierOps.trainLangId(train, "doc_id", "text",
+      "lang", numBuckets = 4096)
+    // score: SHORT accented docs with not a single marker stopword —
+    // the heuristic's blind spot (it needs der/die/le/la/the…)
+    val score = Seq(
+      (10L, "größte bücher schöner"),   // de orthography, no markers
+      (11L, "élève château déjà"),      // fr orthography, no markers
+      (12L, "quick morning chess"),     // en vocabulary, no markers
+      (13L, "zz")                       // featureless (< 3 chars)
+    ).toDF("doc_id", "text")
+    val learned = ClassifierOps.classifyLang(score, "doc_id", "text",
+        model)
+      .orderBy("doc_id").select("doc_id", "lang_pred")
+      .as[(Long, String)].collect().toMap
+    assert(learned(10L) == "de" && learned(11L) == "fr" &&
+      learned(12L) == "en", learned)
+    // the marker heuristic returns undetermined on every one of them
+    val heur = score.select(col("doc_id"),
+        TextOps.langId(col("text")).as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(Seq(10L, 11L, 12L).forall(heur(_) == "und"), heur)
+    // featureless doc: prior argmax (3-way tie on doc counts →
+    // smallest language code)
+    assert(learned(13L) == "de", learned)
+    // every doc gets exactly one row
+    assert(ClassifierOps.classifyLang(score, "doc_id", "text", model)
+      .count() == 4)
+  }
+
+  test("learned lang-ID scoring plan: weights ride a broadcast, no " +
+    "corpus-side shuffle beyond the two grain folds") {
+    import graft.ext.ClassifierOps
+    val train = Seq((1L, "abc def", "en"), (2L, "zyx wvu", "de"))
+      .toDF("doc_id", "text", "lang")
+    val model = ClassifierOps.trainLangId(train, "doc_id", "text",
+      "lang")
+    val plan = ClassifierOps.classifyLang(train, "doc_id", "text",
+      model).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
