@@ -896,8 +896,90 @@ object Text3Queries {
         |  round(CAST(coalesce(r.s, (SELECT b0 FROM pbest))
         |    AS DOUBLE), 6) AS lang_score
         |FROM t LEFT JOIN r ON t.doc_id = r.doc_id AND r.rn = 1
-        |ORDER BY t.doc_id""".stripMargin))
+        |ORDER BY t.doc_id""".stripMargin)),
+
+    // Tokenizer-honest token counts (VERDICT r14 missing #3): a
+    // 16-merge BPE vocabulary trained on the doc_id % 20 = 0 fixture
+    // slice (BpeOps.trainMerges — one combinable pair-count fold per
+    // merge), then every doc priced under the frozen merge list at
+    // distinct-word grain (BpeOps.tokenCounts). The oracle is the
+    // FULL derivation re-run in SQL: 16 unrolled train steps (pair
+    // count → (count desc, pair) argmax → list_reduce merge fold)
+    // plus the 16-step inference chain over the corpus vocabulary —
+    // hash-match certifies trainer AND counter engine-portable,
+    // including the leftmost-nonoverlap merge rule and the
+    // lexicographic tiebreak.
+    "bpe_token_count" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val merges = graft.ext.BpeOps.trainMerges(
+          docs.filter(col("doc_id") % 20 === 0), "text", nMerges = 16)
+        graft.ext.BpeOps.tokenCounts(docs, "doc_id", "text", merges)
+          .orderBy("doc_id")
+      },
+      Some(bpeOracleSql(16)))
   )
+
+  /** The generated `bpe_token_count` oracle: nMerges unrolled
+    * training steps + the matching inference chain (see the query
+    * comment). Kept as a generator so the merge count stays a single
+    * shared constant with the Spark side. */
+  private def bpeOracleSql(nMerges: Int): String = {
+    // one ranked merge applied to the space-joined symbol string `w`
+    // with the (a, b) scalars of CTE alias `b` in scope — the exact
+    // left fold BpeOps.applyMerge runs (leftmost-nonoverlapping;
+    // single-symbol words pass through list_reduce untouched)
+    def applySql(b: String): String =
+      s"""list_reduce(string_split(w, ' '), (acc, x) -> CASE
+         |    WHEN x = $b.b AND string_split(acc, ' ')[-1] = $b.a
+         |    THEN CASE WHEN len(string_split(acc, ' ')) = 1
+         |         THEN $b.a || $b.b
+         |         ELSE array_to_string(string_split(acc, ' ')[1:-2],
+         |           ' ') || ' ' || $b.a || $b.b END
+         |    ELSE acc || ' ' || x END)""".stripMargin
+    val charSyms =
+      """array_to_string(list_transform(
+        |    generate_series(1, length(w)), i -> substring(w, i, 1)),
+        |    ' ')""".stripMargin
+    val trainSteps = (1 to nMerges).map { i =>
+      s"""g$i AS MATERIALIZED (SELECT sy[j] || ' ' || sy[j+1] AS pr,
+         |    sum(f) AS c
+         |  FROM (SELECT string_split(w, ' ') AS sy, f FROM w${i - 1}),
+         |    LATERAL (SELECT
+         |      unnest(generate_series(1, len(sy) - 1)) AS j) u
+         |  GROUP BY 1),
+         |b$i AS MATERIALIZED (SELECT string_split(pr, ' ')[1] AS a,
+         |    string_split(pr, ' ')[2] AS b
+         |  FROM (SELECT pr FROM g$i ORDER BY c DESC, pr LIMIT 1)),
+         |w$i AS MATERIALIZED (SELECT ${applySql(s"b$i")} AS w, f
+         |  FROM w${i - 1}, b$i)""".stripMargin
+    }.mkString(",\n")
+    val inferSteps = (1 to nMerges).map { i =>
+      s"""c$i AS MATERIALIZED (SELECT w0, ${applySql(s"b$i")} AS w
+         |  FROM c${i - 1}, b$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t AS MATERIALIZED (SELECT doc_id, $tokSql AS tok
+       |  FROM documents),
+       |w0 AS MATERIALIZED (SELECT $charSyms AS w, f
+       |  FROM (SELECT w, count(*) AS f
+       |    FROM (SELECT unnest(tok) AS w FROM t WHERE doc_id % 20 = 0)
+       |    GROUP BY w ORDER BY f DESC, w LIMIT 65536)),
+       |$trainSteps,
+       |c0 AS MATERIALIZED (SELECT w AS w0, $charSyms AS w
+       |  FROM (SELECT DISTINCT unnest(tok) AS w FROM t)),
+       |$inferSteps,
+       |k AS (SELECT c.w0, CAST(len(string_split(c.w, ' ')) AS BIGINT)
+       |    AS k FROM c$nMerges c),
+       |dw AS (SELECT doc_id, w, count(*) AS m
+       |  FROM (SELECT doc_id, unnest(tok) AS w FROM t) GROUP BY 1, 2),
+       |agg AS (SELECT dw.doc_id, sum(m) AS nws, sum(m * k.k) AS nbpe
+       |  FROM dw JOIN k ON dw.w = k.w0 GROUP BY 1)
+       |SELECT t.doc_id,
+       |  CAST(coalesce(agg.nws, 0) AS BIGINT) AS n_ws_tokens,
+       |  CAST(coalesce(agg.nbpe, 0) AS BIGINT) AS n_bpe_tokens
+       |FROM t LEFT JOIN agg USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin
+  }
 
   /** One oracle for both classifier queries: the one-shot SQL
     * derivation of training AND scoring (the store-served form must
