@@ -271,21 +271,24 @@ object ClassifierOps {
     * 3 chars contribute no rows. The normalized string binds ONCE per
     * row ([[TextOps.bind1]] — an inline `substr` chain would re-lower
     * the text per emitted gram under interpreted HOF eval, the exact
-    * O(len²) trap bind1 documents). */
+    * O(len²) trap bind1 documents).
+    *
+    * The gram→bucket math runs in ONE native pass per row
+    * ([[graft.functions.CharNgramMd5Buckets]]): the interpreted
+    * `transform(substr) → explode → md5Bucket` composition paid an
+    * HOF lambda dispatch, a String allocation, AND an md5-hex
+    * round-trip (~2 µs) per gram OCCURRENCE — at corpus scale that
+    * made `lang_id_learned` the second-costliest query on the whole
+    * surface (6.5 s at sf0.1 for ~2.3 M occurrences; native ~1 s).
+    * The expression is asserted bit-identical to the md5Bucket
+    * composition in NativeExprSpec, so the DuckDB oracle derivation
+    * is unchanged. */
   private def charGramBuckets(df: DataFrame, idCol: String,
                               textCol: String, extraCols: Seq[Column],
-                              numBuckets: Int): DataFrame = {
-    val grams = TextOps.bind1(lower(trim(col(textCol)))) { s =>
-      when(length(s) >= 3,
-        transform(sequence(lit(1), length(s) - 2),
-          i => s.substr(i, lit(3))))
-      .otherwise(array().cast("array<string>"))
-    }
+                              numBuckets: Int): DataFrame =
     df.select((col(idCol) +: extraCols) :+
-        explode(grams).as("__g"): _*)
-      .withColumn("__b", SamplingOps.md5Bucket(col("__g"), numBuckets))
-      .drop("__g")
-  }
+      explode(graft.functions.native.char_ngram_md5_buckets(
+        lower(trim(col(textCol))), 3, numBuckets)).as("__b"): _*)
 
   /** Train the multiclass NB language classifier on labeled docs —
     * the learned stage CCNet-class pipelines use where the marker

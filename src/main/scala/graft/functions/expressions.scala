@@ -544,6 +544,94 @@ case class UnicodeNormalize(child: Expression, form: String)
     copy(child = c)
 }
 
+/** md5 feature buckets of every char n-gram of a string, as ONE
+  * fused pass per row: element i = the bucket of the n chars starting
+  * at CHAR index i — exactly
+  * `pmod(conv(substring(md5(gram), 1, 8), 16, 10)::bigint, D)`
+  * ([[graft.ext.SamplingOps.md5Bucket]]) for
+  * `gram = substr(s, i+1, n)`, i.e. the first 4 md5 bytes of the
+  * gram's UTF-8 encoding as an unsigned 32-bit value, mod D.
+  *
+  * Replaces the interpreted `transform(sequence(…), i => substr) →
+  * explode → md5Bucket` composition whose per-OCCURRENCE costs — the
+  * HOF lambda dispatch, a String allocation per gram, and the md5 →
+  * hex → base-16-parse round-trip (~2 µs a call) — made
+  * `lang_id_learned` the second-costliest query on the surface
+  * (6.5 s at sf0.1 for ~2.3 M gram occurrences). Here the string's
+  * UTF-8 bytes are walked ONCE to index char boundaries, each gram
+  * digests as a (offset, length) slice of that byte array — no
+  * per-gram String, no hex — and the digest's first 4 bytes read out
+  * as the bucket directly. Bit-identical to the md5Bucket
+  * composition (NativeExprSpec asserts it across ASCII, accented,
+  * CJK, and astral-plane inputs — char indexing is CODE-POINT
+  * indexing exactly like `substring`'s, surrogate pairs one char).
+  * Fewer than n chars → empty array. CodegenFallback like
+  * [[NgramHashes]]: the md5 calls dominate per-row cost, not the
+  * eval dispatch. */
+case class CharNgramMd5Buckets(child: Expression, n: Int,
+                               numBuckets: Int)
+    extends UnaryExpression with ImplicitCastInputTypes
+    with CodegenFallback {
+
+  require(n >= 1, "n must be positive")
+  require(numBuckets >= 1, "numBuckets must be positive")
+
+  override def nullIntolerant: Boolean = true
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType,
+    containsNull = false)
+  override def prettyName: String = "char_ngram_md5_buckets"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    // char-boundary byte offsets: offsets(i) = byte index where code
+    // point i starts (UTF8String chars are code points — a surrogate
+    // pair is ONE char, matching substring()'s indexing)
+    val nBytes = bytes.length
+    var chars = 0
+    var i = 0
+    while (i < nBytes) {
+      i += org.apache.spark.unsafe.types.UTF8String
+        .numBytesForFirstByte(bytes(i))
+      chars += 1
+    }
+    val m = chars - n + 1
+    if (m <= 0) return ArrayData.toArrayData(Array.emptyLongArray)
+    val offsets = new Array[Int](chars + 1)
+    i = 0; var c = 0
+    while (i < nBytes) {
+      offsets(c) = i
+      i += org.apache.spark.unsafe.types.UTF8String
+        .numBytesForFirstByte(bytes(i))
+      c += 1
+    }
+    offsets(chars) = nBytes
+    val md = CharNgramMd5Buckets.digest.get()
+    val out = new Array[Long](m)
+    var g = 0
+    while (g < m) {
+      md.reset()
+      md.update(bytes, offsets(g), offsets(g + n) - offsets(g))
+      val d = md.digest()
+      val v = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+        ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+      out(g) = v % numBuckets
+      g += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildInternal(
+      c: Expression): CharNgramMd5Buckets = copy(child = c)
+}
+
+object CharNgramMd5Buckets {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+}
+
 /** Point query against a serialized count-min sketch (the binary
   * produced by Spark's built-in `count_min_sketch` aggregate,
   * `org.apache.spark.util.sketch.CountMinSketch` wire format):
@@ -679,6 +767,11 @@ object native {
     Bridge.column(SortedLongIntersectCount(
       Bridge.expression(a.cast("array<bigint>")),
       Bridge.expression(b.cast("array<bigint>"))))
+
+  def char_ngram_md5_buckets(text: Column, n: Int,
+                             numBuckets: Int): Column =
+    Bridge.column(CharNgramMd5Buckets(
+      Bridge.expression(text.cast("string")), n, numBuckets))
 
   def nearest_centroid(vec: Column, centroids: Column): Column =
     Bridge.column(NearestCentroid(

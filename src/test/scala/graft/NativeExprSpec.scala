@@ -214,6 +214,34 @@ class NativeExprSpec extends SparkSpec {
     assert(hs.distinct.size == 2)
   }
 
+  test("native char_ngram_md5_buckets == the transform/substr + " +
+    "md5Bucket composition, bitwise — ASCII, accented, CJK, astral, " +
+    "short, empty") {
+    val cases = Seq(
+      "hello world", "héllo wörld", "中文分词测试", "naïve café",
+      "mixed 中en文", "a😀b😀c", // astral: emoji are ONE char
+      "ab", "a", "", "  spaces  kept  ", "ABC lowered?")
+    for (n <- Seq(2, 3, 4); d <- Seq(7, 4096); s <- cases) {
+      val df = Seq(s).toDF("t").select(lower(trim(col("t"))).as("s"))
+      val composed = df.select(
+        when(length(col("s")) >= n,
+          transform(sequence(lit(1), length(col("s")) - (n - 1)),
+            i => graft.ext.SamplingOps.md5Bucket(
+              col("s").substr(i, lit(n)), d)))
+        .otherwise(array().cast("array<bigint>")).as("b"))
+        .as[Seq[Long]].head()
+      val got = df.select(
+          native.char_ngram_md5_buckets(col("s"), n, d).as("b"))
+        .as[Seq[Long]].head()
+      assert(got === composed, s"n=$n d=$d s='$s'")
+    }
+    // null string → null array (null-intolerant, like the builtins)
+    val nullRow = Seq(Option.empty[String]).toDF("t")
+      .select(native.char_ngram_md5_buckets(col("t"), 3, 16).as("b"))
+      .collect().head
+    assert(nullRow.isNullAt(0))
+  }
+
   test("intersect_count_sorted == size(array_intersect) on sorted " +
     "distinct long arrays — codegen AND interpreted paths") {
     val rnd = new scala.util.Random(7)
