@@ -59,20 +59,20 @@ object ClassifierOps {
   final case class QualityModel(weights: DataFrame, defaults: DataFrame)
 
   /** Word-bigram feature buckets for one text column: one row per
-    * bigram OCCURRENCE, bucketed by md5 over the bigram string —
-    * byte-identical in any engine ([[SamplingOps.md5Bucket]]). Docs
-    * with < 2 tokens contribute no rows. */
+    * bigram OCCURRENCE, bucketed by md5 over the space-joined bigram
+    * string — byte-identical in any engine
+    * ([[SamplingOps.md5Bucket]]). Docs with < 2 tokens contribute no
+    * rows. The bucket math runs in ONE native pass per row
+    * ([[graft.functions.TokenNgramMd5Buckets]] — no per-occurrence
+    * gram String, no md5-hex round-trip; bit-equality with the
+    * wordNgrams + md5Bucket composition asserted in NativeExprSpec,
+    * so the oracle derivation is unchanged). */
   private def featureBuckets(df: DataFrame, idCol: String,
                              textCol: String, extraCols: Seq[Column],
                              numBuckets: Int): DataFrame =
-    // wordNgrams binds the token split once per row (TextOps.bind1)
-    // — an inline gram construction here would re-split the text per
-    // emitted gram under interpreted HOF eval, the exact trap bind1
-    // documents (first bench read 4.8 s; 1.9 s with the bound form)
     df.select((col(idCol) +: extraCols) :+
-        explode(TextOps.wordNgrams(col(textCol), 2)).as("__g"): _*)
-      .withColumn("__b", SamplingOps.md5Bucket(col("__g"), numBuckets))
-      .drop("__g")
+      explode(graft.functions.native.token_ngram_md5_buckets(
+        TextOps.tokens(col(textCol)), 2, numBuckets)).as("__b"): _*)
 
   /** Train the NB log-odds model on a labeled curated-vs-raw frame.
     * `posFlag` marks the curated (positive) class. Both classes must

@@ -626,10 +626,75 @@ case class CharNgramMd5Buckets(child: Expression, n: Int,
 }
 
 object CharNgramMd5Buckets {
-  private val digest = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
+  private[functions] val digest =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+}
+
+/** md5 feature buckets of every word n-gram of a token array —
+  * element i = [[graft.ext.SamplingOps.md5Bucket]] of
+  * `concat_ws(" ", tokens[i..i+n-1])`, the
+  * [[CharNgramMd5Buckets]] collapse applied to the WORD-gram
+  * feature family (the quality classifier's bigram buckets): the
+  * gram string is never built — each token's UTF-8 bytes stream
+  * into the digest with a single separator byte between kept
+  * tokens — and the bucket reads off the digest's first 4 bytes,
+  * skipping the per-occurrence String allocation and md5 → hex →
+  * base-16 parse. NULL tokens are SKIPPED along with their
+  * separator, exactly `concat_ws`' contract (["a", null] digests
+  * as "a", not "a "); fewer than n tokens → empty array.
+  * Bit-equality with the transform + md5Bucket composition is
+  * asserted in NativeExprSpec. CodegenFallback like [[NgramHashes]]:
+  * md5 dominates, not eval dispatch. */
+case class TokenNgramMd5Buckets(child: Expression, n: Int,
+                                numBuckets: Int)
+    extends UnaryExpression with ImplicitCastInputTypes
+    with CodegenFallback {
+
+  require(n >= 1, "n must be positive")
+  require(numBuckets >= 1, "numBuckets must be positive")
+
+  override def nullIntolerant: Boolean = true
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType,
+    containsNull = false)
+  override def prettyName: String = "token_ngram_md5_buckets"
+
+  private val space = Array[Byte](' ')
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val len = arr.numElements()
+    val m = len - n + 1
+    if (m <= 0) return ArrayData.toArrayData(Array.emptyLongArray)
+    val md = CharNgramMd5Buckets.digest.get()
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      md.reset()
+      var wrote = false
+      var j = 0
+      while (j < n) {
+        if (!arr.isNullAt(i + j)) {
+          if (wrote) md.update(space)
+          md.update(arr.getUTF8String(i + j).getBytes)
+          wrote = true
+        }
+        j += 1
+      }
+      val d = md.digest()
+      val v = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+        ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+      out(i) = v % numBuckets
+      i += 1
+    }
+    ArrayData.toArrayData(out)
   }
+
+  override protected def withNewChildInternal(
+      c: Expression): TokenNgramMd5Buckets = copy(child = c)
 }
 
 /** Point query against a serialized count-min sketch (the binary
@@ -772,6 +837,11 @@ object native {
                              numBuckets: Int): Column =
     Bridge.column(CharNgramMd5Buckets(
       Bridge.expression(text.cast("string")), n, numBuckets))
+
+  def token_ngram_md5_buckets(tokens: Column, n: Int,
+                              numBuckets: Int): Column =
+    Bridge.column(TokenNgramMd5Buckets(
+      Bridge.expression(tokens.cast("array<string>")), n, numBuckets))
 
   def nearest_centroid(vec: Column, centroids: Column): Column =
     Bridge.column(NearestCentroid(

@@ -242,6 +242,31 @@ class NativeExprSpec extends SparkSpec {
     assert(nullRow.isNullAt(0))
   }
 
+  test("native token_ngram_md5_buckets == the concat_ws-gram + " +
+    "md5Bucket composition, bitwise — incl. null-token skip and " +
+    "short arrays") {
+    def composed(toks: Seq[String], n: Int, d: Int): Seq[Long] =
+      Seq(Tuple1(toks)).toDF("t").select(
+        when(size(col("t")) >= n,
+          transform(sequence(lit(1), size(col("t")) - (n - 1)),
+            i => graft.ext.SamplingOps.md5Bucket(
+              concat_ws(" ", slice(col("t"), i, lit(n))), d)))
+        .otherwise(array().cast("array<bigint>")).as("b"))
+        .as[Seq[Long]].head()
+    val cases: Seq[Seq[String]] = Seq(
+      Seq("the", "quick", "brown", "fox"),
+      Seq("héllo", "wörld", "中文"),
+      Seq("a", null, "c", "d"), // concat_ws skips nulls + separator
+      Seq("", "empty", ""),     // empty tokens still separate
+      Seq("only"), Seq())
+    for (n <- Seq(1, 2, 3); d <- Seq(13, 4096); toks <- cases) {
+      val got = Seq(Tuple1(toks)).toDF("t")
+        .select(native.token_ngram_md5_buckets(col("t"), n, d).as("b"))
+        .as[Seq[Long]].head()
+      assert(got === composed(toks, n, d), s"n=$n d=$d toks=$toks")
+    }
+  }
+
   test("intersect_count_sorted == size(array_intersect) on sorted " +
     "distinct long arrays — codegen AND interpreted paths") {
     val rnd = new scala.util.Random(7)
