@@ -23,11 +23,14 @@ import org.apache.spark.sql.functions._
   * the next symbol, unless the accumulator's last symbol is `a` and
   * the next is `b` — then replace the last with `ab`. That fold is
   * the leftmost-nonoverlapping rule ("a a a" under (a,a) → "aa a"),
-  * and it is expressed with the SAME semantics in both engines
-  * (Spark `aggregate` HOF with an array accumulator; DuckDB
-  * `list_reduce` over a space-joined accumulator — the
-  * `bpe_token_count` oracle re-derives training AND counting from
-  * scratch, so the gate proves the whole derivation engine-portable).
+  * and it is expressed with the SAME semantics in every runtime:
+  * the trainer's driver-side fold, the engine-side greedy encode
+  * ([[graft.functions.BpeEncode]] — one native expression for the
+  * whole chain, rank-fold-equivalent by the proof at the
+  * expression), and the DuckDB oracle's `list_reduce` over a
+  * space-joined accumulator — the `bpe_token_count` oracle
+  * re-derives training AND counting from scratch, so the gate
+  * proves the whole derivation engine-portable.
   *
   * Scale shapes:
   *  - TRAINING is per-merge ONE combinable pair-count fold over the
@@ -45,34 +48,11 @@ import org.apache.spark.sql.functions._
   */
 object BpeOps {
 
-  /** Character symbolization: "hello" → ["h","e","l","l","o"].
-    * Plain per-position substr over an attribute (an O(1) column
-    * read per element — not the recomputed-expression trap
-    * [[TextOps.bind1]] documents). */
-  private def charSyms(w: Column): Column =
-    transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))
-
-  /** Adjacent symbol pairs as "a b" strings (the canonical pair key
-    * BOTH the count fold and the tiebreak order use). */
-  private def pairsOf(sy: Column): Column =
-    when(size(sy) < 2, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(sy) - 1),
-        j => concat_ws(" ", element_at(sy, j), element_at(sy, j + 1))))
-
-  /** One ranked merge applied to a symbol array — the left fold of
-    * the scaladoc. */
-  private def applyMerge(sy: Column, a: String, b: String): Column =
-    aggregate(sy, array().cast("array<string>"),
-      (acc, x) => when(
-        x === lit(b) && size(acc) > 0 &&
-          element_at(acc, -1) === lit(a),
-        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-        .otherwise(concat(acc, array(x))))
-
-  /** The same left fold as [[applyMerge]], on a driver-side symbol
-    * array — ONE definition of the leftmost-nonoverlap rule per
-    * runtime, each oracle-pinned against the other through the
-    * `bpe_token_count` gate. */
+  /** The leftmost-nonoverlap left fold of one ranked merge, on a
+    * driver-side symbol array — the trainer's application rule,
+    * oracle-pinned against the engine-side greedy encode
+    * ([[graft.functions.BpeEncode]], whose scaladoc carries the
+    * equivalence proof) through the `bpe_token_count` gate. */
   private def applyMergeLocal(sy: Array[String], a: String,
                               b: String): Array[String] = {
     val acc = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -112,7 +92,28 @@ object BpeOps {
     * @return the merge list in rank order. */
   def trainMerges(corpus: DataFrame, textCol: String, nMerges: Int,
                   maxWords: Int = 65536): Seq[(String, String)] = {
-    require(nMerges >= 1 && nMerges <= 256, s"nMerges=$nMerges")
+    val merges = trainMergesMax(corpus, textCol, nMerges, maxWords)
+    require(merges.size == nMerges,
+      s"BPE training exhausted adjacent pairs at merge " +
+        s"${merges.size + 1} of $nMerges — corpus too small for the " +
+        "requested merge count")
+    merges
+  }
+
+  /** Train UP TO `nMerges` merges, stopping EARLY when the
+    * vocabulary runs out of adjacent pairs (every word a single
+    * symbol) — the production posture for requesting a
+    * tokenizer-sized merge count against a corpus whose vocabulary
+    * may not sustain it: the returned list is exactly the prefix the
+    * corpus supports, and every downstream consumer prices under
+    * whatever rank count actually trained (the persisted merge TABLE
+    * is the source of truth, not the requested count).
+    * [[trainMerges]] keeps the loud-failure contract for callers
+    * that require the exact count. Derivation within the trained
+    * prefix is identical between the two entry points. */
+  def trainMergesMax(corpus: DataFrame, textCol: String, nMerges: Int,
+                     maxWords: Int = 65536): Seq[(String, String)] = {
+    require(nMerges >= 1 && nMerges <= 65536, s"nMerges=$nMerges")
     require(maxWords >= 1, s"maxWords=$maxWords")
     val vocab: Array[(Array[String], Long)] = corpus
       .select(explode(TextOps.tokens(col(textCol))).as("__w"))
@@ -122,7 +123,8 @@ object BpeOps {
       .map(r => (r.getString(0).map(_.toString).toArray, r.getLong(1)))
     var words = vocab
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    for (step <- 1 to nMerges) {
+    var exhausted = false
+    for (step <- 1 to nMerges if !exhausted) {
       val counts = scala.collection.mutable.HashMap
         .empty[(String, String), Long]
       words.foreach { case (sy, f) =>
@@ -133,31 +135,73 @@ object BpeOps {
           j += 1
         }
       }
-      require(counts.nonEmpty,
-        s"BPE training exhausted adjacent pairs at merge $step of " +
-          s"$nMerges — corpus too small for the requested merge count")
-      // (count desc, "a b" pair string asc) — the engine-portable
-      // tiebreak the oracle mirrors
-      val (a, b) = counts.toSeq
-        .map { case ((x, y), c) => (x, y, s"$x $y", c) }
-        .sortBy { case (_, _, pr, c) => (-c, pr) }
-        .head match { case (x, y, _, _) => (x, y) }
-      merges += ((a, b))
-      words = words.map { case (sy, f) =>
-        (applyMergeLocal(sy, a, b), f)
+      if (counts.isEmpty) exhausted = true
+      else {
+        // (count desc, "a b" pair string asc) — the engine-portable
+        // tiebreak the oracle mirrors
+        val (a, b) = counts.toSeq
+          .map { case ((x, y), c) => (x, y, s"$x $y", c) }
+          .sortBy { case (_, _, pr, c) => (-c, pr) }
+          .head match { case (x, y, _, _) => (x, y) }
+        merges += ((a, b))
+        words = words.map { case (sy, f) =>
+          (applyMergeLocal(sy, a, b), f)
+        }
       }
     }
     merges.toSeq
   }
 
-  /** The frozen-merge-list symbol chain applied to one word column —
-    * inference, shared by [[tokenCounts]] and any caller that wants
-    * the subword strings themselves. */
+  /** The frozen merge list applied to one word column — inference,
+    * shared by [[tokenCounts]] and any caller that wants the subword
+    * strings themselves. ONE native expression whatever the merge
+    * count ([[graft.functions.BpeEncode]] — r16; the pre-r16 form
+    * chained one interpreted `aggregate` HOF fold PER MERGE, an
+    * nMerges-deep expression tree that could not plan at a
+    * production tokenizer's 32k merges and whose per-word cost grew
+    * with merge count). Bit-equal to the sequential fold on trained
+    * lists — the equivalence proof and the well-formedness guard
+    * live at the expression; the `bpe_token_count` oracle (whose
+    * DuckDB twin still runs the unrolled fold chain) certifies it
+    * end to end. */
   def applyMerges(word: Column,
                   merges: Seq[(String, String)]): Column =
-    merges.foldLeft(charSyms(word)) {
-      case (sy, (a, b)) => applyMerge(sy, a, b)
+    graft.functions.native.bpe_encode(word, merges)
+
+  /** Persist a trained merge list as a parquet table
+    * (`dir/merges`: rank, a, b) — the production posture for
+    * tokenizer-honest pricing: train once, freeze, price every
+    * corpus batch under the SAME table (retraining per run would
+    * silently re-price history). Overwrites atomically enough for a
+    * fixture store; production tables ride [[graft.io.VersionedStore]]
+    * if readers race writers. */
+  def saveMerges(spark: org.apache.spark.sql.SparkSession,
+                 merges: Seq[(String, String)], dir: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((a, b), i) => (i + 1L, a, b) }
+      .toDF("rank", "a", "b")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/merges")
+  }
+
+  /** Load a [[saveMerges]] table back into rank order. Bounded
+    * collect at merge-list grain (≤ 65536 rows — the trainer's own
+    * bound); ranks must be exactly 1..n or the frozen chain would
+    * silently skip or reorder merges. */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession,
+                 dir: String): Seq[(String, String)] = {
+    val rows = spark.read.parquet(s"$dir/merges")
+      .orderBy("rank")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    rows.zipWithIndex.foreach { case ((rk, _, _), i) =>
+      require(rk == i + 1,
+        s"merge table at $dir/merges has rank $rk at position ${i + 1}" +
+          " — ranks must be exactly 1..n")
     }
+    rows.map { case (_, a, b) => (a, b) }.toSeq
+  }
 
   /** Per-doc BPE token counts under a frozen merge list:
     * (idCol, n_ws_tokens, n_bpe_tokens) — the whitespace count the
@@ -166,9 +210,10 @@ object BpeOps {
     * unpriceable docs from a packing/mixture pass is a correctness
     * bug, the scoreQuality argument).
     *
-    * Distinct-word grain: the merge chain — `nMerges` interpreted
-    * HOF folds — runs once per DISTINCT word; docs rejoin by word
-    * and fold Σ multiplicity × subword-count. */
+    * Distinct-word grain: the merge chain — ONE native
+    * [[graft.functions.BpeEncode]] whatever the merge count — runs
+    * once per DISTINCT word; docs rejoin by word and fold
+    * Σ multiplicity × subword-count. */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
                   merges: Seq[(String, String)]): DataFrame = {
     val docWord = docs

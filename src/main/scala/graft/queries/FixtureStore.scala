@@ -35,14 +35,22 @@ object FixtureStore {
     }
   }
 
+  /** The deterministic per-(query, sf-dir) scratch path — exposed
+    * separately from [[clearedScratchDir]] because an oracle twin
+    * that reads a persisted fixture back (the `bpe_token_count_store`
+    * merge table) must compose the SAME path formula at SQL-generation
+    * time, and duplicating the formula is how the two sides drift. */
+  def scratchDirFor(name: String, d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_q_${name}_" +
+      java.lang.Integer.toHexString(d.hashCode)
+
   /** Deterministic per-(query, sf-dir) scratch dir, cleared on call.
     * Queries that WRITE stores use this so repeated bench executions
     * do not accrete state across runs — each execution owns its
     * batches. */
   def clearedScratchDir(s: SparkSession, name: String,
                         d: String): String = {
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q_${name}_" +
-      java.lang.Integer.toHexString(d.hashCode)
+    val dir = scratchDirFor(name, d)
     val dp = new org.apache.hadoop.fs.Path(dir)
     dp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(dp, true)
     dir
