@@ -378,6 +378,54 @@ object StreamingOps {
         ()
       }
 
+  /** Streaming twin of the SEMANTIC (embedding-level)
+    * decontamination screen
+    * ([[graft.ext.DecontamOps.semanticDecontaminate]]) — the r15
+    * layer was batch-only (VERDICT r15 missing #3); like the n-gram
+    * gate it is a pure function of the document and the static eval
+    * set (no cross-batch state), so a stateless foreachBatch
+    * classifies identically to the one-shot batch operator by
+    * construction and replay merely re-appends the same clean rows.
+    * The eval (id, vector) broadcast is rebuilt per micro-batch —
+    * benchmark-sized by the operator's contract. */
+  def semanticDecontaminateStream(stream: DataFrame,
+                                  evalSet: DataFrame, idCol: String,
+                                  vecCol: String, tau: Double,
+                                  outDir: String)
+      : DataStreamWriter[Row] =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val kept = graft.ext.DecontamOps.semanticDecontaminate(
+          batch, evalSet, idCol, vecCol, tau)
+        graft.io.Staging.appendParquet(kept, outDir, "clean")
+        ()
+      }
+
+  /** Streaming twin of the composed two-layer pass
+    * ([[graft.ext.DecontamOps.decontaminateFull]]): each micro-batch
+    * is screened by BOTH the exact n-gram gate and the embedding
+    * layer — either flag drops the document — and the surviving rows
+    * append. Same stateless shape as [[decontaminateStream]] /
+    * [[semanticDecontaminateStream]], composed rather than chained
+    * through a second topic, so a document is judged by both layers
+    * in the SAME micro-batch (chaining two streams would let a
+    * gate-clean doc land durably before the semantic screen saw
+    * it). */
+  def decontaminateFullStream(stream: DataFrame, evalSet: DataFrame,
+                              idCol: String, textCol: String,
+                              vecCol: String, n: Int, tau: Double,
+                              outDir: String, hashed: Boolean = true)
+      : DataStreamWriter[Row] =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val kept = graft.ext.DecontamOps.decontaminateFull(
+          batch, evalSet, idCol, textCol, vecCol, n, tau, hashed)
+        graft.io.Staging.appendParquet(kept, outDir, "clean")
+        ()
+      }
+
   /** Streaming twin of the per-eval leak audit
     * ([[graft.ext.DecontamOps.leakReport]]): each micro-batch
     * appends its DISTINCT matched (eval_id, corpus_id, n-gram) hit
@@ -477,6 +525,43 @@ object StreamingOps {
         }
         graft.ext.ClassifierOps.updateClassifierCounts(batch, idCol,
           textCol, posFlag, storeDir, batchId = epoch, numBuckets)
+        ()
+      }
+
+  /** Streaming twin of the incremental language-ID count maintenance
+    * ([[graft.ext.ClassifierOps.updateLangIdCounts]]): each LABELED
+    * micro-batch appends its ≤ numBuckets × L (lang, bucket) count
+    * delta plus one per-language document-count sentinel row under
+    * the EPOCH id — the delta-log triple (update / CountLog /
+    * streaming twin) every other learned model already has, closed
+    * for lang-ID (VERDICT r15 missing #2). A replayed epoch
+    * re-appends bit-identical rows the serve-side fold
+    * ([[graft.ext.ClassifierOps.langIdFromStore]]) collapses —
+    * exactly-once counts with no extra bookkeeping. The
+    * epoch-vs-store-max lineage guard and the per-lineage `storeDir`
+    * scoping are [[bigramCountStream]]'s, for the same corruption
+    * reason. */
+  def langIdCountStream(stream: DataFrame, idCol: String,
+                        textCol: String, langCol: String,
+                        storeDir: String,
+                        numBuckets: Int = 4096)
+      : DataStreamWriter[Row] =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val spark = batch.sparkSession
+        if (graft.io.CountLog.exists(spark, storeDir,
+            "langid_counts")) {
+          val maxId = graft.io.CountLog.maxBatchId(spark, storeDir,
+              "langid_counts").getOrElse(Long.MinValue)
+          if (epoch < maxId) sys.error(
+            s"langIdCountStream epoch $epoch < store max batch " +
+              s"$maxId: a reset checkpoint is writing into an " +
+              "existing store — use a fresh store dir per " +
+              "checkpoint lineage (see bigramCountStream scaladoc)")
+        }
+        graft.ext.ClassifierOps.updateLangIdCounts(batch, idCol,
+          textCol, langCol, storeDir, batchId = epoch, numBuckets)
         ()
       }
 

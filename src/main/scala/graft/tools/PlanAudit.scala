@@ -64,6 +64,7 @@ object PlanAudit {
     case n if n.startsWith("text_") || n.startsWith("doc_") ||
       n.startsWith("dup_line_") || n == "quality_classifier" ||
       n == "lang_id" || n == "lang_id_learned" ||
+      n == "lang_id_incremental" ||
       n == "token_count_by_lang" ||
       n == "top_tokens" || n == "repetition_metrics" ||
       n == "pii_redaction" || n == "quality_deciles" ||
@@ -195,22 +196,15 @@ object PlanAudit {
     //    single-exchange global rank does not exist without a
     //    single-partition sort.
     "export_shuffled" -> 5,
-    //  - `lang_id_learned` (6 vs text 5): train + classify composed
-    //    in one plan. Only TWO exchanges move corpus-grain data —
-    //    the training (lang, bucket) count fold (persisted; its
-    //    InMemoryTableScan is reused by the per-language totals) and
-    //    the classify-side (doc, bucket) pre-agg — the same two
-    //    passes `quality_classifier` pays. The rest are grain-
-    //    bounded finishers: the per-language totals / training-doc
-    //    counts / their single-row sum move ≤ L ≈ 6 rows each, and
-    //    the (doc, lang) score fold + doc-grain argmax move docs × L
-    //    partial rows (map-side combined), orders of magnitude under
-    //    the gram stream. Collapsing them would either re-tokenize
-    //    the corpus per consumer (the persist exists to prevent
-    //    exactly that) or funnel the score fold through a single
-    //    partition. The weight table itself rides a broadcast, never
-    //    a corpus replication.
-    "lang_id_learned" -> 6,
+    //  (r16: `lang_id_learned`'s 6-exchange override retired — the
+    //  matched-rows-only classify reshape (VERDICT r15 wrong #3)
+    //  audits at 4, inside the text family budget: ONE corpus-grain
+    //  repartition on the doc id feeds every classify fold
+    //  partition-locally with the second consumer on a
+    //  ReusedExchange, the scoring grid assembles through a doc-id
+    //  join + literal lang explode instead of the old
+    //  crossJoin + (doc, lang) fold, and only the training count
+    //  fold still touches corpus grain.)
     "asof_join_bucketed" -> 5,
     "sql_q15" -> 4,
     "ngram_jaccard_topk" -> 8,

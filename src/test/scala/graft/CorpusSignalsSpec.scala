@@ -982,8 +982,10 @@ class CorpusSignalsSpec extends SparkSpec {
       .count() == 4)
   }
 
-  test("learned lang-ID scoring plan: weights ride a broadcast, no " +
-    "corpus-side shuffle beyond the two grain folds") {
+  test("learned lang-ID scoring plan: weights ride a broadcast, the " +
+    "corpus repartitions on the doc id ONCE, and no " +
+    "BroadcastNestedLoopJoin touches the corpus grid (the r16 " +
+    "matched-rows-only reshape)") {
     import graft.ext.ClassifierOps
     val train = Seq((1L, "abc def", "en"), (2L, "zyx wvu", "de"))
       .toDF("doc_id", "text", "lang")
@@ -991,7 +993,92 @@ class CorpusSignalsSpec extends SparkSpec {
       "lang")
     val plan = ClassifierOps.classifyLang(train, "doc_id", "text",
       model).queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin") ||
-      plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    // the scoring grid assembles via literal explode + doc-id join —
+    // the crossJoin(BroadcastNestedLoopJoin) shape that lost the
+    // corpus partitioning (and re-shuffled docs × L twice) must not
+    // come back
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    // ONE corpus-grain repartition feeds every classify fold
+    assert(plan.linesIterator
+      .count(_.contains("REPARTITION_BY_COL")) <= 2, plan.take(2000))
+  }
+
+  test("incremental lang-ID count store: batched build ≡ one-shot " +
+    "model, a replayed batch changes no prediction, and compaction " +
+    "changes nothing") {
+    import graft.ext.ClassifierOps
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-langstore").toString
+    val train = Seq(
+      (1L, "der schnelle braune fuchs springt hoch", "de"),
+      (2L, "die müden väter hören schöne grüne vögel", "de"),
+      (3L, "le renard brun rapide saute par dessus", "fr"),
+      (4L, "les élèves écoutent très attentivement", "fr"),
+      (5L, "the quick brown fox jumps over the dog", "en"),
+      (6L, "a calm clear morning walk through hills", "en")
+    ).toDF("doc_id", "text", "lang")
+    // batches {3, 6}, {1, 4}, {2, 5} — each misses some language in
+    // some batch; only the folded MODEL needs them all
+    (0 until 3).foreach { i =>
+      ClassifierOps.updateLangIdCounts(
+        train.filter(col("doc_id") % 3 === i),
+        "doc_id", "text", "lang", dir, batchId = i)
+    }
+    val score = Seq(
+      (10L, "größte bücher schöner"), (11L, "élève château déjà"),
+      (12L, "quick morning chess"), (13L, "zz")
+    ).toDF("doc_id", "text")
+    val oneShot = ClassifierOps.classifyLang(score, "doc_id", "text",
+        ClassifierOps.trainLangId(train, "doc_id", "text", "lang"))
+      .orderBy("doc_id").select("doc_id", "lang_pred", "lang_score")
+      .as[(Long, String, Double)].collect().toSeq
+    def served = ClassifierOps.classifyLang(score, "doc_id", "text",
+        ClassifierOps.langIdFromStore(spark, dir))
+      .orderBy("doc_id").select("doc_id", "lang_pred", "lang_score")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(served === oneShot)
+    // at-least-once maintenance: a replayed batch id collapses
+    ClassifierOps.updateLangIdCounts(
+      train.filter(col("doc_id") % 3 === 1),
+      "doc_id", "text", "lang", dir, batchId = 1)
+    assert(served === oneShot)
+    // compaction (the shared CountLog protocol): predictions
+    // bit-identical after folding the old batches into a snapshot
+    ClassifierOps.compactLangIdCounts(spark, dir, keepBatches = 1)
+    assert(served === oneShot)
+  }
+
+  test("lang-ID store guards: a half-written batch (bucket rows " +
+    "without that language's sentinel) refuses to serve; a " +
+    "numBuckets mismatch fails append AND serve") {
+    import graft.ext.ClassifierOps
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-langstore-guard").toString
+    val train = Seq((1L, "der schnelle braune fuchs", "de"),
+      (2L, "the quick brown fox", "en")).toDF("doc_id", "text", "lang")
+    ClassifierOps.updateLangIdCounts(train, "doc_id", "text", "lang",
+      dir, batchId = 0)
+    // forge the half-written window: batch 1's bucket rows land but
+    // the 'en' sentinel row is missing
+    val forged = graft.io.CountLog.read(spark, dir, "langid_counts")
+      .filter(col("__batch") === 0)
+      .filter(!(col("__b") === -1L && col("__lang") === "en"))
+      .withColumn("__batch", org.apache.spark.sql.functions.lit(1L))
+    graft.io.CountLog.append(forged, dir, "langid_counts")
+    val e = intercept[IllegalArgumentException] {
+      ClassifierOps.langIdFromStore(spark, dir)
+    }
+    assert(e.getMessage.contains("sentinel"), e.getMessage)
+    // numBuckets mismatch: both directions fail against the marker
+    val e2 = intercept[IllegalArgumentException] {
+      ClassifierOps.updateLangIdCounts(train, "doc_id", "text",
+        "lang", dir, batchId = 2, numBuckets = 2048)
+    }
+    assert(e2.getMessage.contains("numBuckets"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      ClassifierOps.langIdFromStore(spark, dir, numBuckets = 2048)
+    }
+    assert(e3.getMessage.contains("numBuckets"), e3.getMessage)
   }
 }

@@ -568,6 +568,122 @@ class StreamingSpec extends SparkSpec {
     assert(served === oneShot)
   }
 
+  test("langIdCountStream maintains the lang-ID count store " +
+    "epoch-keyed: streamed model classifies equal to the one-shot " +
+    "fit, replayed epoch changes nothing") {
+    implicit val ctx = spark.sqlContext
+    val root = Files.createTempDirectory("graft-langstream")
+    val rows = Seq(
+      (1L, "der schnelle braune fuchs springt hoch", "de"),
+      (2L, "die müden väter hören schöne vögel", "de"),
+      (3L, "le renard brun rapide saute par dessus", "fr"),
+      (4L, "les élèves écoutent très attentivement", "fr"),
+      (5L, "the quick brown fox jumps over the dog", "en"))
+    val docs = MemoryStream[(Long, String, String)]
+    def drain(): Unit = {
+      val q = StreamingOps.langIdCountStream(
+        docs.toDF().toDF("doc_id", "text", "lang"),
+        "doc_id", "text", "lang", root.toString)
+        .option("checkpointLocation",
+          root.resolve("ckpt").toString).start()
+      q.awaitTermination()
+    }
+    docs.addData(rows.take(3): _*); drain()
+    docs.addData(rows.drop(3): _*); drain()
+    val score = Seq(
+      (10L, "größte bücher schöner"), (11L, "élève château déjà"),
+      (12L, "quick morning chess")).toDF("doc_id", "text")
+    def served = graft.ext.ClassifierOps.classifyLang(
+        score, "doc_id", "text",
+        graft.ext.ClassifierOps.langIdFromStore(spark, root.toString))
+      .orderBy("doc_id")
+      .select("doc_id", "lang_pred", "lang_score")
+      .as[(Long, String, Double)].collect().toSeq
+    val oneShot = graft.ext.ClassifierOps.classifyLang(
+        score, "doc_id", "text",
+        graft.ext.ClassifierOps.trainLangId(
+          rows.toDF("doc_id", "text", "lang"),
+          "doc_id", "text", "lang"))
+      .orderBy("doc_id")
+      .select("doc_id", "lang_pred", "lang_score")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(served === oneShot)
+    // duplicated-epoch drill: replaying epoch 1's batch under its
+    // own id collapses at serve — no count doubles, no pred moves
+    graft.ext.ClassifierOps.updateLangIdCounts(
+      rows.drop(3).toDF("doc_id", "text", "lang"),
+      "doc_id", "text", "lang", root.toString, batchId = 1)
+    assert(served === oneShot)
+  }
+
+  test("semanticDecontaminateStream drops the same docs the batch " +
+    "screen drops, across micro-batches; decontaminateFullStream " +
+    "composes both layers per micro-batch") {
+    implicit val ctx = spark.sqlContext
+    val root = Files.createTempDirectory("graft-semdecontam-stream")
+    // eval item 100: the n-gram target; 101: the paraphrase target
+    // reachable only through the embedding screen
+    val evalText = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog",
+        Array(1.0f, 0.0f, 0.0f)),
+      (101L, "to be or not to be that is the question",
+        Array(0.0f, 1.0f, 0.0f)))
+      .toDF("doc_id", "text", "embedding")
+    val rows = Seq(
+      // verbatim n-gram hit, far embedding
+      (1L, "a very quick brown fox jumps over the lazy dog today",
+        Array(0.0f, 0.0f, 1.0f)),
+      // paraphrase: NO shared 4-gram, near embedding of 101
+      (2L, "existence or its absence puzzles the prince",
+        Array(0.0f, 0.99f, 0.14f)),
+      // clean both ways
+      (3L, "completely unrelated words about spark engines",
+        Array(0.6f, 0.0f, 0.8f)),
+      (4L, "another harmless document entirely",
+        Array(0.7f, 0.1f, 0.7f)))
+    val docs = MemoryStream[(Long, String, Array[Float])]
+    def df = docs.toDF().toDF("doc_id", "text", "embedding")
+    val semDir = root.resolve("sem").toString
+    def drainSem(): Unit = {
+      val q = StreamingOps.semanticDecontaminateStream(
+        df, evalText, "doc_id", "embedding", 0.9, semDir)
+        .option("checkpointLocation",
+          root.resolve("ckpt-sem").toString).start()
+      q.awaitTermination()
+    }
+    docs.addData(rows.take(2): _*); drainSem()
+    docs.addData(rows.drop(2): _*); drainSem()
+    val semKept = graft.io.Staging.readTable(spark, semDir, "clean")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val semBatch = graft.ext.DecontamOps.semanticDecontaminate(
+        rows.toDF("doc_id", "text", "embedding"), evalText,
+        "doc_id", "embedding", 0.9)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // only the paraphrase (2) is semantically near; 1 passes the
+    // screen (its leak is lexical, not semantic)
+    assert(semKept == semBatch && semKept == Seq(1L, 3L, 4L))
+    // the composed stream drops BOTH leak kinds in one pass
+    val docs2 = MemoryStream[(Long, String, Array[Float])]
+    val fullDir = root.resolve("full").toString
+    def drainFull(): Unit = {
+      val q = StreamingOps.decontaminateFullStream(
+        docs2.toDF().toDF("doc_id", "text", "embedding"), evalText,
+        "doc_id", "text", "embedding", 4, 0.9, fullDir)
+        .option("checkpointLocation",
+          root.resolve("ckpt-full").toString).start()
+      q.awaitTermination()
+    }
+    docs2.addData(rows.take(2): _*); drainFull()
+    docs2.addData(rows.drop(2): _*); drainFull()
+    val fullKept = graft.io.Staging.readTable(spark, fullDir, "clean")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val fullBatch = graft.ext.DecontamOps.decontaminateFull(
+        rows.toDF("doc_id", "text", "embedding"), evalText,
+        "doc_id", "text", "embedding", 4, 0.9)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(fullKept == fullBatch && fullKept == Seq(3L, 4L))
+  }
+
   test("valueHistogramStream maintains the drift histogram " +
     "epoch-keyed: the store-served PSI equals the inline report, " +
     "replayed epoch changes nothing") {
