@@ -195,38 +195,68 @@ object DecontamOps {
     * same number (the `events_anomaly` discipline).
     *
     * Scale shape (the [[contaminatedIds]] posture at the embedding
-    * grain): the eval side is benchmarks — thousands of items — so its
-    * (id, vector) rows BROADCAST and the corpus side stays one scan
-    * computing n_eval fused-loop cosines per document
-    * ([[VectorOps.cosine]] — a single `aggregate` over zipped arrays,
-    * no shuffle, no explode). The corpus never shuffles whatever its
-    * size; only pairs at or above `tau` — the leak minority — survive
-    * the filter, and there is no exchange at all downstream of the
-    * scan. This is deliberately NOT the ANN-index path: an eval set
-    * small enough to broadcast makes exhaustive eval-side comparison
-    * both exact and cheaper than probing an index per corpus doc (n·k
-    * fused multiplies, the semanticDedup assignment shape).
+    * grain): the eval side is benchmarks — thousands of items — so it
+    * rides INSIDE one expression per corpus row
+    * ([[graft.functions.CosineMatchesAboveTau]]) and the corpus side
+    * is one scan that emits ONLY the matching pairs. The corpus never
+    * shuffles whatever its size, and there is no join operator at all
+    * — the r16 zipf16 leg post-mortem showed the previous
+    * corpus × broadcast(evals) BroadcastNestedLoopJoin form
+    * MATERIALIZING 311k × 8.6k ≈ 2.7e9 joined rows (each copying both
+    * 64-float vectors into an UnsafeRow) just to filter them down to
+    * the leak minority: 490 s of row churn for kilobytes of hits.
+    * This is deliberately NOT the ANN-index path: an eval set small
+    * enough to broadcast makes exhaustive eval-side comparison both
+    * exact and cheaper than probing an index per corpus doc.
     *
-    * Vectors cast to double explicitly (exact float widening) so the
-    * kernel's operand types match an engine-side
-    * `CAST(embedding AS DOUBLE[])` bit for bit. Null embeddings on
-    * either side yield no rows (a doc that was never embedded cannot
-    * be screened here — run the n-gram gate on it; silent null
-    * passthrough in a leak audit would read as a clean bill). */
+    * The eval side is collected to the driver at CALL time — bounded
+    * by [[maxSemanticEvalVectors]] (eval sets are benchmark-sized by
+    * this operator's contract; a corpus-sized "eval" side belongs on
+    * the ANN path) — and each per-pair cosine is bit-identical to the
+    * previous `round(CosineSimilarity, 6)` join form (the kernel
+    * hoists norm sums without reordering any accumulator's
+    * additions). Null embeddings on either side yield no rows (a doc
+    * that was never embedded cannot be screened here — run the n-gram
+    * gate on it; silent null passthrough in a leak audit would read
+    * as a clean bill). Eval ids must be integral (the kernel carries
+    * them as longs and the output casts back to the input id type). */
   def semanticContaminationReport(corpus: DataFrame, evalSet: DataFrame,
                                   idCol: String, vecCol: String,
                                   tau: Double): DataFrame = {
-    def vecs(df: DataFrame, as: String, vAs: String) =
-      df.filter(col(vecCol).isNotNull)
-        .select(col(idCol).as(as),
-          col(vecCol).cast("array<double>").as(vAs))
-    vecs(corpus, "corpus_id", "__cv")
-      .crossJoin(broadcast(vecs(evalSet, "eval_id", "__ev")))
-      .withColumn("cosine_sim",
-        round(VectorOps.cosine(col("__cv"), col("__ev")), 6))
-      .filter(col("cosine_sim") >= tau)
-      .select("corpus_id", "eval_id", "cosine_sim")
+    val idType = evalSet.schema(idCol).dataType
+    require(Seq("tinyint", "smallint", "int", "bigint")
+        .contains(idType.simpleString),
+      s"semantic screen eval id must be integral, got $idType")
+    // bounded driver-side collect: the eval table rides the kernel
+    // expression (task-serialized once per task), so its size is a
+    // hard contract, not a soft hint
+    val evalRows = evalSet.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("bigint"),
+        col(vecCol).cast("array<float>"))
+      .collect()
+    require(evalRows.length <= maxSemanticEvalVectors,
+      s"semantic screen eval side has ${evalRows.length} vectors — " +
+        s"the exhaustive screen is contracted to benchmark-sized " +
+        s"eval sets (<= $maxSemanticEvalVectors); use the ANN index " +
+        "path for corpus-scale similarity")
+    val ids = evalRows.map(_.getLong(0)).toSeq
+    val vecs = evalRows
+      .map(_.getSeq[Float](1).toArray).toSeq
+    corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("corpus_id"),
+        explode(graft.functions.native.cosine_matches_above_tau(
+          col(vecCol), ids, vecs, tau)).as("__m"))
+      .select(col("corpus_id"),
+        col("__m.eval_id").cast(idType).as("eval_id"),
+        col("__m.cosine_sim").as("cosine_sim"))
   }
+
+  /** Hard bound on the semantic screen's driver-collected eval side:
+    * 64k vectors (× a typical 64–1024 dims ≈ 16–256 MB of floats as
+    * task payload ceiling). Real eval suites are thousands of items;
+    * anything larger is not an "eval set" and belongs on the ANN
+    * index path. */
+  val maxSemanticEvalVectors: Int = 65536
 
   /** Distinct corpus ids the semantic screen flags at `tau` — the
     * droppable-id form of [[semanticContaminationReport]]. */

@@ -87,6 +87,150 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Embedding screen against a frozen eval-vector table — every
+  * (corpus row, eval vector) cosine at or above `tau`, as ONE
+  * expression per corpus row instead of a corpus × evals
+  * BroadcastNestedLoopJoin (the r16 `decontam_semantic` zipf16
+  * post-mortem: the join form MATERIALIZED 2.7e9 joined rows — each
+  * copying both 64-float vectors into an UnsafeRow — just to filter
+  * them to a handful of hits; ~terabytes of row churn for ~kilobytes
+  * of output). Here the eval table rides the expression as data (the
+  * [[BpeEncode]] payload discipline: broadcast-sized, elided from
+  * plan rendering), the corpus stays one scan with NO join operator
+  * at all, and only hits are ever materialized.
+  *
+  * Returns `array<struct<eval_id:bigint, cosine_sim:double>>` — the
+  * caller explodes it; a row with no hits yields an empty array
+  * (hence no exploded rows), identical to the join form's filter.
+  *
+  * BIT-EQUALITY with `round(CosineSimilarity(...), 6) >= tau`: the
+  * dot product accumulates alone over the same element order, and
+  * when the two vectors have equal length the |a|²/|b|² sums are
+  * hoisted (corpus norm once per row, eval norms once per instance) —
+  * hoisting never reorders any accumulator's additions, so every
+  * sum is bit-identical to [[CosineSimilarity]]'s fused loop; ragged
+  * pairs fall back to the verbatim fused loop over min(len). The
+  * 6-decimal round replicates `Round`'s DoubleType path
+  * (`BigDecimal(d).setScale(6, HALF_UP)`), and the threshold compares
+  * the ROUNDED value, so hits are exactly the join form's rows.
+  * Zero-norm vectors (either side) yield no pair — the join form's
+  * NULL-cosine filter drop.
+  *
+  * CodegenFallback like [[BpeEncode]]: per-row cost is the
+  * nEvals × dim inner loop, not eval dispatch. */
+case class CosineMatchesAboveTau(child: Expression,
+                                 evalIds: Seq[Long],
+                                 evalVecs: Seq[Array[Float]],
+                                 tau: Double)
+    extends UnaryExpression with ImplicitCastInputTypes
+    with CodegenFallback {
+
+  require(evalIds.length == evalVecs.length,
+    s"evalIds(${evalIds.length}) and evalVecs(${evalVecs.length}) " +
+      "must be parallel")
+
+  override def nullIntolerant: Boolean = true
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("eval_id", LongType, nullable = false),
+    StructField("cosine_sim", DoubleType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "cosine_matches_above_tau"
+
+  // per-(task,instance) precomputation: ids/vecs as flat arrays and
+  // each eval's |b|² accumulated in CosineSimilarity's element order
+  @transient private lazy val ids: Array[Long] = evalIds.toArray
+  @transient private lazy val vecs: Array[Array[Float]] =
+    evalVecs.toArray
+  @transient private lazy val norm2: Array[Double] = vecs.map { v =>
+    var nb = 0.0; var i = 0
+    while (i < v.length) {
+      val yi = v(i).toDouble; nb += yi * yi; i += 1
+    }
+    nb
+  }
+
+  /** `Round`'s DoubleType arithmetic, verbatim (NaN/Inf passthrough
+    * is unreachable here — finite floats cannot overflow the double
+    * accumulators — but kept for faithfulness). */
+  private def round6(d: Double): Double =
+    if (d.isNaN || d.isInfinite) d
+    else scala.math.BigDecimal(d)
+      .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+
+  /** Conservative pre-round reject: round6(d) ≥ tau requires
+    * d ≥ tau − 5e-7 (HALF_UP moves a value by at most half a 6th-
+    * decimal step), so anything below tau − 1e-6 cannot round into a
+    * hit — skip the BigDecimal machinery for it. The exact round6
+    * still decides every emitted (or boundary) pair, so results are
+    * unchanged; this only spares the non-hit majority the allocation
+    * (2.7e9 BigDecimals per leg query otherwise). */
+  @inline private def cannotReach(d: Double): Boolean =
+    d < tau - 1e-6
+
+  override def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    val m = x.numElements()
+    val xv = new Array[Double](m)
+    var na = 0.0
+    var i = 0
+    while (i < m) {
+      val xi = x.getFloat(i).toDouble
+      xv(i) = xi; na += xi * xi; i += 1
+    }
+    val out = new java.util.ArrayList[InternalRow]()
+    val nEval = ids.length
+    var j = 0
+    while (j < nEval) {
+      val yv = vecs(j)
+      if (yv.length == m) {
+        if (na != 0.0 && norm2(j) != 0.0) {
+          var dot = 0.0; var k = 0
+          while (k < m) { dot += xv(k) * yv(k).toDouble; k += 1 }
+          val sim = dot / (math.sqrt(na) * math.sqrt(norm2(j)))
+          if (!cannotReach(sim)) {
+            val r = round6(sim)
+            if (r >= tau) out.add(InternalRow(ids(j), r))
+          }
+        }
+      } else {
+        // ragged pair: CosineSimilarity's fused loop, verbatim —
+        // its |a|²/|b|² run over min(len) elements, not full length
+        val n = math.min(m, yv.length)
+        var dot = 0.0; var na2 = 0.0; var nb = 0.0; var k = 0
+        while (k < n) {
+          val xi = xv(k); val yi = yv(k).toDouble
+          dot += xi * yi; na2 += xi * xi; nb += yi * yi; k += 1
+        }
+        if (na2 != 0.0 && nb != 0.0) {
+          val sim = dot / (math.sqrt(na2) * math.sqrt(nb))
+          if (!cannotReach(sim)) {
+            val r = round6(sim)
+            if (r >= tau) out.add(InternalRow(ids(j), r))
+          }
+        }
+      }
+      j += 1
+    }
+    val arr = new Array[Any](out.size())
+    var o = 0
+    while (o < arr.length) { arr(o) = out.get(o); o += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  /** Payload elided from plan rendering ([[BpeEncode]] discipline) —
+    * thousands of 64-float vectors must not inline into treeString. */
+  override def toString: String =
+    s"cosine_matches_above_tau($child, ${evalIds.size} evals, tau=$tau)"
+  override def sql: String =
+    s"cosine_matches_above_tau(${child.sql}, ${evalIds.size} evals, " +
+      s"tau=$tau)"
+
+  override protected def withNewChildInternal(
+      c: Expression): CosineMatchesAboveTau = copy(child = c)
+}
+
 /** 64-bit SimHash over a token array: bit i is set iff more than half
   * the token hashes (xxhash64, seed 42 — identical to the built-in
   * `xxhash64`) have bit i set. One pass over the tokens with a 64-wide
@@ -977,6 +1121,13 @@ object native {
     Bridge.column(CosineSimilarity(
       Bridge.expression(a.cast("array<float>")),
       Bridge.expression(b.cast("array<float>"))))
+
+  def cosine_matches_above_tau(vec: Column, evalIds: Seq[Long],
+                               evalVecs: Seq[Array[Float]],
+                               tau: Double): Column =
+    Bridge.column(CosineMatchesAboveTau(
+      Bridge.expression(vec.cast("array<float>")),
+      evalIds, evalVecs, tau))
 
   def simhash64(tokens: Column): Column =
     Bridge.column(Simhash64(

@@ -183,13 +183,74 @@ class DecontamSpec extends SparkSpec {
     assert(kept == Seq(11L))
   }
 
-  test("semantic screen broadcasts the eval side (no corpus " +
-    "shuffle)") {
+  test("semantic screen is one corpus scan — no join operator, no " +
+    "exchange (the eval table rides the kernel expression)") {
     val plan = DecontamOps.semanticContaminationReport(corpusVec,
       evalVec, "doc_id", "vec", tau = 0.9)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
-    assert(!plan.contains("SortMergeJoin") &&
-      !plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("cosine_matches_above_tau"), plan)
+  }
+
+  test("semantic kernel ≡ the crossJoin(round(cosine)) reference " +
+    "form — hits, values, ragged lengths, zero norms") {
+    // deterministic pseudo-random vectors incl. a ragged (shorter)
+    // eval, a zero-norm eval, a zero-norm corpus row, and values
+    // engineered to land near the tau boundary
+    def vec(seed: Long, n: Int): Array[Float] =
+      Array.tabulate(n)(i => (((seed * 2654435761L + i * 40503L)
+        % 1000L) - 500L).toFloat / 500.0f)
+    val evals = (0L until 40L).map { j =>
+      val v = if (j == 7L) Array.fill(3)(0.0f)          // zero norm
+        else if (j == 11L) vec(j, 2)                     // ragged
+        else vec(j, 8)
+      (j + 1000L, v)
+    }.toDF("doc_id", "vec")
+    val corp = (0L until 300L).map { i =>
+      val v = if (i == 13L) Array.fill(8)(0.0f)          // zero norm
+        else if (i == 17L) null.asInstanceOf[Array[Float]]
+        else vec(i + 77L, 8)
+      (i, v)
+    }.toDF("doc_id", "vec")
+    val tau = 0.3
+    val kernel = DecontamOps.semanticContaminationReport(
+        corp, evals, "doc_id", "vec", tau)
+      .as[(Long, Long, Double)].collect().toSet
+    // the pre-r16 join formulation, verbatim
+    val reference = corp.filter(col("vec").isNotNull)
+      .select(col("doc_id").as("corpus_id"),
+        col("vec").cast("array<double>").as("__cv"))
+      .crossJoin(broadcast(evals.filter(col("vec").isNotNull)
+        .select(col("doc_id").as("eval_id"),
+          col("vec").cast("array<double>").as("__ev"))))
+      .withColumn("cosine_sim",
+        round(graft.ext.VectorOps.cosine(col("__cv"), col("__ev")), 6))
+      .filter(col("cosine_sim") >= tau)
+      .select("corpus_id", "eval_id", "cosine_sim")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(reference.nonEmpty, "fixture produced no reference hits")
+    assert(kernel == reference,
+      s"kernel-only: ${kernel -- reference}; " +
+        s"reference-only: ${reference -- kernel}")
+  }
+
+  test("semantic screen preserves an int eval-id type and refuses " +
+    "a non-integral one") {
+    val evalsInt = Seq((5, Array(1.0f, 0.0f)))
+      .toDF("doc_id", "vec")
+    val corpInt = Seq((1, Array(0.9f, 0.1f)))
+      .toDF("doc_id", "vec")
+    val out = DecontamOps.semanticContaminationReport(
+      corpInt, evalsInt, "doc_id", "vec", tau = 0.5)
+    assert(out.schema("eval_id").dataType.simpleString == "int")
+    assert(out.count() == 1L)
+    val evalsStr = Seq(("a", Array(1.0f))).toDF("doc_id", "vec")
+    val e = intercept[IllegalArgumentException] {
+      DecontamOps.semanticContaminationReport(
+        corpInt.withColumn("doc_id", col("doc_id").cast("string")),
+        evalsStr, "doc_id", "vec", tau = 0.5)
+    }
+    assert(e.getMessage.contains("integral"))
   }
 }
