@@ -54,10 +54,26 @@ object Bench {
     * across invocations (each call builds new RDDs), so dropping
     * them between sequential timed queries — and once after the
     * parallel warmup settles — is semantics-free. Runs OUTSIDE the
-    * per-query timer; non-blocking (block removal is async). */
+    * per-query timer; non-blocking (block removal is async).
+    *
+    * LOCALLY-CHECKPOINTED RDDs are exempt: a local checkpoint
+    * TRUNCATES lineage, so unpersisting one destroys its only copy —
+    * and the query modules memoize session artifacts (the prefix-
+    * filter pair sets, incremental-dedup survivors, cluster frames)
+    * whose plans read exactly those blocks; dropping them made every
+    * later pass of those queries fail CHECKPOINT_RDD_BLOCK_ID_NOT_
+    * FOUND (the r16 inherited-state bug — the clear landed in a
+    * commit benched before, not after, the change). Per-invocation
+    * checkpoint frames stay small (k-row accounting / centroid /
+    * superstep frames) and the ContextCleaner reclaims them on GC
+    * once unreferenced; the disk-filling MEMORY_AND_DISK persists
+    * that motivated the clear carry full lineage and are still
+    * dropped — for those, unpersist only removes blocks, never
+    * recomputability. */
   private def clearRddCaches(
       spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sparkContext.getPersistentRDDs.values
+      .filterNot(_.isCheckpointed) // true once a checkpoint materializes
       .foreach(_.unpersist(blocking = false))
 
   def main(args: Array[String]): Unit = {
