@@ -185,9 +185,10 @@ object MartBuild {
       if (dates.nonEmpty)
         df = df.filter(col("dt").isin(dates.map(java.sql.Date.valueOf): _*))
       Staging.overwritePartitionsDynamic(df, martDir, name, Seq("dt"))
-      // explicit schema: an all-empty fact writes no partition files,
-      // and an inference-based read of the bare directory would fail
-      name -> spark.read.schema(df.schema).parquet(s"$martDir/$name").count()
+      // footer-metadata count (an all-empty fact has no files → 0,
+      // same as the explicit-schema read this replaces)
+      name -> graft.io.ParquetFooters.rowCount(spark,
+        Seq(s"$martDir/$name"))
     }.toMap
   }
 
@@ -198,7 +199,8 @@ object MartBuild {
           martDir: String): Map[String, Long] = {
     builds(spark, storeDir).map { case (name, df) =>
       Staging.overwriteParquet(df, martDir, name)
-      name -> Staging.readTable(spark, martDir, name).count()
+      name -> graft.io.ParquetFooters.rowCount(spark,
+        Seq(s"$martDir/$name"))
     }.toMap
   }
 

@@ -321,7 +321,9 @@ object Staging {
     if (!tableExists(spark, storeDir, table)) {
       if (partitionCols.isEmpty) overwriteParquet(updates, storeDir, table)
       else overwritePartitionsDynamic(updates, storeDir, table, partitionCols)
-      return updates.count()
+      // count from the WRITTEN footers — a `updates.count()` here
+      // re-executed the whole updates lineage a second time
+      return ParquetFooters.rowCount(spark, Seq(path))
     }
     val store = readTable(spark, storeDir, table)
     if (partitionCols.isEmpty) {
@@ -349,7 +351,9 @@ object Staging {
       swapTouchedPartitions(spark, merged, storeDir, table,
         partitionCols, touched)
     }
-    readTable(spark, storeDir, table).count()
+    // post-commit acknowledgement count from footers (ParquetFooters
+    // scaladoc) — not a Spark count job over the table
+    ParquetFooters.rowCount(spark, Seq(path))
   }
 
   /** Partition-scoped stage-and-swap shared by [[mergeUpsert]] and
@@ -518,7 +522,7 @@ object Staging {
       .join(doomed, Seq(key), "left_anti")
     swapTouchedPartitions(spark, kept, storeDir, table,
       partitionCols, touched)
-    readTable(spark, storeDir, table).count()
+    ParquetFooters.rowCount(spark, Seq(s"$storeDir/$table"))
   }
 
   /** Whole-table stage-and-swap for operators whose OUTPUT LINEAGE
@@ -563,7 +567,7 @@ object Staging {
     if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(path)))
       throw new java.io.IOException(
         s"rename $tmp -> $path failed; new state intact in $tmp")
-    readTable(spark, storeDir, table).count()
+    ParquetFooters.rowCount(spark, Seq(path))
   }
 
   /** Small-file compaction: rewrite a table directory into

@@ -157,6 +157,35 @@ object VersionedStore {
     }.reduce(_.unionByName(_))
   }
 
+  /** Exact row count of one committed version from parquet footers
+    * alone ([[ParquetFooters]] scaladoc): plain versions count their
+    * `data/` dir; partition-granular versions count exactly the
+    * directories the `_PARTS` manifest references (never a whole
+    * owner dir — it may hold superseded partitions). Replaces the
+    * post-commit / replay-ack `readTable(...).count()` Spark jobs:
+    * same value by construction, metadata-only cost. */
+  private def versionRowCount(spark: SparkSession, root: String,
+                              vdir: org.apache.hadoop.fs.Path): Long = {
+    val fs = fsFor(spark, root)
+    readParts(fs, vdir) match {
+      case None => ParquetFooters.rowCount(spark, Seq(s"$vdir/data"))
+      case Some(mf) => ParquetFooters.rowCount(spark,
+        mf.entries.map { case (owner, dir) =>
+          s"$root/${vname(owner)}/data/$dir" })
+    }
+  }
+
+  /** [[versionRowCount]] of the CURRENT committed version — the
+    * public serve-side count API (callers previously paid a
+    * `readTable(...).count()` job for the same number). */
+  def currentRowCount(spark: SparkSession, storeDir: String,
+                      table: String): Long = {
+    val (_, p) = currentVersion(spark, storeDir, table).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"no committed version of $storeDir/$table"))
+    versionRowCount(spark, s"$storeDir/$table", p)
+  }
+
   /** Spark-escaped partition directory name for one string-cast value
     * (null → `__HIVE_DEFAULT_PARTITION__`), identical to what
     * `partitionBy` renders — the same convention Staging's
@@ -277,7 +306,7 @@ object VersionedStore {
                                     org.apache.hadoop.fs.Path,
                                     Long) => Unit): Long = {
     if (batchId.exists(appliedBatchIds(spark, storeDir, table)))
-      return readTable(spark, storeDir, table).count()
+      return currentRowCount(spark, storeDir, table)
     val root = s"$storeDir/$table"
     val fs = fsFor(spark, root)
     val vs = versions(spark, storeDir, table)
@@ -311,7 +340,7 @@ object VersionedStore {
       .filter { case (v, _, _) =>
         v <= next - keepVersions && !owners.contains(v) }
       .foreach { case (_, p, _) => fs.delete(p, true) }
-    readTable(spark, storeDir, table).count()
+    versionRowCount(spark, root, vdir)
   }
 
   /** Commit `df` as the table's next version. Returns the committed
@@ -454,7 +483,7 @@ object VersionedStore {
                              keepVersions: Int = 2): Long = {
     import org.apache.spark.sql.functions.col
     if (batchId.exists(appliedBatchIds(spark, storeDir, table)))
-      return readTable(spark, storeDir, table).count()
+      return currentRowCount(spark, storeDir, table)
     currentVersion(spark, storeDir, table) match {
       case None =>
         commitPartitioned(spark, updates, storeDir, table, partCol,
@@ -503,7 +532,7 @@ object VersionedStore {
     import org.apache.spark.sql.functions.col
     if (!tableExists(spark, storeDir, table)) return 0L
     if (batchId.exists(appliedBatchIds(spark, storeDir, table)))
-      return readTable(spark, storeDir, table).count()
+      return currentRowCount(spark, storeDir, table)
     val (_, vdir) = currentVersion(spark, storeDir, table).get
     val root = s"$storeDir/$table"
     readParts(fsFor(spark, root), vdir) match {
@@ -518,7 +547,7 @@ object VersionedStore {
         val dirs = touchedDirNames(touched, mf.partCol)
         val touchedEntries = mf.entries.filter(e => dirs.contains(e._2))
         if (touchedEntries.isEmpty)
-          return readTable(spark, storeDir, table).count()
+          return currentRowCount(spark, storeDir, table)
         val survivors = readEntries(spark, root, mf, touchedEntries)
           .join(doomed, Seq(key), "left_anti")
         commitPartitionDelta(spark, storeDir, table, mf, dirs,

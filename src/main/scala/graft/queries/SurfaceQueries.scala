@@ -688,7 +688,7 @@ object SurfaceQueries {
             .select("o_custkey"),
           dir, "o", "o_custkey", Some("b3"))
         val nFinal = graft.io.VersionedStore
-          .readTable(s, dir, "o").count()
+          .currentRowCount(s, dir, "o")
         // crash-retry replay of batch 2: must be an ack, not a re-fold
         // (a re-fold would resurrect the rows batch 3 deleted)
         val nReplay = graft.io.VersionedStore.mergeUpsert(s,
