@@ -870,7 +870,7 @@ object TextOps {
         ceil(col("__rn") * nBuckets / col("__n")).cast("int"))
       .groupBy(col("lang"), col("bucket"))
       .agg(count(lit(1)).as("n_docs"),
-        round(sum(col("lm_logprob").cast("decimal(25,6)")).cast("double")
+        round(graft.functions.DecimalDoubleSum.column(col("lm_logprob"))
           / count(lit(1)), 6).as("avg_logprob"))
   }
 

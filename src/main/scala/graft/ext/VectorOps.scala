@@ -415,7 +415,7 @@ object VectorOps {
       .select(col(groupCol), posexplode(col(vecCol))
         .as(Seq("__dim", "__comp")))
       .groupBy(col(groupCol), col("__dim"))
-      .agg((sum(col("__comp").cast("decimal(25,6)")).cast("double") /
+      .agg((graft.functions.DecimalDoubleSum.column(col("__comp")) /
         count(lit(1))).as("__mean"))
       .groupBy(col(groupCol))
       .agg(transform(

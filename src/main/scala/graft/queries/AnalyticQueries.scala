@@ -112,8 +112,8 @@ object AnalyticQueries {
           .withColumn("rnk", rank().over(w))
           .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
           .withColumn("running_total",
-            sum(col("o_totalprice").cast("decimal(25,6)")).over(wsum)
-              .cast("double"))
+            graft.functions.DecimalDoubleSum.column(col("o_totalprice"))
+              .over(wsum))
           .filter(col("rnk") <= 50)
           .select("o_orderpriority", "o_orderkey", "o_totalprice", "rnk",
             "prev_price", "running_total")

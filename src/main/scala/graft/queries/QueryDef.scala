@@ -10,11 +10,19 @@ final case class QueryDef(fn: (SparkSession, String) => DataFrame,
                           oracle: Option[String] = None)
 
 object QueryDef {
-  /** Exact deterministic sum of a double column: per-row cast to exact
-    * decimal, exact decimal sum, final cast to double — bit-identical
-    * across engines regardless of partitioning/summation order. The
-    * oracle twin is `CAST(sum(CAST(x AS DECIMAL(25,6))) AS DOUBLE)`. */
-  def dsum(c: Column): Column = sum(c.cast("decimal(25,6)")).cast("double")
+  /** Exact deterministic sum of a double column: per-row rounding to
+    * exact decimal(25,6), exact integer-decimal sum, final cast to
+    * double — bit-identical across engines regardless of
+    * partitioning/summation order. The oracle twin is
+    * `CAST(sum(CAST(x AS DECIMAL(25,6))) AS DOUBLE)`. Since r16 the
+    * engine side is the native [[graft.functions.DecimalDoubleSum]]
+    * aggregate — value-identical to
+    * `sum(c.cast("decimal(25,6)")).cast("double")` (its scaladoc has
+    * the equality argument; DsumProbe re-checks it against the Cast
+    * form on every run) at ~4× less aggregate cost: the decimal(35,6)
+    * sum buffer exceeds compact-long precision, so the Cast form paid
+    * a BigDecimal deserialize/add/reserialize per row. */
+  def dsum(c: Column): Column = graft.functions.DecimalDoubleSum.column(c)
 
   /** Oracle-side SQL for [[dsum]]. */
   def dsumSql(expr: String): String =

@@ -416,7 +416,7 @@ object VectorQueries {
         .select(col("label"), posexplode(col("embedding"))
           .as(Seq("dim", "component")))
         .groupBy("label", "dim")
-        .agg(sum(col("component").cast("decimal(25,6)")).cast("double")
+        .agg(graft.functions.DecimalDoubleSum.column(col("component"))
           .as("dim_sum"), count(lit(1)).as("n"))
         .groupBy("label")
         .agg(round(sqrt(sum(pow(col("dim_sum") / col("n"), 2))), 6)

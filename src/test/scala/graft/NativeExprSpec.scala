@@ -304,4 +304,48 @@ class NativeExprSpec extends SparkSpec {
           org.apache.spark.sql.types.LongType)))
     assert(e.eval(null) == 2)
   }
+
+  test("dsum_exact == sum(cast(decimal(25,6))) bitwise: real data, " +
+    "adversarial midpoints, nulls, empty groups, high-cardinality merge") {
+    def dsumCast(c: org.apache.spark.sql.Column) =
+      sum(c.cast("decimal(25,6)")).cast("double")
+    def dsumNat(c: org.apache.spark.sql.Column) =
+      graft.functions.DecimalDoubleSum.column(c)
+    // real bench data, low- and high-cardinality groupings (the
+    // high-card one exercises partial/merge across many groups)
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    for (key <- Seq("l_returnflag", "l_orderkey")) {
+      val a = li.groupBy(col(key)).agg(
+        dsumCast(col("l_extendedprice")).as("s1"),
+        dsumCast(col("l_quantity") * col("l_extendedprice")).as("s2"))
+      val b = li.groupBy(col(key)).agg(
+        dsumNat(col("l_extendedprice")).as("s1"),
+        dsumNat(col("l_quantity") * col("l_extendedprice")).as("s2"))
+      val bad = a.join(b, Seq(key))
+        .filter(!(a("s1") <=> b("s1")) || !(a("s2") <=> b("s2"))).count()
+      assert(bad == 0, s"dsum_exact mismatch grouped by $key")
+    }
+    // adversarial values: exact rounding midpoints at the 7th decimal
+    // (the slow path), negatives (HALF_UP is round-away), tiny and
+    // large magnitudes, nulls, and one all-null group (sum => null)
+    val adv = spark.range(0, 50000).selectExpr(
+      "pmod(id, 37) AS g",
+      """CASE pmod(id, 8)
+         WHEN 0 THEN cast(id AS double) / 3.0
+         WHEN 1 THEN -(cast(id AS double) + 0.0000005)
+         WHEN 2 THEN cast(id AS double) * 1e-7
+         WHEN 3 THEN 0.0000005 + id
+         WHEN 4 THEN -1e9 - cast(id AS double) * 0.9999995
+         WHEN 5 THEN cast(id AS double) * 12345.6789012345
+         WHEN 6 THEN cast(id AS double) * -1e10
+         ELSE cast(null AS double) END AS v""")
+      .union(spark.range(0, 10).selectExpr("cast(99 AS bigint) AS g",
+        "cast(null AS double) AS v"))
+    val a = adv.groupBy("g").agg(dsumCast(col("v")).as("s"))
+    val b = adv.groupBy("g").agg(dsumNat(col("v")).as("s"))
+    val bad = a.join(b, Seq("g")).filter(!(a("s") <=> b("s"))).count()
+    assert(bad == 0, "dsum_exact mismatch on adversarial values")
+    // the all-null group must be NULL under both forms
+    assert(b.filter(col("g") === 99).select("s").head().isNullAt(0))
+  }
 }

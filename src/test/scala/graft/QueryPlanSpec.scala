@@ -64,7 +64,10 @@ class QueryPlanSpec extends SparkSpec {
 
   test("unpivot keeps the exact-decimal sums partial+final before melt") {
     val p = plan("unpivot_agg")
-    assert(p.contains("partial_sum"), p)
+    // r16: the exact sums are the native dsum_exact aggregate; the
+    // property under test is unchanged — map-side partials before
+    // the exchange, the melt after the final fold
+    assert(p.contains("partial_dsum_exact") || p.contains("partial_sum"), p)
     assert(p.contains("Expand") || p.contains("Unpivot"), p)
   }
 
