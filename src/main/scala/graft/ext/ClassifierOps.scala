@@ -70,9 +70,12 @@ object ClassifierOps {
   private def featureBuckets(df: DataFrame, idCol: String,
                              textCol: String, extraCols: Seq[Column],
                              numBuckets: Int): DataFrame =
-    df.select((col(idCol) +: extraCols) :+
-      explode(graft.functions.native.token_ngram_md5_buckets(
-        TextOps.tokens(col(textCol)), 2, numBuckets)).as("__b"): _*)
+    // widened: the per-occurrence md5 digest dominates a narrow scan
+    // (Relational.widenNarrowScan scaladoc; no-op on wide scans)
+    graft.ops.Relational.widenNarrowScan(df)
+      .select((col(idCol) +: extraCols) :+
+        explode(graft.functions.native.token_ngram_md5_buckets(
+          TextOps.tokens(col(textCol)), 2, numBuckets)).as("__b"): _*)
 
   /** Train the NB log-odds model on a labeled curated-vs-raw frame.
     * `posFlag` marks the curated (positive) class. Both classes must
@@ -161,13 +164,22 @@ object ClassifierOps {
         numBuckets)
       .groupBy(col(idCol), col("__b"))
       .agg(count(lit(1)).as("__m"))
+    // the per-occurrence weight fold runs in UNSCALED long arithmetic
+    // (native.unscaled_long scaladoc — exact: weights are bounded
+    // ln-likelihoods; sum of w·m at scale 6 == the decimal fold) and
+    // rejoins the decimal lane once per doc
     val scored = perDocBucket
       .join(broadcast(model.weights), Seq("__b"), "left")
       .crossJoin(broadcast(model.defaults))
-      .withColumn("__w", coalesce(col("__w"), col("__w0")))
+      .withColumn("__wu", coalesce(
+        graft.functions.native.unscaled_long(col("__w")),
+        graft.functions.native.unscaled_long(col("__w0"))))
       .groupBy(col(idCol))
       .agg(sum(col("__m")).as("n_feats"),
-        sum(col("__w") * col("__m")).as("__sw"))
+        sum(col("__wu") * col("__m")).as("__swu"))
+      .select(col(idCol), col("n_feats"),
+        graft.functions.native.make_decimal_20_6(col("__swu"))
+          .as("__sw"))
     docs.select(col(idCol))
       .join(scored, Seq(idCol), "left")
       .crossJoin(broadcast(model.defaults))
@@ -286,9 +298,12 @@ object ClassifierOps {
   private def charGramBuckets(df: DataFrame, idCol: String,
                               textCol: String, extraCols: Seq[Column],
                               numBuckets: Int): DataFrame =
-    df.select((col(idCol) +: extraCols) :+
-      explode(graft.functions.native.char_ngram_md5_buckets(
-        lower(trim(col(textCol))), 3, numBuckets)).as("__b"): _*)
+    // widened: one md5 PER CHARACTER POSITION — the heaviest narrow
+    // kernel in the engine (Relational.widenNarrowScan scaladoc)
+    graft.ops.Relational.widenNarrowScan(df)
+      .select((col(idCol) +: extraCols) :+
+        explode(graft.functions.native.char_ngram_md5_buckets(
+          lower(trim(col(textCol))), 3, numBuckets)).as("__b"): _*)
 
   /** Train the multiclass NB language classifier on labeled docs —
     * the learned stage CCNet-class pipelines use where the marker
@@ -419,11 +434,17 @@ object ClassifierOps {
       .agg(count(lit(1)).as("__m"))
     val docTotals = perDocBucket.groupBy(col(idCol))
       .agg(sum(col("__m")).as("__mt"))
+    // unscaled-long fold (see scoreQuality): the densest ×L stage
+    // runs in plain long arithmetic, decimal rejoined at (doc, lang)
     val matched = perDocBucket
       .join(broadcast(model.weights), Seq("__b"))
       .groupBy(col(idCol), col("__lang"))
-      .agg(sum(col("__w") * col("__m")).as("__swm"),
+      .agg(sum(graft.functions.native.unscaled_long(col("__w"))
+          * col("__m")).as("__swmu"),
         sum(col("__m")).as("__mm"))
+      .select(col(idCol), col("__lang"),
+        graft.functions.native.make_decimal_20_6(col("__swmu"))
+          .as("__swm"), col("__mm"))
     // (doc → lang → (swm, mm)) map at DOC grain: a join on the doc id
     // alone is full-key co-partitioned with docTotals (no exchange),
     // where a (doc, lang)-keyed join would re-shuffle BOTH sides on

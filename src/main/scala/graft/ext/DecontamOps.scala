@@ -38,7 +38,7 @@ object DecontamOps {
       .select(explode(TextOps.wordNgrams(col(textCol), n)).as("__ng0"))
       .select(key(col("__ng0")).as("__ng"))
       .distinct()
-    corpus
+    graft.ops.Relational.widenNarrowScan(corpus)
       .select(col(idCol),
         explode(TextOps.wordNgrams(col(textCol), n)).as("__ng0"))
       .select(col(idCol), key(col("__ng0")).as("__ng"))
@@ -98,7 +98,7 @@ object DecontamOps {
       .select(col(idCol).as("eval_id"),
         explode(TextOps.wordNgrams(col(textCol), n)).as("__ng"))
       .distinct()
-    corpus
+    graft.ops.Relational.widenNarrowScan(corpus)
       .select(col(idCol).as("corpus_id"),
         explode(TextOps.wordNgrams(col(textCol), n)).as("__ng"))
       .join(broadcast(evalNg), Seq("__ng"))
@@ -242,6 +242,9 @@ object DecontamOps {
     val ids = evalRows.map(_.getLong(0)).toSeq
     val vecs = evalRows
       .map(_.getSeq[Float](1).toArray).toSeq
+    // NOT widened here: the op's contract is ONE corpus scan with no
+    // exchange at all (DecontamSpec pins it) — callers with a narrow
+    // scan widen the corpus before passing it in
     corpus.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("corpus_id"),
         explode(graft.functions.native.cosine_matches_above_tau(

@@ -109,7 +109,10 @@ object DedupOps {
   private def signatureTable(df: DataFrame, idCol: String,
                              textCol: String, shingleSize: Int,
                              numHashes: Int): DataFrame =
-    df.select(col(idCol).as("doc_id"),
+    // widened: numHashes mixing passes per shingle dominate a narrow
+    // scan (Relational.widenNarrowScan; no-op on wide scans)
+    graft.ops.Relational.widenNarrowScan(df)
+      .select(col(idCol).as("doc_id"),
         TextOps.tokens(col(textCol)).as("__tok"))
       // __tok referenced twice → projection boundary preserved.
       // __tokset carries xxhash64 of each distinct token (longs, not
@@ -453,7 +456,8 @@ object DedupOps {
                           maxBucketSize: Int = 200,
                           numBlocks: Int = 0): DataFrame =
     simhashPairsFromSigs(
-      df.select(col(idCol).as("doc_id"),
+      graft.ops.Relational.widenNarrowScan(df)
+        .select(col(idCol).as("doc_id"),
         graft.functions.native.simhash64(
           array_distinct(TextOps.tokens(col(textCol)))).as("__sig")),
       maxDistance, maxBucketSize, numBlocks)
@@ -471,7 +475,8 @@ object DedupOps {
                            maxDistance: Int,
                            maxBucketSize: Int = Int.MaxValue,
                            numBlocks: Int = 0): DataFrame = {
-    val hashed = df.filter(length(trim(col(textCol))) > 0)
+    val hashed = graft.ops.Relational.widenNarrowScan(
+        df.filter(length(trim(col(textCol))) > 0))
       .select(col(idCol).as("doc_id"),
         transform(array_distinct(TextOps.tokens(col(textCol))),
           t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
@@ -1782,7 +1787,10 @@ object DedupOps {
     // probability ~1e-15 even at 10^12 distinct grams. Distinctness
     // of hash PAIRS equals distinctness of grams up to collisions, so
     // the per-doc distinct-gram set is taken over the pairs.
-    val grams = df
+    // widened: the per-position double hash chain + per-doc distinct
+    // dominates a narrow scan (ScanWidthProbe: 1.17 → 0.75 s;
+    // Relational.widenNarrowScan — no-op on wide scans)
+    val grams = graft.ops.Relational.widenNarrowScan(df)
       .select(col(idCol), TextOps.tokens(col(textCol)).as("__tok"))
       .select(col(idCol), explode(array_distinct(arrays_zip(
         graft.functions.native.ngram_hashes(col("__tok"), n, 42L)

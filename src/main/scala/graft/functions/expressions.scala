@@ -1164,4 +1164,21 @@ object native {
       Bridge.expression(vec.cast("array<float>")),
       Bridge.expression(centroids.cast(
         "array<struct<centroid_id:bigint,centroid:array<double>>>"))))
+
+  /** The unscaled integer of a decimal column, as LONG — the exact
+    * fast lane for score-sum folds over bounded decimals (NB weights
+    * are ln-likelihoods, |w| < 50 → unscaled < 5e7 at scale 6): the
+    * fold becomes plain long arithmetic instead of a BigDecimal
+    * deserialize/add/reserialize per row. CALLER CONTRACT: every
+    * value must fit a long (|unscaled| < 2^63) — true by construction
+    * for the log-weight frames this serves. Pair with
+    * [[make_decimal_20_6]] to rejoin the decimal lane exactly. */
+  def unscaled_long(c: Column): Column =
+    Bridge.column(UnscaledValue(Bridge.expression(c)))
+
+  /** Rebuild DECIMAL(20,6) from an unscaled long — the exact inverse
+    * of [[unscaled_long]] at scale 6. */
+  def make_decimal_20_6(c: Column): Column =
+    Bridge.column(MakeDecimal(Bridge.expression(c.cast("bigint")),
+      20, 6))
 }

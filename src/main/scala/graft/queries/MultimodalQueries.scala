@@ -38,7 +38,9 @@ object MultimodalQueries {
     // through deflate + the ImageIO reader).
     "multimodal_decode" -> QueryDef(
       (s, d) => MultimodalOps.decodeMedia(
-          MultimodalOps.synthesizeMedia(Tables.documents(s, d), "doc_id"))
+          MultimodalOps.synthesizeMedia(
+            graft.ops.Relational.widenNarrowScan(
+              Tables.documents(s, d)), "doc_id"))
         .orderBy("asset_id"),
       Some("""SELECT doc_id AS asset_id,
         |  CASE WHEN doc_id % 2 = 1 THEN 'wav'
@@ -118,6 +120,8 @@ object MultimodalQueries {
     // (maxBucketSize uncapped) is exact, so the sets must be equal.
     "dedup_image_phash" -> QueryDef(
       (s, d) => {
+        // deliberately NOT widened: the synthesized payload shuffle
+        // outweighs the dhash kernel (A/B: 1.60 -> 2.37 s widened)
         val assets = MultimodalOps.synthesizePatternBmp(
           Tables.documents(s, d), "doc_id")
         val sigs = MultimodalOps.imageDHash(assets)

@@ -278,7 +278,11 @@ object Text2Queries {
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         DecontamOps.semanticContaminationReport(
-            emb.filter(col("vec_id") % 37 =!= 0),
+            // widened at the CALL site (the op's own plan stays
+            // exchange-free by contract): nEvals x dim cosines per
+            // corpus row on a narrow scan
+            graft.ops.Relational.widenNarrowScan(
+              emb.filter(col("vec_id") % 37 =!= 0)),
             emb.filter(col("vec_id") % 37 === 0),
             "vec_id", "embedding", tau = 0.3)
           .orderBy("corpus_id", "eval_id")
@@ -310,7 +314,7 @@ object Text2Queries {
           lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
           when(col("doc_id") % 3 === 0, lit(" cc admin@corp.io"))
             .otherwise(lit("")))
-        Tables.documents(s, d)
+        graft.ops.Relational.widenNarrowScan(Tables.documents(s, d))
           .select(col("doc_id"), pii.as("t"))
           .select(col("doc_id"),
             TextOps.piiCount(col("t"), "email").as("n_email"),
@@ -361,7 +365,7 @@ object Text2Queries {
             .otherwise(lit("")),
           when(col("doc_id") % 5 === 0, lit(" \uFFFD"))
             .otherwise(lit("")))
-        Tables.documents(s, d)
+        graft.ops.Relational.widenNarrowScan(Tables.documents(s, d))
           .select(col("doc_id"), aug.as("t"))
           .select(col("doc_id"),
             md5(TextOps.normalizeUnicode(col("t"))).as("nfc_md5"),
@@ -465,7 +469,8 @@ object Text2Queries {
       // fields) — the old form held six independent copies of the
       // token/gram machinery (3 rounded outputs + 3 in the flag),
       // each re-splitting under interpreted HOF eval
-      (s, d) => Tables.documents(s, d)
+      (s, d) => graft.ops.Relational.widenNarrowScan(
+          Tables.documents(s, d))
         .select(col("doc_id"),
           TextOps.repetitionFracs(col("text"), 2, 3).as("__m"))
         .select(col("doc_id"),

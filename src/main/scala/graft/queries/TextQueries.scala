@@ -153,7 +153,8 @@ object TextQueries {
 
     // Token statistics per document.
     "text_metrics" -> QueryDef(
-      (s, d) => Tables.documents(s, d)
+      (s, d) => graft.ops.Relational.widenNarrowScan(
+          Tables.documents(s, d))
         .select(col("doc_id"),
           TextOps.tokenCount(col("text")).as("n_tokens"),
           TextOps.distinctTokenCount(col("text")).as("n_distinct"),
@@ -221,7 +222,8 @@ object TextQueries {
 
     // Composite quality score (length/stopword/punct blend).
     "text_quality" -> QueryDef(
-      (s, d) => Tables.documents(s, d)
+      (s, d) => graft.ops.Relational.widenNarrowScan(
+          Tables.documents(s, d))
         .select(col("doc_id"),
           TextOps.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id"),

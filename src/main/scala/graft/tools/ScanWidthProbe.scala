@@ -38,6 +38,21 @@ object ScanWidthProbe {
       .groupBy("t").count().queryExecution.toRdd.count()
     time("tokenize+explode, narrow scan")(tokCount(docs))
     time("tokenize+explode, repartition(32)")(tokCount(docs.repartition(32)))
+    def dupShare(df: org.apache.spark.sql.DataFrame) =
+      graft.ext.DedupOps.corpusDupNgramShare(df, "doc_id", "text", 5)
+        .queryExecution.toRdd.count()
+    time("corpusDupNgramShare, narrow")(dupShare(docs))
+    time("corpusDupNgramShare, widened")(dupShare(docs.repartition(32)))
+    def strip(df: org.apache.spark.sql.DataFrame) =
+      graft.ext.DedupOps.stripDupSpans(df, "doc_id", "text", 5)
+        .queryExecution.toRdd.count()
+    time("stripDupSpans, narrow")(strip(docs))
+    time("stripDupSpans, widened")(strip(docs.repartition(32)))
+    def topng(df: org.apache.spark.sql.DataFrame) =
+      graft.ext.TextOps.topNgrams(df, Seq("lang"), col("text"), 3, 5)
+        .queryExecution.toRdd.count()
+    time("topNgrams, narrow")(topng(docs))
+    time("topNgrams, widened")(topng(docs.repartition(32)))
     spark.stop()
   }
 }
