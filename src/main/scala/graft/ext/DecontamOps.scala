@@ -38,7 +38,7 @@ object DecontamOps {
       .select(explode(TextOps.wordNgrams(col(textCol), n)).as("__ng0"))
       .select(key(col("__ng0")).as("__ng"))
       .distinct()
-    graft.ops.Relational.widenNarrowScan(corpus)
+    corpus
       .select(col(idCol),
         explode(TextOps.wordNgrams(col(textCol), n)).as("__ng0"))
       .select(col(idCol), key(col("__ng0")).as("__ng"))
@@ -98,7 +98,7 @@ object DecontamOps {
       .select(col(idCol).as("eval_id"),
         explode(TextOps.wordNgrams(col(textCol), n)).as("__ng"))
       .distinct()
-    graft.ops.Relational.widenNarrowScan(corpus)
+    corpus
       .select(col(idCol).as("corpus_id"),
         explode(TextOps.wordNgrams(col(textCol), n)).as("__ng"))
       .join(broadcast(evalNg), Seq("__ng"))

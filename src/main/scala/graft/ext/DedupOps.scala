@@ -456,8 +456,7 @@ object DedupOps {
                           maxBucketSize: Int = 200,
                           numBlocks: Int = 0): DataFrame =
     simhashPairsFromSigs(
-      graft.ops.Relational.widenNarrowScan(df)
-        .select(col(idCol).as("doc_id"),
+      df.select(col(idCol).as("doc_id"),
         graft.functions.native.simhash64(
           array_distinct(TextOps.tokens(col(textCol)))).as("__sig")),
       maxDistance, maxBucketSize, numBlocks)

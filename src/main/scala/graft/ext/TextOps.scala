@@ -1080,8 +1080,9 @@ object TextOps {
     // NULL text coalesces to "" (one empty line) — explode of a NULL
     // array would silently drop the doc from the output, and a
     // transform that loses rows is a correctness bug at any scale
-    val lines = graft.ops.Relational.widenNarrowScan(df)
-      .select(col(idCol),
+    // NOT widened: the line fold is xxhash64-cheap per row and the
+    // bench median regressed 1.07 -> 1.20 s under a widen
+    val lines = df.select(col(idCol),
         posexplode(split(coalesce(col(textCol), lit("")), "\n"))
           .as(Seq("__pos", "__line")))
       .withColumn("__h1", xxhash64(col("__line"), lit(1L)))

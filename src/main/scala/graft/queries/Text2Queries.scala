@@ -170,7 +170,10 @@ object Text2Queries {
       (s, d) => {
         val docs = Tables.documents(s, d)
         val eval = docs.filter(col("doc_id") % 37 === 0)
-        val corpus = docs.filter(col("doc_id") % 37 =!= 0)
+        // widened at the call site: the op takes arbitrary composite
+        // corpora (curation_e2e), where a widen probe regressed
+        val corpus = graft.ops.Relational.widenNarrowScan(
+          docs.filter(col("doc_id") % 37 =!= 0))
         DecontamOps.flagContaminated(corpus, eval, "doc_id", "text", 4)
           .select("doc_id", "contaminated")
           .orderBy("doc_id")
@@ -196,7 +199,8 @@ object Text2Queries {
       (s, d) => {
         val docs = Tables.documents(s, d)
         DecontamOps.leakReport(
-            docs.filter(col("doc_id") % 37 =!= 0),
+            graft.ops.Relational.widenNarrowScan(
+              docs.filter(col("doc_id") % 37 =!= 0)),
             docs.filter(col("doc_id") % 37 === 0),
             "doc_id", "text", 4)
           .orderBy("eval_id")
