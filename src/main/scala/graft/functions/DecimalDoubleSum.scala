@@ -60,9 +60,11 @@ case class DecimalDoubleSum(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends ImperativeAggregate with UnaryLike[Expression] {
+  extends ImperativeAggregate with UnaryLike[Expression]
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
 
   override def prettyName: String = "dsum_exact"
+  override def inputTypes: Seq[DataType] = Seq(DoubleType)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 

@@ -98,7 +98,13 @@ object GraftExtensions {
       "unicode_normalize(text, 'NFC'|'NFD'|'NFKC'|'NFKD') - UAX #15 Unicode normalization",
       exprs => { arity(exprs, 2, "unicode_normalize")
         UnicodeNormalize(exprs(0),
-          strLiteral(exprs(1), "unicode_normalize", "form")) }))
+          strLiteral(exprs(1), "unicode_normalize", "form")) }),
+    ("dsum_exact",
+      "dsum_exact(x) - exact decimal(25,6) sum of a double, as double;" +
+        " value-identical to CAST(sum(CAST(x AS DECIMAL(25,6))) AS" +
+        " DOUBLE) at integer-accumulator speed (DecimalDoubleSum)",
+      exprs => { arity(exprs, 1, "dsum_exact")
+        DecimalDoubleSum(exprs.head) }))
 
   /** Register the same functions on an already-built session (the
     * driver owns the session in the Verify/Bench contract). */

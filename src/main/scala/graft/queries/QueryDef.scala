@@ -28,6 +28,15 @@ object QueryDef {
   def dsumSql(expr: String): String =
     s"CAST(sum(CAST($expr AS DECIMAL(25,6))) AS DOUBLE)"
 
+  /** `spark.sql` with the graft native functions registered (the
+    * registration is an idempotent registry put) — lets Spark-side
+    * SQL strings use `dsum_exact(x)` where their DuckDB oracle twins
+    * keep the decimal-cast form the two are value-identical to. */
+  def graftSql(s: SparkSession, sql: String): DataFrame = {
+    graft.functions.GraftExtensions.register(s)
+    s.sql(sql)
+  }
+
   /** Oracle-side DuckDB CTE chain recomputing
     * [[graft.ext.TextOps.qualityScore]] over `documents` — ONE
     * definition for every quality-consuming oracle (deciles, gates,

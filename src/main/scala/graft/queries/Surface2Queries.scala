@@ -71,8 +71,8 @@ object Surface2Queries {
       (s, d) => {
         Tables.customer(s, d).createOrReplaceTempView("v_customer")
         Tables.orders(s, d).createOrReplaceTempView("v_orders")
-        s.sql("""SELECT c_mktsegment AS segment, count(*) AS numcust,
-          |  CAST(sum(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE)
+        QueryDef.graftSql(s, """SELECT c_mktsegment AS segment, count(*) AS numcust,
+          |  dsum_exact(c_acctbal)
           |    AS totacctbal
           |FROM v_customer c
           |WHERE c_mktsegment IN ('AUTOMOBILE','BUILDING','MACHINERY')
@@ -246,8 +246,8 @@ object Surface2Queries {
       (s, d) => {
         Tables.part(s, d).createOrReplaceTempView("v_part")
         Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
-        s.sql("""SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-          |    AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+        QueryDef.graftSql(s, """SELECT dsum_exact(l_extendedprice * (1 - l_discount)
+          |) AS revenue
           |FROM v_lineitem JOIN v_part ON p_partkey = l_partkey
           |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
           |       AND l_quantity BETWEEN 1 AND 11)
@@ -276,10 +276,10 @@ object Surface2Queries {
       (s, d) => {
         Tables.supplier(s, d).createOrReplaceTempView("v_supplier")
         Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
-        s.sql("""WITH revenue AS (
+        QueryDef.graftSql(s, """WITH revenue AS (
           |  SELECT l_suppkey AS supplier_no,
-          |    CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-          |      AS DECIMAL(25,6))) AS DOUBLE) AS total_revenue
+          |    dsum_exact(l_extendedprice * (1 - l_discount)
+          |) AS total_revenue
           |  FROM v_lineitem
           |  WHERE l_shipdate >= DATE '1996-01-01'
           |    AND l_shipdate < DATE '1996-04-01'

@@ -83,13 +83,12 @@ object Surface3Queries {
     "sql_q7" -> QueryDef(
       (s, d) => {
         views(s, d)
-        s.sql("""SELECT supp_nation, cust_nation, l_year,
-          |  CAST(sum(volume) AS DOUBLE) AS revenue
+        QueryDef.graftSql(s, """SELECT supp_nation, cust_nation, l_year,
+          |  dsum_exact(volume) AS revenue
           |FROM (SELECT n1.n_name AS supp_nation,
           |        n2.n_name AS cust_nation,
           |        year(l_shipdate) AS l_year,
-          |        CAST(l_extendedprice * (1 - l_discount)
-          |          AS DECIMAL(25,6)) AS volume
+          |        l_extendedprice * (1 - l_discount) AS volume
           |      FROM v_supplier, v_lineitem, v_orders, v_customer,
           |        v_nation n1, v_nation n2
           |      WHERE s_suppkey = l_suppkey
@@ -134,14 +133,12 @@ object Surface3Queries {
     "sql_q8" -> QueryDef(
       (s, d) => {
         views(s, d)
-        s.sql("""SELECT o_year,
-          |  CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_3'
-          |        THEN volume ELSE CAST(0 AS DECIMAL(25,6)) END)
-          |      AS DOUBLE)
-          |    / CAST(sum(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+        QueryDef.graftSql(s, """SELECT o_year,
+          |  CAST(dsum_exact(CASE WHEN supp_nation = 'NATION_3'
+          |        THEN volume ELSE 0.0D END)
+          |    / dsum_exact(volume) AS DOUBLE) AS mkt_share
           |FROM (SELECT year(o_orderdate) AS o_year,
-          |        CAST(l_extendedprice * (1 - l_discount)
-          |          AS DECIMAL(25,6)) AS volume,
+          |        l_extendedprice * (1 - l_discount) AS volume,
           |        n2.n_name AS supp_nation
           |      FROM v_part, v_lineitem, v_orders, v_customer,
           |        v_supplier, v_nation n1, v_nation n2, v_region

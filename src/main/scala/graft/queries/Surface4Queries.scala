@@ -39,8 +39,8 @@ object Surface4Queries {
     "sql_q6" -> QueryDef(
       (s, d) => {
         views(s, d)
-        s.sql("""SELECT CAST(sum(CAST(l_extendedprice * l_discount
-          |    AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+        QueryDef.graftSql(s, """SELECT dsum_exact(l_extendedprice * l_discount
+          |) AS revenue
           |FROM v_lineitem
           |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
           |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -63,13 +63,12 @@ object Surface4Queries {
     "sql_q9" -> QueryDef(
       (s, d) => {
         views(s, d)
-        s.sql("""SELECT nation, o_year,
-          |  CAST(sum(amount) AS DOUBLE) AS sum_profit
+        QueryDef.graftSql(s, """SELECT nation, o_year,
+          |  dsum_exact(amount) AS sum_profit
           |FROM (SELECT n_name AS nation,
           |        year(l_shipdate) AS o_year,
-          |        CAST(l_extendedprice * (1 - l_discount)
-          |            - p_retailprice * l_quantity * 0.01
-          |          AS DECIMAL(25,6)) AS amount
+          |        l_extendedprice * (1 - l_discount)
+          |            - p_retailprice * l_quantity * 0.01 AS amount
           |      FROM v_part, v_supplier, v_lineitem, v_nation
           |      WHERE s_suppkey = l_suppkey
           |        AND p_partkey = l_partkey
@@ -102,9 +101,9 @@ object Surface4Queries {
     "sql_q11" -> QueryDef(
       (s, d) => {
         views(s, d)
-        s.sql("""SELECT l_partkey,
-          |  CAST(sum(CAST(l_extendedprice * l_quantity
-          |      AS DECIMAL(25,6))) AS DOUBLE) AS value
+        QueryDef.graftSql(s, """SELECT l_partkey,
+          |  dsum_exact(l_extendedprice * l_quantity
+          |) AS value
           |FROM v_lineitem, v_supplier, v_nation
           |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
           |  AND n_name = 'NATION_7'
@@ -177,13 +176,13 @@ object Surface4Queries {
     "sql_q14" -> QueryDef(
       (s, d) => {
         views(s, d)
-        s.sql("""SELECT round(100.0 * CAST(sum(CASE
+        QueryDef.graftSql(s, """SELECT round(100.0 * CAST(sum(CASE
           |      WHEN p_type = 'PROMO'
           |      THEN CAST(l_extendedprice * (1 - l_discount)
           |        AS DECIMAL(25,6))
           |      ELSE CAST(0 AS DECIMAL(25,6)) END) AS DOUBLE)
-          |    / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-          |      AS DECIMAL(25,6))) AS DOUBLE), 6) AS promo_revenue
+          |    / dsum_exact(l_extendedprice * (1 - l_discount)
+          |), 6) AS promo_revenue
           |FROM v_lineitem JOIN v_part ON l_partkey = p_partkey
           |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
           |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'"""

@@ -340,9 +340,9 @@ object SurfaceQueries {
         Tables.customer(s, d).createOrReplaceTempView("v_customer")
         Tables.orders(s, d).createOrReplaceTempView("v_orders")
         Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
-        s.sql("""SELECT o_orderkey,
-          |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-          |    AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+        QueryDef.graftSql(s, """SELECT o_orderkey,
+          |  dsum_exact(l_extendedprice * (1 - l_discount)
+          |) AS revenue,
           |  date_format(o_orderdate, 'yyyy-MM-dd') AS order_date
           |FROM v_customer
           |JOIN v_orders ON c_custkey = o_custkey
@@ -376,9 +376,9 @@ object SurfaceQueries {
         Tables.supplier(s, d).createOrReplaceTempView("v_supplier")
         Tables.orders(s, d).createOrReplaceTempView("v_orders")
         Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
-        s.sql("""SELECT n_name,
-          |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-          |    AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+        QueryDef.graftSql(s, """SELECT n_name,
+          |  dsum_exact(l_extendedprice * (1 - l_discount)
+          |) AS revenue
           |FROM v_region
           |JOIN v_nation ON n_regionkey = r_regionkey
           |JOIN v_customer ON c_nationkey = n_nationkey
@@ -417,9 +417,9 @@ object SurfaceQueries {
         Tables.orders(s, d).createOrReplaceTempView("v_orders")
         Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
         Tables.nation(s, d).createOrReplaceTempView("v_nation")
-        s.sql("""SELECT c_custkey, c_name, n_name,
-          |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-          |    AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+        QueryDef.graftSql(s, """SELECT c_custkey, c_name, n_name,
+          |  dsum_exact(l_extendedprice * (1 - l_discount)
+          |) AS revenue
           |FROM v_customer
           |JOIN v_orders ON o_custkey = c_custkey
           |JOIN v_lineitem ON l_orderkey = o_orderkey
@@ -455,8 +455,8 @@ object SurfaceQueries {
       (s, d) => {
         Tables.part(s, d).createOrReplaceTempView("v_part")
         Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
-        s.sql("""SELECT round(CAST(sum(CAST(l_extendedprice
-          |    AS DECIMAL(25,6))) AS DOUBLE) / 7.0, 6) AS avg_yearly
+        QueryDef.graftSql(s, """SELECT round(dsum_exact(l_extendedprice
+          |) / 7.0, 6) AS avg_yearly
           |FROM v_lineitem JOIN v_part ON p_partkey = l_partkey
           |WHERE p_brand = 'Brand#12'
           |  AND l_quantity * 5.0 <
@@ -486,10 +486,10 @@ object SurfaceQueries {
         Tables.customer(s, d).createOrReplaceTempView("v_customer")
         Tables.orders(s, d).createOrReplaceTempView("v_orders")
         Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
-        s.sql("""SELECT c_name, c_custkey, o_orderkey,
+        QueryDef.graftSql(s, """SELECT c_name, c_custkey, o_orderkey,
           |  date_format(o_orderdate, 'yyyy-MM-dd') AS order_date,
           |  o_totalprice,
-          |  CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)
+          |  dsum_exact(l_quantity)
           |    AS total_qty
           |FROM v_customer
           |JOIN v_orders ON o_custkey = c_custkey
@@ -587,10 +587,10 @@ object SurfaceQueries {
           graft.schema.CatalogDDL.ensureExternalTable(s, db, t,
             s"$d/$t.parquet")
         }
-        s.sql(s"""SELECT n.n_name AS nation,
+        QueryDef.graftSql(s, s"""SELECT n.n_name AS nation,
           |  date_format(o.o_orderdate, 'yyyy-MM') AS bulan,
-          |  CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
-          |    AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+          |  dsum_exact(l.l_extendedprice * (1 - l.l_discount)
+          |) AS revenue,
           |  count(DISTINCT o.o_orderkey) AS n_orders
           |FROM `$db`.lineitem l
           |JOIN `$db`.orders o ON l.l_orderkey = o.o_orderkey
