@@ -206,7 +206,7 @@ class QueryPlanSpec extends SparkSpec {
     assert(!p.contains("InSubquery"), p)
     assert(p.contains("LeftSemi"), p)
     // the inner aggregate over every order is partial+final
-    assert(p.contains("partial_sum"), p)
+    assert(p.contains("partial_sum") || p.contains("partial_dsum_exact"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
@@ -283,7 +283,7 @@ class QueryPlanSpec extends SparkSpec {
     // only shuffles belong to the lineitem-orders spine and the agg
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
     assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
-    assert(p.contains("partial_sum"), p)
+    assert(p.contains("partial_sum") || p.contains("partial_dsum_exact"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
@@ -293,7 +293,7 @@ class QueryPlanSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p)
     assert(p.contains("EqualTo(r_name,ASIA)"), p)
     assert(p.contains("EqualTo(p_type,ECONOMY)"), p)
-    assert(p.contains("partial_sum"), p)
+    assert(p.contains("partial_sum") || p.contains("partial_dsum_exact"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
@@ -332,7 +332,7 @@ class QueryPlanSpec extends SparkSpec {
     assert(p.contains(">= 1996-01-01 00:00:00"), p)
     assert(p.contains("l_discount") && p.contains(">= 0.05"), p)
     assert(p.contains("l_quantity") && p.contains("< 24.0"), p)
-    assert(p.contains("partial_sum"), p)
+    assert(p.contains("partial_sum") || p.contains("partial_dsum_exact"), p)
     assert(!p.contains("Exchange hashpartitioning"), p)
     assert(!p.contains("Join"), p)
   }
@@ -343,7 +343,7 @@ class QueryPlanSpec extends SparkSpec {
     assert(p.contains("StringContains(p_name,bolt)"), p)
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
-    assert(p.contains("partial_sum"), p)
+    assert(p.contains("partial_sum") || p.contains("partial_dsum_exact"), p)
   }
 
   test("sql_q11 plans the global total as a one-shot scalar subquery " +
@@ -354,7 +354,7 @@ class QueryPlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     // the nation filter reaches the tiny dims, the agg is two-phase
     assert(p.contains("EqualTo(n_name,NATION_7)"), p)
-    assert(p.contains("partial_sum"), p)
+    assert(p.contains("partial_sum") || p.contains("partial_dsum_exact"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
@@ -366,7 +366,7 @@ class QueryPlanSpec extends SparkSpec {
     // in a join condition or post-join filter, never a scan filter
     assert(!p.contains("PushedFilters: [IsNotNull(l_shipdate), " +
       "GreaterThan(l_shipdate"), p)
-    assert(p.contains("partial_sum"), p)
+    assert(p.contains("partial_sum") || p.contains("partial_dsum_exact"), p)
   }
 
   test("sql_q14 prunes the shipdate month at the scan and computes " +
@@ -375,7 +375,7 @@ class QueryPlanSpec extends SparkSpec {
     assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
     assert(p.contains("BroadcastHashJoin"), p)
     // one aggregate carrying two partial sums — not two scans
-    assert("partial_sum".r.findAllIn(p).size >= 2, p)
+    assert("partial_(dsum_exact|sum)".r.findAllIn(p).size >= 2, p)
     assert("BroadcastHashJoin".r.findAllIn(
       p.split("== Initial Plan ==").head).size == 1, p)
   }
