@@ -54,10 +54,10 @@ object CurationQueries {
           .join(exact.select(col("doc_id").as("id_b")),
             Seq("id_b"), "left_semi")
           .select("id_a", "id_b")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .localCheckpoint(true)
         val reps = DedupOps.duplicateClusters(pairs)
           .select(col("id").as("doc_id"), col("cluster_rep"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .localCheckpoint(true)
         (pairs, reps)
     }
 
@@ -104,7 +104,7 @@ object CurationQueries {
         // (1) exact dedup — per-run (one cheap groupBy; the Spark
         // cache manager serves same-plan reuse within the run)
         val exact = CorpusPipeline.exactDedup(docs, "doc_id", "text")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .localCheckpoint(true)
         // (2) near-dup pair set + (5)'s cluster fixpoint: served from
         // the snapshot artifact store ([[e2eArtifacts]] — built once
         // per session/sf, like the signature store they derive from)

@@ -47,7 +47,7 @@ object Text3Queries {
                        d: String): org.apache.spark.sql.DataFrame =
     lmScoreCache((s, d)) {
       TextOps.bigramLmScores(Tables.documents(s, d), "doc_id", "text")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
     }
 
   /** Session-lifetime DSIR weight store — like [[lmScores]], the
@@ -64,7 +64,7 @@ object Text3Queries {
     dsirCache((s, d)) {
       TextOps.dsirWeights(Tables.documents(s, d), "doc_id", "text",
           col("lang") === "en")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
     }
 
   /** Store-served incremental LM scores for `bigram_lm_incremental`:
@@ -95,7 +95,7 @@ object Text3Queries {
       }
       TextOps.bigramLmScoresFromStore(Tables.documents(s, d),
           "doc_id", "text", store)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
     }
 
   /** Store-served incremental DSIR weights for
@@ -122,7 +122,7 @@ object Text3Queries {
       }
       TextOps.dsirWeightsFromStore(Tables.documents(s, d),
           "doc_id", "text", col("lang") === "en", store)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
     }
 
   /** Session-lifetime doc-grain token-count signal — (doc_id, lang,
@@ -143,7 +143,7 @@ object Text3Queries {
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
           TextOps.tokenCount(col("text")).as("n_tokens"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
     }
 
   val defs: Map[String, QueryDef] = Map(
@@ -1108,7 +1108,7 @@ object Text3Queries {
       val model = graft.ext.ClassifierOps.classifierFromStore(s, store)
       graft.ext.ClassifierOps.scoreQuality(docs, "doc_id", "text",
           model)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
     }
 
   /** Store-served incremental lang-ID predictions for
@@ -1142,7 +1142,7 @@ object Text3Queries {
       val model = graft.ext.ClassifierOps.langIdFromStore(s, store)
       graft.ext.ClassifierOps.classifyLang(docs, "doc_id", "text",
           model)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
     }
 
   /** Build-once persisted merge table + loaded rank list for

@@ -76,7 +76,7 @@ object VectorQueries {
                              d: String): org.apache.spark.sql.DataFrame =
     sq8RangesCache((s, d)) {
       VectorOps.sq8Ranges(Tables.embeddings(s, d), "embedding")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
     }
 
   val defs: Map[String, QueryDef] = Map(
