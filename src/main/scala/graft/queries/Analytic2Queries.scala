@@ -65,6 +65,9 @@ object Analytic2Queries {
     // Exact interpolated percentiles (Spark percentile == DuckDB
     // quantile_cont), rounded to absorb interpolation-arithmetic ULP.
     "percentile_agg" -> QueryDef(
+      // NOT fused into an array-percentile: A/B showed the array form
+      // SLOWER (1.4 -> 2.0 s) despite sharing one value buffer for
+      // the two l_quantity cuts — the scalar path wins here
       (s, d) => Tables.lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(
